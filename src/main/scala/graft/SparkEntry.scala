@@ -1,13 +1,28 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Each module contributes a `queries` map (operator demonstrations over the
+  * /root/testdata tables) and an `oracle` map (DuckDB-equivalent ANSI SQL
+  * the driver hash-compares against at sf0.01). Queries without an oracle
+  * entry get the weaker rows-only check and say why in their module.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship 1BRC query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    onebrc.OneBrc.brcAgg(
+      onebrc.OneBrc.stationsFromEvents(spark, "/root/testdata/sf0.001"))
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    onebrc.OneBrc.queries ++
+      operators.Relational.queries
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted keys => rows-only check. */
+  def oracleSql: Map[String, String] =
+    onebrc.OneBrc.oracle ++
+      operators.Relational.oracle
 }

@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Shared helpers: test-table loading + deterministic numeric idioms.
+  *
+  * Exact-arithmetic rule used across every oracle-checked query: money-like
+  * doubles (2 decimal digits by construction) are converted to integer cents
+  * via `round(x*100)` BEFORE summing. Integer-valued doubles/longs sum
+  * exactly in any order, so Spark's partial/final aggregation over 32
+  * partitions produces bit-identical results to DuckDB's sequential scan —
+  * the same trick the reference's fixed-point engines use
+  * (/root/reference/rust_1brc/src/thebracket.rs:46-71,
+  * /root/reference/rust_1brc/src/rangnargrootkeorkamp.rs:80-107).
+  */
+object Tables {
+  def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** events.parquet stores ts as parquet TIMESTAMP(NANOS), which Spark's
+    * reader rejects. Read nanos as long (legacy conf) and convert to a
+    * microsecond TimestampType with integer division — `ts div 1000`, NOT
+    * `/1000.0`: epoch-nanos ~1.7e18 exceeds double's 2^53 exact range, so
+    * float division would corrupt timestamps. */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t(spark, dir, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** 2-decimal double -> exact integer cents (long). */
+  def cents(c: Column): Column = round(c * 100).cast("long")
+
+  /** 1-decimal double -> exact integer tenths (long) — the reference's
+    * fixed-point representation (thebracket.rs:46-71). */
+  def tenths(c: Column): Column = round(c * 10).cast("long")
+
+  /** exact cents sum -> dollars as double (same conversion both engines). */
+  def dollars(sumCents: Column): Column = sumCents.cast("double") / 100.0
+
+  /** Parity-safe 1-decimal rounding: round to INTEGER granularity after
+    * scaling. `round(x, 1)` itself is NOT parity-safe across engines
+    * (Spark rounds the shortest decimal repr HALF_UP; DuckDB rounds the
+    * binary value), but `round(x*10)/10` is the identical computation in
+    * both. Ties at .5 are exactly representable in binary, and both
+    * engines round them away from zero. */
+  def round1(c: Column): Column = round(c * 10) / 10.0
+}

@@ -1,0 +1,467 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** Capability envelope over the TPC-H-ish test tables (SURVEY §7.3 M3).
+  *
+  * The reference exercises joins/windows/set-ops degenerately (§2.3/2.5/2.7:
+  * none), so these queries demonstrate the full relational surface a user of
+  * the category expects, each with a DuckDB oracle.
+  *
+  * Scale notes (100 TB thinking):
+  *  - dimension joins (nation/region/supplier) are `broadcast()` — no
+  *    shuffle of the fact table;
+  *  - fact-fact joins (lineitem ⋈ orders) shuffle on the join key once and
+  *    AQE handles skew; q11 pins sort-merge via a `merge` hint to prove the
+  *    strategy is available;
+  *  - aggregates use exact integer units (see graft.Tables) so results are
+  *    partition-order-independent — the property that makes them safe to run
+  *    on any cluster layout.
+  */
+object Relational {
+
+  private def r6(c: Column): Column = round(c * 1e6) / 1e6
+  private def r4(c: Column): Column = round(c * 1e4) / 1e4
+  /** exact discount/tax percent units (0.04 -> 4L) */
+  private def pct(c: Column): Column = round(c * 100).cast("long")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- joins ------------------------------------------------------------
+
+    "q10_join_broadcast" -> ((s, d) => {
+      // lineitem ⋈ orders ⋈ customer ⋈ broadcast(nation) ⋈ broadcast(region):
+      // revenue per nation. Dim tables broadcast => single shuffle chain on
+      // the fact side only.
+      val li = t(s, d, "lineitem"); val o = t(s, d, "orders")
+      val c = t(s, d, "customer"); val n = t(s, d, "nation")
+      val r = t(s, d, "region")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(n("n_name"), r("r_name"))
+        .agg(
+          (sum(cents(li("l_extendedprice")) * (lit(100L) - pct(li("l_discount"))))
+            .cast("double") / 1e4).as("revenue"),
+          countDistinct(o("o_orderkey")).as("n_orders"),
+          count(lit(1)).as("n_lines"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    }),
+
+    "q11_join_sortmerge" -> ((s, d) => {
+      val li = t(s, d, "lineitem"); val o = t(s, d, "orders")
+      li.hint("merge").join(o, li("l_orderkey") === o("o_orderkey"))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_lines"), sum(col("l_quantity")).as("sum_qty"))
+        .orderBy("o_orderstatus")
+    }),
+
+    "q12_join_semi" -> ((s, d) => {
+      val li = t(s, d, "lineitem").filter(col("l_quantity") >= 48)
+      t(s, d, "orders")
+        .join(li, col("o_orderkey") === li("l_orderkey"), "left_semi")
+        .select(col("o_orderkey"), col("o_orderstatus"))
+        .orderBy("o_orderkey")
+    }),
+
+    "q13_join_anti" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      t(s, d, "orders")
+        .join(li, col("o_orderkey") === li("l_orderkey"), "left_anti")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .orderBy("o_orderkey")
+    }),
+
+    "q14_join_outer" -> ((s, d) => {
+      val o = t(s, d, "orders")
+      t(s, d, "customer")
+        .join(o, col("c_custkey") === o("o_custkey"), "left_outer")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("n_orders"),
+          dollars(coalesce(sum(cents(col("o_totalprice"))), lit(0L)))
+            .as("total_spent"))
+        .orderBy("c_custkey")
+    }),
+
+    "q15_join_cross" -> ((s, d) =>
+      t(s, d, "region").crossJoin(t(s, d, "nation"))
+        .select(col("r_name"), col("n_name"))
+        .orderBy("r_name", "n_name")),
+
+    // ---- aggregations ------------------------------------------------------
+
+    "q20_tpch_q1" -> ((s, d) => {
+      // TPC-H Q1 shape with exact integer-unit arithmetic throughout.
+      val li = t(s, d, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-01").cast("timestamp"))
+      val pc = cents(col("l_extendedprice"))
+      val disc = lit(100L) - pct(col("l_discount"))
+      val tax = lit(100L) + pct(col("l_tax"))
+      li.groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity")).as("sum_qty"),
+          dollars(sum(pc)).as("sum_base_price"),
+          (sum(pc * disc).cast("double") / 1e4).as("sum_disc_price"),
+          (sum(pc * disc * tax).cast("double") / 1e6).as("sum_charge"),
+          (sum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+          (sum(pc).cast("double") / 100.0 / count(lit(1))).as("avg_price"),
+          (sum(pct(col("l_discount"))).cast("double") / 100.0 / count(lit(1)))
+            .as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    "q21_agg_distinct" -> ((s, d) =>
+      t(s, d, "lineitem").groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"),
+          count(lit(1)).as("n_lines"))
+        .orderBy("l_returnflag")),
+
+    "q22_approx_distinct" -> ((s, d) =>
+      // HLL sketch (the §2.4 "not present" gap) — approx values are
+      // engine-specific, so this query gets the rows-only check.
+      t(s, d, "lineitem").groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          countDistinct(col("l_partkey")).as("exact_parts"))
+        .orderBy("l_returnflag")),
+
+    "q23_rollup" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg((grouping(col("l_returnflag")) * 2 + grouping(col("l_linestatus")))
+          .cast("long").as("gid"),
+          sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+        .select(col("l_returnflag"), col("l_linestatus"), col("gid"),
+          col("sum_qty"), col("n"))
+        .orderBy(col("gid"), col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)),
+
+    "q24_cube" -> ((s, d) =>
+      t(s, d, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg((grouping(col("o_orderstatus")) * 2 + grouping(col("o_orderpriority")))
+          .cast("long").as("gid"),
+          count(lit(1)).as("n"),
+          dollars(sum(cents(col("o_totalprice")))).as("total"))
+        .select(col("o_orderstatus"), col("o_orderpriority"), col("gid"),
+          col("n"), col("total"))
+        .orderBy(col("gid"), col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first)),
+
+    "q25_stats" -> ((s, d) =>
+      t(s, d, "lineitem").groupBy(col("l_returnflag"))
+        .agg(r6(stddev_samp(col("l_quantity"))).as("sd_qty"),
+          r6(var_samp(col("l_quantity"))).as("var_qty"),
+          r6(corr(col("l_quantity"), col("l_extendedprice"))).as("corr_qp"),
+          r6(covar_samp(col("l_quantity"), col("l_discount"))).as("cov_qd"))
+        .orderBy("l_returnflag")),
+
+    "q26_percentile" -> ((s, d) =>
+      t(s, d, "lineitem").groupBy(col("l_returnflag"))
+        .agg(r4(expr("percentile(l_extendedprice, 0.25)")).as("p25"),
+          r4(expr("percentile(l_extendedprice, 0.5)")).as("p50"),
+          r4(expr("percentile(l_extendedprice, 0.75)")).as("p75"))
+        .orderBy("l_returnflag")),
+
+    // ---- windows -----------------------------------------------------------
+
+    "q30_window_topk" -> ((s, d) => {
+      // top-3 orders per customer — the scalable top-k-per-group pattern
+      // (rank inside partition, never a global sort of the fact table)
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, d, "orders")
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rn"))
+        .orderBy("o_custkey", "rn")
+    }),
+
+    "q31_window_running" -> ((s, d) => {
+      val w = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, d, "lineitem")
+        .withColumn("running_qty", sum(col("l_quantity")).over(w))
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          col("l_shipdate"), col("running_qty"))
+        .orderBy("l_suppkey", "l_shipdate", "l_orderkey", "l_linenumber")
+    }),
+
+    "q32_window_lag" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      events(s, d)
+        .withColumn("delta", col("value") - lag(col("value"), 1).over(w))
+        .select(col("user_id"), col("event_id"), col("delta"))
+        .orderBy("user_id", "event_id")
+    }),
+
+    "q33_window_rank" -> ((s, d) => {
+      val wv = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice").desc)
+      val wt = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, d, "orders")
+        .withColumn("rnk", rank().over(wv).cast("long"))
+        .withColumn("drnk", dense_rank().over(wv).cast("long"))
+        .withColumn("pr", r6(percent_rank().over(wv)))
+        .withColumn("nt", ntile(4).over(wt).cast("long"))
+        .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"),
+          col("rnk"), col("drnk"), col("pr"), col("nt"))
+        .orderBy(col("o_orderpriority"), col("o_totalprice").desc, col("o_orderkey"))
+    }),
+
+    // ---- sort / limit / set ops -------------------------------------------
+
+    "q40_topk" -> ((s, d) =>
+      t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100)),
+
+    "q41_union" -> ((s, d) =>
+      t(s, d, "customer").select(col("c_nationkey").as("nationkey"))
+        .union(t(s, d, "supplier").select(col("s_nationkey")))
+        .distinct()
+        .orderBy("nationkey")),
+
+    "q42_intersect" -> ((s, d) =>
+      t(s, d, "customer").select(col("c_nationkey").as("nationkey"))
+        .intersect(t(s, d, "supplier").select(col("s_nationkey")))
+        .orderBy("nationkey")),
+
+    "q43_except" -> ((s, d) =>
+      // orders that never shipped a line (non-empty in the testdata)
+      t(s, d, "orders").select(col("o_orderkey").as("key"))
+        .except(t(s, d, "lineitem").select(col("l_orderkey")))
+        .orderBy("key")),
+
+    // ---- scalar functions --------------------------------------------------
+
+    "q50_string_funcs" -> ((s, d) =>
+      t(s, d, "part").select(
+        col("p_partkey"),
+        upper(col("p_name")).as("uname"),
+        lower(col("p_brand")).as("lbrand"),
+        length(col("p_name")).cast("long").as("name_len"),
+        substring(col("p_name"), 1, 8).as("name8"),
+        regexp_replace(col("p_name"), " ", "_").as("snake"),
+        reverse(col("p_type")).as("rtype"),
+        concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"),
+        lpad(col("p_size").cast("string"), 4, "0").as("size4"))
+        .orderBy("p_partkey")),
+
+    "q51_date_funcs" -> ((s, d) =>
+      t(s, d, "orders").select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).cast("long").as("yr"),
+        month(col("o_orderdate")).cast("long").as("mo"),
+        dayofmonth(col("o_orderdate")).cast("long").as("dy"),
+        quarter(col("o_orderdate")).cast("long").as("qtr"),
+        date_trunc("month", col("o_orderdate")).as("month_start"),
+        last_day(col("o_orderdate")).as("month_end"),
+        datediff(col("o_orderdate"), lit("1995-01-01")).cast("long")
+          .as("days_since"))
+        .orderBy("o_orderkey")),
+
+    "q52_math_funcs" -> ((s, d) =>
+      t(s, d, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        abs(col("l_quantity") - 25.0).as("absv"),
+        ceil(col("l_extendedprice")).cast("long").as("ceilv"),
+        floor(col("l_extendedprice")).cast("long").as("floorv"),
+        sqrt(col("l_quantity")).as("sqrtv"),
+        pow(col("l_quantity"), 2).as("sqv"),
+        r6(log(col("l_quantity"))).as("lnv"),
+        pmod(col("l_orderkey"), lit(7)).as("modv"),
+        signum(col("l_discount") - 0.05).cast("long").as("signv"))
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    "q53_case_when" -> ((s, d) =>
+      t(s, d, "orders")
+        .withColumn("band",
+          when(col("o_totalprice") < 150000, "low")
+            .when(col("o_totalprice") < 350000, "mid")
+            .otherwise("high"))
+        .groupBy("band")
+        .agg(count(lit(1)).as("n"),
+          dollars(sum(cents(col("o_totalprice")))).as("total"))
+        .orderBy("band")),
+
+    "q54_array_funcs" -> ((s, d) =>
+      t(s, d, "embeddings").select(
+        col("vec_id"),
+        size(col("embedding")).cast("long").as("dim"),
+        element_at(col("embedding"), 1).as("e_first"),
+        element_at(col("embedding"), size(col("embedding"))).as("e_last"),
+        r6(aggregate(col("embedding"), lit(0.0),
+          (acc, x) => acc + x.cast("double") * x.cast("double"))).as("sq_norm"))
+        .orderBy("vec_id"))
+  )
+
+  // ---- oracles -------------------------------------------------------------
+
+  private val revenueSql =
+    "CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT))) AS DOUBLE)/1e4"
+
+  val oracle: Map[String, String] = Map(
+    "q10_join_broadcast" ->
+      s"""SELECT n_name, r_name, $revenueSql AS revenue,
+         |  count(DISTINCT o_orderkey) AS n_orders, count(*) AS n_lines
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |GROUP BY n_name, r_name ORDER BY revenue DESC, n_name""".stripMargin,
+    "q11_join_sortmerge" ->
+      """SELECT o_orderstatus, count(*) AS n_lines, sum(l_quantity) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q12_join_semi" ->
+      """SELECT o_orderkey, o_orderstatus FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_quantity >= 48)
+        |ORDER BY o_orderkey""".stripMargin,
+    "q13_join_anti" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin,
+    "q14_join_outer" ->
+      """SELECT c_custkey, count(o_orderkey) AS n_orders,
+        |  CAST(coalesce(sum(CAST(round(o_totalprice*100) AS BIGINT)), 0) AS DOUBLE)/100.0 AS total_spent
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q15_join_cross" ->
+      "SELECT r_name, n_name FROM region CROSS JOIN nation ORDER BY r_name, n_name",
+    "q20_tpch_q1" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  sum(l_quantity) AS sum_qty,
+        |  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_base_price,
+        |  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT))) AS DOUBLE)/1e4 AS sum_disc_price,
+        |  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT)) * (100 + CAST(round(l_tax*100) AS BIGINT))) AS DOUBLE)/1e6 AS sum_charge,
+        |  sum(l_quantity)/count(*) AS avg_qty,
+        |  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS DOUBLE)/100.0/count(*) AS avg_price,
+        |  CAST(sum(CAST(round(l_discount*100) AS BIGINT)) AS DOUBLE)/100.0/count(*) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q21_agg_distinct" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+        |  count(DISTINCT l_suppkey) AS n_supps, count(*) AS n_lines
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q23_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(grouping(l_returnflag)*2 + grouping(l_linestatus) AS BIGINT) AS gid,
+        |  sum(l_quantity) AS sum_qty, count(*) AS n
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "q24_cube" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(grouping(o_orderstatus)*2 + grouping(o_orderpriority) AS BIGINT) AS gid,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS DOUBLE)/100.0 AS total
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+    "q25_stats" ->
+      """SELECT l_returnflag,
+        |  round(stddev_samp(l_quantity)*1e6)/1e6 AS sd_qty,
+        |  round(var_samp(l_quantity)*1e6)/1e6 AS var_qty,
+        |  round(corr(l_quantity, l_extendedprice)*1e6)/1e6 AS corr_qp,
+        |  round(covar_samp(l_quantity, l_discount)*1e6)/1e6 AS cov_qd
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q26_percentile" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_extendedprice, 0.25)*1e4)/1e4 AS p25,
+        |  round(quantile_cont(l_extendedprice, 0.5)*1e4)/1e4 AS p50,
+        |  round(quantile_cont(l_extendedprice, 0.75)*1e4)/1e4 AS p75
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q30_window_topk" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    CAST(row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
+        |  FROM orders) WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+    "q31_window_running" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber, l_shipdate,
+        |  sum(l_quantity) OVER (PARTITION BY l_suppkey
+        |    ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_qty
+        |FROM lineitem ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber""".stripMargin,
+    "q32_window_lag" ->
+      """SELECT user_id, event_id,
+        |  value - lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS delta
+        |FROM events ORDER BY user_id, event_id""".stripMargin,
+    "q33_window_rank" ->
+      """SELECT o_orderkey, o_orderpriority, o_totalprice,
+        |  CAST(rank() OVER w AS BIGINT) AS rnk,
+        |  CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+        |  round(percent_rank() OVER w * 1e6)/1e6 AS pr,
+        |  CAST(ntile(4) OVER (PARTITION BY o_orderpriority
+        |    ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS nt
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC)
+        |ORDER BY o_orderpriority, o_totalprice DESC, o_orderkey""".stripMargin,
+    "q40_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+    "q41_union" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |UNION SELECT s_nationkey FROM supplier ORDER BY nationkey""".stripMargin,
+    "q42_intersect" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |INTERSECT SELECT s_nationkey FROM supplier ORDER BY nationkey""".stripMargin,
+    "q43_except" ->
+      """SELECT o_orderkey AS key FROM orders
+        |EXCEPT SELECT l_orderkey FROM lineitem ORDER BY key""".stripMargin,
+    "q50_string_funcs" ->
+      """SELECT p_partkey, upper(p_name) AS uname, lower(p_brand) AS lbrand,
+        |  CAST(length(p_name) AS BIGINT) AS name_len,
+        |  substring(p_name, 1, 8) AS name8,
+        |  replace(p_name, ' ', '_') AS snake,
+        |  reverse(p_type) AS rtype,
+        |  p_brand || '|' || p_type AS brand_type,
+        |  lpad(CAST(p_size AS VARCHAR), 4, '0') AS size4
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "q51_date_funcs" ->
+      """SELECT o_orderkey,
+        |  CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS yr,
+        |  CAST(EXTRACT(MONTH FROM o_orderdate) AS BIGINT) AS mo,
+        |  CAST(EXTRACT(DAY FROM o_orderdate) AS BIGINT) AS dy,
+        |  CAST(EXTRACT(QUARTER FROM o_orderdate) AS BIGINT) AS qtr,
+        |  date_trunc('month', o_orderdate) AS month_start,
+        |  last_day(o_orderdate) AS month_end,
+        |  CAST(date_diff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) AS BIGINT) AS days_since
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q52_math_funcs" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  abs(l_quantity - 25.0) AS absv,
+        |  CAST(ceil(l_extendedprice) AS BIGINT) AS ceilv,
+        |  CAST(floor(l_extendedprice) AS BIGINT) AS floorv,
+        |  sqrt(l_quantity) AS sqrtv,
+        |  pow(l_quantity, 2) AS sqv,
+        |  round(ln(l_quantity)*1e6)/1e6 AS lnv,
+        |  l_orderkey % 7 AS modv,
+        |  CAST(sign(l_discount - 0.05) AS BIGINT) AS signv
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q53_case_when" ->
+      """SELECT band, count(*) AS n,
+        |  CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS DOUBLE)/100.0 AS total
+        |FROM (SELECT CASE WHEN o_totalprice < 150000 THEN 'low'
+        |                  WHEN o_totalprice < 350000 THEN 'mid'
+        |                  ELSE 'high' END AS band, o_totalprice FROM orders)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q54_array_funcs" ->
+      """SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim,
+        |  embedding[1] AS e_first,
+        |  embedding[len(embedding)] AS e_last,
+        |  round(list_sum(list_transform(embedding,
+        |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))*1e6)/1e6 AS sq_norm
+        |FROM embeddings ORDER BY vec_id""".stripMargin
+  )
+}
