@@ -18,11 +18,21 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     onebrc.OneBrc.queries ++
-      operators.Relational.queries
+      operators.Relational.queries ++
+      operators.Dedup.queries ++
+      operators.Similarity.queries ++
+      operators.TextAnalysis.queries ++
+      operators.Multimodal.queries ++
+      streaming.Streaming.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys => rows-only check. */
   def oracleSql: Map[String, String] =
     onebrc.OneBrc.oracle ++
-      operators.Relational.oracle
+      operators.Relational.oracle ++
+      operators.Dedup.oracle ++
+      operators.Similarity.oracle ++
+      operators.TextAnalysis.oracle ++
+      operators.Multimodal.oracle ++
+      streaming.Streaming.oracle
 }

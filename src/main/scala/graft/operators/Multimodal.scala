@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** Multimodal-column plumbing (BASELINE.json north-star): image/audio/video
+  * as opaque `binary` columns with typed metadata.
+  *
+  * The container has no media codecs, so the DECODE step is a deterministic
+  * fake (clearly marked below); everything Spark-side — binary columns,
+  * schema, partition-preserving mapPartitions batch shape, typed metadata
+  * extraction — is real and tested. In production the fake decoder body is
+  * the only thing that changes (swap in the codec call); the dataflow
+  * around it is already the 100 TB shape: binary payloads never shuffle,
+  * features are extracted in one partition-local pass.
+  */
+object Multimodal {
+
+  /** A fake "asset": the document text encoded as bytes stands in for an
+    * image payload; metadata derived with exact integer arithmetic. */
+  def assets(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents").select(
+      col("doc_id").as("asset_id"),
+      encode(col("text"), "UTF-8").as("payload"),
+      octet_length(col("text")).cast("long").as("n_bytes"))
+
+  case class Asset(asset_id: Long, payload: Array[Byte])
+  case class AssetFeatures(asset_id: Long, n_bytes: Long, mean_byte: Double,
+      byte_entropy_q: Long, features: Array[Double])
+
+  /** FAKE DECODER — stands in for image decode / feature extraction (the
+    * real thing would call a codec here). Deterministic: an 8-bin byte
+    * histogram normalized to a feature vector. */
+  private def fakeDecode(a: Asset): AssetFeatures = {
+    val hist = new Array[Long](8)
+    var sum = 0L
+    for (b <- a.payload) { hist((b & 0xff) / 32) += 1; sum += (b & 0xff) }
+    val n = a.payload.length.max(1)
+    AssetFeatures(a.asset_id, a.payload.length.toLong,
+      sum.toDouble / n,
+      hist.count(_ > 0).toLong,
+      hist.map(_.toDouble / n))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "q90_multimodal_meta" -> ((s, d) =>
+      // typed metadata over binary columns — oracle-checked (exact ints)
+      assets(s, d).select(
+        col("asset_id"), col("n_bytes"),
+        (lit(64L) + col("n_bytes") % 512).as("fake_width"),
+        (lit(64L) + (col("n_bytes") * 7L) % 512).as("fake_height"),
+        (col("n_bytes") % 3).as("codec_id"))
+        .orderBy("asset_id")),
+
+    "q91_multimodal_features" -> ((s, d) => {
+      // partition-local batch decode via typed mapPartitions (the Scala
+      // analog of mapInPandas: one iterator per partition = one batch).
+      // Rows-only: the fake decoder has no SQL equivalent; golden-tested
+      // in MultimodalSpec.
+      import s.implicits._
+      assets(s, d).select(col("asset_id"), col("payload")).as[Asset]
+        .mapPartitions(_.map(fakeDecode))
+        .toDF()
+        .select(col("asset_id"), col("n_bytes"),
+          (round(col("mean_byte") * 1e6) / 1e6).as("mean_byte6"),
+          col("byte_entropy_q"),
+          col("features"))
+        .orderBy("asset_id")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q90_multimodal_meta" ->
+      """SELECT doc_id AS asset_id,
+        |  CAST(strlen(text) AS BIGINT) AS n_bytes,
+        |  64 + CAST(strlen(text) AS BIGINT) % 512 AS fake_width,
+        |  64 + (CAST(strlen(text) AS BIGINT) * 7) % 512 AS fake_height,
+        |  CAST(strlen(text) AS BIGINT) % 3 AS codec_id
+        |FROM documents ORDER BY asset_id""".stripMargin
+  )
+}

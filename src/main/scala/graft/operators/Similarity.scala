@@ -1,0 +1,163 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables._
+import graft.functions.VectorExpressions
+
+/** Similarity search over the `embeddings` table (BASELINE.json north-star:
+  * ANN over an embedding column).
+  *
+  * Two paths, mirroring how a 100 TB pipeline would do it:
+  *  - q70: brute-force cosine top-k for a small query set — the correctness
+  *    baseline. The query side is tiny so Spark broadcasts it and the scan
+  *    over the big side stays a single pass, no shuffle of candidates.
+  *  - q71: sign-random-projection LSH (4 bands × 4 hyperplane bits): bucket
+  *    join prunes the O(n²) pair space to within-bucket pairs — the only
+  *    formulation that survives when n² pairs stop fitting anywhere.
+  *
+  * Hyperplanes are derived from md5(k_i) nibbles — a formula both Spark
+  * and the DuckDB oracle can evaluate exactly, so the LSH bucketing (and
+  * therefore the candidate set) is bit-identical across engines with no
+  * giant literal arrays in the SQL.
+  */
+object Similarity {
+
+  val Dim = 64
+  val NBands = 4
+  val BitsPerBand = 4
+  val NPlanes: Int = NBands * BitsPerBand // 16
+  val CosThreshold = 0.45
+
+  /** plane[k][i] = (strpos('0123456789abcdef', first_hex_char(md5("k_i"))) - 8.5)/8
+    * — matches the SQL formula in `planesSql` exactly. */
+  lazy val planes: Array[Array[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(NPlanes) { k =>
+      Array.tabulate(Dim) { i0 =>
+        val i = i0 + 1
+        val hex = md.digest(s"${k}_$i".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        val v = "0123456789abcdef".indexOf(hex.charAt(0)) + 1 // = strpos, 1-based
+        (v.toDouble - 8.5) / 8.0
+      }
+    }
+  }
+
+  private val planesSql =
+    s"""planes AS (
+       |  SELECT k, list_transform(range(1, ${Dim + 1}), i ->
+       |    (CAST(strpos('0123456789abcdef',
+       |       substr(md5(CAST(k AS VARCHAR) || '_' || CAST(i AS VARCHAR)), 1, 1)) AS DOUBLE)
+       |     - 8.5) / 8.0) AS plane
+       |  FROM range(0, $NPlanes) t(k))""".stripMargin
+
+  private def r6(c: Column): Column = round(c * 1e6) / 1e6
+
+  /** embeddings exploded to (vec_id, band, key): one fused codegen pass
+    * (LshBands) computes all 16 plane dots per vector — no per-plane
+    * interpreted lambdas, no embedding payload carried into the join. */
+  private def bandedVectors(s: SparkSession, d: String): DataFrame = {
+    VectorExpressions.registerLsh(s, planes.flatten, NBands, BitsPerBand)
+    t(s, d, "embeddings")
+      .select(col("vec_id"),
+        posexplode(expr("lsh_bands(embedding)")).as(Seq("band", "key")))
+  }
+
+  private val cosSql = // DuckDB mirror of CosineSimilarity's fused pass
+    (a: String, b: String) =>
+      s"""(list_sum(list_transform(range(1, ${Dim + 1}), i -> CAST($a[i] AS DOUBLE)*CAST($b[i] AS DOUBLE))) /
+         |  (sqrt(list_sum(list_transform(range(1, ${Dim + 1}), i -> CAST($a[i] AS DOUBLE)*CAST($a[i] AS DOUBLE)))) *
+         |   sqrt(list_sum(list_transform(range(1, ${Dim + 1}), i -> CAST($b[i] AS DOUBLE)*CAST($b[i] AS DOUBLE))))))""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "q70_knn_brute" -> ((s, d) => {
+      VectorExpressions.register(s)
+      val e = t(s, d, "embeddings")
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+      val scored = broadcast(q).crossJoin(e)
+        .where(col("vec_id") =!= col("q_id"))
+        .withColumn("cos", expr("cosine_sim(qe, embedding)"))
+      val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+      scored.withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 10)
+        .select(col("q_id"), col("vec_id"), r6(col("cos")).as("cos6"), col("rn"))
+        .orderBy("q_id", "rn")
+    }),
+
+    "q71_ann_lsh" -> ((s, d) => {
+      VectorExpressions.register(s)
+      val banded = bandedVectors(s, d)
+      // candidate pairs carry only ids through the join + dedupe; the
+      // 64-float payloads are joined back once per verified candidate
+      val cand = banded.select(col("band"), col("key"), col("vec_id").as("i"))
+        .join(banded.select(col("band"), col("key"), col("vec_id").as("j")),
+          Seq("band", "key"))
+        .where(col("i") < col("j"))
+        .select(col("i"), col("j")).distinct()
+      val e = t(s, d, "embeddings")
+      cand
+        .join(e.select(col("vec_id").as("i"), col("embedding").as("ea")), "i")
+        .join(e.select(col("vec_id").as("j"), col("embedding").as("eb")), "j")
+        .withColumn("cos", expr("cosine_sim(ea, eb)"))
+        .filter(col("cos") >= CosThreshold)
+        .select(col("i"), col("j"), r6(col("cos")).as("cos6"))
+        .orderBy("i", "j")
+    }),
+
+    "q72_centroids" -> ((s, d) =>
+      // per-label centroid components — the aggregation shape of k-means /
+      // class-prototype computation (long form: one row per (label, dim))
+      t(s, d, "embeddings")
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+        .groupBy(col("label"), (col("pos") + 1).cast("long").as("i"))
+        .agg(r6(avg(col("x").cast("double"))).as("mean6"), count(lit(1)).as("n"))
+        .orderBy("label", "i"))
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q70_knn_brute" ->
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+         |q AS (SELECT vec_id AS q_id, embedding AS qe FROM e WHERE vec_id < 5),
+         |scored AS (
+         |  SELECT q_id, vec_id, ${cosSql("qe", "embedding")} AS cos
+         |  FROM q CROSS JOIN e WHERE vec_id != q_id),
+         |ranked AS (SELECT q_id, vec_id, cos,
+         |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS BIGINT) AS rn
+         |  FROM scored)
+         |SELECT q_id, vec_id, round(cos*1e6)/1e6 AS cos6, rn
+         |FROM ranked WHERE rn <= 10 ORDER BY q_id, rn""".stripMargin,
+    "q71_ann_lsh" ->
+      s"""WITH $planesSql,
+         |bits AS (
+         |  SELECT vec_id, k // $BitsPerBand AS band, k % $BitsPerBand AS pos,
+         |    CASE WHEN list_sum(list_transform(range(1, ${Dim + 1}),
+         |      i -> CAST(embedding[i] AS DOUBLE) * plane[i])) > 0
+         |    THEN 1 ELSE 0 END AS bit
+         |  FROM embeddings CROSS JOIN planes),
+         |keys AS (
+         |  SELECT vec_id, band,
+         |    sum(bit * CASE pos WHEN 0 THEN 8 WHEN 1 THEN 4 WHEN 2 THEN 2 ELSE 1 END) AS key
+         |  FROM bits GROUP BY 1, 2),
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS i, b.vec_id AS j
+         |  FROM keys a JOIN keys b USING (band, key) WHERE a.vec_id < b.vec_id),
+         |scored AS (
+         |  SELECT i, j, ${cosSql("ea.embedding", "eb.embedding")} AS cos
+         |  FROM cand
+         |  JOIN embeddings ea ON ea.vec_id = i
+         |  JOIN embeddings eb ON eb.vec_id = j)
+         |SELECT i, j, round(cos*1e6)/1e6 AS cos6 FROM scored
+         |WHERE cos >= $CosThreshold ORDER BY i, j""".stripMargin,
+    "q72_centroids" ->
+      s"""SELECT label, CAST(i AS BIGINT) AS i,
+         |  round(avg(CAST(embedding[i] AS DOUBLE))*1e6)/1e6 AS mean6,
+         |  count(*) AS n
+         |FROM (SELECT label, embedding, unnest(range(1, ${Dim + 1})) AS i
+         |      FROM embeddings)
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  )
+}

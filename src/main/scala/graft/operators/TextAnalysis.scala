@@ -1,0 +1,154 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+import graft.functions.VectorExpressions
+
+/** Text analysis over `documents` (BASELINE.json north-star: language-ID,
+  * quality scoring, token counting, document fingerprinting).
+  *
+  * Everything is expression-level (codegen'd `functions._` / higher-order
+  * functions over the token array) — no UDFs in the hot path, so at 100 TB
+  * these stay single-pass scans with map-side aggregation.
+  */
+object TextAnalysis {
+
+  private val Stopwords = Seq("the", "a")
+  // marker-token vocabularies for the n-gram/stopword language heuristic
+  private val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and"),
+    "de" -> Seq("der", "die", "und", "das"),
+    "es" -> Seq("el", "los", "y", "que"),
+    "fr" -> Seq("le", "les", "et", "une"))
+
+  private def inList(xs: Seq[String]): String =
+    xs.map(x => s"'$x'").mkString("(", ", ", ")")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "q80_token_stats" -> ((s, d) =>
+      // token counting: whitespace tokenizer + exact integer stats
+      t(s, d, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .select(col("doc_id"),
+          size(col("toks")).cast("long").as("n_tokens"),
+          size(array_distinct(col("toks"))).cast("long").as("n_distinct"),
+          aggregate(transform(col("toks"), x => length(x)), lit(0L),
+            (acc, x) => acc + x).as("sum_tok_len"))
+        .withColumn("avg_tok_len",
+          col("sum_tok_len").cast("double") / col("n_tokens"))
+        .orderBy("doc_id")),
+
+    "q81_word_freq" -> ((s, d) =>
+      // the UDTF/Generator surface (§2.10 gap): explode + count + top-k
+      t(s, d, "documents")
+        .select(explode(split(col("text"), " ")).as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("word"))
+        .limit(20)),
+
+    "q82_quality" -> ((s, d) => {
+      // quality scoring: length/stopword/diversity ratios, exact-int inputs
+      val toks = split(col("text"), " ")
+      t(s, d, "documents")
+        .select(col("doc_id"), col("text"), toks.as("toks"))
+        .select(col("doc_id"),
+          length(col("text")).cast("long").as("n_chars_m"),
+          size(col("toks")).cast("long").as("n_tokens"),
+          size(filter(col("toks"), x => x.isin(Stopwords: _*))).cast("long")
+            .as("n_stop"),
+          size(array_distinct(col("toks"))).cast("long").as("n_distinct"))
+        .withColumn("stop_ratio",
+          col("n_stop").cast("double") / col("n_tokens"))
+        .withColumn("diversity",
+          col("n_distinct").cast("double") / col("n_tokens"))
+        .withColumn("quality_score",
+          least(col("n_tokens").cast("double") / 100.0, lit(1.0)) *
+            (lit(1.0) - col("stop_ratio")) * col("diversity"))
+        .orderBy("doc_id")
+    }),
+
+    "q83_lang_id" -> ((s, d) => {
+      // stopword-marker language heuristic; deterministic arg-max with
+      // first-listed-language tie-break. Scores are exact integers.
+      var df = t(s, d, "documents")
+        .select(col("doc_id"), col("lang"), split(col("text"), " ").as("toks"))
+      for ((lang, markers) <- LangMarkers)
+        df = df.withColumn(s"score_$lang",
+          size(filter(col("toks"), x => x.isin(markers: _*))).cast("long"))
+      val best = LangMarkers.map(_._1).map(l => col(s"score_$l"))
+        .reduce((a, b) => greatest(a, b))
+      val pred = LangMarkers.foldRight(lit("und")) { case ((lang, _), other) =>
+        when(col(s"score_$lang") === best && best > 0, lang).otherwise(other)
+      }
+      df.withColumn("pred_lang", pred)
+        .withColumn("is_match", (col("pred_lang") === col("lang")).cast("int"))
+        .select((col("doc_id") +: col("lang") +: col("pred_lang") +:
+          col("is_match") +: LangMarkers.map(m => col(s"score_${m._1}"))): _*)
+        .orderBy("doc_id")
+    }),
+
+    "q84_rolling_fp" -> ((s, d) => {
+      // document fingerprinting with the custom codegen rolling-hash
+      // Expression (rows-only: the 64-bit wrapping arithmetic is not
+      // reproducible in DuckDB SQL; golden-tested in TextAnalysisSpec)
+      VectorExpressions.register(s)
+      t(s, d, "documents").select(col("doc_id"),
+        expr("rolling_hash(text)").as("fp"),
+        expr("rolling_hash(substring(text, 1, 64))").as("fp_head"))
+        .orderBy("doc_id")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q80_token_stats" ->
+      """SELECT doc_id,
+        |  CAST(len(toks) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+        |  CAST(list_sum(list_transform(toks, t -> length(t))) AS BIGINT) AS sum_tok_len,
+        |  CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
+        |    / len(toks) AS avg_tok_len
+        |FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+    "q81_word_freq" ->
+      """SELECT word, count(*) AS n
+        |FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        |GROUP BY 1 ORDER BY n DESC, word LIMIT 20""".stripMargin,
+    "q82_quality" ->
+      s"""SELECT doc_id, n_chars_m, n_tokens, n_stop, n_distinct,
+         |  CAST(n_stop AS DOUBLE)/n_tokens AS stop_ratio,
+         |  CAST(n_distinct AS DOUBLE)/n_tokens AS diversity,
+         |  least(CAST(n_tokens AS DOUBLE)/100.0, 1.0)
+         |    * (1.0 - CAST(n_stop AS DOUBLE)/n_tokens)
+         |    * (CAST(n_distinct AS DOUBLE)/n_tokens) AS quality_score
+         |FROM (
+         |  SELECT doc_id,
+         |    CAST(length(text) AS BIGINT) AS n_chars_m,
+         |    CAST(len(toks) AS BIGINT) AS n_tokens,
+         |    CAST(len(list_filter(toks, x -> x IN ${inList(Stopwords)})) AS BIGINT) AS n_stop,
+         |    CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct
+         |  FROM (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents))
+         |ORDER BY doc_id""".stripMargin,
+    "q83_lang_id" -> {
+      val scoreCols = LangMarkers.map { case (lang, markers) =>
+        s"CAST(len(list_filter(toks, x -> x IN ${inList(markers)})) AS BIGINT) AS score_$lang"
+      }.mkString(",\n    ")
+      val bestExpr = LangMarkers.map(m => s"score_${m._1}")
+        .reduce((a, b) => s"greatest($a, $b)")
+      val predExpr = LangMarkers.foldRight("'und'") { case ((lang, _), other) =>
+        s"CASE WHEN score_$lang = best AND best > 0 THEN '$lang' ELSE $other END"
+      }
+      s"""SELECT doc_id, lang, $predExpr AS pred_lang,
+         |  CAST(($predExpr) = lang AS INT) AS is_match,
+         |  ${LangMarkers.map(m => s"score_${m._1}").mkString(", ")}
+         |FROM (
+         |  SELECT doc_id, lang, $bestExpr AS best, ${LangMarkers.map(m => s"score_${m._1}").mkString(", ")}
+         |  FROM (
+         |    SELECT doc_id, lang,
+         |    $scoreCols
+         |    FROM (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents)))
+         |ORDER BY doc_id""".stripMargin
+    }
+  )
+}

@@ -1,0 +1,101 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables._
+
+/** Structured Streaming surface (SURVEY §2.9 gap / §7.3 M4): the reference
+  * has no stream processing — Polars "streaming" is bounded-memory batch —
+  * so this module adds the real thing over the `events` table.
+  *
+  * q95 runs an actual `readStream` → watermark → tumbling window → memory
+  * sink pipeline (processAllAvailable drives the single parquet batch
+  * through synchronously, so the result is deterministic and equals the
+  * batch answer — late-data dropping only differs under multi-batch
+  * arrival, exercised in StreamingSpec). q96 demonstrates session windows
+  * in batch mode, oracle-checked against a gaps-and-islands SQL
+  * formulation.
+  */
+object Streaming {
+
+  /** events schema as the stream source must declare it (ts is parquet
+    * TIMESTAMP(NANOS) -> read as long, converted after). */
+  private val eventsRawSchema = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** readStream over the events parquet with ns->us conversion. */
+  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream
+      .schema(eventsRawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Tumbling 1-hour windows per event_type with a 30-minute watermark,
+    * executed as a real streaming query into a memory sink. Complete mode:
+    * in append mode the trailing windows (within the watermark delay of max
+    * event time) are held back in state forever on a finite source, so the
+    * batch-equivalent answer needs complete output. Append-mode flush and
+    * late-data dropping are exercised in StreamingSpec. */
+  def tumblingHourly(spark: SparkSession, dir: String): DataFrame = {
+    val name = s"graft_tumbling_${System.nanoTime()}"
+    val q = eventsStream(spark, dir)
+      .withWatermark("ts", "30 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("sum_cents"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), dollars(col("sum_cents")).as("total"))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName(name)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name).orderBy("window_start", "event_type")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "q95_stream_tumbling" -> ((s, d) => tumblingHourly(s, d)),
+
+    "q96_session_window" -> ((s, d) =>
+      // session windows (30-min gap) per user over event time — Spark's
+      // built-in session_window; stateful streaming analog in StreamingSpec
+      events(s, d)
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          dollars(sum(cents(col("value")))).as("total"))
+        .select(col("session_window.start").as("session_start"),
+          col("user_id"), col("n_events"), col("total"))
+        .orderBy("user_id", "session_start"))
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q95_stream_tumbling" ->
+      """SELECT date_trunc('hour', ts) AS window_start, event_type,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS DOUBLE)/100.0 AS total
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q96_session_window" ->
+      // gaps-and-islands: a new session starts when the gap > 30 minutes
+      """WITH marked AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |              > INTERVAL 30 MINUTE OR
+        |              lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM events),
+        |sessions AS (
+        |  SELECT user_id, ts, value,
+        |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM marked)
+        |SELECT min(ts) AS session_start, user_id, count(*) AS n_events,
+        |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS DOUBLE)/100.0 AS total
+        |FROM sessions GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin
+  )
+}

@@ -1,0 +1,71 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.functions.VectorExpressions
+import org.apache.spark.sql.functions._
+
+class DedupSimilaritySpec extends SparkSpec {
+
+  test("q62 n-gram jaccard finds the planted near-dup pairs") {
+    val pairs = Dedup.queries("q62_ngram_jaccard")(spark, sf0001).collect()
+    assert(pairs.nonEmpty, "testdata contains jaccard>=0.8 near-dups")
+    assert(pairs.forall(r => r.getDouble(2) >= Dedup.JaccardThreshold))
+    assert(pairs.forall(r => r.getLong(0) < r.getLong(1)))
+  }
+
+  test("q63 minhash-LSH candidates are a subset of exact-jaccard pairs") {
+    val exact = Dedup.queries("q62_ngram_jaccard")(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.queries("q63_minhash_lsh")(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact))
+    // 16 hashes / 4 bands at J>=0.8: expected recall ~88%+; require some hit
+    assert(lsh.nonEmpty, "LSH should recover at least one near-dup pair")
+  }
+
+  test("q64 simhash near-dup pairs overlap jaccard near-dups") {
+    val sim = Dedup.queries("q64_simhash")(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Dedup.queries("q62_ngram_jaccard")(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sim.nonEmpty && exact.nonEmpty)
+    assert(sim.intersect(exact).nonEmpty,
+      "16-bit simhash at hamming<=3 should catch some jaccard near-dups")
+  }
+
+  test("cosine_sim expression matches higher-order-function formulation") {
+    VectorExpressions.register(spark)
+    val e = spark.read.parquet(s"$sf0001/embeddings.parquet").limit(50)
+    val a = e.select(col("vec_id").as("i"), col("embedding").as("ea"))
+    val b = e.select(col("vec_id").as("j"), col("embedding").as("eb"))
+    val hof = (ea: org.apache.spark.sql.Column, eb: org.apache.spark.sql.Column) => {
+      val dot = aggregate(zip_with(ea, eb,
+        (x, y) => x.cast("double") * y.cast("double")), lit(0.0), (s, v) => s + v)
+      val na = aggregate(transform(ea, x => x.cast("double") * x.cast("double")),
+        lit(0.0), (s, v) => s + v)
+      val nb = aggregate(transform(eb, x => x.cast("double") * x.cast("double")),
+        lit(0.0), (s, v) => s + v)
+      dot / (sqrt(na) * sqrt(nb))
+    }
+    val diffs = a.crossJoin(b).where(col("i") < col("j"))
+      .select((expr("cosine_sim(ea, eb)") - hof(col("ea"), col("eb"))).as("d"))
+      .agg(max(abs(col("d")))).collect().head.getDouble(0)
+    assert(diffs < 1e-12, s"codegen vs HOF cosine diff $diffs")
+  }
+
+  test("q70 brute-force knn: 10 neighbors per query, ranked by cosine") {
+    val knn = Similarity.queries("q70_knn_brute")(spark, sf0001).collect()
+    assert(knn.length == 50) // 5 queries x 10 neighbors
+    knn.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      val cs = rows.sortBy(_.getLong(3)).map(_.getDouble(2))
+      assert(cs.zip(cs.tail).forall { case (x, y) => x >= y }, "descending cos")
+    }
+  }
+
+  test("q71 LSH pairs all meet the cosine threshold and are deterministic") {
+    val r1 = Similarity.queries("q71_ann_lsh")(spark, sf0001).collect()
+    val r2 = Similarity.queries("q71_ann_lsh")(spark, sf0001).collect()
+    assert(r1.map(_.toString).toSeq == r2.map(_.toString).toSeq)
+    assert(r1.forall(_.getDouble(2) >= Similarity.CosThreshold))
+  }
+}

@@ -1,0 +1,95 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.Tables
+import graft.functions.VectorExpressions
+import graft.streaming.Streaming
+import org.apache.spark.sql.functions._
+
+class TextStreamingSpec extends SparkSpec {
+
+  test("rolling_hash: golden value and codegen/eval agreement") {
+    VectorExpressions.register(spark)
+    // h("abc") = ('a'*31 + 'b')*31 + 'c' = 96354
+    val got = spark.sql("SELECT rolling_hash('abc') AS h").collect().head.getLong(0)
+    assert(got == 96354L)
+    // interpreted path (eval) must agree with codegen path
+    val df = spark.range(1).selectExpr("rolling_hash('Zürich') AS h")
+    val expected = {
+      val bytes = "Zürich".getBytes("UTF-8")
+      bytes.foldLeft(0L)((h, b) => h * 31L + (b & 0xffL))
+    }
+    assert(df.collect().head.getLong(0) == expected)
+  }
+
+  test("q80 token stats: exact integers, consistent with n_chars") {
+    val rows = TextAnalysis.queries("q80_token_stats")(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getLong(2) <= r.getLong(1))) // distinct <= total
+    assert(rows.forall(r => r.getDouble(4) > 0))
+  }
+
+  test("q83 lang-id is deterministic and total") {
+    val rows = TextAnalysis.queries("q83_lang_id")(spark, sf0001).collect()
+    val langs = Set("en", "de", "es", "fr", "und")
+    assert(rows.forall(r => langs.contains(r.getString(2))))
+  }
+
+  test("streaming tumbling windows equal the batch answer") {
+    val stream = Streaming.queries("q95_stream_tumbling")(spark, sf0001)
+      .collect().map(_.toString).sorted.toSeq
+    val batch = Tables.events(spark, sf0001)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        Tables.dollars(sum(Tables.cents(col("value")))).as("total"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("total"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(stream == batch)
+  }
+
+  test("append-mode watermark: trailing windows held back, flushed ones final") {
+    // two-batch arrival: append mode emits only windows the watermark passed
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
+    val sch = StructType(Seq(StructField("ts", TimestampType),
+      StructField("v", DoubleType)))
+    def write(rows: Seq[(String, Double)], f: String): Unit = {
+      import scala.jdk.CollectionConverters._
+      val data = rows.map { case (t, v) =>
+        org.apache.spark.sql.Row(java.sql.Timestamp.valueOf(t), v) }.asJava
+      spark.createDataFrame(data, sch).coalesce(1)
+        .write.mode("append").parquet(dir)
+    }
+    write(Seq(("2024-01-01 00:10:00", 1.0), ("2024-01-01 00:20:00", 2.0)), "b1")
+    val q = spark.readStream.schema(sch).parquet(dir)
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "30 minutes")).agg(sum(col("v")).as("s"))
+      .select(col("window.start").as("w"), col("s"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("graft_wm").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("graft_wm").count() == 0) // watermark not past window
+      // batch 2: event time advances far enough to flush window [00:00,00:30)
+      write(Seq(("2024-01-01 01:00:00", 5.0)), "b2")
+      q.processAllAvailable()
+      val flushed = spark.table("graft_wm").collect()
+      assert(flushed.length == 1 && flushed.head.getDouble(1) == 3.0)
+      // late row for the already-flushed window arrives -> dropped
+      write(Seq(("2024-01-01 00:05:00", 99.0)), "b3")
+      q.processAllAvailable()
+      assert(spark.table("graft_wm").collect().map(_.getDouble(1)).sum == 3.0)
+    } finally q.stop()
+  }
+
+  test("q91 multimodal features: normalized histogram, deterministic") {
+    val rows = Multimodal.queries("q91_multimodal_features")(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val feats = r.getSeq[Double](4)
+      assert(feats.length == 8)
+      assert(math.abs(feats.sum - 1.0) < 1e-9, "histogram sums to 1")
+    }
+  }
+}
