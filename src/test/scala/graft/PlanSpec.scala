@@ -1,0 +1,48 @@
+package graft
+
+/** Plan-shape assertions: the properties that make these queries scale are
+  * not "it returned the right rows" but "Catalyst produced the plan that
+  * still works at 1000 executors" — broadcast where intended, filters and
+  * projections pushed into the parquet scan, partial aggregation before the
+  * exchange. Locking them in as tests so a refactor can't silently turn a
+  * broadcast into a shuffle or unprune a scan.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf0001).queryExecution.executedPlan.toString
+
+  test("q10: dimension joins are broadcast, no sort-merge exchange") {
+    val p = plan("q10_join_broadcast")
+    assert(p.contains("BroadcastHashJoin"))
+  }
+
+  test("q11: merge hint forces sort-merge join") {
+    assert(plan("q11_join_sortmerge").contains("SortMergeJoin"))
+  }
+
+  test("q20: shipdate filter is pushed to the parquet scan") {
+    val p = plan("q20_tpch_q1")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"))
+  }
+
+  test("q01: scan is pruned to the two needed columns") {
+    val p = plan("q01_onebrc_events")
+    assert(p.contains("ReadSchema: struct<event_type:string,value:double>"))
+    assert(!p.contains("props")) // untouched columns never leave the scan
+  }
+
+  test("q01: partial+final aggregation pair around the exchange") {
+    val p = plan("q01_onebrc_events")
+    // two HashAggregates (partial on the scan side, final after shuffle) —
+    // the structure the reference hand-rolls with thread-local maps + a
+    // mutex merge (SURVEY §3.2)
+    assert("HashAggregate".r.findAllIn(p).length >= 2)
+    assert(p.contains("Exchange hashpartitioning(station"))
+  }
+
+  test("q70: the tiny query side broadcasts; candidates never shuffle") {
+    val p = plan("q70_knn_brute")
+    assert(p.contains("Broadcast")) // BroadcastNestedLoopJoin for the cross
+  }
+}

@@ -1,0 +1,50 @@
+package graft.onebrc
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** SURVEY §5 items 2/5: cross-format parity (the rebuild's analog of the
+  * reference's N-engines-one-answer cross-validation) and the P1-vs-R2
+  * schema split (Polars infers the measure dtype, the Rust engine declares
+  * it — both must agree).
+  */
+class FormatParitySpec extends SparkSpec {
+
+  private lazy val work = java.nio.file.Files
+    .createTempDirectory("graft_fmt").toString
+
+  test("CSV scan and Parquet scan of the same rows aggregate identically") {
+    val gen = OneBrc.generate(spark, 20000L)
+    gen.write.mode("overwrite").option("sep", ";").option("header", "false")
+      .csv(s"$work/m_csv")
+    gen.write.mode("overwrite").parquet(s"$work/m_parquet")
+    val fromCsv = OneBrc.brcAgg(
+      OneBrc.readMeasurements(spark, s"$work/m_csv")).collect().toSeq
+    val fromParquet = OneBrc.brcAgg(
+      spark.read.parquet(s"$work/m_parquet")).collect().toSeq
+    assert(fromCsv == fromParquet)
+  }
+
+  test("inferred-schema scan (P1 style) agrees with explicit schema (R2 style)") {
+    val golden = "/root/repo/fixtures/measurements_golden.csv"
+    val inferred = spark.read
+      .option("sep", ";").option("header", "false").option("inferSchema", "true")
+      .csv(golden)
+      .toDF("station", "measure")
+    assert(inferred.schema("measure").dataType ==
+      org.apache.spark.sql.types.DoubleType) // inference lands on double
+    val a = OneBrc.brcAgg(inferred).collect().toSeq
+    val b = OneBrc.brcAgg(OneBrc.readMeasurements(spark, golden)).collect().toSeq
+    assert(a == b)
+  }
+
+  test("integer-tenths aggregation (R4/R5) agrees with double path on 1-dp data") {
+    // fixed-point and float paths coincide exactly when inputs are 1-decimal
+    val gen = OneBrc.generate(spark, 20000L)
+    val viaTenths = gen
+      .select(col("station"), (graft.Tables.tenths(col("measure")) / 10.0)
+        .cast("double").as("measure"))
+    assert(OneBrc.brcAgg(viaTenths).collect().toSeq ==
+      OneBrc.brcAgg(gen).collect().toSeq)
+  }
+}
