@@ -1,0 +1,28 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.functions.{CosineSimilarity, RollingHash}
+
+/** SparkSessionExtensions entry point: makes the custom expressions
+  * first-class SQL functions in any session configured with
+  *
+  *   spark.sql.extensions=graft.GraftExtensions
+  *
+  * (or `builder.withExtensions(new GraftExtensions)`), so a cluster picks
+  * them up from config alone — no per-session registration call. The
+  * programmatic path (`VectorExpressions.register`) remains for ad-hoc
+  * sessions; lsh_bands stays programmatic because it binds a concrete
+  * hyperplane matrix.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
+      (exprs: Seq[Expression]) => CosineSimilarity(exprs.head, exprs(1))))
+    e.injectFunction((FunctionIdentifier("rolling_hash"),
+      new ExpressionInfo(classOf[RollingHash].getName, "rolling_hash"),
+      (exprs: Seq[Expression]) => RollingHash(exprs.head)))
+  }
+}

@@ -1,0 +1,63 @@
+package graft.onebrc
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Standalone throughput benchmark at the reference's own scale
+  * (README.MD:28-40: 1e9 rows, ~13-14 GB text). Not part of the driver
+  * flow — run manually:
+  *
+  *   sbt "runMain graft.onebrc.BrcScale 1000000000 /tmp/brc"
+  *
+  * Generates measurements with the seeded generator, writes both the
+  * reference's CSV format and Parquet (the format a 100 TB deployment
+  * would actually use), then times the flagship query on each, twice
+  * (cold + warm), printing one JSON line per measurement.
+  */
+object BrcScale {
+  def main(args: Array[String]): Unit = {
+    val rows = if (args.nonEmpty) args(0).toLong else 100000000L
+    val dir = if (args.length > 1) args(1) else "/tmp/brc_scale"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def timed[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
+    }
+    def report(phase: String, sec: Double): Unit =
+      println(f"""{"phase":"$phase","sec":$sec%.2f,"rows":$rows,"mrows_per_s":${rows / sec / 1e6}%.1f}""")
+
+    val gen = OneBrc.generate(spark, rows)
+      .repartition(cpus.toInt * 4) // enough splits for dynamic balance
+    val (_, tCsv) = timed {
+      gen.write.mode("overwrite").option("sep", ";").option("header", "false")
+        .csv(s"$dir/csv")
+    }
+    report("generate_write_csv", tCsv)
+    val (_, tPq) = timed {
+      gen.write.mode("overwrite").parquet(s"$dir/parquet")
+    }
+    report("generate_write_parquet", tPq)
+
+    for (pass <- Seq("cold", "warm")) {
+      val (_, t1) = timed {
+        OneBrc.brcAgg(OneBrc.readMeasurements(spark, s"$dir/csv")).collect()
+      }
+      report(s"brc_csv_$pass", t1)
+    }
+    for (pass <- Seq("cold", "warm")) {
+      val (_, t2) = timed {
+        OneBrc.brcAgg(spark.read.parquet(s"$dir/parquet")
+          .select(col("station"), col("measure"))).collect()
+      }
+      report(s"brc_parquet_$pass", t2)
+    }
+    spark.stop()
+  }
+}

@@ -92,6 +92,37 @@ object Relational {
         .select(col("r_name"), col("n_name"))
         .orderBy("r_name", "n_name")),
 
+    "q16_asof_join" -> ((s, d) => {
+      // As-of join (most recent prior click for each purchase, per user) —
+      // an operator Spark lacks natively. Implemented with the scalable
+      // union+window trick: tag both sides, sort within user by event time
+      // (right rows first on ties), and carry the last right row forward
+      // with last(..., ignoreNulls). One shuffle on user_id, O(n log n) —
+      // never the O(n*m) per-key range join a naive formulation produces.
+      val ev = events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id").as("c_id"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id").as("p_id"))
+      val tagged = clicks
+        .select(col("user_id"), col("ts"), lit(0).as("side"),
+          col("c_id"), lit(null).cast("long").as("p_id"))
+        .unionByName(purchases
+          .select(col("user_id"), col("ts"), lit(1).as("side"),
+            lit(null).cast("long").as("c_id"), col("p_id")))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("side"), coalesce(col("c_id"), col("p_id")))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      tagged
+        .withColumn("match_c", last(col("c_id"), ignoreNulls = true).over(w))
+        .withColumn("match_ts", last(when(col("side") === 0, col("ts")),
+          ignoreNulls = true).over(w))
+        .filter(col("side") === 1)
+        .select(col("user_id"), col("p_id"), col("match_c").as("c_id"),
+          (unix_micros(col("ts")) - unix_micros(col("match_ts"))).as("gap_us"))
+        .orderBy("user_id", "p_id")
+    }),
+
     // ---- aggregations ------------------------------------------------------
 
     "q20_tpch_q1" -> ((s, d) => {
@@ -167,6 +198,21 @@ object Relational {
           r4(expr("percentile(l_extendedprice, 0.5)")).as("p50"),
           r4(expr("percentile(l_extendedprice, 0.75)")).as("p75"))
         .orderBy("l_returnflag")),
+
+    "q34_salted_agg" -> ((s, d) => {
+      // Two-phase salted aggregation — the skew-mitigation shape for a
+      // heavy-hitter grouping key: phase 1 aggregates (key, salt) so a hot
+      // key spreads over 16 reducers; phase 2 merges the 16 partials.
+      // Result is provably identical to the direct groupBy (exact integer
+      // sums commute) — which is what the oracle checks.
+      val salted = events(s, d)
+        .withColumn("salt", pmod(xxhash64(col("event_id")), lit(16)))
+        .groupBy(col("event_type"), col("salt"))
+        .agg(count(lit(1)).as("pn"), sum(cents(col("value"))).as("pc"))
+      salted.groupBy(col("event_type"))
+        .agg(sum(col("pn")).as("n"), dollars(sum(col("pc"))).as("total"))
+        .orderBy("event_type")
+    }),
 
     // ---- windows -----------------------------------------------------------
 
@@ -339,6 +385,17 @@ object Relational {
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q15_join_cross" ->
       "SELECT r_name, n_name FROM region CROSS JOIN nation ORDER BY r_name, n_name",
+    "q16_asof_join" ->
+      """SELECT l.user_id, l.event_id AS p_id, r.event_id AS c_id,
+        |  epoch_us(l.ts) - epoch_us(r.ts) AS gap_us
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') r
+        |  ON l.user_id = r.user_id AND r.ts <= l.ts
+        |ORDER BY l.user_id, p_id""".stripMargin,
+    "q34_salted_agg" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS DOUBLE)/100.0 AS total
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "q20_tpch_q1" ->
       """SELECT l_returnflag, l_linestatus,
         |  sum(l_quantity) AS sum_qty,
