@@ -33,23 +33,32 @@ object BrcScale {
     def report(phase: String, sec: Double): Unit =
       println(f"""{"phase":"$phase","sec":$sec%.2f,"rows":$rows,"mrows_per_s":${rows / sec / 1e6}%.1f}""")
 
-    val gen = OneBrc.generate(spark, rows)
-      .repartition(cpus.toInt * 4) // enough splits for dynamic balance
-    val (_, tCsv) = timed {
-      gen.write.mode("overwrite").option("sep", ";").option("header", "false")
-        .csv(s"$dir/csv")
+    val skipGen = args.contains("--skip-gen")
+    if (!skipGen) {
+      val gen = OneBrc.generate(spark, rows)
+        .repartition(cpus.toInt * 4) // enough splits for dynamic balance
+      val (_, tCsv) = timed {
+        gen.write.mode("overwrite").option("sep", ";").option("header", "false")
+          .csv(s"$dir/csv")
+      }
+      report("generate_write_csv", tCsv)
+      val (_, tPq) = timed {
+        gen.write.mode("overwrite").parquet(s"$dir/parquet")
+      }
+      report("generate_write_parquet", tPq)
     }
-    report("generate_write_csv", tCsv)
-    val (_, tPq) = timed {
-      gen.write.mode("overwrite").parquet(s"$dir/parquet")
-    }
-    report("generate_write_parquet", tPq)
 
     for (pass <- Seq("cold", "warm")) {
       val (_, t1) = timed {
         OneBrc.brcAgg(OneBrc.readMeasurements(spark, s"$dir/csv")).collect()
       }
       report(s"brc_csv_$pass", t1)
+    }
+    for (pass <- Seq("cold", "warm")) {
+      val (_, t3) = timed {
+        OneBrc.brcAgg(OneBrc.readMeasurementsFast(spark, s"$dir/csv")).collect()
+      }
+      report(s"brc_text_split_$pass", t3)
     }
     for (pass <- Seq("cold", "warm")) {
       val (_, t2) = timed {

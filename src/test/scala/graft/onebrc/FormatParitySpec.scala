@@ -38,6 +38,13 @@ class FormatParitySpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("fast text+split scan agrees with the CSV datasource scan") {
+    val golden = "/root/repo/fixtures/measurements_golden.csv"
+    assert(
+      OneBrc.brcAgg(OneBrc.readMeasurementsFast(spark, golden)).collect().toSeq ==
+        OneBrc.brcAgg(OneBrc.readMeasurements(spark, golden)).collect().toSeq)
+  }
+
   test("integer-tenths aggregation (R4/R5) agrees with double path on 1-dp data") {
     // fixed-point and float paths coincide exactly when inputs are 1-decimal
     val gen = OneBrc.generate(spark, 20000L)
