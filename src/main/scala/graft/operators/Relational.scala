@@ -339,6 +339,19 @@ object Relational {
           dollars(sum(cents(col("o_totalprice")))).as("total"))
         .orderBy("band")),
 
+    "q55_json_funcs" -> ((s, d) =>
+      // JSON scalar surface over events.props: path extraction
+      // (get_json_object) and schema-projected parse (from_json)
+      events(s, d).select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k_path"),
+        from_json(col("props"),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("k",
+              org.apache.spark.sql.types.LongType))))
+          .getField("k").as("k_struct"))
+        .orderBy("event_id")),
+
     "q54_array_funcs" -> ((s, d) =>
       t(s, d, "embeddings").select(
         col("vec_id"),
@@ -513,6 +526,11 @@ object Relational {
         |                  WHEN o_totalprice < 350000 THEN 'mid'
         |                  ELSE 'high' END AS band, o_totalprice FROM orders)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q55_json_funcs" ->
+      """SELECT event_id,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_path,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_struct
+        |FROM events ORDER BY event_id""".stripMargin,
     "q54_array_funcs" ->
       """SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim,
         |  embedding[1] AS e_first,

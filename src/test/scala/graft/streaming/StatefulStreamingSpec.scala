@@ -1,0 +1,63 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Custom stateful streaming (SURVEY §7.4 "streaming state" /
+  * flatMapGroupsWithState): a per-user running spend monitor that emits an
+  * alert row the moment cumulative spend crosses a threshold — the kind of
+  * arbitrary per-key state no windowed aggregate expresses.
+  */
+case class Spend(user_id: Long, value: Double)
+case class Alert(user_id: Long, total: Double, n_events: Int)
+
+class StatefulStreamingSpec extends SparkSpec {
+
+  test("flatMapGroupsWithState: per-user threshold alerts over a stream") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_state").toString
+    Tables_events().select(col("user_id"), col("value"))
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+
+    val threshold = 5000.0
+    def track(user: Long, rows: Iterator[Spend],
+        state: GroupState[(Double, Int)]): Iterator[Alert] = {
+      var (total, n) = state.getOption.getOrElse((0.0, 0))
+      val crossed = scala.collection.mutable.Buffer[Alert]()
+      rows.foreach { r =>
+        val before = total
+        total += r.value; n += 1
+        if (before < threshold && total >= threshold)
+          crossed += Alert(user, total, n)
+      }
+      state.update((total, n))
+      crossed.iterator
+    }
+
+    val name = "graft_alerts"
+    val q = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("user_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("value",
+          org.apache.spark.sql.types.DoubleType))))
+      .parquet(dir).as[Spend]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(track)
+      .writeStream.outputMode("append").format("memory").queryName(name)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+
+    val alerts = spark.table(name).as[Alert].collect()
+    // every user whose total spend exceeds the threshold alerts exactly once
+    val expected = Tables_events().groupBy("user_id")
+      .agg(sum("value").as("t")).filter(col("t") >= threshold).count()
+    assert(alerts.length == expected)
+    assert(alerts.forall(_.total >= threshold))
+    assert(alerts.map(_.user_id).distinct.length == alerts.length)
+  }
+
+  private def Tables_events() = graft.Tables.events(spark, sf0001)
+}
