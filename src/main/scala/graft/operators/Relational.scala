@@ -214,6 +214,27 @@ object Relational {
         .orderBy("event_type")
     }),
 
+    "q27_pivot" -> ((s, d) =>
+      // pivot with an EXPLICIT value list — at scale the implicit form
+      // needs an extra distinct pass and can explode the column count
+      events(s, d)
+        .groupBy(col("user_id"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy("user_id")),
+
+    "q28_unpivot" -> ((s, d) =>
+      // unpivot/melt back to long form (the inverse reshaping op)
+      t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"), col("l_discount"), col("l_tax"))
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_discount"), col("l_tax")),
+          "metric", "val")
+        .orderBy("l_orderkey", "l_linenumber", "metric")),
+
     // ---- windows -----------------------------------------------------------
 
     "q30_window_topk" -> ((s, d) => {
@@ -451,6 +472,22 @@ object Relational {
         |  round(quantile_cont(l_extendedprice, 0.5)*1e4)/1e4 AS p50,
         |  round(quantile_cont(l_extendedprice, 0.75)*1e4)/1e4 AS p75
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q27_pivot" ->
+      """SELECT user_id,
+        |  count(*) FILTER (event_type = 'click') AS click,
+        |  count(*) FILTER (event_type = 'error') AS error,
+        |  count(*) FILTER (event_type = 'purchase') AS purchase,
+        |  count(*) FILTER (event_type = 'signup') AS signup,
+        |  count(*) FILTER (event_type = 'view') AS view
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q28_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, metric, val FROM (
+        |  SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS val FROM lineitem
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem)
+        |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin,
     "q30_window_topk" ->
       """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
         |  SELECT o_custkey, o_orderkey, o_totalprice,

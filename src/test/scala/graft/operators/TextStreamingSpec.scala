@@ -83,6 +83,34 @@ class TextStreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup: dropDuplicates over a keyed stream") {
+    // exactly-once event dedup — the streaming face of the dedup suite:
+    // duplicates across micro-batches are suppressed by keyed state
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft_sdedup").toString
+    val sch = StructType(Seq(StructField("id", LongType),
+      StructField("v", DoubleType)))
+    def write(rows: Seq[(Long, Double)]): Unit = {
+      import scala.jdk.CollectionConverters._
+      spark.createDataFrame(
+        rows.map { case (i, v) => org.apache.spark.sql.Row(i, v) }.asJava, sch)
+        .coalesce(1).write.mode("append").parquet(dir)
+    }
+    write(Seq((1L, 1.0), (2L, 2.0), (1L, 1.0)))
+    val q = spark.readStream.schema(sch).parquet(dir)
+      .dropDuplicates("id")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("graft_sdedup").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("graft_sdedup").count() == 2)
+      write(Seq((2L, 2.0), (3L, 3.0))) // dup from an EARLIER batch + fresh id
+      q.processAllAvailable()
+      val ids = spark.table("graft_sdedup").collect().map(_.getLong(0)).sorted
+      assert(ids.toSeq == Seq(1L, 2L, 3L), "cross-batch duplicate suppressed")
+    } finally q.stop()
+  }
+
   test("q91 multimodal features: normalized histogram, deterministic") {
     val rows = Multimodal.queries("q91_multimodal_features")(spark, sf0001).collect()
     assert(rows.nonEmpty)
