@@ -199,6 +199,35 @@ object Relational {
           r4(expr("percentile(l_extendedprice, 0.75)")).as("p75"))
         .orderBy("l_returnflag")),
 
+    "q17_range_join" -> ((s, d) => {
+      // Range/interval join: event pairs of the same user within 120s.
+      // A naive theta-join is BroadcastNestedLoop (O(n*m) compares); the
+      // scalable shape bins time into interval-width buckets and equi-joins
+      // on (user, bin) + (user, bin+1), then applies the exact predicate —
+      // Catalyst gets a hash join, compares drop to same/adjacent-bin pairs.
+      val binW = 120L
+      val ev = events(s, d).select(col("user_id"),
+        col("event_id"), unix_micros(col("ts")).as("us"))
+      val a = ev.select(col("user_id"), col("event_id").as("i"), col("us").as("us_i"))
+        .withColumn("bin", (col("us_i") / lit(binW * 1000000L)).cast("long"))
+      val b = ev.select(col("user_id"), col("event_id").as("j"), col("us").as("us_j"))
+      val bins = b
+        .withColumn("bin0", (col("us_j") / lit(binW * 1000000L)).cast("long"))
+        .select(col("user_id"), col("j"), col("us_j"),
+          // |dt| <= binW means bins differ by at most 1 in EITHER direction
+          explode(array(col("bin0") - 1, col("bin0"), col("bin0") + 1)).as("bin"))
+      a.join(bins, Seq("user_id", "bin"))
+        .where(col("i") < col("j") &&
+          abs(col("us_j") - col("us_i")) <= binW * 1000000L)
+        // dt in exact integer microseconds: a seconds division would need
+        // floor-vs-truncate parity for NEGATIVE dts (event_id order is not
+        // time order), which Spark div and DuckDB // disagree on
+        .select(col("user_id"), col("i"), col("j"),
+          (col("us_j") - col("us_i")).as("dt_us"))
+        .distinct()
+        .orderBy("user_id", "i", "j")
+    }),
+
     "q34_salted_agg" -> ((s, d) => {
       // Two-phase salted aggregation — the skew-mitigation shape for a
       // heavy-hitter grouping key: phase 1 aggregates (key, salt) so a hot
@@ -426,6 +455,13 @@ object Relational {
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') r
         |  ON l.user_id = r.user_id AND r.ts <= l.ts
         |ORDER BY l.user_id, p_id""".stripMargin,
+    "q17_range_join" ->
+      """SELECT a.user_id, a.event_id AS i, b.event_id AS j,
+        |  epoch_us(b.ts) - epoch_us(a.ts) AS dt_us
+        |FROM events a JOIN events b
+        |  ON a.user_id = b.user_id AND a.event_id < b.event_id
+        | AND abs(epoch_us(b.ts) - epoch_us(a.ts)) <= 120000000
+        |ORDER BY a.user_id, i, j""".stripMargin,
     "q34_salted_agg" ->
       """SELECT event_type, count(*) AS n,
         |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS DOUBLE)/100.0 AS total
