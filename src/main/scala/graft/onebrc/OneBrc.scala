@@ -221,6 +221,17 @@ object OneBrc {
     "q04_onebrc_braced" -> ((s, d) => bracedLine(brcAgg(stationsFromEvents(s, d)))),
     "q05_onebrc_typed" -> ((s, d) => typedAgg(s, stationsFromEvents(s, d))),
     "q06_generator" -> ((s, _) => brcAgg(generate(s, 200000L))),
+    "q18_custom_agg" -> ((s, d) => {
+      // the reference's Records struct as a native SQL aggregate
+      // (TypedImperativeAggregate, graft.functions.BrcStatsAgg)
+      graft.functions.BrcStatsAgg.register(s)
+      stationsFromEvents(s, d)
+        .groupBy(col("station"))
+        .agg(expr("brc_stats(measure)").as("st"))
+        .select(col("station"), col("st.min_measure"),
+          col("st.mean_measure"), col("st.max_measure"))
+        .orderBy("station")
+    }),
     "q07_parse_lines" -> ((s, d) => {
       // §2.2 field split + cast, oracle-checked: serialize to the exact
       // `station;measure` line format, then re-tokenize and re-aggregate.
@@ -267,6 +278,8 @@ object OneBrc {
          |    CAST(round(max_measure*10)/10 AS VARCHAR) AS s
          |  FROM (${brcAggSql("SELECT event_type AS station, value AS measure FROM events")}))""".stripMargin,
     "q05_onebrc_typed" -> brcAggSql(
+      "SELECT event_type AS station, value AS measure FROM events"),
+    "q18_custom_agg" -> brcAggSql(
       "SELECT event_type AS station, value AS measure FROM events"),
     "q07_parse_lines" -> brcAggSql(
       """SELECT split_part(line, ';', 1) AS station,
