@@ -108,6 +108,42 @@ object Similarity {
         .orderBy("i", "j")
     }),
 
+    "q73_ivf_knn" -> ((s, d) => {
+      // IVF-style ANN: coarse quantizer = per-label centroids (an
+      // externally-trained partition, like a trained IVF codebook), search
+      // only within the query's cell (nprobe=1). At corpus scale the cell
+      // assignment shards the index so a query touches 1/k of the vectors.
+      // Centroids are cast to float so both engines see identical codebook
+      // values (double avg noise is far below float resolution).
+      VectorExpressions.register(s)
+      val e = t(s, d, "embeddings")
+      val cents = e
+        .select(col("label"), posexplode(col("embedding")).as(Seq("i", "x")))
+        .groupBy(col("label"), col("i"))
+        .agg(avg(col("x").cast("double")).as("m"))
+        .groupBy(col("label"))
+        .agg(transform(array_sort(collect_list(struct(col("i"), col("m")))),
+          p => p.getField("m").cast("float")).as("centroid"))
+        .select(col("label").as("clabel"), col("centroid"))
+      val assigned = e.crossJoin(broadcast(cents))
+        .withColumn("ccos", expr("cosine_sim(embedding, centroid)"))
+        .withColumn("rk", row_number().over(Window.partitionBy(col("vec_id"))
+          .orderBy(col("ccos").desc, col("clabel"))))
+        .filter(col("rk") === 1)
+        .select(col("vec_id"), col("embedding"), col("clabel").as("cell"))
+      val q = assigned.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qe"), col("cell"))
+      val scored = broadcast(q).join(assigned, "cell")
+        .where(col("vec_id") =!= col("q_id"))
+        .withColumn("cos", expr("cosine_sim(qe, embedding)"))
+      scored.withColumn("rn", row_number().over(Window.partitionBy(col("q_id"))
+          .orderBy(col("cos").desc, col("vec_id"))).cast("long"))
+        .filter(col("rn") <= 5)
+        .select(col("q_id"), col("cell"), col("vec_id"),
+          r6(col("cos")).as("cos6"), col("rn"))
+        .orderBy("q_id", "rn")
+    }),
+
     "q72_centroids" -> ((s, d) =>
       // per-label centroid components — the aggregation shape of k-means /
       // class-prototype computation (long form: one row per (label, dim))
@@ -152,6 +188,29 @@ object Similarity {
          |  JOIN embeddings eb ON eb.vec_id = j)
          |SELECT i, j, round(cos*1e6)/1e6 AS cos6 FROM scored
          |WHERE cos >= $CosThreshold ORDER BY i, j""".stripMargin,
+    "q73_ivf_knn" ->
+      s"""WITH cents AS (
+         |  SELECT label, list(CAST(m AS FLOAT) ORDER BY i) AS centroid FROM (
+         |    SELECT label, i, avg(CAST(embedding[i] AS DOUBLE)) AS m
+         |    FROM (SELECT label, embedding, unnest(range(1, ${Dim + 1})) AS i
+         |          FROM embeddings)
+         |    GROUP BY 1, 2) GROUP BY label),
+         |assigned AS (
+         |  SELECT vec_id, embedding, label AS cell FROM (
+         |    SELECT e.vec_id, e.embedding, c.label,
+         |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |        ${cosSql("e.embedding", "c.centroid")} DESC, c.label) AS rk
+         |    FROM embeddings e CROSS JOIN cents c) WHERE rk = 1),
+         |q AS (SELECT vec_id AS q_id, embedding AS qe, cell
+         |      FROM assigned WHERE vec_id < 5),
+         |scored AS (
+         |  SELECT q_id, a.cell, a.vec_id, ${cosSql("qe", "a.embedding")} AS cos
+         |  FROM q JOIN assigned a USING (cell) WHERE a.vec_id != q_id),
+         |ranked AS (SELECT q_id, cell, vec_id, cos,
+         |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS BIGINT) AS rn
+         |  FROM scored)
+         |SELECT q_id, cell, vec_id, round(cos*1e6)/1e6 AS cos6, rn
+         |FROM ranked WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin,
     "q72_centroids" ->
       s"""SELECT label, CAST(i AS BIGINT) AS i,
          |  round(avg(CAST(embedding[i] AS DOUBLE))*1e6)/1e6 AS mean6,

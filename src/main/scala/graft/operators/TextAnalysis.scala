@@ -89,6 +89,30 @@ object TextAnalysis {
         .orderBy("doc_id")
     }),
 
+    "q85_tfidf" -> ((s, d) => {
+      // TF-IDF with smoothed idf = ln((N+1)/(df+1)) + 1; top-3 terms per
+      // document. tf/df are exact integers; ties in tfidf (equal tf AND
+      // equal df) break on the term string, so ranking is deterministic.
+      val tokens = t(s, d, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      val tf = tokens.groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy(col("term"))
+        .agg(count(lit(1)).as("df"))
+      val n = t(s, d, "documents").count() // small dim: fine on the driver
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id"))
+        .orderBy(col("tfidf").desc, col("term"))
+      tf.join(df, "term")
+        .withColumn("tfidf",
+          col("tf") * (log((lit(n) + 1.0) / (col("df") + lit(1.0))) + 1.0))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 3)
+        .select(col("doc_id"), col("term"), col("tf"), col("df"),
+          (round(col("tfidf") * 1e6) / 1e6).as("tfidf6"), col("rn"))
+        .orderBy("doc_id", "rn")
+    }),
+
     "q84_rolling_fp" -> ((s, d) => {
       // document fingerprinting with the custom codegen rolling-hash
       // Expression (rows-only: the 64-bit wrapping arithmetic is not
@@ -130,6 +154,21 @@ object TextAnalysis {
          |    CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct
          |  FROM (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents))
          |ORDER BY doc_id""".stripMargin,
+    "q85_tfidf" ->
+      """WITH tokens AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tokens GROUP BY 1, 2),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |scored AS (
+        |  SELECT doc_id, term, tf, df,
+        |    tf * (ln((n + 1.0) / (df + 1.0)) + 1.0) AS tfidf
+        |  FROM tf JOIN df USING (term) CROSS JOIN n),
+        |ranked AS (SELECT doc_id, term, tf, df, tfidf,
+        |  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS BIGINT) AS rn
+        |  FROM scored)
+        |SELECT doc_id, term, tf, df, round(tfidf*1e6)/1e6 AS tfidf6, rn
+        |FROM ranked WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin,
     "q83_lang_id" -> {
       val scoreCols = LangMarkers.map { case (lang, markers) =>
         s"CAST(len(list_filter(toks, x -> x IN ${inList(markers)})) AS BIGINT) AS score_$lang"
