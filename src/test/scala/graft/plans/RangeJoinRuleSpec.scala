@@ -1,0 +1,91 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class RangeJoinRuleSpec extends AnyFunSuite {
+
+  private def freshSession(withRule: Boolean): SparkSession = {
+    SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+    val b = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+    val s = (if (withRule) b.withExtensions(new graft.GraftExtensions) else b)
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  private def restoreShared(): Unit = {
+    SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+    graft.SparkSpec.session
+  }
+
+  private def sides(s: SparkSession) = {
+    val ev = graft.Tables.events(s, "/root/testdata/sf0.001")
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+    (ev.select(col("user_id").as("ua"), col("event_id").as("i"),
+        col("us").as("us_i")),
+      ev.select(col("user_id").as("ub"), col("event_id").as("j"),
+        col("us").as("us_j")))
+  }
+
+  test("pure range join: nested-loop without the rule, equi-join with it") {
+    // no equi conjunct at all — Spark's only native plan is O(n*m)
+    def pureRange(s: SparkSession) = {
+      val (a, b) = sides(s)
+      a.join(b, col("i") < col("j") &&
+          abs(col("us_j") - col("us_i")) <= lit(120000000L))
+        .select(col("i"), col("j"), (col("us_j") - col("us_i")).as("dt_us"))
+    }
+    val plain = freshSession(withRule = false)
+    val (naivePlan, expected) = try {
+      val df = pureRange(plain)
+      (df.queryExecution.executedPlan.toString,
+        df.collect().map(_.toString).sorted.toSeq)
+    } finally restoreShared()
+    assert(naivePlan.contains("BroadcastNestedLoopJoin") ||
+      naivePlan.contains("CartesianProduct"))
+
+    val ruled = freshSession(withRule = true)
+    try {
+      val df = pureRange(ruled)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin") &&
+        !plan.contains("CartesianProduct"),
+        s"rule should produce an equi-join, got:\n$plan")
+      assert(plan.contains("graft_bin"), "banded helper columns in the plan")
+      assert(df.collect().map(_.toString).sorted.toSeq == expected)
+    } finally restoreShared()
+  }
+
+  test("equi+range join: bin key added beside the equi key, result unchanged") {
+    // with an equi key Spark hash-joins already, but every same-key pair is
+    // compared; the bin key bounds per-key work to same/adjacent-bin pairs
+    def userRange(s: SparkSession) = {
+      val (a, b) = sides(s)
+      a.join(b, col("ua") === col("ub") && col("i") < col("j") &&
+          abs(col("us_j") - col("us_i")) <= lit(120000000L))
+        .select(col("ua").as("user_id"), col("i"), col("j"),
+          (col("us_j") - col("us_i")).as("dt_us"))
+    }
+    val plain = freshSession(withRule = false)
+    val expected = try userRange(plain).collect().map(_.toString).sorted.toSeq
+      finally restoreShared()
+
+    val ruled = freshSession(withRule = true)
+    try {
+      val df = userRange(ruled)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("graft_bin"), s"bin key expected in join:\n$plan")
+      assert(df.collect().map(_.toString).sorted.toSeq == expected)
+      // agrees with the hand-banded q17 formulation
+      val manual = graft.SparkEntry.queries("q17_range_join")(
+        ruled, "/root/testdata/sf0.001")
+        .select("user_id", "i", "j", "dt_us")
+        .collect().map(_.toString).sorted.toSeq
+      assert(df.collect().map(_.toString).sorted.toSeq == manual)
+    } finally restoreShared()
+  }
+}
