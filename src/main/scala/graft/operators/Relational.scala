@@ -312,6 +312,17 @@ object Relational {
         .orderBy(col("o_orderpriority"), col("o_totalprice").desc, col("o_orderkey"))
     }),
 
+    "q44_hash_sample" -> ((s, d) =>
+      // Deterministic ~10% sample via content hash (md5 prefix in
+      // {00..19} = 26/256). Unlike rand()-based sample(), this is
+      // reproducible across engines, runs, and cluster layouts — the only
+      // sampling that composes with incremental reprocessing at scale.
+      events(s, d)
+        .filter(substring(md5(col("event_id").cast("string")), 1, 2) <= "19")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), dollars(sum(cents(col("value")))).as("total"))
+        .orderBy("event_type")),
+
     // ---- sort / limit / set ops -------------------------------------------
 
     "q40_topk" -> ((s, d) =>
@@ -550,6 +561,12 @@ object Relational {
         |FROM orders
         |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC)
         |ORDER BY o_orderpriority, o_totalprice DESC, o_orderkey""".stripMargin,
+    "q44_hash_sample" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS DOUBLE)/100.0 AS total
+        |FROM events
+        |WHERE substr(md5(CAST(event_id AS VARCHAR)), 1, 2) <= '19'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q40_topk" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
