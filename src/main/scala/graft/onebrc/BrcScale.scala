@@ -67,6 +67,20 @@ object BrcScale {
       }
       report(s"brc_parquet_$pass", t2)
     }
+
+    if (args.contains("--sweep-split-size")) {
+      // maxPartitionBytes is Spark's CHUNK_SIZE (the knob the reference
+      // hand-tunes to 16 MiB at rust_1brc/src/main.rs:21); sweep it on the
+      // warm text path to locate the split-size plateau
+      for (mb <- Seq(16, 64, 128, 256)) {
+        spark.conf.set("spark.sql.files.maxPartitionBytes", s"${mb}MB")
+        val (_, t) = timed {
+          OneBrc.brcAgg(OneBrc.readMeasurementsFast(spark, s"$dir/csv")).collect()
+        }
+        report(s"brc_text_split_${mb}mb", t)
+      }
+      spark.conf.set("spark.sql.files.maxPartitionBytes", "128MB")
+    }
     spark.stop()
   }
 }
