@@ -113,6 +113,64 @@ object TextAnalysis {
         .orderBy("doc_id", "rn")
     }),
 
+    "q86_chunking" -> ((s, d) => {
+      // document chunking: overlapping token windows (size 64, stride 32) —
+      // the standard pre-tokenization shape for LLM training data. Window
+      // starts are 1, 33, 65, ... and always include a tail chunk.
+      val chunkLen = 64; val stride = 32
+      t(s, d, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .withColumn("nwin", // number of stride starts covering all tokens
+          greatest(ceil((size(col("toks")) - chunkLen).cast("double") / stride)
+            .cast("int"), lit(0)) + 1)
+        .select(col("doc_id"),
+          posexplode(transform(sequence(lit(0), col("nwin") - 1),
+            k => concat_ws(" ", slice(col("toks"), k * stride + 1, lit(chunkLen)))))
+            .as(Seq("chunk_id", "chunk")))
+        .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+          col("chunk"),
+          size(split(col("chunk"), " ")).cast("long").as("chunk_tokens"))
+        .orderBy("doc_id", "chunk_id")
+    }),
+
+    "q87_redact" -> ((s, d) =>
+      // PII scrubbing: regex redaction of emails and phone-like digit runs.
+      // The corpus has no PII, so a synthetic line exercises the path and
+      // proves the patterns fire; the doc text passes through the same
+      // redaction (a no-op here, asserted by the oracle either way).
+      t(s, d, "documents").select(
+        col("doc_id"),
+        regexp_replace(
+          regexp_replace(
+            concat(lit("contact: user"), col("doc_id"),
+              lit("@example.com tel 555-0123 :: "), col("text")),
+            "[a-z0-9._]+@[a-z0-9.]+", "<EMAIL>"),
+          "[0-9]{3}-[0-9]{4}", "<PHONE>").as("redacted"))
+        .orderBy("doc_id")),
+
+    "q88_pack_batches" -> ((s, d) => {
+      // sequence packing: assign docs (in deterministic order) to training
+      // batches by cumulative token budget — batch = floor(exclusive-cumsum
+      // / budget), the standard streaming approximation of greedy packing.
+      // packing is inherently sequential, so it shards by `source` — each
+      // shard packs independently in parallel (the 100 TB formulation)
+      val budget = 2048L
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(col("doc_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      t(s, d, "documents")
+        .select(col("source"), col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"))
+        .withColumn("cum", sum(col("n_tokens")).over(w))
+        .withColumn("batch_id", ((col("cum") - col("n_tokens")) / budget)
+          .cast("long"))
+        .groupBy(col("source"), col("batch_id"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("batch_tokens"),
+          min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+        .orderBy("source", "batch_id")
+    }),
+
     "q84_rolling_fp" -> ((s, d) => {
       // document fingerprinting with the custom codegen rolling-hash
       // Expression (rows-only: the 64-bit wrapping arithmetic is not
@@ -154,6 +212,38 @@ object TextAnalysis {
          |    CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct
          |  FROM (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents))
          |ORDER BY doc_id""".stripMargin,
+    "q86_chunking" ->
+      """WITH docs AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |win AS (SELECT doc_id, toks,
+        |  greatest(CAST(ceil((len(toks) - 64)/32.0) AS INT), 0) + 1 AS nwin
+        |  FROM docs),
+        |ex AS (SELECT doc_id, toks, unnest(range(0, nwin)) AS k FROM win)
+        |SELECT doc_id, CAST(k AS BIGINT) AS chunk_id,
+        |  array_to_string(toks[k*32+1 : k*32+64], ' ') AS chunk,
+        |  CAST(len(string_split(array_to_string(toks[k*32+1 : k*32+64], ' '), ' ')) AS BIGINT) AS chunk_tokens
+        |FROM ex ORDER BY doc_id, chunk_id""".stripMargin,
+    "q87_redact" ->
+      """SELECT doc_id,
+        |  regexp_replace(
+        |    regexp_replace(
+        |      'contact: user' || doc_id || '@example.com tel 555-0123 :: ' || text,
+        |      '[a-z0-9._]+@[a-z0-9.]+', '<EMAIL>', 'g'),
+        |    '[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS redacted
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q88_pack_batches" ->
+      """WITH toks AS (
+        |  SELECT source, doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |cums AS (
+        |  SELECT source, doc_id, n_tokens,
+        |    sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM toks)
+        |SELECT source, CAST((cum - n_tokens) // 2048 AS BIGINT) AS batch_id,
+        |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS batch_tokens,
+        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM cums GROUP BY 1, 2 ORDER BY source, batch_id""".stripMargin,
     "q85_tfidf" ->
       """WITH tokens AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
