@@ -61,6 +61,36 @@ object Streaming {
 
     "q95_stream_tumbling" -> ((s, d) => tumblingHourly(s, d)),
 
+    "q97_stream_stream_join" -> ((s, d) => {
+      // stream-stream inner join: purchases joined to same-user clicks in
+      // the preceding 10 minutes. Both sides watermarked and the join
+      // condition time-bounded — the two requirements that let Spark evict
+      // join state instead of buffering both streams forever. Inner joins
+      // emit matches as they arrive, so the single-batch result equals the
+      // batch range join (the oracle).
+      val name = s"graft_ssj_${System.nanoTime()}"
+      val clicks = eventsStream(s, d)
+        .filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("c_ts"), col("event_id").as("c_id"))
+        .withWatermark("c_ts", "1 hour")
+      val purchases = eventsStream(s, d)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+          col("event_id").as("p_id"))
+        .withWatermark("p_ts", "1 hour")
+      val q = purchases.join(clicks,
+          col("p_user") === col("user_id") &&
+            col("c_ts") >= col("p_ts") - expr("INTERVAL 10 MINUTES") &&
+            col("c_ts") <= col("p_ts"))
+        .select(col("p_user").as("user_id"), col("p_id"), col("c_id"),
+          (unix_micros(col("p_ts")) - unix_micros(col("c_ts"))).as("gap_us"))
+        .writeStream.outputMode("append")
+        .format("memory").queryName(name)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(name).orderBy("user_id", "p_id", "c_id")
+    }),
+
     "q96_session_window" -> ((s, d) =>
       // session windows (30-min gap) per user over event time — Spark's
       // built-in session_window; stateful streaming analog in StreamingSpec
@@ -79,6 +109,14 @@ object Streaming {
         |  count(*) AS n,
         |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS DOUBLE)/100.0 AS total
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q97_stream_stream_join" ->
+      """SELECT p.user_id, p.event_id AS p_id, c.event_id AS c_id,
+        |  epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id
+        | AND c.ts >= p.ts - INTERVAL 10 MINUTE AND c.ts <= p.ts
+        |ORDER BY p.user_id, p_id, c_id""".stripMargin,
     "q96_session_window" ->
       // gaps-and-islands: a new session starts when the gap > 30 minutes
       """WITH marked AS (
