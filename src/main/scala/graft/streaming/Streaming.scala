@@ -26,6 +26,17 @@ object Streaming {
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
+  /** Run `body` with a reduced shuffle-partition count: streaming state
+    * (store commits, per-partition files) costs per partition per
+    * micro-batch, so a stateful local stream wants far fewer partitions
+    * than a batch shuffle. Restores the prior setting afterwards. */
+  private def withStreamPartitions[T](spark: SparkSession, n: Int)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prior = spark.conf.get(key)
+    spark.conf.set(key, n.toString)
+    try body finally spark.conf.set(key, prior)
+  }
+
   /** readStream over the events parquet with ns->us conversion. */
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -42,7 +53,8 @@ object Streaming {
     * event time) are held back in state forever on a finite source, so the
     * batch-equivalent answer needs complete output. Append-mode flush and
     * late-data dropping are exercised in StreamingSpec. */
-  def tumblingHourly(spark: SparkSession, dir: String): DataFrame = {
+  def tumblingHourly(spark: SparkSession, dir: String): DataFrame =
+      withStreamPartitions(spark, 4) {
     val name = s"graft_tumbling_${System.nanoTime()}"
     val q = eventsStream(spark, dir)
       .withWatermark("ts", "30 minutes")
@@ -61,7 +73,7 @@ object Streaming {
 
     "q95_stream_tumbling" -> ((s, d) => tumblingHourly(s, d)),
 
-    "q97_stream_stream_join" -> ((s, d) => {
+    "q97_stream_stream_join" -> ((s, d) => withStreamPartitions(s, 4) {
       // stream-stream inner join: purchases joined to same-user clicks in
       // the preceding 10 minutes. Both sides watermarked and the join
       // condition time-bounded — the two requirements that let Spark evict
