@@ -167,8 +167,31 @@ case class LshBands(child: Expression, planes: Array[Double],
     copy(child = newChild)
 }
 
+/** nfc_normalize(string) -> string: Unicode NFC normalization — Spark has
+  * no built-in for it, yet text dedup REQUIRES it ("Zürich" composed vs
+  * decomposed are different byte strings that md5/groupBy treat as distinct
+  * documents). Matches DuckDB's nfc_normalize for oracle parity. */
+case class NfcNormalize(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "nfc_normalize"
+
+  override def nullSafeEval(v: Any): Any =
+    UTF8String.fromString(java.text.Normalizer.normalize(
+      v.asInstanceOf[UTF8String].toString, java.text.Normalizer.Form.NFC))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"""${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromString(
+         |  java.text.Normalizer.normalize($s.toString(),
+         |    java.text.Normalizer.Form.NFC));""".stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorExpressions {
-  /** Register both expressions in the session's function registry so they
+  /** Register the expressions in the session's function registry so they
     * are usable from SQL and via expr("...") — idempotent per session. */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -176,6 +199,8 @@ object VectorExpressions {
       exprs => CosineSimilarity(exprs.head, exprs(1)), "built-in")
     reg.createOrReplaceTempFunction("rolling_hash",
       exprs => RollingHash(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction("nfc_normalize",
+      exprs => NfcNormalize(exprs.head), "built-in")
   }
 
   /** Register lsh_bands bound to a concrete hyperplane matrix. */
