@@ -1,0 +1,107 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Single-pass parser for a 1BRC line `station;d?d.d` -> struct(station,
+  * measure): one scan over the bytes, fixed-point digit parse — the
+  * Spark-expression form of the reference's byte tokenizers
+  * (rust_1brc/src/thebracket.rs:46-110, rangnargrootkeorkamp.rs:80-107).
+  *
+  * The composed formulation (`substring_index` twice + cast) walks each
+  * line three times and allocates two intermediate strings; this walks it
+  * once and allocates only the station slice. Value domain per FIXTURES.md
+  * §1: optional '-', 1-2 integer digits, '.', one decimal digit. Malformed
+  * measures yield null (DROPMALFORMED-style semantics).
+  */
+object BrcParse {
+  /** @return measure in integer tenths, or Long.MinValue if malformed */
+  def parseTenths(bytes: Array[Byte], from: Int): Long = {
+    var i = from
+    if (i >= bytes.length) return Long.MinValue
+    var neg = false
+    if (bytes(i) == '-') { neg = true; i += 1 }
+    var v = 0L; var digits = 0; var seenDot = false; var frac = 0
+    while (i < bytes.length) {
+      val b = bytes(i)
+      if (b >= '0' && b <= '9') {
+        v = v * 10 + (b - '0'); digits += 1
+        if (seenDot) frac += 1
+      } else if (b == '.' && !seenDot) seenDot = true
+      else return Long.MinValue
+      i += 1
+    }
+    if (digits == 0 || frac > 1) return Long.MinValue
+    if (!seenDot || frac == 0) v *= 10 // integer-form measure: scale to tenths
+    if (neg) -v else v
+  }
+
+  def sepIndex(bytes: Array[Byte]): Int = {
+    var i = 0
+    while (i < bytes.length) { if (bytes(i) == ';') return i; i += 1 }
+    -1
+  }
+
+  /** station slice, or null when no ';' is present */
+  def station(s: UTF8String): UTF8String = {
+    val bytes = s.getBytes
+    val sep = sepIndex(bytes)
+    if (sep < 0) null else UTF8String.fromBytes(bytes, 0, sep)
+  }
+
+  /** measure as double, or null (boxed) when malformed */
+  def measure(s: UTF8String): java.lang.Double = {
+    val bytes = s.getBytes
+    val sep = sepIndex(bytes)
+    if (sep < 0) return null
+    val t = parseTenths(bytes, sep + 1)
+    if (t == Long.MinValue) null else java.lang.Double.valueOf(t / 10.0)
+  }
+}
+
+/** brc_parse(line) -> struct<station string, measure double>. */
+case class BrcParseLine(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("station", StringType), StructField("measure", DoubleType)))
+  override def prettyName: String = "brc_parse"
+
+  override def nullSafeEval(v: Any): Any = {
+    val s = v.asInstanceOf[UTF8String]
+    val bytes = s.getBytes
+    val sep = BrcParse.sepIndex(bytes)
+    if (sep < 0) return InternalRow(null, null)
+    val t = BrcParse.parseTenths(bytes, sep + 1)
+    InternalRow(UTF8String.fromBytes(bytes, 0, sep),
+      if (t == Long.MinValue) null else (t / 10.0): java.lang.Double)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s => {
+      val bytes = ctx.freshName("bytes"); val sep = ctx.freshName("sep")
+      val t = ctx.freshName("t"); val row = ctx.freshName("row")
+      s"""
+         |byte[] $bytes = $s.getBytes();
+         |int $sep = graft.functions.BrcParse.sepIndex($bytes);
+         |Object[] $row = new Object[2];
+         |if ($sep >= 0) {
+         |  $row[0] = org.apache.spark.unsafe.types.UTF8String.fromBytes($bytes, 0, $sep);
+         |  long $t = graft.functions.BrcParse.parseTenths($bytes, $sep + 1);
+         |  if ($t != Long.MIN_VALUE) { $row[1] = (Double) ($t / 10.0); }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow($row);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object BrcParseLine {
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction("brc_parse",
+      exprs => BrcParseLine(exprs.head), "built-in")
+}

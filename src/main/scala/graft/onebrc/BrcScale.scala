@@ -61,6 +61,13 @@ object BrcScale {
       report(s"brc_text_split_$pass", t3)
     }
     for (pass <- Seq("cold", "warm")) {
+      // single-pass codegen parser expression (BrcParseLine)
+      val (_, t4) = timed {
+        OneBrc.brcAgg(OneBrc.readMeasurementsTurbo(spark, s"$dir/csv")).collect()
+      }
+      report(s"brc_text_turbo_$pass", t4)
+    }
+    for (pass <- Seq("cold", "warm")) {
       val (_, t2) = timed {
         OneBrc.brcAgg(spark.read.parquet(s"$dir/parquet")
           .select(col("station"), col("measure"))).collect()

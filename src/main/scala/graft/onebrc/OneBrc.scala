@@ -51,6 +51,17 @@ object OneBrc {
       substring_index(col("value"), ";", 1).as("station"),
       substring_index(col("value"), ";", -1).cast("double").as("measure"))
 
+  /** Fastest text scan: single-pass codegen parser expression
+    * (graft.functions.BrcParseLine — one byte scan per line, fixed-point
+    * digit parse, the reference's tokenizer as a Catalyst expression).
+    * Malformed lines yield nulls (drop them downstream if needed). */
+  def readMeasurementsTurbo(spark: SparkSession, path: String): DataFrame = {
+    graft.functions.BrcParseLine.register(spark)
+    spark.read.text(path)
+      .select(expr("brc_parse(value)").as("m"))
+      .select(col("m.station").as("station"), col("m.measure").as("measure"))
+  }
+
   /** Core 1BRC aggregate over any (station, measure) projection.
     * mean is computed from an exact integer-cents sum so the result is
     * independent of partition/merge order (see graft.Tables doc). */

@@ -45,6 +45,19 @@ class FormatParitySpec extends SparkSpec {
         OneBrc.brcAgg(OneBrc.readMeasurements(spark, golden)).collect().toSeq)
   }
 
+  test("turbo single-pass parser agrees with the CSV datasource scan") {
+    val golden = "/root/repo/fixtures/measurements_golden.csv"
+    assert(
+      OneBrc.brcAgg(OneBrc.readMeasurementsTurbo(spark, golden)).collect().toSeq ==
+        OneBrc.brcAgg(OneBrc.readMeasurements(spark, golden)).collect().toSeq)
+    // malformed lines -> null station/measure (not errors)
+    val bad = java.nio.file.Files.createTempFile("brct", ".csv")
+    java.nio.file.Files.writeString(bad, "Oslo;1.5\nnonsense\nOslo;x.y\nOslo;-12.3\n")
+    val parsed = OneBrc.readMeasurementsTurbo(spark, bad.toString).collect()
+    assert(parsed.count(r => !r.isNullAt(1)) == 2)
+    assert(parsed.exists(r => !r.isNullAt(1) && r.getDouble(1) == -12.3))
+  }
+
   test("integer-tenths aggregation (R4/R5) agrees with double path on 1-dp data") {
     // fixed-point and float paths coincide exactly when inputs are 1-decimal
     val gen = OneBrc.generate(spark, 20000L)
