@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// graft.Bench prints its result JSON as the final stdout line; sbt's
+// "[success] Total time ..." epilogue would otherwise land after it and
+// break naive last-line parsers (this bit round 1's BENCH_r01.json).
+Global / showSuccess := false
+// Pass forked-run output straight through instead of via sbt's logger,
+// which would prefix every line with "[info] " / "[error] ".
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -37,7 +37,20 @@ object Bench {
       "\"" + k + "\":" + (if (v < 0) "-1" else (v / 1e9).toString)
     }.mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v / 1e9 }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // The bench result must survive sbt's log chatter (round 1 lost it:
+    // BENCH_r01.json "parsed": null because "[success] Total time..." was
+    // the last stdout line). Belt and braces:
+    //  1. write the bare JSON line to a file — SPARK_GRAFT_BENCH_OUT if
+    //     set, else bench_out.json in the working directory;
+    //  2. print it to stdout LAST (after spark.stop()), with build.sbt's
+    //     `showSuccess := false` suppressing the trailing [success] line,
+    //     so a naive last-line / last-JSON-line extractor finds it.
+    val outPath = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json"))
+    java.nio.file.Files.write(outPath, (json + "\n").getBytes("UTF-8"))
     spark.stop()
+    println(json)
   }
 }

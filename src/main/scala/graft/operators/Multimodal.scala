@@ -58,15 +58,20 @@ object Multimodal {
       // partition-local batch decode via typed mapPartitions (the Scala
       // analog of mapInPandas: one iterator per partition = one batch).
       // Rows-only: the fake decoder has no SQL equivalent; golden-tested
-      // in MultimodalSpec.
+      // in MultimodalSpec. The 8-bin feature vector is projected to scalar
+      // columns f0..f7 here because the driver's rows-only check cannot
+      // sort/hash an array<double> column (round-1 q91 failure); the
+      // array-returning path stays covered by MultimodalSpec.
       import s.implicits._
-      assets(s, d).select(col("asset_id"), col("payload")).as[Asset]
+      val decoded = assets(s, d).select(col("asset_id"), col("payload")).as[Asset]
         .mapPartitions(_.map(fakeDecode))
         .toDF()
-        .select(col("asset_id"), col("n_bytes"),
+      decoded.select(
+        Seq(col("asset_id"), col("n_bytes"),
           (round(col("mean_byte") * 1e6) / 1e6).as("mean_byte6"),
-          col("byte_entropy_q"),
-          col("features"))
+          col("byte_entropy_q")) ++
+        (0 until 8).map(k =>
+          (round(col("features").getItem(k) * 1e6) / 1e6).as(s"f$k")): _*)
         .orderBy("asset_id")
     })
   )

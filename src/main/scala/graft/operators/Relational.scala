@@ -100,8 +100,13 @@ object Relational {
       // with last(..., ignoreNulls). One shuffle on user_id, O(n log n) —
       // never the O(n*m) per-key range join a naive formulation produces.
       val ev = events(s, d)
+      // Ties: DuckDB's ASOF JOIN choice among equal r.ts rows is
+      // unspecified, so clicks are pre-deduped to one row per (user, ts)
+      // (keeper = max event_id) HERE and in the oracle subquery — the
+      // tie-break is pinned identically in both engines.
       val clicks = ev.filter(col("event_type") === "click")
-        .select(col("user_id"), col("ts"), col("event_id").as("c_id"))
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("event_id")).as("c_id"))
       val purchases = ev.filter(col("event_type") === "purchase")
         .select(col("user_id"), col("ts"), col("event_id").as("p_id"))
       val tagged = clicks
@@ -463,7 +468,9 @@ object Relational {
       """SELECT l.user_id, l.event_id AS p_id, r.event_id AS c_id,
         |  epoch_us(l.ts) - epoch_us(r.ts) AS gap_us
         |FROM (SELECT * FROM events WHERE event_type = 'purchase') l
-        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') r
+        |ASOF LEFT JOIN (
+        |  SELECT user_id, ts, max(event_id) AS event_id
+        |  FROM events WHERE event_type = 'click' GROUP BY 1, 2) r
         |  ON l.user_id = r.user_id AND r.ts <= l.ts
         |ORDER BY l.user_id, p_id""".stripMargin,
     "q17_range_join" ->

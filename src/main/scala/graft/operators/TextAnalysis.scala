@@ -99,13 +99,16 @@ object TextAnalysis {
         .agg(count(lit(1)).as("tf"))
       val df = tf.groupBy(col("term"))
         .agg(count(lit(1)).as("df"))
-      val n = t(s, d, "documents").count() // small dim: fine on the driver
+      // corpus size as a lazy 1-row crossJoin (broadcast NLJ), exactly like
+      // the oracle's CROSS JOIN n — a driver-side .count() here would be an
+      // eager full scan of `documents` before the real query even starts
+      val n = t(s, d, "documents").agg(count(lit(1)).as("n_docs"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("doc_id"))
         .orderBy(col("tfidf").desc, col("term"))
-      tf.join(df, "term")
+      tf.join(df, "term").crossJoin(n)
         .withColumn("tfidf",
-          col("tf") * (log((lit(n) + 1.0) / (col("df") + lit(1.0))) + 1.0))
+          col("tf") * (log((col("n_docs") + 1.0) / (col("df") + lit(1.0))) + 1.0))
         .withColumn("rn", row_number().over(w).cast("long"))
         .filter(col("rn") <= 3)
         .select(col("doc_id"), col("term"), col("tf"), col("df"),
