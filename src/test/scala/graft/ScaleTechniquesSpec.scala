@@ -64,4 +64,32 @@ class ScaleTechniquesSpec extends SparkSpec {
     assert(fromOrc == fromJson)
     assert(fromOrc == graft.onebrc.OneBrc.brcAgg(gen).collect().toSeq)
   }
+
+  test("shingle df-cap bounds the dedup pair space under adversarial skew") {
+    import spark.implicits._
+    val op = operators.Dedup
+    // 200 documents that all open with the same boilerplate 5-gram (the
+    // hot-shingle worst case: one stopword shingle shared corpus-wide)
+    // followed by a unique tail — uncapped, the shingle equi-join would
+    // emit 200*199/2 = 19900 pairs through that single hot key.
+    val hotDocs = (0 until 200).map(i =>
+      (i.toLong, s"terms of service apply here unique$i tail$i body$i end$i"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_skew").toString
+    hotDocs.toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val sh = op.shingles(spark, dir)
+    // the boilerplate shingle (df=200 > cap=64) must be gone...
+    assert(sh.filter(col("s") === "terms of service apply here").count() == 0)
+    // ...while per-document shingles containing a unique token survive
+    assert(sh.count() == 200L * 4, "4 unique-tail shingles per doc remain")
+    val a = sh.select(col("doc_id").as("i"), col("s"))
+    val b = sh.select(col("doc_id").as("j"), col("s"))
+    val pairs = a.join(b, "s").where(col("i") < col("j")).count()
+    assert(pairs == 0,
+      s"df-capped shingle join must not explode through hot keys, got $pairs")
+    // and any surviving shingle can contribute at most cap^2/2 pairs by
+    // construction: df <= ShingleDfCap after the anti-join
+    val maxDf = sh.groupBy("s").count().agg(max("count")).head.getLong(0)
+    assert(maxDf <= op.ShingleDfCap)
+  }
 }

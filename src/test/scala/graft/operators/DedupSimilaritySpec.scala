@@ -33,6 +33,36 @@ class DedupSimilaritySpec extends SparkSpec {
       "16-bit simhash at hamming<=3 should catch some jaccard near-dups")
   }
 
+  test("q68 64-bit simhash banding has perfect recall at hamming<=3") {
+    // the pigeonhole claim, checked against brute force: every pair whose
+    // TRUE 64-bit hamming distance is <=3 must be found by the 4-band
+    // blocking (one band must be untouched when at most 3 bits differ)
+    val out = Dedup.queries("q68_simhash64")(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // brute force: rebuild the per-doc band values, cross all pairs
+    val tok = graft.Tables.t(spark, sf0001, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("cnt"))
+      .withColumn("th", md5(col("token")))
+    val sAggs = (0 until 64).map(j => sum(col("cnt") * (expr(
+      s"((instr('0123456789abcdef', substring(th, ${j / 4 + 1}, 1)) - 1) div ${1 << (j % 4)}) % 2")
+      * 2 - 1)).as(s"s$j"))
+    val sims = tok.groupBy(col("doc_id")).agg(sAggs.head, sAggs.tail: _*)
+      .select(col("doc_id") +: (0 until 4).map(k =>
+        (0 until 16).map(p =>
+          when(col(s"s${16 * k + p}") > 0, lit(1L << p)).otherwise(lit(0L)))
+          .reduce(_ + _).as(s"b$k")): _*)
+      .collect().map(r => r.getLong(0) ->
+        (1 to 4).map(r.getLong).toArray).toMap
+    val bruteClose = for {
+      (i, ba) <- sims.toSeq; (j, bb) <- sims.toSeq if i < j
+      h = (0 until 4).map(k => java.lang.Long.bitCount(ba(k) ^ bb(k))).sum
+      if h <= Dedup.HammingMax
+    } yield (i, j, h.toLong)
+    assert(out.toSet == bruteClose.toSet,
+      "banded blocking must find exactly the brute-force hamming<=3 pairs")
+  }
+
   test("cosine_sim expression matches higher-order-function formulation") {
     VectorExpressions.register(spark)
     val e = spark.read.parquet(s"$sf0001/embeddings.parquet").limit(50)
