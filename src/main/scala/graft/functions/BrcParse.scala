@@ -19,7 +19,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * measures yield null (DROPMALFORMED-style semantics).
   */
 object BrcParse {
-  /** @return measure in integer tenths, or Long.MinValue if malformed */
+  /** @return measure in integer tenths, or Long.MinValue if malformed.
+    * Accepted domain is exactly FIXTURES.md §1: optional '-', 1-2 integer
+    * digits, then either nothing (integer form, scaled ×10) or '.' plus
+    * exactly one decimal digit. A trailing dot ("12.") and 3+ integer
+    * digits are malformed — they'd otherwise coerce silently. */
   def parseTenths(bytes: Array[Byte], from: Int): Long = {
     var i = from
     if (i >= bytes.length) return Long.MinValue
@@ -36,7 +40,9 @@ object BrcParse {
       i += 1
     }
     if (digits == 0 || frac > 1) return Long.MinValue
-    if (!seenDot || frac == 0) v *= 10 // integer-form measure: scale to tenths
+    if (seenDot && frac == 0) return Long.MinValue // trailing dot: "12."
+    if (digits - frac < 1 || digits - frac > 2) return Long.MinValue
+    if (!seenDot) v *= 10 // integer-form measure: scale to tenths
     if (neg) -v else v
   }
 

@@ -265,6 +265,16 @@ object OneBrc {
   val oracle: Map[String, String] = Map(
     "q01_onebrc_events" -> brcAggSql(
       "SELECT event_type AS station, value AS measure FROM events"),
+    // the generator is seeded + partition-invariant, so its 413-row
+    // aggregate is a constant: the committed fixture (dumped once, exact
+    // 1-dp decimal -> double roundtrip) is a true oracle for regressions
+    "q06_generator" ->
+      """SELECT station, min_measure, mean_measure, max_measure
+        |FROM read_csv('/root/repo/fixtures/q06_generator_expected.csv',
+        |  header=true, delim=';',
+        |  columns={'station':'VARCHAR','min_measure':'DOUBLE',
+        |           'mean_measure':'DOUBLE','max_measure':'DOUBLE'})
+        |ORDER BY station""".stripMargin,
     "q02_onebrc_lineitem" ->
       """SELECT l_returnflag AS station,
         |  min(l_quantity) AS min_measure,

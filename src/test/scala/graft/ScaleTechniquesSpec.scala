@@ -65,6 +65,43 @@ class ScaleTechniquesSpec extends SparkSpec {
     assert(fromOrc == graft.onebrc.OneBrc.brcAgg(gen).collect().toSeq)
   }
 
+  test("AQE splits a skewed join partition at runtime (skew=true in plan)") {
+    import spark.implicits._
+    val s = spark
+    // a fact-fact join where 90% of the left rows share one hot key — the
+    // shape that strands a single reducer at 100 TB. AQE's skew-join must
+    // split the oversized partition at runtime. Thresholds are lowered so
+    // the local[4] replica trips the same code path a cluster would.
+    val confs = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "262144",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "65536",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prior = confs.map { case (k, _) => k -> s.conf.get(k) }
+    try {
+      confs.foreach { case (k, v) => s.conf.set(k, v) }
+      // payload must be high-entropy and row-dependent: a literal pad
+      // constant-folds out of the shuffle, and repetitive bytes compress
+      // under the skew-detection threshold in the shuffle writer
+      val pad = repeat(md5(col("id").cast("string")), 4)
+      val left = s.range(0, 300000)
+        .select(when(col("id") < 270000, 0L).otherwise(col("id") % 997 + 1)
+          .as("k"), pad.as("payload"))
+      val right = s.range(0, 1001).select(col("id").as("k"), pad.as("rpad"))
+      // global agg downstream (not grouped on k): a groupBy(k) above the
+      // join would REQUIRE the join's hash distribution and legitimately
+      // veto the split — splitting there would re-introduce a shuffle.
+      // length(payload) keeps the fat column flowing through the shuffle.
+      val joined = left.join(right, "k")
+        .agg(count(lit(1)).as("n"), sum(length(col("payload"))).as("bytes"))
+      val rows = joined.collect()
+      assert(rows.head.getLong(0) == 300000L)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"AQE must mark the hot partition for skew split, plan:\n$plan")
+    } finally prior.foreach { case (k, v) => s.conf.set(k, v) }
+  }
+
   test("shingle df-cap bounds the dedup pair space under adversarial skew") {
     import spark.implicits._
     val op = operators.Dedup

@@ -52,7 +52,10 @@ class FormatParitySpec extends SparkSpec {
         OneBrc.brcAgg(OneBrc.readMeasurements(spark, golden)).collect().toSeq)
     // malformed lines -> null station/measure (not errors)
     val bad = java.nio.file.Files.createTempFile("brct", ".csv")
-    java.nio.file.Files.writeString(bad, "Oslo;1.5\nnonsense\nOslo;x.y\nOslo;-12.3\n")
+    java.nio.file.Files.writeString(bad,
+      // trailing-dot and 3-integer-digit measures are outside the 1BRC
+      // domain and must null out, not silently coerce
+      "Oslo;1.5\nnonsense\nOslo;x.y\nOslo;-12.3\nOslo;12.\nOslo;123.4\nOslo;.5\n")
     val parsed = OneBrc.readMeasurementsTurbo(spark, bad.toString).collect()
     assert(parsed.count(r => !r.isNullAt(1)) == 2)
     assert(parsed.exists(r => !r.isNullAt(1) && r.getDouble(1) == -12.3))
