@@ -52,6 +52,59 @@ object BrcParse {
     -1
   }
 
+  // --- zero-copy variants over UTF8String (no getBytes line copy) ---------
+
+  def sepIndexU(s: UTF8String): Int = {
+    val n = s.numBytes; var i = 0
+    while (i < n) { if (s.getByte(i) == ';') return i; i += 1 }
+    -1
+  }
+
+  /** Same domain as parseTenths, reading the UTF8String bytes in place. */
+  def parseTenthsU(s: UTF8String, from: Int): Long = {
+    val n = s.numBytes
+    var i = from
+    if (i >= n) return Long.MinValue
+    var neg = false
+    if (s.getByte(i) == '-') { neg = true; i += 1 }
+    var v = 0L; var digits = 0; var seenDot = false; var frac = 0
+    while (i < n) {
+      val b = s.getByte(i)
+      if (b >= '0' && b <= '9') {
+        v = v * 10 + (b - '0'); digits += 1
+        if (seenDot) frac += 1
+      } else if (b == '.' && !seenDot) seenDot = true
+      else return Long.MinValue
+      i += 1
+    }
+    if (digits == 0 || frac > 1) return Long.MinValue
+    if (seenDot && frac == 0) return Long.MinValue
+    if (digits - frac < 1 || digits - frac > 2) return Long.MinValue
+    if (!seenDot) v *= 10
+    if (neg) -v else v
+  }
+
+  /** station prefix as an exact-size single copy (the ONE allocation a
+    * hash-agg key fundamentally needs — the reference borrows slices,
+    * rust_1brc/src/rangnargrootkeorkamp.rs:92-99; Spark's agg map copies
+    * keys into its own memory, so a transient exact-size copy is the
+    * Spark-safe equivalent). null when no ';' is present. */
+  def stationOfU(s: UTF8String): UTF8String = {
+    val sep = sepIndexU(s)
+    if (sep < 0) return null
+    val dst = new Array[Byte](sep)
+    org.apache.spark.unsafe.Platform.copyMemory(
+      s.getBaseObject, s.getBaseOffset, dst,
+      org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, sep.toLong)
+    UTF8String.fromBytes(dst)
+  }
+
+  /** measure in integer tenths after the first ';', or Long.MinValue. */
+  def tenthsOfU(s: UTF8String): Long = {
+    val sep = sepIndexU(s)
+    if (sep < 0) Long.MinValue else parseTenthsU(s, sep + 1)
+  }
+
   /** station slice, or null when no ';' is present */
   def station(s: UTF8String): UTF8String = {
     val bytes = s.getBytes
@@ -110,4 +163,62 @@ object BrcParseLine {
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction("brc_parse",
       exprs => BrcParseLine(exprs.head), "built-in")
+}
+
+/** brc_station(line) -> string: the key slice, one exact-size allocation,
+  * no struct row and no full-line byte copy (vs brc_parse: the measure
+  * side of the hot path allocates nothing at all — see BrcTenths). */
+case class BrcStation(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "brc_station"
+
+  override def nullSafeEval(v: Any): Any =
+    BrcParse.stationOfU(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s => {
+      s"""
+         |${ev.value} = graft.functions.BrcParse.stationOfU($s);
+         |${ev.isNull} = (${ev.value} == null);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** brc_tenths(line) -> long: the measure in integer tenths (R4/R5
+  * fixed-point semantics) as a PRIMITIVE — zero allocation, no boxing, no
+  * intermediate struct, reading the UTF8String bytes in place. Feeds the
+  * pure-integer aggregation path (OneBrc.brcAggTenths). */
+case class BrcTenths(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "brc_tenths"
+
+  override def nullSafeEval(v: Any): Any = {
+    val t = BrcParse.tenthsOfU(v.asInstanceOf[UTF8String])
+    if (t == Long.MinValue) null else t
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s => {
+      s"""
+         |${ev.value} = graft.functions.BrcParse.tenthsOfU($s);
+         |${ev.isNull} = (${ev.value} == Long.MIN_VALUE);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object BrcSplitParse {
+  def register(spark: SparkSession): Unit = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "brc_station", exprs => BrcStation(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "brc_tenths", exprs => BrcTenths(exprs.head), "built-in")
+  }
 }

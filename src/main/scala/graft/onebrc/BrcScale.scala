@@ -68,6 +68,15 @@ object BrcScale {
       report(s"brc_text_turbo_$pass", t4)
     }
     for (pass <- Seq("cold", "warm")) {
+      // split primitive expressions + integer-tenths aggregation: the
+      // allocation-free text path (brc_station/brc_tenths)
+      val (_, t5) = timed {
+        OneBrc.brcAggTenths(OneBrc.readMeasurementsTenths(spark, s"$dir/csv"))
+          .collect()
+      }
+      report(s"brc_text_tenths_$pass", t5)
+    }
+    for (pass <- Seq("cold", "warm")) {
       val (_, t2) = timed {
         OneBrc.brcAgg(spark.read.parquet(s"$dir/parquet")
           .select(col("station"), col("measure"))).collect()

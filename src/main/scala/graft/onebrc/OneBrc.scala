@@ -62,6 +62,33 @@ object OneBrc {
       .select(col("m.station").as("station"), col("m.measure").as("measure"))
   }
 
+  /** Fastest text scan, round 2: the struct expression above still builds a
+    * GenericInternalRow + boxed Double per line; splitting the parse into
+    * two primitive expressions removes every per-line allocation except the
+    * station key slice itself — brc_tenths returns a primitive long read
+    * straight off the UTF8String bytes (no full-line getBytes copy), and
+    * the downstream aggregation stays in integer tenths (R4/R5 semantics,
+    * thebracket.rs:73-110). Output of brcAggTenths is bit-identical to
+    * brcAgg over the double path on 1-dp data (FormatParitySpec). */
+  def readMeasurementsTenths(spark: SparkSession, path: String): DataFrame = {
+    graft.functions.BrcSplitParse.register(spark)
+    spark.read.text(path).select(
+      expr("brc_station(value)").as("station"),
+      expr("brc_tenths(value)").as("t"))
+  }
+
+  /** Pure-integer 1BRC aggregate over (station, t): min/max/sum/count on
+    * longs, floating point only in the 413-row final projection. */
+  def brcAggTenths(df: DataFrame): DataFrame =
+    df.groupBy(col("station"))
+      .agg(min(col("t")).as("minT"), max(col("t")).as("maxT"),
+        sum(col("t")).as("sumT"), count(col("t")).as("cnt"))
+      .select(col("station"),
+        (col("minT").cast("double") / 10.0).as("min_measure"),
+        round1(col("sumT").cast("double") / 10.0 / col("cnt")).as("mean_measure"),
+        (col("maxT").cast("double") / 10.0).as("max_measure"))
+      .orderBy("station")
+
   /** Core 1BRC aggregate over any (station, measure) projection.
     * mean is computed from an exact integer-cents sum so the result is
     * independent of partition/merge order (see graft.Tables doc). */

@@ -65,6 +65,26 @@ object Similarity {
         posexplode(expr("lsh_bands(embedding)")).as(Seq("band", "key")))
   }
 
+  /** LSH candidate pairs verified with exact cosine ≥ CosThreshold —
+    * shared by q71 (pair search) and q74 (near-dup dedup). Candidate pairs
+    * carry only ids through the join + dedupe; the 64-float payloads are
+    * joined back once per verified candidate. */
+  private def lshScoredPairs(s: SparkSession, d: String): DataFrame = {
+    VectorExpressions.register(s)
+    val banded = bandedVectors(s, d)
+    val cand = banded.select(col("band"), col("key"), col("vec_id").as("i"))
+      .join(banded.select(col("band"), col("key"), col("vec_id").as("j")),
+        Seq("band", "key"))
+      .where(col("i") < col("j"))
+      .select(col("i"), col("j")).distinct()
+    val e = t(s, d, "embeddings")
+    cand
+      .join(e.select(col("vec_id").as("i"), col("embedding").as("ea")), "i")
+      .join(e.select(col("vec_id").as("j"), col("embedding").as("eb")), "j")
+      .withColumn("cos", expr("cosine_sim(ea, eb)"))
+      .filter(col("cos") >= CosThreshold)
+  }
+
   private val cosSql = // DuckDB mirror of CosineSimilarity's fused pass
     (a: String, b: String) =>
       s"""(list_sum(list_transform(range(1, ${Dim + 1}), i -> CAST($a[i] AS DOUBLE)*CAST($b[i] AS DOUBLE))) /
@@ -88,24 +108,26 @@ object Similarity {
         .orderBy("q_id", "rn")
     }),
 
-    "q71_ann_lsh" -> ((s, d) => {
-      VectorExpressions.register(s)
-      val banded = bandedVectors(s, d)
-      // candidate pairs carry only ids through the join + dedupe; the
-      // 64-float payloads are joined back once per verified candidate
-      val cand = banded.select(col("band"), col("key"), col("vec_id").as("i"))
-        .join(banded.select(col("band"), col("key"), col("vec_id").as("j")),
-          Seq("band", "key"))
-        .where(col("i") < col("j"))
-        .select(col("i"), col("j")).distinct()
-      val e = t(s, d, "embeddings")
-      cand
-        .join(e.select(col("vec_id").as("i"), col("embedding").as("ea")), "i")
-        .join(e.select(col("vec_id").as("j"), col("embedding").as("eb")), "j")
-        .withColumn("cos", expr("cosine_sim(ea, eb)"))
-        .filter(col("cos") >= CosThreshold)
+    "q71_ann_lsh" -> ((s, d) =>
+      lshScoredPairs(s, d)
         .select(col("i"), col("j"), r6(col("cos")).as("cos6"))
-        .orderBy("i", "j")
+        .orderBy("i", "j")),
+
+    "q74_embed_dedup" -> ((s, d) => {
+      // embedding-cosine near-dup DEDUP (vs q71's pair search): the
+      // standard min-id-representative rule — a vector is a duplicate iff
+      // it has a smaller-id near-neighbor; its keeper is the smallest such
+      // neighbor. Same LSH-bucketed candidate generation (never n²), one
+      // extra window over the verified pairs. Transitive-closure dedup
+      // (connected components) needs iteration; min-id-greedy is the
+      // single-pass rule web-scale pipelines actually run.
+      val w = Window.partitionBy(col("j")).orderBy(col("i"))
+      lshScoredPairs(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("j").as("dup_id"), col("i").as("keeper_id"),
+          r6(col("cos")).as("cos6"))
+        .orderBy("dup_id")
     }),
 
     "q73_ivf_knn" -> ((s, d) => {
@@ -188,6 +210,31 @@ object Similarity {
          |  JOIN embeddings eb ON eb.vec_id = j)
          |SELECT i, j, round(cos*1e6)/1e6 AS cos6 FROM scored
          |WHERE cos >= $CosThreshold ORDER BY i, j""".stripMargin,
+    "q74_embed_dedup" ->
+      s"""WITH $planesSql,
+         |bits AS (
+         |  SELECT vec_id, k // $BitsPerBand AS band, k % $BitsPerBand AS pos,
+         |    CASE WHEN list_sum(list_transform(range(1, ${Dim + 1}),
+         |      i -> CAST(embedding[i] AS DOUBLE) * plane[i])) > 0
+         |    THEN 1 ELSE 0 END AS bit
+         |  FROM embeddings CROSS JOIN planes),
+         |keys AS (
+         |  SELECT vec_id, band,
+         |    sum(bit * CASE pos WHEN 0 THEN 8 WHEN 1 THEN 4 WHEN 2 THEN 2 ELSE 1 END) AS key
+         |  FROM bits GROUP BY 1, 2),
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS i, b.vec_id AS j
+         |  FROM keys a JOIN keys b USING (band, key) WHERE a.vec_id < b.vec_id),
+         |scored AS (
+         |  SELECT i, j, ${cosSql("ea.embedding", "eb.embedding")} AS cos
+         |  FROM cand
+         |  JOIN embeddings ea ON ea.vec_id = i
+         |  JOIN embeddings eb ON eb.vec_id = j),
+         |ranked AS (
+         |  SELECT i, j, cos, row_number() OVER (PARTITION BY j ORDER BY i) AS rn
+         |  FROM scored WHERE cos >= $CosThreshold)
+         |SELECT j AS dup_id, i AS keeper_id, round(cos*1e6)/1e6 AS cos6
+         |FROM ranked WHERE rn = 1 ORDER BY dup_id""".stripMargin,
     "q73_ivf_knn" ->
       s"""WITH cents AS (
          |  SELECT label, list(CAST(m AS FLOAT) ORDER BY i) AS centroid FROM (

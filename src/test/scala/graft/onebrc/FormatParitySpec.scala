@@ -61,6 +61,22 @@ class FormatParitySpec extends SparkSpec {
     assert(parsed.exists(r => !r.isNullAt(1) && r.getDouble(1) == -12.3))
   }
 
+  test("split-expression tenths path agrees with the CSV datasource scan") {
+    val golden = "/root/repo/fixtures/measurements_golden.csv"
+    assert(
+      OneBrc.brcAggTenths(OneBrc.readMeasurementsTenths(spark, golden))
+        .collect().toSeq ==
+        OneBrc.brcAgg(OneBrc.readMeasurements(spark, golden)).collect().toSeq)
+    // malformed measures -> null tenths; missing ';' -> null station too
+    val bad = java.nio.file.Files.createTempFile("brcs", ".csv")
+    java.nio.file.Files.writeString(bad,
+      "Oslo;1.5\nnonsense\nOslo;x.y\nOslo;-12.3\nOslo;12.\nOslo;123.4\n")
+    val parsed = OneBrc.readMeasurementsTenths(spark, bad.toString).collect()
+    assert(parsed.count(r => !r.isNullAt(1)) == 2)
+    assert(parsed.count(r => r.isNullAt(0)) == 1, "only the ';'-less line")
+    assert(parsed.exists(r => !r.isNullAt(1) && r.getLong(1) == -123L))
+  }
+
   test("integer-tenths aggregation (R4/R5) agrees with double path on 1-dp data") {
     // fixed-point and float paths coincide exactly when inputs are 1-decimal
     val gen = OneBrc.generate(spark, 20000L)
