@@ -115,8 +115,12 @@ class ScaleTechniquesSpec extends SparkSpec {
     hotDocs.toDF("doc_id", "text").write.mode("overwrite")
       .parquet(s"$dir/documents.parquet")
     val sh = op.shingles(spark, dir)
-    // the boilerplate shingle (df=200 > cap=64) must be gone...
-    assert(sh.filter(col("s") === "terms of service apply here").count() == 0)
+    // the boilerplate shingle (df=200 > cap=64) must be gone (shingles are
+    // carried as 64-bit md5-prefix keys, so check for its hash)...
+    val hotKey = spark.sql(
+      "SELECT substring(md5('terms of service apply here'), 1, 16)")
+      .head.getString(0)
+    assert(sh.filter(col("s") === hotKey).count() == 0)
     // ...while per-document shingles containing a unique token survive
     assert(sh.count() == 200L * 4, "4 unique-tail shingles per doc remain")
     val a = sh.select(col("doc_id").as("i"), col("s"))
