@@ -73,6 +73,49 @@ object Multimodal {
         (0 until 8).map(k =>
           (round(col("features").getItem(k) * 1e6) / 1e6).as(s"f$k")): _*)
         .orderBy("asset_id")
+    }),
+
+    "q92_frame_sample" -> ((s, d) => {
+      // video frame sampling, the Spark-side shape: per asset, uniformly
+      // pick up to 8 of its n_frames and emit one ROW per sampled frame
+      // with the frame's timestamp and byte offset — the explode turns an
+      // opaque video blob into a frame-level work list the q91-style
+      // mapPartitions decoder consumes. Pure per-row expansion: no shuffle
+      // until the final sort, so it scales linearly. Frame geometry is
+      // exact integer arithmetic (fake 24 fps container) → hash oracle.
+      val a = assets(s, d)
+        .withColumn("n_frames", lit(1L) + col("n_bytes") % 240)
+        .withColumn("n_sample", least(col("n_frames"), lit(8L)))
+      a.select(col("asset_id"), col("n_bytes"), col("n_frames"),
+          explode(sequence(lit(0L), col("n_sample") - 1)).as("i"),
+          col("n_sample"))
+        .select(col("asset_id"), col("n_frames"),
+          expr("(i * n_frames) div n_sample").as("frame_idx"),
+          expr("((i * n_frames) div n_sample) * 1000 div 24").as("ts_ms"),
+          expr("((i * n_frames) div n_sample) * (n_bytes div n_frames)")
+            .as("byte_offset"))
+        .orderBy("asset_id", "frame_idx")
+    }),
+
+    "q93_resize_plan" -> ((s, d) => {
+      // aspect-preserving resize + center-crop planning (short side → 224):
+      // the metadata arithmetic every image pipeline runs BEFORE the codec
+      // call (which stays in the q91 mapPartitions stub). Exact integers →
+      // hash oracle; per-row, shuffle-free.
+      val t224 = lit(224L)
+      assets(s, d)
+        .select(col("asset_id"),
+          (lit(64L) + col("n_bytes") % 512).as("w"),
+          (lit(64L) + (col("n_bytes") * 7L) % 512).as("h"))
+        .withColumn("out_w",
+          when(col("w") <= col("h"), t224)
+            .otherwise(expr("w * 224 div h")))
+        .withColumn("out_h",
+          when(col("w") <= col("h"), expr("h * 224 div w"))
+            .otherwise(t224))
+        .withColumn("crop_x", expr("(out_w - 224) div 2"))
+        .withColumn("crop_y", expr("(out_h - 224) div 2"))
+        .orderBy("asset_id")
     })
   )
 
@@ -83,6 +126,32 @@ object Multimodal {
         |  64 + CAST(strlen(text) AS BIGINT) % 512 AS fake_width,
         |  64 + (CAST(strlen(text) AS BIGINT) * 7) % 512 AS fake_height,
         |  CAST(strlen(text) AS BIGINT) % 3 AS codec_id
-        |FROM documents ORDER BY asset_id""".stripMargin
+        |FROM documents ORDER BY asset_id""".stripMargin,
+    "q92_frame_sample" ->
+      """WITH a AS (
+        |  SELECT doc_id AS asset_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
+        |    1 + CAST(strlen(text) AS BIGINT) % 240 AS n_frames
+        |  FROM documents),
+        |sam AS (SELECT *, least(n_frames, 8) AS n_sample FROM a),
+        |f AS (SELECT asset_id, n_bytes, n_frames, n_sample,
+        |        unnest(range(0, n_sample)) AS i FROM sam)
+        |SELECT asset_id, n_frames,
+        |  (i * n_frames) // n_sample AS frame_idx,
+        |  ((i * n_frames) // n_sample) * 1000 // 24 AS ts_ms,
+        |  ((i * n_frames) // n_sample) * (n_bytes // n_frames) AS byte_offset
+        |FROM f ORDER BY asset_id, frame_idx""".stripMargin,
+    "q93_resize_plan" ->
+      """WITH a AS (
+        |  SELECT doc_id AS asset_id,
+        |    64 + CAST(strlen(text) AS BIGINT) % 512 AS w,
+        |    64 + (CAST(strlen(text) AS BIGINT) * 7) % 512 AS h
+        |  FROM documents),
+        |p AS (SELECT asset_id, w, h,
+        |    CASE WHEN w <= h THEN 224 ELSE w * 224 // h END AS out_w,
+        |    CASE WHEN w <= h THEN h * 224 // w ELSE 224 END AS out_h
+        |  FROM a)
+        |SELECT asset_id, w, h, out_w, out_h,
+        |  (out_w - 224) // 2 AS crop_x, (out_h - 224) // 2 AS crop_y
+        |FROM p ORDER BY asset_id""".stripMargin
   )
 }
