@@ -26,7 +26,8 @@ class TextStreamingSpec extends SparkSpec {
     val rows = TextAnalysis.queries("q80_token_stats")(spark, sf0001).collect()
     assert(rows.nonEmpty)
     assert(rows.forall(r => r.getLong(2) <= r.getLong(1))) // distinct <= total
-    assert(rows.forall(r => r.getDouble(4) > 0))
+    assert(rows.forall(r => r.getLong(3) >= r.getLong(1))) // bpe >= words
+    assert(rows.forall(r => r.getDouble(5) > 0))
   }
 
   test("q83 lang-id is deterministic and total") {
