@@ -71,6 +71,25 @@ class OneBrcSpec extends SparkSpec {
     assert(stationLut.length == 413)
   }
 
+  test("parseTenths: exhaustive over the full documented domain") {
+    import org.apache.spark.unsafe.types.UTF8String
+    def p(s: String): Long =
+      graft.functions.BrcParse.tenthsOfU(UTF8String.fromString(s))
+    // every representable measure -99.9 .. 99.9 round-trips exactly
+    for (t <- -999L to 999L) {
+      val sign = if (t < 0) "-" else ""
+      val a = math.abs(t)
+      assert(p(s"X;$sign${a / 10}.${a % 10}") == t, s"tenths $t")
+    }
+    // integer form scales to tenths
+    for (v <- -99L to 99L)
+      assert(p(s"X;$v") == v * 10, s"int $v")
+    // everything outside the domain nulls out (Long.MinValue sentinel)
+    for (bad <- Seq("X;12.", "X;123.4", "X;.5", "X;1..2", "X;1.23",
+        "X;-", "X;", "X;a.b", "X;1a.2", "noseparator", "X;100.0", "X;--1.0"))
+      assert(p(bad) == Long.MinValue, s"malformed '$bad'")
+  }
+
   test("entry() smoke: flagship query returns rows on sf0.001") {
     assert(graft.SparkEntry.entry(spark).count() > 0)
   }

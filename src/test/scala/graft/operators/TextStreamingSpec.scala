@@ -112,6 +112,31 @@ class TextStreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("q92 frame sampling: indices strictly increase, offsets in-blob") {
+    val rows = Multimodal.queries("q92_frame_sample")(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (_, fs) =>
+      val idx = fs.map(_._3)
+      assert(idx.length <= 8 && idx.distinct.length == idx.length)
+      assert(idx.sorted.sameElements(idx.sortBy(identity)))
+      fs.foreach { case (_, nFrames, i, _) => assert(i >= 0 && i < nFrames) }
+    }
+  }
+
+  test("q93 resize plan: short side is 224, crop box centered and valid") {
+    val rows = Multimodal.queries("q93_resize_plan")(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (w, h, ow, oh, cx, cy) = (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))
+      assert(math.min(ow, oh) == 224)
+      // aspect preserved within integer-division truncation
+      if (w <= h) assert(oh == h * 224 / w) else assert(ow == w * 224 / h)
+      assert(cx >= 0 && cy >= 0 && cx + 224 <= ow && cy + 224 <= oh)
+    }
+  }
+
   test("q91 multimodal features: normalized histogram, deterministic") {
     val df = Multimodal.queries("q91_multimodal_features")(spark, sf0001)
     assert(df.columns.toSeq.drop(4) == (0 until 8).map(k => s"f$k"),
