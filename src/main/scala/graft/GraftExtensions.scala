@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{CosineSimilarity, RollingHash}
+import graft.functions.{BrcParseLine, BrcStation, BrcTenths, CosineSimilarity, RollingHash}
 
 /** SparkSessionExtensions entry point: makes the custom expressions
   * first-class SQL functions in any session configured with
@@ -25,5 +25,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("rolling_hash"),
       new ExpressionInfo(classOf[RollingHash].getName, "rolling_hash"),
       (exprs: Seq[Expression]) => RollingHash(exprs.head)))
+    e.injectFunction((FunctionIdentifier("brc_parse"),
+      new ExpressionInfo(classOf[BrcParseLine].getName, "brc_parse"),
+      (exprs: Seq[Expression]) => BrcParseLine(exprs.head)))
+    e.injectFunction((FunctionIdentifier("brc_station"),
+      new ExpressionInfo(classOf[BrcStation].getName, "brc_station"),
+      (exprs: Seq[Expression]) => BrcStation(exprs.head)))
+    e.injectFunction((FunctionIdentifier("brc_tenths"),
+      new ExpressionInfo(classOf[BrcTenths].getName, "brc_tenths"),
+      (exprs: Seq[Expression]) => BrcTenths(exprs.head)))
   }
 }

@@ -22,6 +22,11 @@ class ExtensionsSpec extends AnyFunSuite {
           |                  array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT))) AS c"""
           .stripMargin).collect().head.getDouble(0)
       assert(math.abs(c - 1.0) < 1e-12)
+      val brc = s.sql(
+        "SELECT brc_station('Oslo;-3.7') AS st, brc_tenths('Oslo;-3.7') AS t, " +
+          "brc_parse('Oslo;-3.7').measure AS m").collect().head
+      assert(brc.getString(0) == "Oslo" && brc.getLong(1) == -37L
+        && brc.getDouble(2) == -3.7)
     } finally {
       SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
       prior.foreach(SparkSession.setDefaultSession)
