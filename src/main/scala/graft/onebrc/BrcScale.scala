@@ -48,40 +48,59 @@ object BrcScale {
       report("generate_write_parquet", tPq)
     }
 
+    // warm-pass results are cross-checked at the end: every scan path must
+    // produce the identical 413-row answer at full scale (a silent parser
+    // domain mismatch in one path would otherwise hide in the timings)
+    val results = scala.collection.mutable.LinkedHashMap[String, Seq[String]]()
+    def remember(name: String, rows: Array[org.apache.spark.sql.Row]): Unit =
+      results(name) = rows.map(_.toString).toSeq
     for (pass <- Seq("cold", "warm")) {
-      val (_, t1) = timed {
+      val (r, t1) = timed {
         OneBrc.brcAgg(OneBrc.readMeasurements(spark, s"$dir/csv")).collect()
       }
-      report(s"brc_csv_$pass", t1)
+      report(s"brc_csv_$pass", t1); remember("csv", r)
     }
     for (pass <- Seq("cold", "warm")) {
-      val (_, t3) = timed {
+      val (r, t3) = timed {
         OneBrc.brcAgg(OneBrc.readMeasurementsFast(spark, s"$dir/csv")).collect()
       }
-      report(s"brc_text_split_$pass", t3)
+      report(s"brc_text_split_$pass", t3); remember("split", r)
     }
     for (pass <- Seq("cold", "warm")) {
       // single-pass codegen parser expression (BrcParseLine)
-      val (_, t4) = timed {
+      val (r, t4) = timed {
         OneBrc.brcAgg(OneBrc.readMeasurementsTurbo(spark, s"$dir/csv")).collect()
       }
-      report(s"brc_text_turbo_$pass", t4)
+      report(s"brc_text_turbo_$pass", t4); remember("turbo", r)
     }
     for (pass <- Seq("cold", "warm")) {
       // split primitive expressions + integer-tenths aggregation: the
       // allocation-free text path (brc_station/brc_tenths)
-      val (_, t5) = timed {
+      val (r, t5) = timed {
         OneBrc.brcAggTenths(OneBrc.readMeasurementsTenths(spark, s"$dir/csv"))
           .collect()
       }
-      report(s"brc_text_tenths_$pass", t5)
+      report(s"brc_text_tenths_$pass", t5); remember("tenths", r)
     }
     for (pass <- Seq("cold", "warm")) {
-      val (_, t2) = timed {
+      // DataSource V2: fused line-split+parse connector, reused buffers
+      val (r, t6) = timed {
+        OneBrc.brcAggTenths(OneBrc.readMeasurementsV2(spark, s"$dir/csv"))
+          .collect()
+      }
+      report(s"brc_text_dsv2_$pass", t6); remember("dsv2", r)
+    }
+    for (pass <- Seq("cold", "warm")) {
+      val (r, t2) = timed {
         OneBrc.brcAgg(spark.read.parquet(s"$dir/parquet")
           .select(col("station"), col("measure"))).collect()
       }
-      report(s"brc_parquet_$pass", t2)
+      report(s"brc_parquet_$pass", t2); remember("parquet", r)
+    }
+    for ((name, r) <- results) {
+      val ok = r == results("csv")
+      println(s"""{"check":"$name-vs-csv","equal":$ok,"rows":${r.length}}""")
+      if (!ok) sys.error(s"path $name disagrees with the CSV datasource path")
     }
 
     if (args.contains("--sweep-split-size")) {

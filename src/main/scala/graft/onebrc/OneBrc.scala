@@ -77,6 +77,16 @@ object OneBrc {
       expr("brc_tenths(value)").as("t"))
   }
 
+  /** DataSource V2 scan (graft.sources.BrcDataSource): line splitting and
+    * parsing fused into one buffer pass inside the connector — no Hadoop
+    * Text, no per-line UTF8String, rows reused. Same (station, t) shape as
+    * readMeasurementsTenths; feed brcAggTenths. */
+  def readMeasurementsV2(spark: SparkSession, path: String,
+      splitBytes: Long = 128L * 1024 * 1024): DataFrame =
+    spark.read.format("graft.sources.BrcDataSource")
+      .option("brc.split.bytes", splitBytes.toString)
+      .load(path)
+
   /** Pure-integer 1BRC aggregate over (station, t): min/max/sum/count on
     * longs, floating point only in the 413-row final projection. */
   def brcAggTenths(df: DataFrame): DataFrame =

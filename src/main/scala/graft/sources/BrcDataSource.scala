@@ -1,0 +1,196 @@
+package graft.sources
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.SpecificInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSource V2 for the 1BRC text format (`station;d?d.d` lines): the
+  * reference's chunk-aligned byte scanner (rust_1brc/src/main.rs:174-198,
+  * thebracket.rs:112-150) re-expressed as a Spark connector.
+  *
+  * The generic path (`spark.read.text` + parse expressions) materializes a
+  * Hadoop `Text` and a line `UTF8String` per row before parsing. This
+  * reader fuses line splitting and parsing into one pass over a reused
+  * 4 MiB buffer: per row it allocates exactly the station key slice and
+  * writes the measure as a primitive long (integer tenths, R4/R5
+  * semantics) into a reused mutable row — nothing else.
+  *
+  * Split semantics are the standard chunk-aligned contract (identical to
+  * LineRecordReader, and to the reference's CHUNK boundary rule at
+  * rust_1brc/src/main.rs:177-186): a split owns every line that STARTS in
+  * (start, end] — plus offset 0 for the first split — because a split
+  * starting at `start > 0` unconditionally skips forward past its first
+  * '\n'. Splits default to 128 MiB ("brc.split.bytes").
+  *
+  * Usage: `spark.read.format("graft.sources.BrcDataSource").load(dir)` →
+  * schema `(station STRING, t LONG)`. Malformed measures are hard errors
+  * (the reference's error-not-skip semantics, main.rs:141-150).
+  */
+class BrcDataSource extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    BrcDataSource.schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new BrcTable(properties.get("path"),
+      Option(properties.get("brc.split.bytes")).map(_.toLong)
+        .getOrElse(128L * 1024 * 1024))
+}
+
+object BrcDataSource {
+  val schema: StructType = StructType(Seq(
+    StructField("station", StringType, nullable = false),
+    StructField("t", LongType, nullable = false)))
+}
+
+class BrcTable(path: String, splitBytes: Long) extends Table with SupportsRead {
+  override def name(): String = s"brc($path)"
+  override def schema(): StructType = BrcDataSource.schema
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new BrcScanV2(path, splitBytes)
+    }
+}
+
+class BrcScanV2(path: String, splitBytes: Long) extends Scan with Batch {
+  override def readSchema(): StructType = BrcDataSource.schema
+  override def toBatch: Batch = this
+  override def description(): String = s"BrcScan $path"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(new Configuration())
+    def files(st: FileStatus): Seq[FileStatus] =
+      if (st.isDirectory)
+        fs.listStatus(st.getPath).toSeq
+          .filterNot(s => s.getPath.getName.startsWith("_") ||
+            s.getPath.getName.startsWith("."))
+          .flatMap(files)
+      else Seq(st)
+    files(fs.getFileStatus(p)).flatMap { st =>
+      (0L until st.getLen by splitBytes).map { off =>
+        BrcInputPartition(st.getPath.toString, off,
+          math.min(off + splitBytes, st.getLen))
+      }
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+        new BrcPartitionReader(partition.asInstanceOf[BrcInputPartition])
+    }
+}
+
+case class BrcInputPartition(path: String, start: Long, end: Long)
+  extends InputPartition
+
+/** One pass over [start, end): reused 4 MiB buffer, reused mutable row.
+  * Lines span buffer refills via compaction (the tail fragment is moved to
+  * the buffer head before the next read — the CHUNK_EXCESS carry-over,
+  * rust_1brc/src/main.rs:22-25, without the bounded-line-length bet). */
+class BrcPartitionReader(p: BrcInputPartition)
+  extends PartitionReader[InternalRow] {
+
+  private val in = {
+    val hp = new Path(p.path)
+    val stream = hp.getFileSystem(new Configuration()).open(hp)
+    stream.seek(p.start)
+    stream
+  }
+  private val buf = new Array[Byte](4 * 1024 * 1024)
+  private var limit = 0           // valid bytes in buf
+  private var pos = 0             // cursor within buf
+  private var filePos = p.start   // file offset of buf(0)
+  private var exhausted = false
+  private val row = new SpecificInternalRow(BrcDataSource.schema)
+
+  // a split starting mid-file begins at the first line AFTER the next '\n'
+  // (that partial line belongs to the previous split)
+  if (p.start > 0) { fill(); skipPastNewline() }
+
+  /** refill buf, compacting [pos, limit) to the front. @return got bytes */
+  private def fill(): Boolean = {
+    if (pos > 0) {
+      System.arraycopy(buf, pos, buf, 0, limit - pos)
+      filePos += pos; limit -= pos; pos = 0
+    }
+    var n = 0
+    while (limit < buf.length && n >= 0) {
+      n = in.read(buf, limit, buf.length - limit)
+      if (n > 0) limit += n
+    }
+    if (n < 0 && limit == pos) { exhausted = true; false } else limit > pos
+  }
+
+  private def skipPastNewline(): Unit = {
+    while (true) {
+      while (pos < limit) {
+        if (buf(pos) == '\n') { pos += 1; return }
+        pos += 1
+      }
+      if (!fill()) return
+    }
+  }
+
+  override def next(): Boolean = {
+    // own lines that START in (start, end] — a line starting exactly at
+    // `end` is ours, because the next split (seeking to `end` mid-line or
+    // at its start) unconditionally skips past its first '\n'
+    while (true) {
+      if (filePos + pos > p.end || exhausted) return false
+      // find the line terminator; refill (compacting) if it's cut off
+      var nl = pos
+      while (nl < limit && buf(nl) != '\n') nl += 1
+      if (nl >= limit) {
+        val before = limit - pos
+        if (!fill()) {
+          if (limit == pos) return false
+          nl = limit // final line without trailing newline
+        } else {
+          nl = before // resume scan after compaction (pos is now 0)
+          while (nl < limit && buf(nl) != '\n') nl += 1
+          if (nl >= limit && limit == buf.length)
+            throw new IllegalStateException(
+              s"line longer than ${buf.length} bytes in ${p.path}")
+        }
+      }
+      val lineStart = pos
+      val lineEnd = if (nl > lineStart && buf(nl - 1) == '\r') nl - 1 else nl
+      pos = math.min(nl + 1, limit)
+      if (lineEnd > lineStart) {
+        var sep = lineStart
+        while (sep < lineEnd && buf(sep) != ';') sep += 1
+        val t = if (sep < lineEnd)
+          graft.functions.BrcParse.parseTenthsRange(buf, sep + 1, lineEnd)
+        else Long.MinValue
+        if (t == Long.MinValue)
+          throw new IllegalArgumentException("malformed 1BRC line: " +
+            new String(buf, lineStart, lineEnd - lineStart, "UTF-8"))
+        row.update(0, UTF8String.fromBytes(
+          java.util.Arrays.copyOfRange(buf, lineStart, sep)))
+        row.setLong(1, t)
+        return true
+      }
+      // empty line: loop to the next one
+    }
+    false
+  }
+
+  override def get(): InternalRow = row
+  override def close(): Unit = in.close()
+}

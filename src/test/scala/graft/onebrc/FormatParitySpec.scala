@@ -53,11 +53,13 @@ class FormatParitySpec extends SparkSpec {
     // malformed lines -> null station/measure (not errors)
     val bad = java.nio.file.Files.createTempFile("brct", ".csv")
     java.nio.file.Files.writeString(bad,
-      // trailing-dot and 3-integer-digit measures are outside the 1BRC
-      // domain and must null out, not silently coerce
-      "Oslo;1.5\nnonsense\nOslo;x.y\nOslo;-12.3\nOslo;12.\nOslo;123.4\nOslo;.5\n")
+      // trailing-dot and 4-integer-digit measures are outside the domain
+      // and must null out, not silently coerce; 103.4-style 3-digit values
+      // are REAL generator output (Normal tails exceed ±100) and must parse
+      "Oslo;1.5\nnonsense\nOslo;x.y\nOslo;-12.3\nOslo;12.\nOslo;1234.5\nOslo;.5\nOslo;103.4\n")
     val parsed = OneBrc.readMeasurementsTurbo(spark, bad.toString).collect()
-    assert(parsed.count(r => !r.isNullAt(1)) == 2)
+    assert(parsed.count(r => !r.isNullAt(1)) == 3)
+    assert(parsed.exists(r => !r.isNullAt(1) && r.getDouble(1) == 103.4))
     assert(parsed.exists(r => !r.isNullAt(1) && r.getDouble(1) == -12.3))
   }
 
@@ -70,11 +72,40 @@ class FormatParitySpec extends SparkSpec {
     // malformed measures -> null tenths; missing ';' -> null station too
     val bad = java.nio.file.Files.createTempFile("brcs", ".csv")
     java.nio.file.Files.writeString(bad,
-      "Oslo;1.5\nnonsense\nOslo;x.y\nOslo;-12.3\nOslo;12.\nOslo;123.4\n")
+      "Oslo;1.5\nnonsense\nOslo;x.y\nOslo;-12.3\nOslo;12.\nOslo;1234.5\nOslo;103.4\n")
     val parsed = OneBrc.readMeasurementsTenths(spark, bad.toString).collect()
-    assert(parsed.count(r => !r.isNullAt(1)) == 2)
+    assert(parsed.count(r => !r.isNullAt(1)) == 3)
     assert(parsed.count(r => r.isNullAt(0)) == 1, "only the ';'-less line")
     assert(parsed.exists(r => !r.isNullAt(1) && r.getLong(1) == -123L))
+    assert(parsed.exists(r => !r.isNullAt(1) && r.getLong(1) == 1034L))
+  }
+
+  test("DataSource V2 brc scan agrees with the CSV datasource scan") {
+    val golden = "/root/repo/fixtures/measurements_golden.csv"
+    assert(
+      OneBrc.brcAggTenths(OneBrc.readMeasurementsV2(spark, golden))
+        .collect().toSeq ==
+        OneBrc.brcAgg(OneBrc.readMeasurements(spark, golden)).collect().toSeq)
+  }
+
+  test("DataSource V2 split boundaries: every line read exactly once at any split size") {
+    // a file whose line boundaries hit every alignment case: split edge
+    // mid-line, at a '\n', and exactly at a line start
+    val f = java.nio.file.Files.createTempFile("brcv2", ".csv")
+    val lines = (0 until 1000).map(i => s"S${i % 7};${(i % 199) / 10.0}")
+    java.nio.file.Files.writeString(f, lines.mkString("\n") + "\n")
+    val total = lines.length
+    for (split <- Seq(7L, 64L, 1024L, 1L << 20)) {
+      val got = OneBrc.readMeasurementsV2(spark, f.toString, split)
+      assert(got.count() == total, s"split=$split row count")
+      // and values survive: per-station sums match a direct computation
+      val sums = got.groupBy("station").sum("t").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val expect = lines.map(_.split(";")).groupBy(_.head)
+        .map { case (k, vs) =>
+          k -> vs.map(v => math.round(v(1).toDouble * 10)).sum }
+      assert(sums == expect, s"split=$split sums")
+    }
   }
 
   test("integer-tenths aggregation (R4/R5) agrees with double path on 1-dp data") {
