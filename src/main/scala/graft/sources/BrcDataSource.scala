@@ -61,15 +61,19 @@ class BrcTable(path: String, splitBytes: Long) extends Table with SupportsRead {
     Set(TableCapability.BATCH_READ).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder {
-      override def build(): Scan = new BrcScanV2(path, splitBytes)
+    new ScanBuilder with SupportsPushDownRequiredColumns {
+      private var pruned = BrcDataSource.schema
+      override def pruneColumns(requiredSchema: StructType): Unit =
+        pruned = requiredSchema
+      override def build(): Scan = new BrcScanV2(path, splitBytes, pruned)
     }
 }
 
-class BrcScanV2(path: String, splitBytes: Long) extends Scan with Batch {
-  override def readSchema(): StructType = BrcDataSource.schema
+class BrcScanV2(path: String, splitBytes: Long, pruned: StructType)
+  extends Scan with Batch {
+  override def readSchema(): StructType = pruned
   override def toBatch: Batch = this
-  override def description(): String = s"BrcScan $path"
+  override def description(): String = s"BrcScan $path ${pruned.fieldNames.mkString(",")}"
 
   override def planInputPartitions(): Array[InputPartition] = {
     val p = new Path(path)
@@ -89,11 +93,13 @@ class BrcScanV2(path: String, splitBytes: Long) extends Scan with Batch {
     }.toArray
   }
 
-  override def createReaderFactory(): PartitionReaderFactory =
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val fieldNames = pruned.fieldNames.toSeq // capture (serializable), not `this`
     new PartitionReaderFactory {
       override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-        new BrcPartitionReader(partition.asInstanceOf[BrcInputPartition])
+        new BrcPartitionReader(partition.asInstanceOf[BrcInputPartition], fieldNames)
     }
+  }
 }
 
 case class BrcInputPartition(path: String, start: Long, end: Long)
@@ -103,8 +109,14 @@ case class BrcInputPartition(path: String, start: Long, end: Long)
   * Lines span buffer refills via compaction (the tail fragment is moved to
   * the buffer head before the next read — the CHUNK_EXCESS carry-over,
   * rust_1brc/src/main.rs:22-25, without the bounded-line-length bet). */
-class BrcPartitionReader(p: BrcInputPartition)
+class BrcPartitionReader(p: BrcInputPartition, fields: Seq[String])
   extends PartitionReader[InternalRow] {
+
+  // column pruning: parse work is proportional to the projected columns —
+  // a count(*) scan only splits lines, a station-only scan never parses
+  // the measure (so measure malformation surfaces only when `t` is read)
+  private val stationOrd = fields.indexOf("station")
+  private val tOrd = fields.indexOf("t")
 
   private val in = {
     val hp = new Path(p.path)
@@ -117,7 +129,8 @@ class BrcPartitionReader(p: BrcInputPartition)
   private var pos = 0             // cursor within buf
   private var filePos = p.start   // file offset of buf(0)
   private var exhausted = false
-  private val row = new SpecificInternalRow(BrcDataSource.schema)
+  private val row = new SpecificInternalRow(
+    StructType(fields.map(BrcDataSource.schema(_))))
 
   // a split starting mid-file begins at the first line AFTER the next '\n'
   // (that partial line belongs to the previous split)
@@ -173,17 +186,26 @@ class BrcPartitionReader(p: BrcInputPartition)
       val lineEnd = if (nl > lineStart && buf(nl - 1) == '\r') nl - 1 else nl
       pos = math.min(nl + 1, limit)
       if (lineEnd > lineStart) {
-        var sep = lineStart
-        while (sep < lineEnd && buf(sep) != ';') sep += 1
-        val t = if (sep < lineEnd)
-          graft.functions.BrcParse.parseTenthsRange(buf, sep + 1, lineEnd)
-        else Long.MinValue
-        if (t == Long.MinValue)
-          throw new IllegalArgumentException("malformed 1BRC line: " +
-            new String(buf, lineStart, lineEnd - lineStart, "UTF-8"))
-        row.update(0, UTF8String.fromBytes(
-          java.util.Arrays.copyOfRange(buf, lineStart, sep)))
-        row.setLong(1, t)
+        if (stationOrd >= 0 || tOrd >= 0) {
+          var sep = lineStart
+          while (sep < lineEnd && buf(sep) != ';') sep += 1
+          if (tOrd >= 0) {
+            val t = if (sep < lineEnd)
+              graft.functions.BrcParse.parseTenthsRange(buf, sep + 1, lineEnd)
+            else Long.MinValue
+            if (t == Long.MinValue)
+              throw new IllegalArgumentException("malformed 1BRC line: " +
+                new String(buf, lineStart, lineEnd - lineStart, "UTF-8"))
+            row.setLong(tOrd, t)
+          }
+          if (stationOrd >= 0) {
+            if (sep >= lineEnd)
+              throw new IllegalArgumentException("missing ';' in 1BRC line: " +
+                new String(buf, lineStart, lineEnd - lineStart, "UTF-8"))
+            row.update(stationOrd, UTF8String.fromBytes(
+              java.util.Arrays.copyOfRange(buf, lineStart, sep)))
+          }
+        }
         return true
       }
       // empty line: loop to the next one

@@ -88,6 +88,20 @@ class FormatParitySpec extends SparkSpec {
         OneBrc.brcAgg(OneBrc.readMeasurements(spark, golden)).collect().toSeq)
   }
 
+  test("DataSource V2 prunes columns: station-only scan emits a 1-column schema") {
+    val golden = "/root/repo/fixtures/measurements_golden.csv"
+    val df = OneBrc.readMeasurementsV2(spark, golden).select("station")
+    val scanOutput = df.queryExecution.executedPlan.collectLeaves()
+      .head.output.map(_.name)
+    assert(scanOutput == Seq("station"),
+      s"pruned scan must emit only the projected column, got $scanOutput")
+    assert(df.distinct().count() ==
+      OneBrc.readMeasurements(spark, golden).select("station").distinct().count())
+    // count(*) never parses at all and still counts every line
+    assert(OneBrc.readMeasurementsV2(spark, golden).count() ==
+      OneBrc.readMeasurements(spark, golden).count())
+  }
+
   test("DataSource V2 split boundaries: every line read exactly once at any split size") {
     // a file whose line boundaries hit every alignment case: split edge
     // mid-line, at a '\n', and exactly at a line start
