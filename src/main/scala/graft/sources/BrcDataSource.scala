@@ -37,7 +37,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * schema `(station STRING, t LONG)`. Malformed measures are hard errors
   * (the reference's error-not-skip semantics, main.rs:141-150).
   */
-class BrcDataSource extends TableProvider {
+class BrcDataSource extends TableProvider
+  with org.apache.spark.sql.sources.DataSourceRegister {
+  override def shortName(): String = "brc" // spark.read.format("brc")
+
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     BrcDataSource.schema
 

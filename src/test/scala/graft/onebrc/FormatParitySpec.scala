@@ -88,6 +88,12 @@ class FormatParitySpec extends SparkSpec {
         OneBrc.brcAgg(OneBrc.readMeasurements(spark, golden)).collect().toSeq)
   }
 
+  test("DataSource V2 short name: spark.read.format(\"brc\") resolves") {
+    val golden = "/root/repo/fixtures/measurements_golden.csv"
+    assert(spark.read.format("brc").load(golden).count() ==
+      OneBrc.readMeasurements(spark, golden).count())
+  }
+
   test("DataSource V2 prunes columns: station-only scan emits a 1-column schema") {
     val golden = "/root/repo/fixtures/measurements_golden.csv"
     val df = OneBrc.readMeasurementsV2(spark, golden).select("station")
