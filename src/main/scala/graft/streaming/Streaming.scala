@@ -71,6 +71,36 @@ object Streaming {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    "q94_stream_onebrc" -> ((s, _) => withStreamPartitions(s, 4) {
+      // the flagship workload AS A STREAM: readStream over the 1BRC text
+      // format, the custom primitive parse expressions, integer-tenths
+      // aggregation in complete mode — new measurement files landing in
+      // the directory would update the per-station stats incrementally.
+      // Single-batch over the golden fixture ⇒ equals the batch answer
+      // (same oracle as q08/q19).
+      graft.functions.BrcSplitParse.register(s)
+      val name = s"graft_sbrc_${System.nanoTime()}"
+      val q = s.readStream
+        .schema(StructType(Seq(StructField("value", StringType))))
+        .option("pathGlobFilter", "measurements_golden.csv")
+        .text("/root/repo/fixtures")
+        .select(expr("brc_station(value)").as("station"),
+          expr("brc_tenths(value)").as("t"))
+        .groupBy(col("station"))
+        .agg(min(col("t")).as("minT"), max(col("t")).as("maxT"),
+          sum(col("t")).as("sumT"), count(col("t")).as("cnt"))
+        .writeStream.outputMode("complete")
+        .format("memory").queryName(name)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(name).select(col("station"),
+          (col("minT").cast("double") / 10.0).as("min_measure"),
+          (round(col("sumT").cast("double") / 10.0 / col("cnt") * 10) / 10.0)
+            .as("mean_measure"),
+          (col("maxT").cast("double") / 10.0).as("max_measure"))
+        .orderBy("station")
+    }),
+
     "q95_stream_tumbling" -> ((s, d) => tumblingHourly(s, d)),
 
     "q97_stream_stream_join" -> ((s, d) => withStreamPartitions(s, 4) {
@@ -116,6 +146,9 @@ object Streaming {
   )
 
   val oracle: Map[String, String] = Map(
+    "q94_stream_onebrc" -> graft.onebrc.OneBrc.brcAggSql(
+      """SELECT station, measure FROM read_csv('/root/repo/fixtures/measurements_golden.csv',
+        |  delim=';', header=false, columns={'station':'VARCHAR','measure':'DOUBLE'})""".stripMargin),
     "q95_stream_tumbling" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
         |  count(*) AS n,
