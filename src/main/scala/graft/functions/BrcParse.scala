@@ -28,27 +28,8 @@ object BrcParse {
     * nothing (integer form, scaled ×10) or '.' plus exactly one decimal
     * digit. A trailing dot ("12.") and 4+ integer digits are malformed —
     * they'd otherwise coerce silently. */
-  def parseTenths(bytes: Array[Byte], from: Int): Long = {
-    var i = from
-    if (i >= bytes.length) return Long.MinValue
-    var neg = false
-    if (bytes(i) == '-') { neg = true; i += 1 }
-    var v = 0L; var digits = 0; var seenDot = false; var frac = 0
-    while (i < bytes.length) {
-      val b = bytes(i)
-      if (b >= '0' && b <= '9') {
-        v = v * 10 + (b - '0'); digits += 1
-        if (seenDot) frac += 1
-      } else if (b == '.' && !seenDot) seenDot = true
-      else return Long.MinValue
-      i += 1
-    }
-    if (digits == 0 || frac > 1) return Long.MinValue
-    if (seenDot && frac == 0) return Long.MinValue // trailing dot: "12."
-    if (digits - frac < 1 || digits - frac > 3) return Long.MinValue
-    if (!seenDot) v *= 10 // integer-form measure: scale to tenths
-    if (neg) -v else v
-  }
+  def parseTenths(bytes: Array[Byte], from: Int): Long =
+    parseTenthsRange(bytes, from, bytes.length)
 
   def sepIndex(bytes: Array[Byte]): Int = {
     var i = 0
@@ -88,7 +69,11 @@ object BrcParse {
     -1
   }
 
-  /** Same domain as parseTenths, reading the UTF8String bytes in place. */
+  /** Same domain as parseTenthsRange, reading the UTF8String bytes in
+    * place (getByte accessor, no array copy). Kept as a parallel body
+    * because it is the codegen hot path; any domain change here must also
+    * land in parseTenthsRange — divergence is caught by the exhaustive
+    * OneBrcSpec domain test plus BrcScale's full-scale cross-path check. */
   def parseTenthsU(s: UTF8String, from: Int): Long = {
     val n = s.numBytes
     var i = from

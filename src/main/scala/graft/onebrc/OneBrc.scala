@@ -87,17 +87,22 @@ object OneBrc {
       .option("brc.split.bytes", splitBytes.toString)
       .load(path)
 
-  /** Pure-integer 1BRC aggregate over (station, t): min/max/sum/count on
-    * longs, floating point only in the 413-row final projection. */
-  def brcAggTenths(df: DataFrame): DataFrame =
-    df.groupBy(col("station"))
-      .agg(min(col("t")).as("minT"), max(col("t")).as("maxT"),
-        sum(col("t")).as("sumT"), count(col("t")).as("cnt"))
-      .select(col("station"),
+  /** Final projection from tenths partials (station, minT, maxT, sumT,
+    * cnt) to the 1BRC output shape — the oracle-parity-critical formula,
+    * shared by brcAggTenths and the streaming variant (q94). */
+  def tenthsFinal(df: DataFrame): DataFrame =
+    df.select(col("station"),
         (col("minT").cast("double") / 10.0).as("min_measure"),
         round1(col("sumT").cast("double") / 10.0 / col("cnt")).as("mean_measure"),
         (col("maxT").cast("double") / 10.0).as("max_measure"))
       .orderBy("station")
+
+  /** Pure-integer 1BRC aggregate over (station, t): min/max/sum/count on
+    * longs, floating point only in the 413-row final projection. */
+  def brcAggTenths(df: DataFrame): DataFrame =
+    tenthsFinal(df.groupBy(col("station"))
+      .agg(min(col("t")).as("minT"), max(col("t")).as("maxT"),
+        sum(col("t")).as("sumT"), count(col("t")).as("cnt")))
 
   /** Core 1BRC aggregate over any (station, measure) projection.
     * mean is computed from an exact integer-cents sum so the result is

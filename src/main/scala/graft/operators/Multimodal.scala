@@ -57,11 +57,11 @@ object Multimodal {
     "q91_multimodal_features" -> ((s, d) => {
       // partition-local batch decode via typed mapPartitions (the Scala
       // analog of mapInPandas: one iterator per partition = one batch).
-      // Rows-only: the fake decoder has no SQL equivalent; golden-tested
-      // in MultimodalSpec. The 8-bin feature vector is projected to scalar
-      // columns f0..f7 here because the driver's rows-only check cannot
-      // sort/hash an array<double> column (round-1 q91 failure); the
-      // array-returning path stays covered by MultimodalSpec.
+      // Rows-only: the fake decoder has no SQL equivalent; invariant-tested
+      // in TextStreamingSpec (bins sum to 1, deterministic). The 8-bin
+      // feature vector is projected to scalar columns f0..f7 because the
+      // driver's rows-only check cannot sort/hash an array<double> column
+      // (round-1 q91 failure).
       import s.implicits._
       val decoded = assets(s, d).select(col("asset_id"), col("payload")).as[Asset]
         .mapPartitions(_.map(fakeDecode))

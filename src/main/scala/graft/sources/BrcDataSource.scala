@@ -33,9 +33,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * starting at `start > 0` unconditionally skips forward past its first
   * '\n'. Splits default to 128 MiB ("brc.split.bytes").
   *
-  * Usage: `spark.read.format("graft.sources.BrcDataSource").load(dir)` →
-  * schema `(station STRING, t LONG)`. Malformed measures are hard errors
-  * (the reference's error-not-skip semantics, main.rs:141-150).
+  * Usage: `spark.read.format("brc").load(paths...)` → schema
+  * `(station STRING, t LONG)`. Malformed measures are hard errors
+  * (the reference's error-not-skip semantics, main.rs:141-150) whenever
+  * `t` is projected; a pruned scan (count(*), station-only) validates
+  * only line structure, not the measure bytes it never reads.
   */
 class BrcDataSource extends TableProvider
   with org.apache.spark.sql.sources.DataSourceRegister {
@@ -45,10 +47,20 @@ class BrcDataSource extends TableProvider
     BrcDataSource.schema
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
-      properties: util.Map[String, String]): Table =
-    new BrcTable(properties.get("path"),
+      properties: util.Map[String, String]): Table = {
+    // DataFrameReader stores one load() path under "path", several under
+    // "paths" as a JSON array
+    val paths = (Option(properties.get("path")).map(Seq(_)) orElse
+      Option(properties.get("paths")).map { js =>
+        new com.fasterxml.jackson.databind.ObjectMapper()
+          .readValue(js, classOf[Array[String]]).toSeq
+      }).getOrElse(Seq.empty)
+    require(paths.nonEmpty,
+      "brc source requires at least one path: spark.read.format(\"brc\").load(path, ...)")
+    new BrcTable(paths,
       Option(properties.get("brc.split.bytes")).map(_.toLong)
         .getOrElse(128L * 1024 * 1024))
+  }
 }
 
 object BrcDataSource {
@@ -57,8 +69,9 @@ object BrcDataSource {
     StructField("t", LongType, nullable = false)))
 }
 
-class BrcTable(path: String, splitBytes: Long) extends Table with SupportsRead {
-  override def name(): String = s"brc($path)"
+class BrcTable(paths: Seq[String], splitBytes: Long)
+  extends Table with SupportsRead {
+  override def name(): String = s"brc(${paths.mkString(",")})"
   override def schema(): StructType = BrcDataSource.schema
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ).asJava
@@ -68,39 +81,52 @@ class BrcTable(path: String, splitBytes: Long) extends Table with SupportsRead {
       private var pruned = BrcDataSource.schema
       override def pruneColumns(requiredSchema: StructType): Unit =
         pruned = requiredSchema
-      override def build(): Scan = new BrcScanV2(path, splitBytes, pruned)
+      override def build(): Scan = new BrcScanV2(paths, splitBytes, pruned)
     }
 }
 
-class BrcScanV2(path: String, splitBytes: Long, pruned: StructType)
+class BrcScanV2(paths: Seq[String], splitBytes: Long, pruned: StructType)
   extends Scan with Batch {
   override def readSchema(): StructType = pruned
   override def toBatch: Batch = this
-  override def description(): String = s"BrcScan $path ${pruned.fieldNames.mkString(",")}"
+  override def description(): String =
+    s"BrcScan ${paths.mkString(",")} ${pruned.fieldNames.mkString(",")}"
+
+  // the SESSION's Hadoop configuration (spark.hadoop.* credentials,
+  // fs.defaultFS, ...), not bare defaults — wrapped serializable so the
+  // executor-side readers open the filesystem the same way the driver did
+  private def hadoopConf: Configuration =
+    org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf()
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val p = new Path(path)
-    val fs = p.getFileSystem(new Configuration())
-    def files(st: FileStatus): Seq[FileStatus] =
-      if (st.isDirectory)
-        fs.listStatus(st.getPath).toSeq
-          .filterNot(s => s.getPath.getName.startsWith("_") ||
-            s.getPath.getName.startsWith("."))
-          .flatMap(files)
-      else Seq(st)
-    files(fs.getFileStatus(p)).flatMap { st =>
-      (0L until st.getLen by splitBytes).map { off =>
-        BrcInputPartition(st.getPath.toString, off,
-          math.min(off + splitBytes, st.getLen))
+    val conf = hadoopConf
+    paths.flatMap { path =>
+      val p = new Path(path)
+      val fs = p.getFileSystem(conf)
+      def files(st: FileStatus): Seq[FileStatus] =
+        if (st.isDirectory)
+          fs.listStatus(st.getPath).toSeq
+            .filterNot(s => s.getPath.getName.startsWith("_") ||
+              s.getPath.getName.startsWith("."))
+            .flatMap(files)
+        else Seq(st)
+      files(fs.getFileStatus(p)).flatMap { st =>
+        (0L until st.getLen by splitBytes).map { off =>
+          BrcInputPartition(st.getPath.toString, off,
+            math.min(off + splitBytes, st.getLen))
+        }
       }
     }.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
-    val fieldNames = pruned.fieldNames.toSeq // capture (serializable), not `this`
+    // capture only serializable values, not `this`
+    val fieldNames = pruned.fieldNames.toSeq
+    val sconf = new org.apache.spark.util.SerializableConfiguration(hadoopConf)
     new PartitionReaderFactory {
       override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-        new BrcPartitionReader(partition.asInstanceOf[BrcInputPartition], fieldNames)
+        new BrcPartitionReader(partition.asInstanceOf[BrcInputPartition],
+          fieldNames, sconf)
     }
   }
 }
@@ -112,7 +138,8 @@ case class BrcInputPartition(path: String, start: Long, end: Long)
   * Lines span buffer refills via compaction (the tail fragment is moved to
   * the buffer head before the next read — the CHUNK_EXCESS carry-over,
   * rust_1brc/src/main.rs:22-25, without the bounded-line-length bet). */
-class BrcPartitionReader(p: BrcInputPartition, fields: Seq[String])
+class BrcPartitionReader(p: BrcInputPartition, fields: Seq[String],
+    sconf: org.apache.spark.util.SerializableConfiguration)
   extends PartitionReader[InternalRow] {
 
   // column pruning: parse work is proportional to the projected columns —
@@ -123,7 +150,7 @@ class BrcPartitionReader(p: BrcInputPartition, fields: Seq[String])
 
   private val in = {
     val hp = new Path(p.path)
-    val stream = hp.getFileSystem(new Configuration()).open(hp)
+    val stream = hp.getFileSystem(sconf.value).open(hp)
     stream.seek(p.start)
     stream
   }

@@ -93,12 +93,7 @@ object Streaming {
         .format("memory").queryName(name)
         .start()
       try q.processAllAvailable() finally q.stop()
-      s.table(name).select(col("station"),
-          (col("minT").cast("double") / 10.0).as("min_measure"),
-          (round(col("sumT").cast("double") / 10.0 / col("cnt") * 10) / 10.0)
-            .as("mean_measure"),
-          (col("maxT").cast("double") / 10.0).as("max_measure"))
-        .orderBy("station")
+      graft.onebrc.OneBrc.tenthsFinal(s.table(name))
     }),
 
     "q95_stream_tumbling" -> ((s, d) => tumblingHourly(s, d)),

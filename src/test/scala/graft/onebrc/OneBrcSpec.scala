@@ -73,8 +73,17 @@ class OneBrcSpec extends SparkSpec {
 
   test("parseTenths: exhaustive over the full documented domain") {
     import org.apache.spark.unsafe.types.UTF8String
-    def p(s: String): Long =
-      graft.functions.BrcParse.tenthsOfU(UTF8String.fromString(s))
+    // the UTF8String hot-path parser and the byte-array parser (expression
+    // + DataSource V2 paths) are parallel bodies — lock them together here
+    def p(s: String): Long = {
+      val u = graft.functions.BrcParse.tenthsOfU(UTF8String.fromString(s))
+      val bytes = s.getBytes("UTF-8")
+      val sep = graft.functions.BrcParse.sepIndex(bytes)
+      val r = if (sep < 0) Long.MinValue
+        else graft.functions.BrcParse.parseTenths(bytes, sep + 1)
+      assert(u == r, s"UTF8String and byte-array parsers must agree on '$s'")
+      u
+    }
     // every representable measure -999.9 .. 999.9 round-trips exactly
     // (the generator's Normal tails exceed ±100 at 1e9 rows, so the domain
     // is 1-3 integer digits, wider than FIXTURES.md §1's 1-2-digit claim)
