@@ -45,4 +45,19 @@ class PlanSpec extends SparkSpec {
     val p = plan("q70_knn_brute")
     assert(p.contains("Broadcast")) // BroadcastNestedLoopJoin for the cross
   }
+
+  test("q19: the custom connector appears as a V2 BatchScan feeding the agg") {
+    val p = plan("q19_scan_dsv2")
+    assert(p.contains("BatchScan"), "DataSource V2 scan node expected")
+    assert("HashAggregate".r.findAllIn(p).length >= 2,
+      "partial+final aggregation must sit directly on the connector scan")
+  }
+
+  test("q92: frame sampling is shuffle-free until the final sort") {
+    // per-row explode: the only exchange allowed is the sort's range
+    // partitioning (plus AQE read nodes) — no hash shuffle anywhere
+    val p = plan("q92_frame_sample")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"frame sampling must not hash-shuffle:\n$p")
+  }
 }
