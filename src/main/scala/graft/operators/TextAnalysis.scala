@@ -30,16 +30,20 @@ object TextAnalysis {
     "q80_token_stats" -> ((s, d) =>
       // token counting: whitespace tokenizer + a BPE-style pre-tokenizer
       // (letter runs / digit runs / single punctuation, the GPT-2 regex
-      // shape restricted to ASCII so Java and RE2 dialects agree) + exact
-      // integer stats. n_bpe approximates LLM token budget far better than
-      // whitespace words on punctuation-heavy text.
+      // shape) + exact integer stats. The punctuation branch is the
+      // EXPLICIT printable-ASCII ranges !-/ :-@ [-` {-~, not [^A-Za-z0-9 ]:
+      // a negated class matches any non-ASCII char too, and Java counts a
+      // non-BMP char as two code-unit matches where RE2 counts one rune —
+      // an oracle-parity break on astral-plane text. n_bpe approximates
+      // LLM token budget far better than whitespace words on
+      // punctuation-heavy text.
       t(s, d, "documents")
         .select(col("doc_id"), col("text"), split(col("text"), " ").as("toks"))
         .select(col("doc_id"),
           size(col("toks")).cast("long").as("n_tokens"),
           size(array_distinct(col("toks"))).cast("long").as("n_distinct"),
           size(regexp_extract_all(col("text"),
-            lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"), lit(0)))
+            lit("[A-Za-z]+|[0-9]+|[!-/:-@\\[-`{-~]"), lit(0)))
             .cast("long").as("n_bpe"),
           aggregate(transform(col("toks"), x => length(x)), lit(0L),
             (acc, x) => acc + x).as("sum_tok_len"))
@@ -198,7 +202,7 @@ object TextAnalysis {
       """SELECT doc_id,
         |  CAST(len(toks) AS BIGINT) AS n_tokens,
         |  CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
-        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS n_bpe,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[!-/:-@\[-`{-~]')) AS BIGINT) AS n_bpe,
         |  CAST(list_sum(list_transform(toks, t -> length(t))) AS BIGINT) AS sum_tok_len,
         |  CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
         |    / len(toks) AS avg_tok_len

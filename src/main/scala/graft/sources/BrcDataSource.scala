@@ -57,9 +57,10 @@ class BrcDataSource extends TableProvider
       }).getOrElse(Seq.empty)
     require(paths.nonEmpty,
       "brc source requires at least one path: spark.read.format(\"brc\").load(path, ...)")
+    // option names are case-insensitive, like every built-in source
+    val opts = new CaseInsensitiveStringMap(properties)
     new BrcTable(paths,
-      Option(properties.get("brc.split.bytes")).map(_.toLong)
-        .getOrElse(128L * 1024 * 1024))
+      opts.getLong("brc.split.bytes", 128L * 1024 * 1024))
   }
 }
 
@@ -76,30 +77,32 @@ class BrcTable(paths: Seq[String], splitBytes: Long)
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ).asJava
 
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    // capture the BUILDING session's Hadoop conf (spark.hadoop.* creds,
+    // fs.defaultFS) here, while that session is active on this thread —
+    // resolving SparkSession.active later, at plan/execute time, can pick a
+    // different session's conf (or none) in multi-session apps
+    val sconf = new org.apache.spark.util.SerializableConfiguration(
+      org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf())
     new ScanBuilder with SupportsPushDownRequiredColumns {
       private var pruned = BrcDataSource.schema
       override def pruneColumns(requiredSchema: StructType): Unit =
         pruned = requiredSchema
-      override def build(): Scan = new BrcScanV2(paths, splitBytes, pruned)
+      override def build(): Scan = new BrcScanV2(paths, splitBytes, pruned, sconf)
     }
+  }
 }
 
-class BrcScanV2(paths: Seq[String], splitBytes: Long, pruned: StructType)
+class BrcScanV2(paths: Seq[String], splitBytes: Long, pruned: StructType,
+    sconf: org.apache.spark.util.SerializableConfiguration)
   extends Scan with Batch {
   override def readSchema(): StructType = pruned
   override def toBatch: Batch = this
   override def description(): String =
     s"BrcScan ${paths.mkString(",")} ${pruned.fieldNames.mkString(",")}"
 
-  // the SESSION's Hadoop configuration (spark.hadoop.* credentials,
-  // fs.defaultFS, ...), not bare defaults — wrapped serializable so the
-  // executor-side readers open the filesystem the same way the driver did
-  private def hadoopConf: Configuration =
-    org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf()
-
   override def planInputPartitions(): Array[InputPartition] = {
-    val conf = hadoopConf
+    val conf = sconf.value
     paths.flatMap { path =>
       val p = new Path(path)
       val fs = p.getFileSystem(conf)
@@ -110,7 +113,13 @@ class BrcScanV2(paths: Seq[String], splitBytes: Long, pruned: StructType)
               s.getPath.getName.startsWith("."))
             .flatMap(files)
         else Seq(st)
-      files(fs.getFileStatus(p)).flatMap { st =>
+      // globStatus expands dir/*.csv like every built-in file source;
+      // for a non-glob path it returns the plain status (or null when the
+      // path does not exist — fall back to getFileStatus for its
+      // FileNotFoundException message)
+      val matched = Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Seq.empty)
+      val roots = if (matched.nonEmpty) matched else Seq(fs.getFileStatus(p))
+      roots.flatMap(files).flatMap { st =>
         (0L until st.getLen by splitBytes).map { off =>
           BrcInputPartition(st.getPath.toString, off,
             math.min(off + splitBytes, st.getLen))
@@ -122,11 +131,11 @@ class BrcScanV2(paths: Seq[String], splitBytes: Long, pruned: StructType)
   override def createReaderFactory(): PartitionReaderFactory = {
     // capture only serializable values, not `this`
     val fieldNames = pruned.fieldNames.toSeq
-    val sconf = new org.apache.spark.util.SerializableConfiguration(hadoopConf)
+    val confForReaders = sconf
     new PartitionReaderFactory {
       override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
         new BrcPartitionReader(partition.asInstanceOf[BrcInputPartition],
-          fieldNames, sconf)
+          fieldNames, confForReaders)
     }
   }
 }

@@ -37,6 +37,19 @@ object Streaming {
     try body finally spark.conf.set(key, prior)
   }
 
+  /** Resolve a memory-sink view into a standalone DataFrame and drop the
+    * view: each invocation registers a fresh `graft_*_<nanoTime>` sink
+    * table, so without the drop repeated runs in one session accumulate
+    * in-memory catalog entries. Forcing analysis first (`.schema`) binds
+    * the plan to the sink's relation, so the DataFrame stays valid after
+    * the catalog entry is gone. */
+  private def drainMemorySink(spark: SparkSession, name: String): DataFrame = {
+    val df = spark.table(name)
+    df.schema
+    spark.catalog.dropTempView(name)
+    df
+  }
+
   /** readStream over the events parquet with ns->us conversion. */
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -66,7 +79,7 @@ object Streaming {
       .format("memory").queryName(name)
       .start()
     try q.processAllAvailable() finally q.stop()
-    spark.table(name).orderBy("window_start", "event_type")
+    drainMemorySink(spark, name).orderBy("window_start", "event_type")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -93,7 +106,7 @@ object Streaming {
         .format("memory").queryName(name)
         .start()
       try q.processAllAvailable() finally q.stop()
-      graft.onebrc.OneBrc.tenthsFinal(s.table(name))
+      graft.onebrc.OneBrc.tenthsFinal(drainMemorySink(s, name))
     }),
 
     "q95_stream_tumbling" -> ((s, d) => tumblingHourly(s, d)),
@@ -125,7 +138,7 @@ object Streaming {
         .format("memory").queryName(name)
         .start()
       try q.processAllAvailable() finally q.stop()
-      s.table(name).orderBy("user_id", "p_id", "c_id")
+      drainMemorySink(s, name).orderBy("user_id", "p_id", "c_id")
     }),
 
     "q96_session_window" -> ((s, d) =>
