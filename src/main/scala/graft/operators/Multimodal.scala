@@ -57,11 +57,11 @@ object Multimodal {
     "q91_multimodal_features" -> ((s, d) => {
       // partition-local batch decode via typed mapPartitions (the Scala
       // analog of mapInPandas: one iterator per partition = one batch).
-      // Rows-only: the fake decoder has no SQL equivalent; invariant-tested
-      // in TextStreamingSpec (bins sum to 1, deterministic). The 8-bin
-      // feature vector is projected to scalar columns f0..f7 because the
-      // driver's rows-only check cannot sort/hash an array<double> column
-      // (round-1 q91 failure).
+      // Oracle-checked: the fake decoder's byte histogram is reproduced in
+      // DuckDB via list comprehension over ascii codepoints (== UTF-8
+      // bytes on this ASCII corpus). The 8-bin feature vector is projected
+      // to scalar columns f0..f7 because the driver's check cannot
+      // sort/hash an array<double> column (round-1 q91 failure).
       import s.implicits._
       val decoded = assets(s, d).select(col("asset_id"), col("payload")).as[Asset]
         .mapPartitions(_.map(fakeDecode))
@@ -120,6 +120,32 @@ object Multimodal {
   )
 
   val oracle: Map[String, String] = Map(
+    // the fake decoder's 8-bin byte histogram, rebuilt in SQL: per-char
+    // ascii codepoints (== payload bytes on this ASCII corpus; verified
+    // strlen == octet_length at every sf), binned by //32; same
+    // round(x*1e6)/1e6 scaled-integer rounding as the Spark side
+    "q91_multimodal_features" ->
+      """WITH b AS (
+        |  SELECT doc_id AS asset_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
+        |    list_transform(range(1, strlen(text)+1),
+        |      i -> ascii(substr(text, i, 1))) AS vals
+        |  FROM documents),
+        |f AS (
+        |  SELECT asset_id, n_bytes,
+        |    CAST(list_sum(vals) AS DOUBLE) / greatest(n_bytes, 1) AS mean_byte,
+        |    CAST(len(list_distinct(list_transform(vals, v -> v // 32))) AS BIGINT)
+        |      AS byte_entropy_q,
+        |    list_transform(range(0, 8),
+        |      k -> CAST(len(list_filter(vals, v -> v // 32 = k)) AS DOUBLE)
+        |             / greatest(n_bytes, 1)) AS fs
+        |  FROM b)
+        |SELECT asset_id, n_bytes, round(mean_byte*1e6)/1e6 AS mean_byte6,
+        |  byte_entropy_q,
+        |  round(fs[1]*1e6)/1e6 AS f0, round(fs[2]*1e6)/1e6 AS f1,
+        |  round(fs[3]*1e6)/1e6 AS f2, round(fs[4]*1e6)/1e6 AS f3,
+        |  round(fs[5]*1e6)/1e6 AS f4, round(fs[6]*1e6)/1e6 AS f5,
+        |  round(fs[7]*1e6)/1e6 AS f6, round(fs[8]*1e6)/1e6 AS f7
+        |FROM f ORDER BY asset_id""".stripMargin,
     "q90_multimodal_meta" ->
       """SELECT doc_id AS asset_id,
         |  CAST(strlen(text) AS BIGINT) AS n_bytes,

@@ -187,8 +187,9 @@ object TextAnalysis {
 
     "q84_rolling_fp" -> ((s, d) => {
       // document fingerprinting with the custom codegen rolling-hash
-      // Expression (rows-only: the 64-bit wrapping arithmetic is not
-      // reproducible in DuckDB SQL; golden-tested in TextAnalysisSpec)
+      // Expression. Oracle-checked: DuckDB reproduces the 64-bit wrapping
+      // h = h*31 + byte via HUGEINT list_reduce mod 2^64 (+ signed
+      // conversion) — byte = ascii codepoint on this ASCII corpus.
       VectorExpressions.register(s)
       t(s, d, "documents").select(col("doc_id"),
         expr("rolling_hash(text)").as("fp"),
@@ -198,6 +199,32 @@ object TextAnalysis {
   )
 
   val oracle: Map[String, String] = Map(
+    // 64-bit wrapping h = h*31 + byte, emulated with HUGEINT arithmetic:
+    // accumulate mod 2^64 in a list_reduce (init prepended — list_reduce
+    // has no seed parameter), then convert to Java's signed long. Bytes are
+    // ascii() codepoints — exact on this ASCII corpus (verified: strlen ==
+    // octet_length for every document at every sf).
+    "q84_rolling_fp" ->
+      """WITH codes AS (
+        |  SELECT doc_id,
+        |    list_transform(range(1, strlen(text)+1),
+        |      i -> CAST(ascii(substr(text, i, 1)) AS HUGEINT)) AS cs,
+        |    list_transform(range(1, least(strlen(text), 64)+1),
+        |      i -> CAST(ascii(substr(text, i, 1)) AS HUGEINT)) AS ch
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id,
+        |    list_reduce(list_prepend(CAST(0 AS HUGEINT), cs),
+        |      (h, b) -> (h*31 + b) % 18446744073709551616) AS hf,
+        |    list_reduce(list_prepend(CAST(0 AS HUGEINT), ch),
+        |      (h, b) -> (h*31 + b) % 18446744073709551616) AS hh
+        |  FROM codes)
+        |SELECT doc_id,
+        |  CAST(CASE WHEN hf >= 9223372036854775808
+        |    THEN hf - 18446744073709551616 ELSE hf END AS BIGINT) AS fp,
+        |  CAST(CASE WHEN hh >= 9223372036854775808
+        |    THEN hh - 18446744073709551616 ELSE hh END AS BIGINT) AS fp_head
+        |FROM h ORDER BY doc_id""".stripMargin,
     "q80_token_stats" ->
       """SELECT doc_id,
         |  CAST(len(toks) AS BIGINT) AS n_tokens,

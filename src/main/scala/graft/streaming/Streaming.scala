@@ -141,6 +141,33 @@ object Streaming {
       drainMemorySink(s, name).orderBy("user_id", "p_id", "c_id")
     }),
 
+    "q98_stream_dedup" -> ((s, d) => withStreamPartitions(s, 4) {
+      // STREAMING dedup — the q61 fingerprint dedup as a stateful stream:
+      // dropDuplicates keeps the fingerprint set in the state store and
+      // emits each first occurrence in append mode, so new files landing in
+      // the directory are deduped against everything already seen. Key-only
+      // output (the fp) keeps the answer deterministic — which payload row
+      // arrives first per key is a race, the key set is not. Unbounded
+      // state is fine on a finite corpus; the production shape for
+      // unbounded streams is dropDuplicatesWithinWatermark (bounded state,
+      // same plan otherwise).
+      val name = s"graft_sdedup_${System.nanoTime()}"
+      val docsSchema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType),
+        StructField("lang", StringType), StructField("source", StringType),
+        StructField("n_chars", LongType)))
+      val q = s.readStream.schema(docsSchema)
+        .option("pathGlobFilter", "documents.parquet").parquet(d)
+        .select(md5(trim(regexp_replace(lower(col("text")), "\\s+", " ")))
+          .as("fp"))
+        .dropDuplicates("fp")
+        .writeStream.outputMode("append")
+        .format("memory").queryName(name)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      drainMemorySink(s, name).orderBy("fp")
+    }),
+
     "q96_session_window" -> ((s, d) =>
       // session windows (30-min gap) per user over event time — Spark's
       // built-in session_window; stateful streaming analog in StreamingSpec
@@ -170,6 +197,9 @@ object Streaming {
         |  ON p.user_id = c.user_id
         | AND c.ts >= p.ts - INTERVAL 10 MINUTE AND c.ts <= p.ts
         |ORDER BY p.user_id, p_id, c_id""".stripMargin,
+    "q98_stream_dedup" ->
+      """SELECT DISTINCT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+        |FROM documents ORDER BY fp""".stripMargin,
     "q96_session_window" ->
       // gaps-and-islands: a new session starts when the gap > 30 minutes
       """WITH marked AS (

@@ -52,6 +52,45 @@ class ScaleTechniquesSpec extends SparkSpec {
     assert(scan.count() == expected)
   }
 
+  test("range-partitioned sorted parquet skips row groups under a ts filter") {
+    // the third layout lever after bucketing and directory partitioning:
+    // repartitionByRange + sortWithinPartitions gives each output file a
+    // tight [min, max] on the sort key, so parquet row-group statistics let
+    // a pushed time predicate skip most of the data without reading it —
+    // at 100 TB this is the difference between scanning a day and a year.
+    val dir = s"$wh/events_sorted"
+    val src = Tables.events(spark, sf0001)
+    // Spark's default parquet timestamp encoding is INT96, which carries NO
+    // min/max statistics — with it, NOTHING can skip, no matter how well
+    // sorted the layout is. INT64 micros is the layout a deployment must
+    // write for time-pruned scans.
+    val tsKey = "spark.sql.parquet.outputTimestampType"
+    val priorTs = spark.conf.get(tsKey)
+    try {
+      spark.conf.set(tsKey, "TIMESTAMP_MICROS")
+      src.repartitionByRange(4, col("ts"))
+        .sortWithinPartitions("ts")
+        .write.mode("overwrite").parquet(dir)
+    } finally spark.conf.set(tsKey, priorTs)
+    val all = spark.read.parquet(dir)
+    val total = all.count()
+    // cutoff at the ~25th percentile of ts: the filter lands in 1 of the 4
+    // range files, so row-group stats must prune the other 3
+    val cut = all.select(col("ts")).orderBy("ts")
+      .limit((total / 4).toInt).agg(max("ts")).head.getTimestamp(0)
+    val q = spark.read.parquet(dir).filter(col("ts") <= lit(cut))
+    val matched = q.count()
+    assert(matched == src.filter(col("ts") <= lit(cut)).count())
+    q.collect()
+    val scan = q.queryExecution.executedPlan.collectLeaves().head
+    assert(q.queryExecution.executedPlan.toString
+      .contains("PushedFilters: [IsNotNull(ts), LessThanOrEqual(ts"),
+      "ts predicate must reach the parquet scan")
+    val scanned = scan.metrics("numOutputRows").value
+    assert(scanned <= total / 2,
+      s"sorted layout must row-group-skip: scanned $scanned of $total rows")
+  }
+
   test("ORC and JSON sources agree with parquet (cross-format parity)") {
     val gen = graft.onebrc.OneBrc.generate(spark, 20000L)
     gen.write.mode("overwrite").orc(s"$wh/m_orc")
