@@ -46,4 +46,20 @@ class BrcSourcePropertySpec extends SparkSpec {
       java.nio.file.Files.delete(f)
     }
   }
+
+  test("glob paths and case-insensitive options resolve like built-in sources") {
+    val dir = java.nio.file.Files.createTempDirectory("brcglob")
+    java.nio.file.Files.write(dir.resolve("a.csv"),
+      "Oslo;1.5\nOslo;-0.5\n".getBytes("UTF-8"))
+    java.nio.file.Files.write(dir.resolve("b.csv"),
+      "Bern;3.0\n".getBytes("UTF-8"))
+    java.nio.file.Files.write(dir.resolve("notes.txt"),
+      "not;a;measurement\n".getBytes("UTF-8"))
+    val got = spark.read.format("brc")
+      .option("BRC.SPLIT.BYTES", "7") // upper-cased key must still apply
+      .load(s"$dir/*.csv")
+      .collect().map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+    assert(got == Seq(("Bern", 30L), ("Oslo", -5L), ("Oslo", 15L)),
+      "glob must match exactly the two csv files, split option applied")
+  }
 }
