@@ -23,6 +23,36 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(lsh.nonEmpty, "LSH should recover at least one near-dup pair")
   }
 
+  test("q69 clustering closes chains: A~B, B~C => one cluster, min-id keeper") {
+    import spark.implicits._
+    // a 4-link chain, a 2-cycle-plus-tail, and an isolated pair — the
+    // shapes pairwise thresholds alone cannot resolve into delete lists
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), // chain: all -> 1
+      (20L, 21L), (21L, 22L), (20L, 22L),     // triangle: all -> 20
+      (30L, 31L)                              // pair: both -> 30
+    ).toDF("i", "j")
+    val got = Dedup.clustersFromPairs(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L, 30L -> 30L, 31L -> 30L))
+  }
+
+  test("q69 on the corpus: keepers are cluster minima and cover all pair members") {
+    val labels = Dedup.queries("q69_dedup_clusters")(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pairs = Dedup.queries("q63_minhash_lsh")(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty && labels.nonEmpty)
+    // every pair member is labeled, both ends agree, keeper <= member
+    pairs.foreach { case (i, j) =>
+      assert(labels(i) == labels(j), s"pair ($i,$j) split across clusters")
+      assert(labels(i) <= i && labels(j) <= j)
+    }
+    // each keeper is a member of its own cluster
+    labels.values.toSet.foreach((k: Long) => assert(labels(k) == k))
+  }
+
   test("q64 simhash near-dup pairs overlap jaccard near-dups") {
     val sim = Dedup.queries("q64_simhash")(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
