@@ -151,6 +151,28 @@ object Relational {
         .orderBy("l_returnflag", "l_linestatus")
     }),
 
+    "q29_tpch_q3" -> ((s, d) => {
+      // TPC-H Q3 shape — the canonical dim-filter + double fact join +
+      // agg + top-k plan: the filtered customer segment broadcasts, orders
+      // and lineitem meet in one shuffle on the order key, revenue is
+      // exact integer cents × basis points until the final divide, and the
+      // top-10 is fully tie-broken (l_orderkey is unique per group) so the
+      // limit boundary is deterministic in both engines.
+      val cut = lit("1998-06-01").cast("timestamp")
+      val cust = t(s, d, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+      val ord = t(s, d, "orders").filter(col("o_orderdate") < cut)
+      val li = t(s, d, "lineitem").filter(col("l_shipdate") > cut)
+      val rev = cents(col("l_extendedprice")) *
+        (lit(100L) - pct(col("l_discount")))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg((sum(rev).cast("double") / 1e4).as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderdate"), col("l_orderkey"))
+        .limit(10)
+    }),
+
     "q21_agg_distinct" -> ((s, d) =>
       t(s, d, "lineitem").groupBy(col("l_returnflag"))
         .agg(countDistinct(col("l_partkey")).as("n_parts"),
@@ -496,6 +518,17 @@ object Relational {
         |  count(*) AS count_order
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q29_tpch_q3" ->
+      """SELECT l_orderkey, o_orderdate, o_orderpriority,
+        |  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+        |           * (100 - CAST(round(l_discount*100) AS BIGINT))) AS DOUBLE)/1e4 AS revenue
+        |FROM customer, orders, lineitem
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1998-06-01 00:00:00'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10""".stripMargin,
     "q21_agg_distinct" ->
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
         |  count(DISTINCT l_suppkey) AS n_supps, count(*) AS n_lines

@@ -26,6 +26,17 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"))
   }
 
+  test("q29: filtered dims broadcast, date filters pushed, no cartesian") {
+    val p = plan("q29_tpch_q3")
+    assert(p.contains("BroadcastHashJoin"),
+      "the BUILDING-segment customer side must broadcast")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"))
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderdate), LessThan(o_orderdate"),
+      "order-date filter must reach the orders scan")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), GreaterThan(l_shipdate"),
+      "ship-date filter must reach the lineitem scan")
+  }
+
   test("q01: scan is pruned to the two needed columns") {
     val p = plan("q01_onebrc_events")
     assert(p.contains("ReadSchema: struct<event_type:string,value:double>"))
