@@ -19,6 +19,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     onebrc.OneBrc.queries ++
       operators.Relational.queries ++
+      operators.SqlEntry.queries ++
       operators.Dedup.queries ++
       operators.Similarity.queries ++
       operators.TextAnalysis.queries ++
@@ -30,6 +31,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     onebrc.OneBrc.oracle ++
       operators.Relational.oracle ++
+      operators.SqlEntry.oracle ++
       operators.Dedup.oracle ++
       operators.Similarity.oracle ++
       operators.TextAnalysis.oracle ++

@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.Tables.t
+
+/** SQL front-end demonstrations: the same query surface as the DataFrame
+  * modules, but submitted as ANSI SQL text through `spark.sql` over temp
+  * views — the entry point a SQL-first user of the library would take.
+  *
+  * Each query here is ONE SQL string shared verbatim between the Spark run
+  * and the DuckDB oracle, so parity is by construction: both engines parse
+  * identical text. That restricts these queries to the ANSI intersection of
+  * the two dialects (no QUALIFY, no engine-specific functions) and to the
+  * exact-arithmetic idioms from graft.Tables (integer cents before sums,
+  * divides last).
+  *
+  * What the three queries exercise in Catalyst's SQL path:
+  *  - q45: parser → filter pushdown from SQL text (Q6-shape single scan;
+  *    PlanSpec asserts the predicates reach the parquet reader);
+  *  - q46: CTE + HAVING + window function + derived-table filter (the
+  *    portable spelling of QUALIFY);
+  *  - q47: scalar subquery + IN subquery + correlated EXISTS — Catalyst
+  *    decorrelates these into joins (spot-checked in PlanSpec: no
+  *    per-row subquery execution survives in the physical plan).
+  *
+  * Scale: q45 is a pure map-side scan+agg (one exchange of one row);
+  * q46 shuffles orders once on o_custkey (pre-aggregated before the
+  * customer join); q47's subqueries become a broadcast semi-join
+  * (customer dim) and a shuffled semi-join (lineitem EXISTS) — the same
+  * physical shapes as the hand-written DataFrame variants.
+  */
+object SqlEntry {
+
+  /** Register the named sf-dir tables as temp views, then run one SQL text. */
+  private def runSql(s: SparkSession, d: String, tables: Seq[String],
+                     q: String): DataFrame = {
+    tables.foreach(n => t(s, d, n).createOrReplaceTempView(n))
+    s.sql(q)
+  }
+
+  // TPC-H Q6 shape: selective scan + exact-cents arithmetic, no joins.
+  private val Q45 =
+    """SELECT
+      |  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+      |           * CAST(round(l_discount*100) AS BIGINT)) AS DOUBLE)/1e4 AS revenue,
+      |  count(*) AS n_lines
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+      |  AND l_shipdate <  TIMESTAMP '1999-01-01 00:00:00'
+      |  AND round(l_discount*100) BETWEEN 5 AND 7
+      |  AND l_quantity < 24""".stripMargin
+
+  // CTE + HAVING + window rank, top-5 spenders per nation. rnk <= 5 is
+  // filtered in a derived table (the ANSI spelling both engines share);
+  // the rank ordering is fully tie-broken by c_custkey.
+  private val Q46 =
+    """SELECT * FROM (
+      |  WITH spend AS (
+      |    SELECT o_custkey, count(*) AS n_orders,
+      |           sum(CAST(round(o_totalprice*100) AS BIGINT)) AS spend_cents
+      |    FROM orders GROUP BY o_custkey HAVING count(*) >= 4
+      |  )
+      |  SELECT c_nationkey, c_custkey, n_orders,
+      |         CAST(spend_cents AS DOUBLE)/100.0 AS spend,
+      |         rank() OVER (PARTITION BY c_nationkey
+      |                      ORDER BY spend_cents DESC, c_custkey) AS rnk
+      |  FROM spend JOIN customer ON c_custkey = o_custkey
+      |) ranked
+      |WHERE rnk <= 5
+      |ORDER BY c_nationkey, rnk, c_custkey""".stripMargin
+
+  // Scalar subquery (above-average order value, exact-cents average of
+  // exact integers → identical double in both engines), uncorrelated IN,
+  // and a correlated EXISTS that Catalyst decorrelates to a semi-join.
+  private val Q47 =
+    """SELECT o_orderkey, o_custkey,
+      |       CAST(CAST(round(o_totalprice*100) AS BIGINT) AS DOUBLE)/100.0
+      |         AS o_total
+      |FROM orders o
+      |WHERE CAST(round(o_totalprice*100) AS BIGINT) >
+      |      (SELECT CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS DOUBLE)
+      |              / count(*) FROM orders)
+      |  AND o_custkey IN (SELECT c_custkey FROM customer WHERE c_nationkey < 5)
+      |  AND EXISTS (SELECT 1 FROM lineitem l
+      |              WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 45)
+      |ORDER BY o_orderkey""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q45_sql_scan_agg" ->
+      ((s, d) => runSql(s, d, Seq("lineitem"), Q45)),
+    "q46_sql_cte_window" ->
+      ((s, d) => runSql(s, d, Seq("orders", "customer"), Q46)),
+    "q47_sql_subqueries" ->
+      ((s, d) => runSql(s, d, Seq("orders", "customer", "lineitem"), Q47)))
+
+  val oracle: Map[String, String] = Map(
+    "q45_sql_scan_agg" -> Q45,
+    "q46_sql_cte_window" -> Q46,
+    "q47_sql_subqueries" -> Q47)
+}

@@ -64,6 +64,30 @@ class PlanSpec extends SparkSpec {
       "partial+final aggregation must sit directly on the connector scan")
   }
 
+  test("q45: SQL-text predicates reach the parquet scan") {
+    // the SQL front-end must optimize identically to the DataFrame path:
+    // all three WHERE conjuncts push into the lineitem scan
+    // toString truncates PushedFilters at 100 chars; the formatted explain
+    // prints the full list
+    val p = SparkEntry.queries("q45_sql_scan_agg")(spark, sf0001)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(p.contains("IsNotNull(l_shipdate), IsNotNull(l_quantity), " +
+      "GreaterThanOrEqual(l_shipdate"),
+      s"Q6-shape filters must reach the scan:\n$p")
+    assert(p.contains("LessThan(l_quantity,24.0)"),
+      s"quantity filter must reach the scan:\n$p")
+  }
+
+  test("q47: subqueries decorrelate to joins, no per-row execution") {
+    // IN → semi-join on the customer dim; correlated EXISTS → semi-join on
+    // lineitem. Nothing nested-loops and no subquery survives per-row.
+    val p = plan("q47_sql_subqueries")
+    assert(p.contains("LeftSemi"), s"IN/EXISTS must become semi-joins:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"no nested-loop fallback:\n$p")
+  }
+
   test("q92: frame sampling is shuffle-free until the final sort") {
     // per-row explode: the only exchange allowed is the sort's range
     // partitioning (plus AQE read nodes) — no hash shuffle anywhere
