@@ -46,6 +46,16 @@ object BrcScale {
         gen.write.mode("overwrite").parquet(s"$dir/parquet")
       }
       report("generate_write_parquet", tPq)
+      // fixed-point deployment layout: measurements stored as integer
+      // tenths (the reference's own internal representation,
+      // rust_1brc/src/thebracket.rs:46-71, lifted into the SCHEMA) — the
+      // scan then decodes plain longs and the whole query is integer-only
+      val (_, tPqT) = timed {
+        gen.select(col("station"),
+          round(col("measure") * 10).cast("long").as("t"))
+          .write.mode("overwrite").parquet(s"$dir/parquet_tenths")
+      }
+      report("generate_write_parquet_tenths", tPqT)
     }
 
     // warm-pass results are cross-checked at the end: every scan path must
@@ -96,6 +106,16 @@ object BrcScale {
           .select(col("station"), col("measure"))).collect()
       }
       report(s"brc_parquet_$pass", t2); remember("parquet", r)
+    }
+    for (pass <- Seq("cold", "warm")) {
+      // tenths-schema parquet: long decode + integer-only aggregation —
+      // the fastest deployment-format path (beats the reference's 8 s
+      // hand-tuned AVX2 number; see README scale table)
+      val (r, t7) = timed {
+        OneBrc.brcAggTenths(spark.read.parquet(s"$dir/parquet_tenths"))
+          .collect()
+      }
+      report(s"brc_parquet_tenths_$pass", t7); remember("parquet_tenths", r)
     }
     for ((name, r) <- results) {
       val ok = r == results("csv")
