@@ -306,14 +306,23 @@ object Relational {
     }),
 
     "q31_window_running" -> ((s, d) => {
+      // (l_orderkey, l_linenumber) is NOT unique in this synthetic data, so
+      // the window order tie-breaks further by l_quantity: rows still tied
+      // after that carry EQUAL quantities, so the running prefix sum is
+      // identical under any order of the tied rows — the property that
+      // makes a ROWS-frame running agg deterministic across engines and
+      // partition layouts. running_qty closes the final ORDER BY for the
+      // same reason (tied rows differ only in it).
       val w = Window.partitionBy(col("l_suppkey"))
-        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       t(s, d, "lineitem")
         .withColumn("running_qty", sum(col("l_quantity")).over(w))
         .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
           col("l_shipdate"), col("running_qty"))
-        .orderBy("l_suppkey", "l_shipdate", "l_orderkey", "l_linenumber")
+        .orderBy(col("l_suppkey"), col("l_shipdate"), col("l_orderkey"),
+          col("l_linenumber"), col("running_qty"))
     }),
 
     "q32_window_lag" -> ((s, d) => {
@@ -584,9 +593,10 @@ object Relational {
     "q31_window_running" ->
       """SELECT l_suppkey, l_orderkey, l_linenumber, l_shipdate,
         |  sum(l_quantity) OVER (PARTITION BY l_suppkey
-        |    ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |    ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_qty
-        |FROM lineitem ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber""".stripMargin,
+        |FROM lineitem
+        |ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber, running_qty""".stripMargin,
     "q32_window_lag" ->
       """SELECT user_id, event_id,
         |  value - lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS delta

@@ -21,7 +21,11 @@ import graft.Tables.t
   *    portable spelling of QUALIFY);
   *  - q47: scalar subquery + IN subquery + correlated EXISTS — Catalyst
   *    decorrelates these into joins (spot-checked in PlanSpec: no
-  *    per-row subquery execution survives in the physical plan).
+  *    per-row subquery execution survives in the physical plan);
+  *  - q48: correlated LATERAL derived table with ORDER BY+LIMIT (top-k
+  *    per group as a join);
+  *  - q49: explicit GROUPING SETS with NULLS FIRST pinned (the one
+  *    ORDER BY default that diverges between the dialects).
   *
   * Scale: q45 is a pure map-side scan+agg (one exchange of one row);
   * q46 shuffles orders once on o_custkey (pre-aggregated before the
@@ -85,16 +89,51 @@ object SqlEntry {
       |              WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 45)
       |ORDER BY o_orderkey""".stripMargin
 
+  // Correlated LATERAL derived table with ORDER BY + LIMIT — per-customer
+  // top-2 orders, the "top-k per group as a join" idiom. Catalyst plans
+  // the lateral as a rewritten window/join (never a per-row re-execution);
+  // the inner ordering is fully tie-broken (cents desc, then key).
+  private val Q48 =
+    """SELECT c_custkey, t.o_orderkey, t.o_total
+      |FROM customer c, LATERAL (
+      |  SELECT o_orderkey,
+      |         CAST(CAST(round(o_totalprice*100) AS BIGINT) AS DOUBLE)/100.0
+      |           AS o_total
+      |  FROM orders WHERE o_custkey = c.c_custkey
+      |  ORDER BY CAST(round(o_totalprice*100) AS BIGINT) DESC, o_orderkey
+      |  LIMIT 2) t
+      |WHERE c_nationkey = 3
+      |ORDER BY c_custkey, t.o_orderkey""".stripMargin
+
+  // Explicit GROUPING SETS (the general form behind q23 rollup/q24 cube).
+  // NULLS FIRST is spelled out: Spark's ASC default is nulls-first,
+  // DuckDB's is nulls-last — the one ORDER BY divergence between the
+  // dialects, pinned explicitly.
+  private val Q49 =
+    """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+      |  CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS DOUBLE)/100.0
+      |    AS total
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+      |                        (o_orderstatus, o_orderpriority), ())
+      |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q45_sql_scan_agg" ->
       ((s, d) => runSql(s, d, Seq("lineitem"), Q45)),
     "q46_sql_cte_window" ->
       ((s, d) => runSql(s, d, Seq("orders", "customer"), Q46)),
     "q47_sql_subqueries" ->
-      ((s, d) => runSql(s, d, Seq("orders", "customer", "lineitem"), Q47)))
+      ((s, d) => runSql(s, d, Seq("orders", "customer", "lineitem"), Q47)),
+    "q48_sql_lateral_topk" ->
+      ((s, d) => runSql(s, d, Seq("orders", "customer"), Q48)),
+    "q49_sql_grouping_sets" ->
+      ((s, d) => runSql(s, d, Seq("orders"), Q49)))
 
   val oracle: Map[String, String] = Map(
     "q45_sql_scan_agg" -> Q45,
     "q46_sql_cte_window" -> Q46,
-    "q47_sql_subqueries" -> Q47)
+    "q47_sql_subqueries" -> Q47,
+    "q48_sql_lateral_topk" -> Q48,
+    "q49_sql_grouping_sets" -> Q49)
 }
