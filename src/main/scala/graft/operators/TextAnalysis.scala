@@ -195,10 +195,69 @@ object TextAnalysis {
         expr("rolling_hash(text)").as("fp"),
         expr("rolling_hash(substring(text, 1, 64))").as("fp_head"))
         .orderBy("doc_id")
+    }),
+
+    "q75_stratified_sample" -> ((s, d) => {
+      // Stratified rebalancing sample — the training-mix move: downsample
+      // the over-represented stratum (en is 44% of this corpus) to a
+      // per-stratum rate. The accept test is a deterministic content-hash
+      // cutoff (md5 prefix, the q44 idiom), NOT rand(): reproducible
+      // across engines, runs and cluster layouts, and it composes with
+      // incremental reprocessing — a re-run over yesterday's corpus +
+      // today's delta accepts exactly the same historical docs. Rates are
+      // /256-granular hex cutoffs: en 51/256 ≈ 20%, others 128/256 = 50%.
+      t(s, d, "documents")
+        .withColumn("cut",
+          when(col("lang") === "en", lit("32")).otherwise(lit("7f")))
+        .filter(substring(md5(col("doc_id").cast("string")), 1, 2) <= col("cut"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_sampled"), sum(col("n_chars")).as("chars"))
+        .orderBy("lang")
+    }),
+
+    "q76_weighted_sample" -> ((s, d) => {
+      // Weighted sampling without replacement (Efraimidis-Spirakis):
+      // rank by -ln(u)/w ascending and take k — equivalent to sampling
+      // k docs with probability proportional to weight w (= n_chars,
+      // i.e. length-proportional, the token-budget-aware choice).
+      // u is a 16-bit md5-derived uniform (deterministic, same idiom as
+      // the LSH suite); the key is quantized to integer nanounits so the
+      // ORDER BY is exact in both engines (ulp-level libm differences in
+      // ln() sit ~11 orders of magnitude below the quantum), with doc_id
+      // closing the tie (expect a couple of 16-bit u collisions per 500
+      // docs). Top-k is a TakeOrderedAndProject — no full sort at scale.
+      val h = "md5(cast(doc_id AS string))"
+      def nibble(i: Int) = s"(instr('0123456789abcdef', substring($h, $i, 1)) - 1)"
+      val u = s"((${nibble(1)} * 4096 + ${nibble(2)} * 256 + " +
+        s"${nibble(3)} * 16 + ${nibble(4)} + 0.5) / 65536.0)"
+      t(s, d, "documents")
+        .withColumn("key",
+          expr(s"cast(round((-ln($u) / n_chars) * 1e9) AS bigint)"))
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("key"))
+        .orderBy(col("key"), col("doc_id"))
+        .limit(50)
     })
   )
 
   val oracle: Map[String, String] = Map(
+    "q75_stratified_sample" ->
+      """SELECT lang, count(*) AS n_sampled, sum(n_chars) AS chars
+        |FROM documents
+        |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <=
+        |      CASE WHEN lang = 'en' THEN '32' ELSE '7f' END
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+    "q76_weighted_sample" ->
+      """WITH keyed AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    CAST(round((-ln((
+        |      (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096 +
+        |      (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256 +
+        |      (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16 +
+        |      (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1) + 0.5
+        |    ) / 65536.0) / n_chars) * 1e9) AS BIGINT) AS key
+        |  FROM documents)
+        |SELECT doc_id, lang, n_chars, key FROM keyed
+        |ORDER BY key, doc_id LIMIT 50""".stripMargin,
     // 64-bit wrapping h = h*31 + byte, emulated with HUGEINT arithmetic:
     // accumulate mod 2^64 in a list_reduce (init prepended — list_reduce
     // has no seed parameter), then convert to Java's signed long. Bytes are

@@ -88,6 +88,13 @@ class PlanSpec extends SparkSpec {
       s"no nested-loop fallback:\n$p")
   }
 
+  test("q76: weighted-sample top-k is TakeOrdered, not a full sort") {
+    // orderBy+limit must plan as TakeOrderedAndProject: each partition
+    // keeps k rows, the driver merges — no global sort exchange at scale
+    val p = plan("q76_weighted_sample")
+    assert(p.contains("TakeOrderedAndProject"), s"expected top-k plan:\n$p")
+  }
+
   test("q92: frame sampling is shuffle-free until the final sort") {
     // per-row explode: the only exchange allowed is the sort's range
     // partitioning (plus AQE read nodes) — no hash shuffle anywhere
