@@ -62,4 +62,24 @@ class BrcSourcePropertySpec extends SparkSpec {
     assert(got == Seq(("Bern", 30L), ("Oslo", -5L), ("Oslo", 15L)),
       "glob must match exactly the two csv files, split option applied")
   }
+
+  test("connector is usable from SQL DDL: CREATE TEMPORARY VIEW USING brc") {
+    // a SQL-first user never touches the DataFrame API: the V2 connector
+    // must register through the USING clause and behave like any built-in
+    // source from there
+    val f = java.nio.file.Files.createTempFile("brcddl", ".csv")
+    java.nio.file.Files.write(f, "Oslo;1.5\nBern;-0.5\nOslo;2.5\n".getBytes("UTF-8"))
+    try {
+      spark.sql(
+        s"CREATE OR REPLACE TEMPORARY VIEW brc_ddl USING brc OPTIONS (path '$f')")
+      val got = spark.sql(
+        """SELECT station, count(*) AS n, sum(t) AS sum_t
+          |FROM brc_ddl GROUP BY station ORDER BY station""".stripMargin)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(got == Seq(("Bern", 1L, -5L), ("Oslo", 2L, 40L)))
+    } finally {
+      spark.sql("DROP VIEW IF EXISTS brc_ddl")
+      java.nio.file.Files.delete(f)
+    }
+  }
 }
