@@ -54,7 +54,8 @@ object Bench {
       "q11_join_sortmerge", "q17_range_join", "q20_tpch_q1",
       "q30_window_topk", "q62_ngram_jaccard", "q63_minhash_lsh",
       "q64_simhash", "q66_containment", "q67_minhash_estimate",
-      "q68_simhash64", "q70_knn_brute", "q71_ann_lsh", "q73_ivf_knn",
+      "q68_simhash64", "q69_dedup_clusters", "q70_knn_brute", "q71_ann_lsh",
+      "q73_ivf_knn", "q76_weighted_sample", "q77_training_pipeline",
       "q85_tfidf", "q94_stream_onebrc", "q97_stream_stream_join")
     val headSet = headline.toSet
     val shortJson =
