@@ -172,4 +172,21 @@ class ScaleTechniquesSpec extends SparkSpec {
     val maxDf = sh.groupBy("s").count().agg(max("count")).head.getLong(0)
     assert(maxDf <= op.ShingleDfCap)
   }
+
+  test("Observation collects pipeline metrics with no extra pass") {
+    // at 100 TB the difference between df.observe and a separate
+    // metrics query is a full corpus scan: observe piggybacks exact
+    // counters on the one pass the pipeline already makes
+    val obs = new org.apache.spark.sql.Observation("pre_filter_metrics")
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .observe(obs, count(lit(1)).as("n_docs"),
+        sum(length(col("text")).cast("long")).as("n_chars"))
+      .filter(length(col("text")) >= 100)
+    val kept = docs.count()
+    val m = obs.get
+    val total = m("n_docs").asInstanceOf[Long]
+    assert(total > 0 && kept < total,
+      "metrics must cover the PRE-filter corpus, count() the filtered one")
+    assert(m("n_chars").asInstanceOf[Long] > 0)
+  }
 }

@@ -53,6 +53,37 @@ class DedupSimilaritySpec extends SparkSpec {
     labels.values.toSet.foreach((k: Long) => assert(labels(k) == k))
   }
 
+  test("property: clustersFromPairs matches union-find on random graphs") {
+    import spark.implicits._
+    // the distributed min-label fixpoint vs a local union-find reference,
+    // on seeded random edge sets (self-loop-free, with duplicates and
+    // multi-component shapes)
+    val rnd = new scala.util.Random(11)
+    for (trial <- 0 until 4) {
+      val n = 30 + rnd.nextInt(60)
+      val edges = Seq.fill(n + rnd.nextInt(n)) {
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)
+      }.filter { case (a, b) => a != b }
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = {
+        var r = x; while (parent(r) != r) r = parent(r); r
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val touched = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      val expected = touched.groupBy(v => find(v.toInt))
+        .values.flatMap { comp =>
+          val keeper = comp.min
+          comp.map(v => v -> keeper)
+        }.toMap
+      val got = Dedup.clustersFromPairs(edges.toDF("i", "j")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected, s"trial=$trial n=$n edges=${edges.size}")
+    }
+  }
+
   test("q64 simhash near-dup pairs overlap jaccard near-dups") {
     val sim = Dedup.queries("q64_simhash")(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
