@@ -60,10 +60,12 @@ object Bench {
     val headSet = headline.toSet
     val shortJson =
       s"""{"metric":"total","value":$totalStr,"unit":"sec","n_queries":${results.size},"queries":${qJson(results.filter(r => headSet(r._1)))},"sf":"$sfDir"}"""
-    require(shortJson.length < 1500, s"bench stdout line too long: ${shortJson.length}")
+    // file first: if the guard below ever trips (e.g. an unusually long
+    // sfDir path), the completed run's full per-query map is already safe
     val outPath = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json"))
     java.nio.file.Files.write(outPath, (fullJson + "\n").getBytes("UTF-8"))
+    require(shortJson.length < 1500, s"bench stdout line too long: ${shortJson.length}")
     spark.stop()
     println(shortJson)
   }

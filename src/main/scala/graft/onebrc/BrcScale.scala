@@ -57,6 +57,18 @@ object BrcScale {
       }
       report("generate_write_parquet_tenths", tPqT)
     }
+    // --skip-gen on a data dir written before the tenths layout existed:
+    // backfill parquet_tenths from the plain parquet copy instead of
+    // crashing mid-run after the earlier passes have already spent minutes
+    if (skipGen &&
+        !java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/parquet_tenths"))) {
+      val (_, tBf) = timed {
+        spark.read.parquet(s"$dir/parquet")
+          .select(col("station"), round(col("measure") * 10).cast("long").as("t"))
+          .write.mode("overwrite").parquet(s"$dir/parquet_tenths")
+      }
+      report("backfill_parquet_tenths", tBf)
+    }
 
     // warm-pass results are cross-checked at the end: every scan path must
     // produce the identical 413-row answer at full scale (a silent parser

@@ -66,8 +66,9 @@ object SqlEntry {
       |  )
       |  SELECT c_nationkey, c_custkey, n_orders,
       |         CAST(spend_cents AS DOUBLE)/100.0 AS spend,
-      |         rank() OVER (PARTITION BY c_nationkey
-      |                      ORDER BY spend_cents DESC, c_custkey) AS rnk
+      |         CAST(rank() OVER (PARTITION BY c_nationkey
+      |                      ORDER BY spend_cents DESC, c_custkey) AS BIGINT)
+      |           AS rnk
       |  FROM spend JOIN customer ON c_custkey = o_custkey
       |) ranked
       |WHERE rnk <= 5

@@ -25,6 +25,17 @@ object TextAnalysis {
   private def inList(xs: Seq[String]): String =
     xs.map(x => s"'$x'").mkString("(", ", ", ")")
 
+  /** Stratified-sampling accept test — ONE definition of the per-stratum
+    * hash cutoffs (en 51/256 ≈ 20%, others 128/256 = 50%), shared by q75
+    * and q77's pipeline stage on the Spark side and interpolated into both
+    * oracles, so a rate change can never drift between the four sites. */
+  val StratAcceptSql: String =
+    "substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <= " +
+      "CASE WHEN lang = 'en' THEN '32' ELSE '7f' END"
+  def stratAccept: org.apache.spark.sql.Column =
+    substring(md5(col("doc_id").cast("string")), 1, 2) <=
+      when(col("lang") === "en", lit("32")).otherwise(lit("7f"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     "q80_token_stats" -> ((s, d) =>
@@ -207,9 +218,7 @@ object TextAnalysis {
       // today's delta accepts exactly the same historical docs. Rates are
       // /256-granular hex cutoffs: en 51/256 ≈ 20%, others 128/256 = 50%.
       t(s, d, "documents")
-        .withColumn("cut",
-          when(col("lang") === "en", lit("32")).otherwise(lit("7f")))
-        .filter(substring(md5(col("doc_id").cast("string")), 1, 2) <= col("cut"))
+        .filter(stratAccept)
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_sampled"), sum(col("n_chars")).as("chars"))
         .orderBy("lang")
@@ -241,11 +250,11 @@ object TextAnalysis {
 
   val oracle: Map[String, String] = Map(
     "q75_stratified_sample" ->
-      """SELECT lang, count(*) AS n_sampled, sum(n_chars) AS chars
-        |FROM documents
-        |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <=
-        |      CASE WHEN lang = 'en' THEN '32' ELSE '7f' END
-        |GROUP BY lang ORDER BY lang""".stripMargin,
+      s"""SELECT lang, count(*) AS n_sampled,
+         |  CAST(sum(n_chars) AS BIGINT) AS chars
+         |FROM documents
+         |WHERE $StratAcceptSql
+         |GROUP BY lang ORDER BY lang""".stripMargin,
     "q76_weighted_sample" ->
       """WITH keyed AS (
         |  SELECT doc_id, lang, n_chars,

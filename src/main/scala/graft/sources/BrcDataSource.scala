@@ -116,8 +116,14 @@ class BrcScanV2(paths: Seq[String], splitBytes: Long, pruned: StructType,
       // globStatus expands dir/*.csv like every built-in file source;
       // for a non-glob path it returns the plain status (or null when the
       // path does not exist — fall back to getFileStatus for its
-      // FileNotFoundException message)
+      // FileNotFoundException message). Glob matches exclude hidden /
+      // metadata names (_SUCCESS, .crc) just like the directory-listing
+      // branch and the built-in sources; an explicitly named literal path
+      // is honored even if hidden (the user asked for that exact file).
+      val isGlob = path.exists("{}[]*?\\".contains(_))
       val matched = Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Seq.empty)
+        .filterNot(s => isGlob &&
+          (s.getPath.getName.startsWith("_") || s.getPath.getName.startsWith(".")))
       val roots = if (matched.nonEmpty) matched else Seq(fs.getFileStatus(p))
       roots.flatMap(files).flatMap { st =>
         (0L until st.getLen by splitBytes).map { off =>

@@ -53,6 +53,21 @@ class DedupSimilaritySpec extends SparkSpec {
     labels.values.toSet.foreach((k: Long) => assert(labels(k) == k))
   }
 
+  test("q69 edge cases: empty pair set and a chain deeper than the old round cap") {
+    import spark.implicits._
+    // empty pairs (clean corpus): empty cluster frame, not an NPE from the
+    // NULL sum-of-labels convergence witness
+    val none = Dedup.clustersFromPairs(
+      Seq.empty[(Long, Long)].toDF("i", "j")).collect()
+    assert(none.isEmpty)
+    // a 40-link chain needs 40 neighbor-min rounds but only ~6 with the
+    // pointer-jumping hop — must fully converge, not silently truncate
+    val chain = (0L until 40L).map(k => (k, k + 1)).toDF("i", "j")
+    val got = Dedup.clustersFromPairs(chain).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == (0L to 40L).map(_ -> 0L).toMap)
+  }
+
   test("property: clustersFromPairs matches union-find on random graphs") {
     import spark.implicits._
     // the distributed min-label fixpoint vs a local union-find reference,
