@@ -37,6 +37,13 @@ class PlanSpec extends SparkSpec {
       "ship-date filter must reach the lineitem scan")
   }
 
+  test("q79: the eval gram set broadcasts; the train side never shuffles pre-join") {
+    val p = plan("q79_decontaminate")
+    assert(p.contains("BroadcastHashJoin"),
+      "the tiny eval-suite gram set must broadcast so the train-corpus " +
+        "probe stays a map-side join")
+  }
+
   test("q01: scan is pruned to the two needed columns") {
     val p = plan("q01_onebrc_events")
     assert(p.contains("ReadSchema: struct<event_type:string,value:double>"))
