@@ -19,6 +19,11 @@ import graft.Tables._
   */
 object Streaming {
 
+  private val docsSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("text", StringType),
+    StructField("lang", StringType), StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
   /** events schema as the stream source must declare it (ts is parquet
     * TIMESTAMP(NANOS) -> read as long, converted after). */
   private val eventsRawSchema = StructType(Seq(
@@ -152,10 +157,6 @@ object Streaming {
       // unbounded streams is dropDuplicatesWithinWatermark (bounded state,
       // same plan otherwise).
       val name = s"graft_sdedup_${System.nanoTime()}"
-      val docsSchema = StructType(Seq(
-        StructField("doc_id", LongType), StructField("text", StringType),
-        StructField("lang", StringType), StructField("source", StringType),
-        StructField("n_chars", LongType)))
       val q = s.readStream.schema(docsSchema)
         .option("pathGlobFilter", "documents.parquet").parquet(d)
         .select(md5(trim(regexp_replace(lower(col("text")), "\\s+", " ")))
@@ -166,6 +167,29 @@ object Streaming {
         .start()
       try q.processAllAvailable() finally q.stop()
       drainMemorySink(s, name).orderBy("fp")
+    }),
+
+    "q99_stream_delta_admit" -> ((s, d) => withStreamPartitions(s, 4) {
+      // stream-STATIC join — the admission-controller shape that closes
+      // the incremental-dedup loop: the BATCH layer stages a reject list
+      // (q78's exact + near-dup losers vs the corpus); the STREAMING
+      // layer admits each arriving delta document with a left-anti join
+      // against it. The join is stateless (no watermark, no state
+      // store) — the static side is just re-planned per micro-batch, so
+      // at scale it is the broadcast-able reject list, not corpus state
+      // in the stream's checkpoint.
+      val name = s"graft_sadmit_${System.nanoTime()}"
+      val rejects = graft.operators.Dedup.deltaRejects(s, d)
+      val q = s.readStream.schema(docsSchema)
+        .option("pathGlobFilter", "documents.parquet").parquet(d)
+        .filter(graft.operators.Dedup.isDeltaDoc)
+        .select(col("doc_id"), col("lang"), col("source"))
+        .join(rejects, Seq("doc_id"), "left_anti")
+        .writeStream.outputMode("append")
+        .format("memory").queryName(name)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      drainMemorySink(s, name).orderBy("doc_id")
     }),
 
     "q96_session_window" -> ((s, d) =>
@@ -200,6 +224,7 @@ object Streaming {
     "q98_stream_dedup" ->
       """SELECT DISTINCT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
         |FROM documents ORDER BY fp""".stripMargin,
+    "q99_stream_delta_admit" -> graft.operators.Dedup.deltaAdmitOracleSql,
     "q96_session_window" ->
       // gaps-and-islands: a new session starts when the gap > 30 minutes
       """WITH marked AS (
