@@ -56,7 +56,8 @@ object Bench {
       "q64_simhash", "q66_containment", "q67_minhash_estimate",
       "q68_simhash64", "q69_dedup_clusters", "q70_knn_brute", "q71_ann_lsh",
       "q73_ivf_knn", "q76_weighted_sample", "q77_training_pipeline",
-      "q85_tfidf", "q94_stream_onebrc", "q97_stream_stream_join")
+      "q78_delta_dedup", "q79_decontaminate", "q85_tfidf",
+      "q94_stream_onebrc", "q97_stream_stream_join", "q99_stream_delta_admit")
     val headSet = headline.toSet
     val shortJson =
       s"""{"metric":"total","value":$totalStr,"unit":"sec","n_queries":${results.size},"queries":${qJson(results.filter(r => headSet(r._1)))},"sf":"$sfDir"}"""

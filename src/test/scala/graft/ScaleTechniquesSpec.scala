@@ -52,6 +52,34 @@ class ScaleTechniquesSpec extends SparkSpec {
     assert(scan.count() == expected)
   }
 
+  test("dynamic partition pruning: a dim filter prunes fact partitions at runtime") {
+    // static pruning (above) handles literal predicates; DPP handles the
+    // 100 TB star-join shape where the partition keys to keep are only
+    // known after filtering the DIMENSION — Spark plans a subquery over
+    // the broadcast dim and injects its result as a partition filter on
+    // the fact scan, so the fact side reads only the matching directories
+    // instead of all of them.
+    Tables.events(spark, sf0001)
+      .write.mode("overwrite").partitionBy("event_type")
+      .parquet(s"$wh/events_dpp")
+    // the dim must be file-backed with the selective predicate on a
+    // NON-join column — a literal/in-memory dim constant-folds into a
+    // static partition filter, which is the previous test, not DPP
+    import spark.implicits._
+    Seq(("purchase", 1L), ("click", 0L), ("view", 0L)).toDF("t", "flag")
+      .write.mode("overwrite").parquet(s"$wh/dim_dpp")
+    val dim = spark.read.parquet(s"$wh/dim_dpp").filter(col("flag") === 1L)
+    val fact = spark.read.parquet(s"$wh/events_dpp")
+    val joined = fact.join(dim, col("event_type") === col("t"))
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruningexpression"),
+      "the fact scan must carry a runtime partition filter fed by the dim")
+    val expected = Tables.events(spark, sf0001)
+      .filter(col("event_type") === "purchase").count()
+    assert(joined.collect().map(r => r.getLong(1)).sum == expected)
+  }
+
   test("range-partitioned sorted parquet skips row groups under a ts filter") {
     // the third layout lever after bucketing and directory partitioning:
     // repartitionByRange + sortWithinPartitions gives each output file a
