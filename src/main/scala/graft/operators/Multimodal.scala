@@ -132,7 +132,10 @@ object Multimodal {
         |  FROM documents),
         |f AS (
         |  SELECT asset_id, n_bytes,
-        |    CAST(list_sum(vals) AS DOUBLE) / greatest(n_bytes, 1) AS mean_byte,
+        |    -- coalesce: list_sum([]) is NULL in DuckDB, but the Spark
+        |    -- side's fakeDecode yields mean 0.0 for an empty payload
+        |    CAST(coalesce(list_sum(vals), 0) AS DOUBLE)
+        |      / greatest(n_bytes, 1) AS mean_byte,
         |    CAST(len(list_distinct(list_transform(vals, v -> v // 32))) AS BIGINT)
         |      AS byte_entropy_q,
         |    list_transform(range(0, 8),

@@ -9,12 +9,12 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class ContractSpec extends AnyFunSuite {
 
-  // queries with no SQL equivalent — each says why in its module scaladoc
+  // queries with no SQL equivalent — each says why in its module scaladoc.
+  // (q06/q84/q91 graduated off this list when they gained real oracles:
+  // committed generator fixture, HUGEINT mod-2^64 emulation, ascii-
+  // codepoint byte histogram.)
   private val rowsOnlyByDesign = Set(
-    "q06_generator",            // seeded RNG differs across engines
-    "q22_approx_distinct",      // HLL sketch values are engine-specific
-    "q84_rolling_fp",           // 64-bit wrapping arith not in DuckDB SQL
-    "q91_multimodal_features")  // fake decoder has no SQL equivalent
+    "q22_approx_distinct")      // HLL sketch values are engine-specific
 
   test("every oracle entry points at an existing query") {
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
@@ -28,6 +28,12 @@ class ContractSpec extends AnyFunSuite {
       s"queries silently missing an oracle: $unchecked")
     val stale = rowsOnlyByDesign -- SparkEntry.queries.keySet
     assert(stale.isEmpty, s"rows-only allowlist is stale: $stale")
+    // reverse direction: an allowlisted query that HAS an oracle means the
+    // allowlist is absorbing drift — if its oracle is later dropped, the
+    // query would silently lose verification
+    val absorbed = rowsOnlyByDesign intersect SparkEntry.oracleSql.keySet
+    assert(absorbed.isEmpty,
+      s"rows-only allowlist entries that actually have oracles: $absorbed")
   }
 
   test("oracle SQL never references absolute spark paths or temp dirs") {
