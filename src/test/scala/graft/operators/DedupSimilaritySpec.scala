@@ -99,6 +99,28 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("invalidateClusters picks up an in-session corpus rewrite") {
+    // the staged frames (shingles/pairs/labels) reflect the corpus at
+    // first materialization — after overwriting the files in-session,
+    // invalidateClusters must drop the memo AND refresh the path-derived
+    // cache entries so the next run sees the new data
+    val dir = java.nio.file.Files.createTempDirectory("graft_inval").toString
+    val full = spark.read.parquet(s"$sf0001/documents.parquet")
+    full.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val before = Dedup.nearDupClusters(spark, dir).count()
+    assert(before > 0)
+    // rewrite: keep every doc that is NOT a near-dup pair member, so the
+    // new corpus has strictly fewer clusterable docs
+    val members = Dedup.nearDupClusters(spark, dir)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    full.filter(!col("doc_id").isin(members.toSeq: _*))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    Dedup.invalidateClusters(spark, dir)
+    val after = Dedup.nearDupClusters(spark, dir).count()
+    assert(after < before,
+      s"rewrite removed all $before pair members but recompute saw $after")
+  }
+
   test("q64 simhash near-dup pairs overlap jaccard near-dups") {
     val sim = Dedup.queries("q64_simhash")(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
