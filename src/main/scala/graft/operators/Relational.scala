@@ -28,6 +28,18 @@ object Relational {
   /** exact discount/tax percent units (0.04 -> 4L) */
   private def pct(c: Column): Column = round(c * 100).cast("long")
 
+  /** 12-hex-digit → integer, spelled with the engine's hex-position
+    * function (`instr` in Spark, `strpos` in DuckDB) so q56's Spark side
+    * and oracle share one definition of the decode. Both engines support
+    * substring(s, i, n). */
+  private def hexVal12(posFn: String): String = (1 to 12).map(i =>
+    // CAST the power to BIGINT: small powers are INT literals, and
+    // nibble * 16^7 already overflows 32-bit (ANSI mode makes that a
+    // runtime error, and a data-dependent one — only nibbles >= 8 trip it)
+    s"($posFn('0123456789abcdef', substring(hx, $i, 1)) - 1) " +
+      s"* CAST(${BigInt(16).pow(12 - i)} AS BIGINT)")
+    .mkString(" + ")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---- joins ------------------------------------------------------------
@@ -187,6 +199,40 @@ object Relational {
         .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
           countDistinct(col("l_partkey")).as("exact_parts"))
         .orderBy("l_returnflag")),
+
+    "q56_kmv_distinct" -> ((s, d) => {
+      // KMV (k-minimum-values) sketch — the ORACLE-EXACT approx-distinct,
+      // complementing q22's HLL (whose sketch values are engine-specific
+      // by design): every step is deterministic md5 arithmetic, so the
+      // ESTIMATE itself hash-matches DuckDB bit for bit. Estimator: with
+      // U = the k-th smallest of the distinct keys' hashes mapped to
+      // (0,1), E[distinct] ≈ (k-1)/U; groups with fewer than k distinct
+      // keys fall back to the exact count (standard KMV). Fixed-width hex
+      // compares lexicographically == numerically, so the per-group order
+      // runs on the hex STRING and only one value per group is ever
+      // decoded to a number. Scale note: this window formulation shuffles
+      // the distinct keys once; the bounded-state production form is a
+      // k-smallest-heap TypedImperativeAggregate (the q18 surface) —
+      // same estimate, O(k) state per group.
+      val k = 64
+      val du = t(s, d, "lineitem")
+        .select(col("l_returnflag"), col("l_partkey")).distinct()
+        .withColumn("hx",
+          substring(md5(col("l_partkey").cast("string")), 1, 12))
+      val exact = du.groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_exact"))
+      val w = Window.partitionBy(col("l_returnflag")).orderBy(col("hx"))
+      val kth = du.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === k)
+        .select(col("l_returnflag"),
+          expr(s"CAST(${hexVal12("instr")} AS BIGINT)").as("h"))
+      exact.join(kth, Seq("l_returnflag"), "left")
+        .select(col("l_returnflag"), col("n_exact"),
+          coalesce(
+            lit(k - 1.0) / (col("h").cast("double") / lit(math.pow(2, 48))),
+            col("n_exact").cast("double")).as("kmv_est"))
+        .orderBy("l_returnflag")
+    }),
 
     "q23_rollup" -> ((s, d) =>
       t(s, d, "lineitem")
@@ -542,6 +588,21 @@ object Relational {
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
         |  count(DISTINCT l_suppkey) AS n_supps, count(*) AS n_lines
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q56_kmv_distinct" ->
+      s"""WITH du AS (SELECT DISTINCT l_returnflag, l_partkey FROM lineitem),
+         |h AS (SELECT l_returnflag,
+         |        substr(md5(CAST(l_partkey AS VARCHAR)), 1, 12) AS hx FROM du),
+         |ex AS (SELECT l_returnflag, count(*) AS n_exact FROM du GROUP BY 1),
+         |r AS (SELECT l_returnflag, hx, row_number()
+         |        OVER (PARTITION BY l_returnflag ORDER BY hx) AS rn FROM h),
+         |kth AS (SELECT l_returnflag,
+         |        CAST(${hexVal12("strpos")} AS BIGINT) AS h
+         |        FROM r WHERE rn = 64)
+         |SELECT ex.l_returnflag, n_exact,
+         |  coalesce(63.0 / (CAST(h AS DOUBLE) / 281474976710656.0),
+         |           CAST(n_exact AS DOUBLE)) AS kmv_est
+         |FROM ex LEFT JOIN kth ON ex.l_returnflag = kth.l_returnflag
+         |ORDER BY ex.l_returnflag""".stripMargin,
     "q23_rollup" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(grouping(l_returnflag)*2 + grouping(l_linestatus) AS BIGINT) AS gid,
