@@ -34,5 +34,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("brc_tenths"),
       new ExpressionInfo(classOf[BrcTenths].getName, "brc_tenths"),
       (exprs: Seq[Expression]) => BrcTenths(exprs.head)))
+    e.injectFunction((FunctionIdentifier("kmv_sketch"),
+      new ExpressionInfo(classOf[graft.functions.KmvSketchAgg].getName, "kmv_sketch"),
+      (exprs: Seq[Expression]) => graft.functions.KmvSketchAgg(exprs.head)))
   }
 }

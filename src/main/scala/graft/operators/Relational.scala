@@ -40,6 +40,24 @@ object Relational {
       s"* CAST(${BigInt(16).pow(12 - i)} AS BIGINT)")
     .mkString(" + ")
 
+  /** One oracle serves both KMV formulations (q56 window, q57 native
+    * aggregate): same md5-prefix hashes, same (k-1)/U estimator. */
+  private val KmvOracleSql =
+    s"""WITH du AS (SELECT DISTINCT l_returnflag, l_partkey FROM lineitem),
+       |h AS (SELECT l_returnflag,
+       |        substr(md5(CAST(l_partkey AS VARCHAR)), 1, 12) AS hx FROM du),
+       |ex AS (SELECT l_returnflag, count(*) AS n_exact FROM du GROUP BY 1),
+       |r AS (SELECT l_returnflag, hx, row_number()
+       |        OVER (PARTITION BY l_returnflag ORDER BY hx) AS rn FROM h),
+       |kth AS (SELECT l_returnflag,
+       |        CAST(${hexVal12("strpos")} AS BIGINT) AS h
+       |        FROM r WHERE rn = 64)
+       |SELECT ex.l_returnflag, n_exact,
+       |  coalesce(63.0 / (CAST(h AS DOUBLE) / 281474976710656.0),
+       |           CAST(n_exact AS DOUBLE)) AS kmv_est
+       |FROM ex LEFT JOIN kth ON ex.l_returnflag = kth.l_returnflag
+       |ORDER BY ex.l_returnflag""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---- joins ------------------------------------------------------------
@@ -231,6 +249,20 @@ object Relational {
           coalesce(
             lit(k - 1.0) / (col("h").cast("double") / lit(math.pow(2, 48))),
             col("n_exact").cast("double")).as("kmv_est"))
+        .orderBy("l_returnflag")
+    }),
+
+    "q57_kmv_agg" -> ((s, d) => {
+      // the bounded-state production form of q56: kmv_sketch is a native
+      // TypedImperativeAggregate keeping the k smallest distinct hashes —
+      // O(k) state per group, merge-able partials, ONE pass over the raw
+      // rows with no pre-distinct shuffle. Same md5 arithmetic ⇒ the
+      // estimate equals q56's and shares its oracle verbatim.
+      graft.functions.KmvSketchAgg.register(s)
+      t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("n_exact"),
+          expr("kmv_sketch(CAST(l_partkey AS STRING))").as("kmv_est"))
         .orderBy("l_returnflag")
     }),
 
@@ -588,21 +620,8 @@ object Relational {
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
         |  count(DISTINCT l_suppkey) AS n_supps, count(*) AS n_lines
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
-    "q56_kmv_distinct" ->
-      s"""WITH du AS (SELECT DISTINCT l_returnflag, l_partkey FROM lineitem),
-         |h AS (SELECT l_returnflag,
-         |        substr(md5(CAST(l_partkey AS VARCHAR)), 1, 12) AS hx FROM du),
-         |ex AS (SELECT l_returnflag, count(*) AS n_exact FROM du GROUP BY 1),
-         |r AS (SELECT l_returnflag, hx, row_number()
-         |        OVER (PARTITION BY l_returnflag ORDER BY hx) AS rn FROM h),
-         |kth AS (SELECT l_returnflag,
-         |        CAST(${hexVal12("strpos")} AS BIGINT) AS h
-         |        FROM r WHERE rn = 64)
-         |SELECT ex.l_returnflag, n_exact,
-         |  coalesce(63.0 / (CAST(h AS DOUBLE) / 281474976710656.0),
-         |           CAST(n_exact AS DOUBLE)) AS kmv_est
-         |FROM ex LEFT JOIN kth ON ex.l_returnflag = kth.l_returnflag
-         |ORDER BY ex.l_returnflag""".stripMargin,
+    "q56_kmv_distinct" -> KmvOracleSql,
+    "q57_kmv_agg" -> KmvOracleSql, // identical estimate by construction
     "q23_rollup" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(grouping(l_returnflag)*2 + grouping(l_linestatus) AS BIGINT) AS gid,
