@@ -4,6 +4,7 @@ import java.nio.ByteBuffer
 import java.security.MessageDigest
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.types._
@@ -37,6 +38,15 @@ case class KmvSketchAgg(child: Expression,
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = false
   override def dataType: DataType = DoubleType
+
+  // STRING only — hashing an internal value's toString (days-since-epoch
+  // for DATE, raw micros for TIMESTAMP) would silently disagree with any
+  // md5(CAST(x AS STRING)) oracle; force the caller to cast explicitly
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"kmv_sketch requires a STRING argument (got ${child.dataType.sql}); " +
+        "CAST the key explicitly so the hash input is well-defined")
 
   override def createAggregationBuffer(): Buf = new Buf
 
@@ -97,12 +107,19 @@ object KmvSketchAgg {
     }
   }
 
+  // per-thread digest: getInstance per row would pay a synchronized JCA
+  // provider lookup + allocation in the aggregate's hot path
+  private val localMd = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
+  }
+
   /** First 6 md5 digest bytes as an unsigned big-endian 48-bit value —
     * identical to decoding the first 12 hex chars of md5's hex form
     * (what q56's SQL and the DuckDB oracle both do). */
   def hash48(s: String): Long = {
-    val d = MessageDigest.getInstance("MD5")
-      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val md = localMd.get()
+    md.reset()
+    val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     var h = 0L
     var i = 0
     while (i < 6) { h = (h << 8) | (d(i) & 0xffL); i += 1 }

@@ -43,7 +43,8 @@ object Relational {
   /** One oracle serves both KMV formulations (q56 window, q57 native
     * aggregate): same md5-prefix hashes, same (k-1)/U estimator. */
   private val KmvOracleSql =
-    s"""WITH du AS (SELECT DISTINCT l_returnflag, l_partkey FROM lineitem),
+    s"""WITH du AS (SELECT DISTINCT l_returnflag, l_partkey FROM lineitem
+       |            WHERE l_partkey IS NOT NULL),
        |h AS (SELECT l_returnflag,
        |        substr(md5(CAST(l_partkey AS VARCHAR)), 1, 12) AS hx FROM du),
        |ex AS (SELECT l_returnflag, count(*) AS n_exact FROM du GROUP BY 1),
@@ -233,7 +234,11 @@ object Relational {
       // k-smallest-heap TypedImperativeAggregate (the q18 surface) —
       // same estimate, O(k) state per group.
       val k = 64
+      // NULL keys excluded on BOTH sides (matching q57's null-skipping
+      // aggregate and countDistinct): a NULL key would hash to NULL,
+      // sort last in DuckDB, and skew the kth-smallest pick
       val du = t(s, d, "lineitem")
+        .filter(col("l_partkey").isNotNull)
         .select(col("l_returnflag"), col("l_partkey")).distinct()
         .withColumn("hx",
           substring(md5(col("l_partkey").cast("string")), 1, 12))

@@ -27,6 +27,16 @@ class ExtensionsSpec extends AnyFunSuite {
           "brc_parse('Oslo;-3.7').measure AS m").collect().head
       assert(brc.getString(0) == "Oslo" && brc.getLong(1) == -37L
         && brc.getDouble(2) == -3.7)
+      // kmv_sketch: injected, works on strings, REJECTS non-string input
+      // at analysis time (hashing an internal value's toString would
+      // silently disagree with any md5(CAST(x AS STRING)) oracle)
+      val est = s.sql("SELECT kmv_sketch(CAST(id AS STRING)) AS e FROM range(10)")
+        .collect().head.getDouble(0)
+      assert(est == 10.0) // below k=64 -> exact
+      val err = intercept[org.apache.spark.sql.AnalysisException] {
+        s.sql("SELECT kmv_sketch(id) FROM range(10)").collect()
+      }
+      assert(err.getMessage.contains("STRING"))
     } finally {
       SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
       prior.foreach(SparkSession.setDefaultSession)
