@@ -271,6 +271,43 @@ object Relational {
         .orderBy("l_returnflag")
     }),
 
+    "q59_typed_sessions" -> ((s, d) => {
+      // typed per-group custom state: KeyValueGroupedDataset.mapGroups
+      // computes per-user session stats (the q96 30-minute-gap semantics)
+      // imperatively — the API a user reaches for when per-group logic
+      // stops being expressible as session_window/window functions, and
+      // the batch twin of mapGroupsWithState. Scale: one shuffle on
+      // user_id (same as groupBy); the per-group sort is in-memory,
+      // bounded by per-user event counts — for unbounded groups the
+      // secondary-sort form (repartition + sortWithinPartitions +
+      // mapPartitions) replaces the in-group sort, same plan otherwise.
+      import s.implicits._
+      events(s, d)
+        .select(col("user_id"), unix_micros(col("ts")).as("us"),
+          cents(col("value")).as("vc"))
+        .as[(Long, Long, Long)]
+        .groupByKey(_._1)
+        .mapGroups { (uid, it) =>
+          val rows = it.toArray.sortBy(_._2)
+          var sessions = 0L
+          var prev = Long.MinValue
+          var totalC = 0L
+          rows.foreach { r =>
+            // gap > 30 min (in micros) opens a new session; ties (gap 0)
+            // continue the session, so sort order among ties is moot
+            if (prev == Long.MinValue || r._2 - prev > 30L * 60 * 1000000)
+              sessions += 1
+            prev = r._2
+            totalC += r._3
+          }
+          (uid, sessions, rows.length.toLong, totalC)
+        }
+        .toDF("user_id", "n_sessions", "n_events", "total_cents")
+        .select(col("user_id"), col("n_sessions"), col("n_events"),
+          dollars(col("total_cents")).as("total"))
+        .orderBy("user_id")
+    }),
+
     "q23_rollup" -> ((s, d) =>
       t(s, d, "lineitem")
         .rollup(col("l_returnflag"), col("l_linestatus"))
@@ -627,6 +664,18 @@ object Relational {
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "q56_kmv_distinct" -> KmvOracleSql,
     "q57_kmv_agg" -> KmvOracleSql, // identical estimate by construction
+    "q59_typed_sessions" ->
+      """WITH marked AS (
+        |  SELECT user_id, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |              OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT user_id, CAST(sum(is_new) AS BIGINT) AS n_sessions,
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS DOUBLE)/100.0 AS total
+        |FROM marked GROUP BY 1 ORDER BY 1""".stripMargin,
     "q23_rollup" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(grouping(l_returnflag)*2 + grouping(l_linestatus) AS BIGINT) AS gid,
