@@ -59,6 +59,21 @@ object Relational {
        |FROM ex LEFT JOIN kth ON ex.l_returnflag = kth.l_returnflag
        |ORDER BY ex.l_returnflag""".stripMargin
 
+  /** One oracle serves both sessionization formulations (q58 secondary
+    * sort, q59 typed mapGroups): identical 30-minute-gap semantics. */
+  private val SessionsOracleSql =
+    """WITH marked AS (
+      |  SELECT user_id, value,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |              OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+      |         THEN 1 ELSE 0 END AS is_new
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+      |SELECT user_id, CAST(sum(is_new) AS BIGINT) AS n_sessions,
+      |  count(*) AS n_events,
+      |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS DOUBLE)/100.0 AS total
+      |FROM marked GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---- joins ------------------------------------------------------------
@@ -269,6 +284,47 @@ object Relational {
         .agg(countDistinct(col("l_partkey")).as("n_exact"),
           expr("kmv_sketch(CAST(l_partkey AS STRING))").as("kmv_est"))
         .orderBy("l_returnflag")
+    }),
+
+    "q58_secondary_sort" -> ((s, d) => {
+      // the unbounded-group production form of q59: repartition on
+      // user_id + sortWithinPartitions(user_id, ts) makes Spark's SHUFFLE
+      // machinery deliver each user's events contiguously and time-sorted
+      // (spillable sort, not an in-memory per-group Array), and one
+      // mapPartitions walk detects group boundaries with O(1) running
+      // state — the classic secondary-sort pattern, immune to a single
+      // user having a billion events. Same semantics, same oracle as q59.
+      import s.implicits._
+      events(s, d)
+        .select(col("user_id"), unix_micros(col("ts")).as("us"),
+          cents(col("value")).as("vc"))
+        .repartition(col("user_id"))
+        .sortWithinPartitions(col("user_id"), col("us"))
+        .as[(Long, Long, Long)]
+        .mapPartitions { it =>
+          val out = scala.collection.mutable.ArrayBuffer
+            .empty[(Long, Long, Long, Long)]
+          var uid = Long.MinValue
+          var started = false
+          var sessions = 0L; var n = 0L; var totalC = 0L
+          var prev = Long.MinValue
+          def flush(): Unit = if (started) out += ((uid, sessions, n, totalC))
+          it.foreach { case (u, us, vc) =>
+            if (!started || u != uid) {
+              flush(); uid = u; started = true
+              sessions = 0L; n = 0L; totalC = 0L; prev = Long.MinValue
+            }
+            if (prev == Long.MinValue || us - prev > 30L * 60 * 1000000)
+              sessions += 1
+            prev = us; n += 1; totalC += vc
+          }
+          flush()
+          out.iterator
+        }
+        .toDF("user_id", "n_sessions", "n_events", "total_cents")
+        .select(col("user_id"), col("n_sessions"), col("n_events"),
+          dollars(col("total_cents")).as("total"))
+        .orderBy("user_id")
     }),
 
     "q59_typed_sessions" -> ((s, d) => {
@@ -664,18 +720,8 @@ object Relational {
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "q56_kmv_distinct" -> KmvOracleSql,
     "q57_kmv_agg" -> KmvOracleSql, // identical estimate by construction
-    "q59_typed_sessions" ->
-      """WITH marked AS (
-        |  SELECT user_id, value,
-        |    CASE WHEN lag(ts) OVER w IS NULL
-        |              OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
-        |         THEN 1 ELSE 0 END AS is_new
-        |  FROM events
-        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
-        |SELECT user_id, CAST(sum(is_new) AS BIGINT) AS n_sessions,
-        |  count(*) AS n_events,
-        |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS DOUBLE)/100.0 AS total
-        |FROM marked GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q58_secondary_sort" -> SessionsOracleSql,
+    "q59_typed_sessions" -> SessionsOracleSql,
     "q23_rollup" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(grouping(l_returnflag)*2 + grouping(l_linestatus) AS BIGINT) AS gid,
