@@ -37,6 +37,15 @@ class PlanSpec extends SparkSpec {
       "ship-date filter must reach the lineitem scan")
   }
 
+  test("q57: kmv_sketch aggregates partial-before-exchange (ObjectHashAggregate pair)") {
+    val p = plan("q57_kmv_agg")
+    assert(p.contains("ObjectHashAggregate"),
+      "a TypedImperativeAggregate must plan as ObjectHashAggregate")
+    assert(p.contains("partial_kmv_sketch"),
+      "the sketch must combine map-side: each task ships one O(k) buffer " +
+        "per group across the exchange, not its rows")
+  }
+
   test("q79: the eval gram set broadcasts; the train side never shuffles pre-join") {
     val p = plan("q79_decontaminate")
     assert(p.contains("BroadcastHashJoin"),
