@@ -24,7 +24,12 @@ object Bench {
     val names = SparkEntry.queries.keys.toSeq.sorted
     def run(name: String): Long = {
       val t0 = System.nanoTime()
-      try SparkEntry.queries(name)(spark, sfDir).count()
+      // noop write, NOT count(): count() lets Catalyst elide the entire
+      // body of projection-only queries (select md5(..) + orderBy plans
+      // as a column-less FileScan), which would report those queries as
+      // free. The noop sink materializes every output row.
+      try SparkEntry.queries(name)(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
         return -1L

@@ -280,6 +280,9 @@ object Relational {
       // estimate equals q56's and shares its oracle verbatim.
       graft.functions.KmvSketchAgg.register(s)
       t(s, d, "lineitem")
+        // match the shared oracle's group domain: its groups derive from
+        // non-NULL keys, so a group holding ONLY null keys must not emit
+        .filter(col("l_partkey").isNotNull)
         .groupBy(col("l_returnflag"))
         .agg(countDistinct(col("l_partkey")).as("n_exact"),
           expr("kmv_sketch(CAST(l_partkey AS STRING))").as("kmv_est"))

@@ -153,6 +153,10 @@ object Similarity {
           .orderBy(col("ccos").desc, col("clabel"))))
         .filter(col("rk") === 1)
         .select(col("vec_id"), col("embedding"), col("clabel").as("cell"))
+        // referenced as BOTH join sides (broadcast query + probe), which
+        // defeats exchange reuse — persist or the centroid scoring and
+        // rank window compute twice
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val q = assigned.filter(col("vec_id") < 5)
         .select(col("vec_id").as("q_id"), col("embedding").as("qe"), col("cell"))
       val scored = broadcast(q).join(assigned, "cell")

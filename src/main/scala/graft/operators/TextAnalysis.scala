@@ -25,6 +25,43 @@ object TextAnalysis {
   private def inList(xs: Seq[String]): String =
     xs.map(x => s"'$x'").mkString("(", ", ", ")")
 
+  /** Token budget for sequence packing (q88; reused by q77's final
+    * stage) — one constant, one packing definition, so the two can
+    * never drift. */
+  val PackBudget = 2048L
+
+  /** Token-budget batch packing over a (source, doc_id, n_tokens) frame:
+    * batch = floor(exclusive-cumsum / budget) per `source` shard — each
+    * shard packs independently in parallel (the 100 TB formulation of an
+    * inherently sequential assignment). */
+  def packBatches(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val w = W.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(W.unboundedPreceding, W.currentRow)
+    docs
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .withColumn("batch_id",
+        ((col("cum") - col("n_tokens")) / lit(PackBudget)).cast("long"))
+      .groupBy(col("source"), col("batch_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("batch_tokens"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+      .orderBy("source", "batch_id")
+  }
+
+  /** DuckDB spelling of [[packBatches]] over a CTE named `fromRel` with
+    * columns (source, doc_id, n_tokens) — the shared tail of the q88 and
+    * q77 oracles. */
+  def packSql(fromRel: String): String =
+    s"""cums AS (
+       |  SELECT source, doc_id, n_tokens,
+       |    sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM $fromRel)
+       |SELECT source, CAST((cum - n_tokens) // $PackBudget AS BIGINT) AS batch_id,
+       |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS batch_tokens,
+       |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+       |FROM cums GROUP BY 1, 2 ORDER BY source, batch_id""".stripMargin
+
   /** Stratified-sampling accept test — ONE definition of the per-stratum
     * hash cutoffs (en 51/256 ≈ 20%, others 128/256 = 50%), shared by q75
     * and q77's pipeline stage on the Spark side and interpolated into both
@@ -173,28 +210,13 @@ object TextAnalysis {
           "[0-9]{3}-[0-9]{4}", "<PHONE>").as("redacted"))
         .orderBy("doc_id")),
 
-    "q88_pack_batches" -> ((s, d) => {
+    "q88_pack_batches" -> ((s, d) =>
       // sequence packing: assign docs (in deterministic order) to training
-      // batches by cumulative token budget — batch = floor(exclusive-cumsum
-      // / budget), the standard streaming approximation of greedy packing.
-      // packing is inherently sequential, so it shards by `source` — each
-      // shard packs independently in parallel (the 100 TB formulation)
-      val budget = 2048L
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("source")).orderBy(col("doc_id"))
-        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-          org.apache.spark.sql.expressions.Window.currentRow)
-      t(s, d, "documents")
+      // batches by cumulative token budget — the standard streaming
+      // approximation of greedy packing (see packBatches above)
+      packBatches(t(s, d, "documents")
         .select(col("source"), col("doc_id"),
-          size(split(col("text"), " ")).cast("long").as("n_tokens"))
-        .withColumn("cum", sum(col("n_tokens")).over(w))
-        .withColumn("batch_id", ((col("cum") - col("n_tokens")) / budget)
-          .cast("long"))
-        .groupBy(col("source"), col("batch_id"))
-        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("batch_tokens"),
-          min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
-        .orderBy("source", "batch_id")
-    }),
+          size(split(col("text"), " ")).cast("long").as("n_tokens")))),
 
     "q84_rolling_fp" -> ((s, d) => {
       // document fingerprinting with the custom codegen rolling-hash
@@ -341,19 +363,11 @@ object TextAnalysis {
         |    '[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS redacted
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q88_pack_batches" ->
-      """WITH toks AS (
-        |  SELECT source, doc_id,
-        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
-        |  FROM documents),
-        |cums AS (
-        |  SELECT source, doc_id, n_tokens,
-        |    sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
-        |  FROM toks)
-        |SELECT source, CAST((cum - n_tokens) // 2048 AS BIGINT) AS batch_id,
-        |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS batch_tokens,
-        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
-        |FROM cums GROUP BY 1, 2 ORDER BY source, batch_id""".stripMargin,
+      s"""WITH toks AS (
+         |  SELECT source, doc_id,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |${packSql("toks")}""".stripMargin,
     "q85_tfidf" ->
       """WITH tokens AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),

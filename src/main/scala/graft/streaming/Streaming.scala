@@ -31,15 +31,18 @@ object Streaming {
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
-  /** Run `body` with a reduced shuffle-partition count: streaming state
-    * (store commits, per-partition files) costs per partition per
-    * micro-batch, so a stateful local stream wants far fewer partitions
-    * than a batch shuffle. Restores the prior setting afterwards. */
-  private def withStreamPartitions[T](spark: SparkSession, n: Int)(body: => T): T = {
-    val key = "spark.sql.shuffle.partitions"
-    val prior = spark.conf.get(key)
-    spark.conf.set(key, n.toString)
-    try body finally spark.conf.set(key, prior)
+  /** Run `body` against a session CLONE with a reduced shuffle-partition
+    * count: streaming state (store commits, per-partition files) costs
+    * per partition per micro-batch, so a stateful local stream wants far
+    * fewer partitions than a batch shuffle. A clone (shared SparkContext,
+    * cache and catalog state; private conf) rather than set/finally-
+    * restore: mutating the shared session's conf races with concurrent
+    * queries planned while the stream runs. */
+  private def withStreamPartitions[T](spark: SparkSession, n: Int)
+                                     (body: SparkSession => T): T = {
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions", n.toString)
+    body(s2)
   }
 
   /** Resolve a memory-sink view into a standalone DataFrame and drop the
@@ -72,9 +75,9 @@ object Streaming {
     * batch-equivalent answer needs complete output. Append-mode flush and
     * late-data dropping are exercised in StreamingSpec. */
   def tumblingHourly(spark: SparkSession, dir: String): DataFrame =
-      withStreamPartitions(spark, 4) {
+      withStreamPartitions(spark, 4) { sp =>
     val name = s"graft_tumbling_${System.nanoTime()}"
-    val q = eventsStream(spark, dir)
+    val q = eventsStream(sp, dir)
       .withWatermark("ts", "30 minutes")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("sum_cents"))
@@ -84,21 +87,21 @@ object Streaming {
       .format("memory").queryName(name)
       .start()
     try q.processAllAvailable() finally q.stop()
-    drainMemorySink(spark, name).orderBy("window_start", "event_type")
+    drainMemorySink(sp, name).orderBy("window_start", "event_type")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
-    "q94_stream_onebrc" -> ((s, _) => withStreamPartitions(s, 4) {
+    "q94_stream_onebrc" -> ((s, _) => withStreamPartitions(s, 4) { sp =>
       // the flagship workload AS A STREAM: readStream over the 1BRC text
       // format, the custom primitive parse expressions, integer-tenths
       // aggregation in complete mode — new measurement files landing in
       // the directory would update the per-station stats incrementally.
       // Single-batch over the golden fixture ⇒ equals the batch answer
       // (same oracle as q08/q19).
-      graft.functions.BrcSplitParse.register(s)
+      graft.functions.BrcSplitParse.register(sp)
       val name = s"graft_sbrc_${System.nanoTime()}"
-      val q = s.readStream
+      val q = sp.readStream
         .schema(StructType(Seq(StructField("value", StringType))))
         .option("pathGlobFilter", "measurements_golden.csv")
         .text("/root/repo/fixtures")
@@ -111,12 +114,12 @@ object Streaming {
         .format("memory").queryName(name)
         .start()
       try q.processAllAvailable() finally q.stop()
-      graft.onebrc.OneBrc.tenthsFinal(drainMemorySink(s, name))
+      graft.onebrc.OneBrc.tenthsFinal(drainMemorySink(sp, name))
     }),
 
     "q95_stream_tumbling" -> ((s, d) => tumblingHourly(s, d)),
 
-    "q97_stream_stream_join" -> ((s, d) => withStreamPartitions(s, 4) {
+    "q97_stream_stream_join" -> ((s, d) => withStreamPartitions(s, 4) { sp =>
       // stream-stream inner join: purchases joined to same-user clicks in
       // the preceding 10 minutes. Both sides watermarked and the join
       // condition time-bounded — the two requirements that let Spark evict
@@ -124,11 +127,11 @@ object Streaming {
       // emit matches as they arrive, so the single-batch result equals the
       // batch range join (the oracle).
       val name = s"graft_ssj_${System.nanoTime()}"
-      val clicks = eventsStream(s, d)
+      val clicks = eventsStream(sp, d)
         .filter(col("event_type") === "click")
         .select(col("user_id"), col("ts").as("c_ts"), col("event_id").as("c_id"))
         .withWatermark("c_ts", "1 hour")
-      val purchases = eventsStream(s, d)
+      val purchases = eventsStream(sp, d)
         .filter(col("event_type") === "purchase")
         .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
           col("event_id").as("p_id"))
@@ -143,10 +146,10 @@ object Streaming {
         .format("memory").queryName(name)
         .start()
       try q.processAllAvailable() finally q.stop()
-      drainMemorySink(s, name).orderBy("user_id", "p_id", "c_id")
+      drainMemorySink(sp, name).orderBy("user_id", "p_id", "c_id")
     }),
 
-    "q98_stream_dedup" -> ((s, d) => withStreamPartitions(s, 4) {
+    "q98_stream_dedup" -> ((s, d) => withStreamPartitions(s, 4) { sp =>
       // STREAMING dedup — the q61 fingerprint dedup as a stateful stream:
       // dropDuplicates keeps the fingerprint set in the state store and
       // emits each first occurrence in append mode, so new files landing in
@@ -157,19 +160,18 @@ object Streaming {
       // unbounded streams is dropDuplicatesWithinWatermark (bounded state,
       // same plan otherwise).
       val name = s"graft_sdedup_${System.nanoTime()}"
-      val q = s.readStream.schema(docsSchema)
+      val q = sp.readStream.schema(docsSchema)
         .option("pathGlobFilter", "documents.parquet").parquet(d)
-        .select(md5(trim(regexp_replace(lower(col("text")), "\\s+", " ")))
-          .as("fp"))
+        .select(graft.operators.Dedup.contentFp(col("text")).as("fp"))
         .dropDuplicates("fp")
         .writeStream.outputMode("append")
         .format("memory").queryName(name)
         .start()
       try q.processAllAvailable() finally q.stop()
-      drainMemorySink(s, name).orderBy("fp")
+      drainMemorySink(sp, name).orderBy("fp")
     }),
 
-    "q99_stream_delta_admit" -> ((s, d) => withStreamPartitions(s, 4) {
+    "q99_stream_delta_admit" -> ((s, d) => withStreamPartitions(s, 4) { sp =>
       // stream-STATIC join — the admission-controller shape that closes
       // the incremental-dedup loop: the BATCH layer stages a reject list
       // (q78's exact + near-dup losers vs the corpus); the STREAMING
@@ -179,8 +181,13 @@ object Streaming {
       // at scale it is the broadcast-able reject list, not corpus state
       // in the stream's checkpoint.
       val name = s"graft_sadmit_${System.nanoTime()}"
+      // rejects stay keyed to the CALLER's long-lived session (the memo
+      // would never hit under the per-invocation clone); joining the
+      // clone-rooted stream to a base-session static frame is fine — the
+      // merged plan executes under the stream's session, and the shared
+      // CacheManager serves the memoized labels either way
       val rejects = graft.operators.Dedup.deltaRejects(s, d)
-      val q = s.readStream.schema(docsSchema)
+      val q = sp.readStream.schema(docsSchema)
         .option("pathGlobFilter", "documents.parquet").parquet(d)
         .filter(graft.operators.Dedup.isDeltaDoc)
         .select(col("doc_id"), col("lang"), col("source"))
@@ -189,7 +196,7 @@ object Streaming {
         .format("memory").queryName(name)
         .start()
       try q.processAllAvailable() finally q.stop()
-      drainMemorySink(s, name).orderBy("doc_id")
+      drainMemorySink(sp, name).orderBy("doc_id")
     }),
 
     "q96_session_window" -> ((s, d) =>
@@ -222,8 +229,8 @@ object Streaming {
         | AND c.ts >= p.ts - INTERVAL 10 MINUTE AND c.ts <= p.ts
         |ORDER BY p.user_id, p_id, c_id""".stripMargin,
     "q98_stream_dedup" ->
-      """SELECT DISTINCT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
-        |FROM documents ORDER BY fp""".stripMargin,
+      s"""SELECT DISTINCT ${graft.operators.Dedup.contentFpSql} AS fp
+         |FROM documents ORDER BY fp""".stripMargin,
     "q99_stream_delta_admit" -> graft.operators.Dedup.deltaAdmitOracleSql,
     "q96_session_window" ->
       // gaps-and-islands: a new session starts when the gap > 30 minutes
