@@ -93,6 +93,37 @@ object Similarity {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    "q35_embed_quantize" -> ((s, d) => {
+      // int8 symmetric quantization — the storage-compression step before
+      // ANN indexing (4x smaller vectors, SIMD-friendly int8 dot
+      // products): per-vector absmax scale, q = round(x/scale) in
+      // [-127,127], spelled floor(x/scale + 0.5) so both engines round
+      // identically. The reconstruction-error metric is the repo's
+      // scaled-integer idiom end to end: per-element error quantized to
+      // nano-units BEFORE summing, so the per-vector SSE is an exact
+      // BIGINT (order-independent — a double sum would differ in the
+      // last ulp between partial-sum orders, i.e. between cluster
+      // layouts). posexplode + groupBy keeps every step codegen-friendly;
+      // no per-element lambda in the hot path.
+      val ex = t(s, d, "embeddings")
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "x")))
+        .select(col("vec_id"), col("x").cast("double").as("xd"))
+      val am = ex.groupBy(col("vec_id"))
+        .agg(max(abs(col("xd"))).as("amax"), count(lit(1)).as("n_dims"))
+      ex.join(am, "vec_id")
+        .withColumn("qv", when(col("amax") === 0, lit(0L))
+          .otherwise(floor(col("xd") / (col("amax") / lit(127.0)) + lit(0.5))
+            .cast("long")))
+        .withColumn("en",
+          round((col("xd") - col("qv") * (col("amax") / lit(127.0))) * 1e9)
+            .cast("long"))
+        .groupBy(col("vec_id"))
+        .agg(first(col("n_dims")).as("n_dims"),
+          (round(first(col("amax")) * 1e6) / 1e6).as("amax6"),
+          sum(col("en") * col("en")).as("sse_nano2"))
+        .orderBy("vec_id")
+    }),
+
     "q70_knn_brute" -> ((s, d) => {
       VectorExpressions.register(s)
       val e = t(s, d, "embeddings")
@@ -181,6 +212,24 @@ object Similarity {
   )
 
   val oracle: Map[String, String] = Map(
+
+    "q35_embed_quantize" ->
+      """WITH ex AS (
+        |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS xd
+        |  FROM embeddings),
+        |am AS (
+        |  SELECT vec_id, max(abs(xd)) AS amax, count(*) AS n_dims
+        |  FROM ex GROUP BY 1),
+        |qe AS (
+        |  SELECT e.vec_id, n_dims, amax,
+        |    CAST(round((xd - (CASE WHEN amax = 0 THEN 0
+        |                           ELSE CAST(floor(xd / (amax/127.0) + 0.5) AS BIGINT)
+        |                      END) * (amax/127.0)) * 1e9) AS BIGINT) AS en
+        |  FROM ex e JOIN am USING (vec_id))
+        |SELECT vec_id, n_dims, round(amax*1e6)/1e6 AS amax6,
+        |  CAST(sum(en*en) AS BIGINT) AS sse_nano2
+        |FROM qe GROUP BY vec_id, n_dims, amax
+        |ORDER BY vec_id""".stripMargin,
     "q70_knn_brute" ->
       s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
          |q AS (SELECT vec_id AS q_id, embedding AS qe FROM e WHERE vec_id < 5),
