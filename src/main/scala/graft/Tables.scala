@@ -39,6 +39,21 @@ object Tables {
   /** exact cents sum -> dollars as double (same conversion both engines). */
   def dollars(sumCents: Column): Column = sumCents.cast("double") / 100.0
 
+  /** Session clone that KEEPS the caller's runtime SQL confs. Bare
+    * `newSession()` re-derives SQLConf from the SparkConf only, silently
+    * dropping session-level overrides (ANSI mode, timezone, broadcast
+    * threshold, legacy flags) — a query run in such a clone would diverge
+    * from every batch query on the caller's session. Static confs can't
+    * be re-set on a live session and are skipped (they're shared through
+    * the SparkContext anyway). */
+  def sessionClone(base: SparkSession): SparkSession = {
+    val s2 = base.newSession()
+    base.conf.getAll.foreach { case (k, v) =>
+      try s2.conf.set(k, v) catch { case _: Exception => () }
+    }
+    s2
+  }
+
   /** Parity-safe 1-decimal rounding: round to INTEGER granularity after
     * scaling. `round(x, 1)` itself is NOT parity-safe across engines
     * (Spark rounds the shortest decimal repr HALF_UP; DuckDB rounds the

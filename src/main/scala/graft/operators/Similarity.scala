@@ -108,6 +108,10 @@ object Similarity {
       val ex = t(s, d, "embeddings")
         .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "x")))
         .select(col("vec_id"), col("x").cast("double").as("xd"))
+        // referenced under the amax aggregate AND as the join probe —
+        // different exchange shapes, so ReuseExchange can't deduplicate
+        // the scan+explode; persist or it computes twice
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val am = ex.groupBy(col("vec_id"))
         .agg(max(abs(col("xd"))).as("amax"), count(lit(1)).as("n_dims"))
       ex.join(am, "vec_id")

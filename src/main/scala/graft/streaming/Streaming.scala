@@ -40,7 +40,9 @@ object Streaming {
     * queries planned while the stream runs. */
   private def withStreamPartitions[T](spark: SparkSession, n: Int)
                                      (body: SparkSession => T): T = {
-    val s2 = spark.newSession()
+    // sessionClone, not bare newSession: the clone keeps the caller's
+    // runtime conf overrides (ANSI, timezone, broadcast threshold)
+    val s2 = graft.Tables.sessionClone(spark)
     s2.conf.set("spark.sql.shuffle.partitions", n.toString)
     body(s2)
   }
