@@ -399,10 +399,16 @@ object Relational {
         .orderBy("l_returnflag")),
 
     "q26_percentile" -> ((s, d) =>
+      // ONE percentile aggregate with an array of fractions, not three:
+      // exact percentile buffers every group value, so three separate
+      // aggs would build (and merge, and sort) three copies of the data —
+      // the array form sorts once and probes three offsets.
       t(s, d, "lineitem").groupBy(col("l_returnflag"))
-        .agg(r4(expr("percentile(l_extendedprice, 0.25)")).as("p25"),
-          r4(expr("percentile(l_extendedprice, 0.5)")).as("p50"),
-          r4(expr("percentile(l_extendedprice, 0.75)")).as("p75"))
+        .agg(expr("percentile(l_extendedprice, array(0.25, 0.5, 0.75))").as("ps"))
+        .select(col("l_returnflag"),
+          r4(element_at(col("ps"), 1)).as("p25"),
+          r4(element_at(col("ps"), 2)).as("p50"),
+          r4(element_at(col("ps"), 3)).as("p75"))
         .orderBy("l_returnflag")),
 
     "q17_range_join" -> ((s, d) => {
@@ -447,6 +453,47 @@ object Relational {
       salted.groupBy(col("event_type"))
         .agg(sum(col("pn")).as("n"), dollars(sum(col("pc"))).as("total"))
         .orderBy("event_type")
+    }),
+
+    "q39_merge_upsert" -> ((s, d) => {
+      // SCD-1 CDC merge (upsert) without a lakehouse format: apply a
+      // change batch to a dimension snapshot via ONE full-outer shuffle
+      // on the business key — latest-wins columns by coalesce, inserts =
+      // delta keys absent from the snapshot, unchanged rows pass through.
+      // Both sides are pruned to key + touched columns before the join,
+      // and AQE's skew handling covers a hot key; this is the standard
+      // incremental-dimension maintenance shape at 100 TB. The change
+      // batch here is the per-customer order-total delta plus two
+      // synthetic new keys so all three merge outcomes are exercised.
+      import s.implicits._
+      val snap = t(s, d, "customer").select(
+        col("c_custkey").cast("long").as("custkey"),
+        col("c_name").as("name"),
+        cents(col("c_acctbal")).as("old_cents"))
+      val delta = t(s, d, "orders")
+        // keep a third of the keys out of the batch so the merge exercises
+        // all three outcomes (every customer here has orders otherwise)
+        .filter(col("o_custkey") % 3 =!= 0)
+        .groupBy(col("o_custkey"))
+        .agg(sum(cents(col("o_totalprice"))).as("delta_cents"),
+          count(lit(1)).as("n_orders"))
+        .select(col("o_custkey").cast("long").as("custkey"),
+          col("delta_cents"), col("n_orders"))
+        .unionByName(Seq((-1L, 123450L, 1L), (-2L, 678900L, 2L))
+          .toDF("custkey", "delta_cents", "n_orders"))
+      snap.join(delta, Seq("custkey"), "full_outer")
+        .withColumn("status",
+          when(col("old_cents").isNull, "insert")
+            .when(col("delta_cents").isNull, "unchanged")
+            .otherwise("update"))
+        .withColumn("new_cents",
+          coalesce(col("old_cents"), lit(0L)) +
+            coalesce(col("delta_cents"), lit(0L)))
+        .withColumn("name",
+          coalesce(col("name"), concat(lit("NEW#"), col("custkey").cast("string"))))
+        .select(col("custkey"), col("name"), col("old_cents"),
+          col("delta_cents"), col("n_orders"), col("new_cents"), col("status"))
+        .orderBy("custkey")
     }),
 
     "q27_pivot" -> ((s, d) =>
@@ -690,6 +737,29 @@ object Relational {
         |  ON a.user_id = b.user_id AND a.event_id < b.event_id
         | AND abs(epoch_us(b.ts) - epoch_us(a.ts)) <= 120000000
         |ORDER BY a.user_id, i, j""".stripMargin,
+    "q39_merge_upsert" ->
+      """WITH snap AS (
+        |  SELECT CAST(c_custkey AS BIGINT) AS custkey, c_name AS name,
+        |    CAST(round(c_acctbal*100) AS BIGINT) AS old_cents FROM customer),
+        |delta AS (
+        |  SELECT CAST(o_custkey AS BIGINT) AS custkey,
+        |    CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS delta_cents,
+        |    count(*) AS n_orders
+        |  FROM orders WHERE o_custkey % 3 <> 0 GROUP BY 1
+        |  UNION ALL
+        |  SELECT * FROM (VALUES
+        |    (CAST(-1 AS BIGINT), CAST(123450 AS BIGINT), CAST(1 AS BIGINT)),
+        |    (CAST(-2 AS BIGINT), CAST(678900 AS BIGINT), CAST(2 AS BIGINT)))
+        |    v(custkey, delta_cents, n_orders))
+        |SELECT coalesce(s.custkey, d.custkey) AS custkey,
+        |  coalesce(s.name, 'NEW#' || coalesce(s.custkey, d.custkey)) AS name,
+        |  s.old_cents, d.delta_cents, d.n_orders,
+        |  coalesce(s.old_cents, 0) + coalesce(d.delta_cents, 0) AS new_cents,
+        |  CASE WHEN s.custkey IS NULL THEN 'insert'
+        |       WHEN d.custkey IS NULL THEN 'unchanged'
+        |       ELSE 'update' END AS status
+        |FROM snap s FULL OUTER JOIN delta d ON s.custkey = d.custkey
+        |ORDER BY custkey""".stripMargin,
     "q34_salted_agg" ->
       """SELECT event_type, count(*) AS n,
         |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS DOUBLE)/100.0 AS total

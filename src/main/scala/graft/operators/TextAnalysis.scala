@@ -73,7 +73,98 @@ object TextAnalysis {
     substring(md5(col("doc_id").cast("string")), 1, 2) <=
       when(col("lang") === "en", lit("32")).otherwise(lit("7f"))
 
+  /** Word n-gram list (as space-joined strings) over a `toks` array column,
+    * empty when the doc is too short. The `when` guard matters: Spark's
+    * `sequence(1, 0)` is DESCENDING ([1, 0]), not empty, so an unguarded
+    * short doc would index element 0 and null-pollute the grams. */
+  private def wordGrams(n: Int): org.apache.spark.sql.Column =
+    when(size(col("toks")) >= n,
+      transform(sequence(lit(1), size(col("toks")) - (n - 1)),
+        i => concat_ws(" ",
+          (0 until n).map(k => element_at(col("toks"), i + lit(k))): _*)))
+      .otherwise(array().cast("array<string>"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "q36_bpe_pairs" -> ((s, d) =>
+      // BPE vocabulary induction, one merge round (the tokenizer-training
+      // primitive): count adjacent character pairs over every token
+      // occurrence in the corpus and rank merge candidates. The explode →
+      // groupBy shape is map-side-combinable — at 100 TB each task folds
+      // its shard's pairs to ≤ |alphabet|² partial counts before the
+      // exchange, so the shuffle is O(distinct pairs), not O(corpus).
+      t(s, d, "documents")
+        .select(explode(split(col("text"), " ")).as("word"))
+        .filter(length(col("word")) >= 2) // 1-char words carry no pair
+        .select(explode(transform(sequence(lit(1), length(col("word")) - 1),
+          i => col("word").substr(i, lit(2)))).as("pair"))
+        .groupBy(col("pair")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("pair"))
+        .limit(32)),
+
+    "q37_repetition" -> ((s, d) => {
+      // Gopher-style within-document repetition filters: most-common-token
+      // fraction and duplicate bi/trigram fractions, with a keep verdict.
+      // The token-frequency side is explode+groupBy (distributed, map-side
+      // combined), NOT an O(n²) per-row expression; the gram side is
+      // expression-level over the token array. Fractions are long/long
+      // IEEE divisions — exact and engine-identical.
+      val base = t(s, d, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      val tf = base.select(col("doc_id"), explode(col("toks")).as("tok"))
+        .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+      val top = tf.groupBy(col("doc_id"))
+        .agg(max(col("tf")).as("max_tf"), sum(col("tf")).as("n_tokens"))
+      val rep = base.select(col("doc_id"),
+        size(wordGrams(2)).cast("long").as("n_bi"),
+        size(array_distinct(wordGrams(2))).cast("long").as("n_bi_d"),
+        size(wordGrams(3)).cast("long").as("n_tri"),
+        size(array_distinct(wordGrams(3))).cast("long").as("n_tri_d"))
+      top.join(rep, "doc_id")
+        .withColumn("top_tok_frac",
+          col("max_tf").cast("double") / col("n_tokens"))
+        .withColumn("dup_bi_frac",
+          when(col("n_bi") === 0, lit(0.0))
+            .otherwise((col("n_bi") - col("n_bi_d")).cast("double") / col("n_bi")))
+        .withColumn("dup_tri_frac",
+          when(col("n_tri") === 0, lit(0.0))
+            .otherwise((col("n_tri") - col("n_tri_d")).cast("double") / col("n_tri")))
+        .withColumn("keep",
+          (col("top_tok_frac") <= 0.12 && col("dup_bi_frac") <= 0.2 &&
+            col("dup_tri_frac") <= 0.05).cast("int"))
+        .select(col("doc_id"), col("n_tokens"), col("max_tf"),
+          col("top_tok_frac"), col("n_bi"), col("n_bi_d"), col("dup_bi_frac"),
+          col("n_tri"), col("n_tri_d"), col("dup_tri_frac"), col("keep"))
+        .orderBy("doc_id")
+    }),
+
+    "q38_mix_weights" -> ((s, d) => {
+      // Temperature-scaled source mixing (the multi-corpus training-mix
+      // move): share_s = tokens_s / total, weight_s ∝ share_s^(1/2)
+      // (alpha = 0.5 flattens the mix toward rare sources), then a
+      // 1M-token budget allocation and implied per-source epochs. sqrt is
+      // IEEE-correctly-rounded in both engines, and BOTH normalizing sums
+      // run over integer-quantized values (exact longs), so aggregation
+      // order — Spark's partial/final tree vs DuckDB's sequential scan —
+      // can never change a bit of the output.
+      val perSrc = t(s, d, "documents")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(split(col("text"), " "))).cast("long").as("tokens"))
+      val tot = perSrc.agg(sum(col("tokens")).as("total_tokens"))
+      val scored = perSrc.crossJoin(tot) // lazy 1-row broadcast, q85 idiom
+        .withColumn("share", col("tokens").cast("double") / col("total_tokens"))
+        .withColumn("wq", round(sqrt(col("share")) * 1e9).cast("long"))
+      val wtot = scored.agg(sum(col("wq")).as("wq_total"))
+      scored.crossJoin(wtot)
+        .withColumn("weight", col("wq").cast("double") / col("wq_total"))
+        .withColumn("target_tokens", round(col("weight") * 1e6).cast("long"))
+        .withColumn("epochs6",
+          round(col("target_tokens").cast("double") / col("tokens") * 1e6) / 1e6)
+        .select(col("source"), col("n_docs"), col("tokens"), col("share"),
+          col("weight"), col("target_tokens"), col("epochs6"))
+        .orderBy("source")
+    }),
 
     "q80_token_stats" -> ((s, d) =>
       // token counting: whitespace tokenizer + a BPE-style pre-tokenizer
@@ -271,6 +362,65 @@ object TextAnalysis {
   )
 
   val oracle: Map[String, String] = Map(
+    "q36_bpe_pairs" ->
+      """WITH words AS (
+        |  SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+        |pairs AS (
+        |  SELECT unnest(list_transform(range(1, strlen(word)),
+        |    i -> substr(word, i, 2))) AS pair
+        |  FROM words WHERE strlen(word) >= 2)
+        |SELECT pair, count(*) AS n FROM pairs
+        |GROUP BY 1 ORDER BY n DESC, pair LIMIT 32""".stripMargin,
+    "q37_repetition" ->
+      """WITH base AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |tfc AS (SELECT doc_id, tok, count(*) AS tf
+        |  FROM (SELECT doc_id, unnest(toks) AS tok FROM base) GROUP BY 1, 2),
+        |top AS (SELECT doc_id, CAST(max(tf) AS BIGINT) AS max_tf,
+        |  CAST(sum(tf) AS BIGINT) AS n_tokens FROM tfc GROUP BY 1),
+        |g AS (SELECT doc_id,
+        |  list_transform(range(1, len(toks)),
+        |    i -> toks[i] || ' ' || toks[i+1]) AS bi,
+        |  list_transform(range(1, len(toks)-1),
+        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS tri
+        |  FROM base),
+        |rep AS (SELECT doc_id,
+        |  CAST(len(bi) AS BIGINT) AS n_bi,
+        |  CAST(len(list_distinct(bi)) AS BIGINT) AS n_bi_d,
+        |  CAST(len(tri) AS BIGINT) AS n_tri,
+        |  CAST(len(list_distinct(tri)) AS BIGINT) AS n_tri_d
+        |  FROM g),
+        |m AS (SELECT doc_id, n_tokens, max_tf,
+        |  CAST(max_tf AS DOUBLE) / n_tokens AS top_tok_frac,
+        |  n_bi, n_bi_d,
+        |  CASE WHEN n_bi = 0 THEN 0.0
+        |       ELSE CAST(n_bi - n_bi_d AS DOUBLE) / n_bi END AS dup_bi_frac,
+        |  n_tri, n_tri_d,
+        |  CASE WHEN n_tri = 0 THEN 0.0
+        |       ELSE CAST(n_tri - n_tri_d AS DOUBLE) / n_tri END AS dup_tri_frac
+        |  FROM top JOIN rep USING (doc_id))
+        |SELECT doc_id, n_tokens, max_tf, top_tok_frac, n_bi, n_bi_d,
+        |  dup_bi_frac, n_tri, n_tri_d, dup_tri_frac,
+        |  CAST(top_tok_frac <= 0.12 AND dup_bi_frac <= 0.2
+        |       AND dup_tri_frac <= 0.05 AS INT) AS keep
+        |FROM m ORDER BY doc_id""".stripMargin,
+    "q38_mix_weights" ->
+      """WITH per AS (
+        |  SELECT source, count(*) AS n_docs,
+        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens
+        |  FROM documents GROUP BY 1),
+        |tot AS (SELECT CAST(sum(tokens) AS BIGINT) AS total_tokens FROM per),
+        |sc AS (SELECT source, n_docs, tokens,
+        |    CAST(tokens AS DOUBLE) / total_tokens AS share,
+        |    CAST(round(sqrt(CAST(tokens AS DOUBLE) / total_tokens) * 1e9)
+        |      AS BIGINT) AS wq
+        |  FROM per CROSS JOIN tot),
+        |wt AS (SELECT CAST(sum(wq) AS BIGINT) AS wq_total FROM sc)
+        |SELECT source, n_docs, tokens, share,
+        |  CAST(wq AS DOUBLE) / wq_total AS weight,
+        |  CAST(round(CAST(wq AS DOUBLE) / wq_total * 1e6) AS BIGINT) AS target_tokens,
+        |  round(CAST(round(CAST(wq AS DOUBLE) / wq_total * 1e6) AS BIGINT)
+        |    / tokens * 1e6) / 1e6 AS epochs6
+        |FROM sc CROSS JOIN wt ORDER BY source""".stripMargin,
     "q75_stratified_sample" ->
       s"""SELECT lang, count(*) AS n_sampled,
          |  CAST(sum(n_chars) AS BIGINT) AS chars
