@@ -21,7 +21,15 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // SPARK_GRAFT_ONLY=q10_...,q20_... restricts the run (profiling aid);
+    // SPARK_GRAFT_REPS=N times each query N times and reports the MINIMUM
+    // (the least-interference estimate — local[32] numbers carry ±0.5 s of
+    // GC/scheduler noise per query, see README bench notes).
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "1").toInt
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
     def run(name: String): Long = {
       val t0 = System.nanoTime()
       // noop write, NOT count(): count() lets Catalyst elide the entire
@@ -37,7 +45,7 @@ object Bench {
       System.nanoTime() - t0
     }
     names.foreach(run) // warmup pass (untimed)
-    val results = names.map(n => n -> run(n))
+    val results = names.map(n => n -> (1 to reps).map(_ => run(n)).min)
     def fmt(v: Long): String =
       if (v < 0) "-1" else BigDecimal(v / 1e9).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     def qJson(rs: Seq[(String, Long)]): String =
