@@ -201,6 +201,69 @@ class ScaleTechniquesSpec extends SparkSpec {
     assert(maxDf <= op.ShingleDfCap)
   }
 
+  test("runtime bloom filter from a filtered dim prunes fact rows pre-shuffle") {
+    // the row-level sibling of dynamic partition pruning: when the fact
+    // side is NOT partitioned on the join key, Spark can still build a
+    // bloom filter from the filtered dim at runtime and apply it to the
+    // fact scan BEFORE the shuffle — at 100 TB that turns a full-fact
+    // shuffle into a shuffle of only might-match rows. Thresholds are
+    // lowered so the local replica takes the same path a cluster would.
+    val s = spark
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "1KB",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prior = confs.map { case (k, _) => k -> s.conf.getOption(k) }
+    try {
+      confs.foreach { case (k, v) => s.conf.set(k, v) }
+      val fact = s.read.parquet(s"$sf0001/lineitem.parquet")
+        .select(col("l_orderkey"), col("l_quantity"))
+      val dim = s.read.parquet(s"$sf0001/orders.parquet")
+        .filter(col("o_totalprice") > 500000.0) // selective: builds the filter
+        .select(col("o_orderkey"))
+      val joined = fact.join(dim, col("l_orderkey") === col("o_orderkey"))
+        .agg(count(lit(1)).as("n"))
+      val optimized = joined.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("might_contain"),
+        s"runtime bloom filter must be injected on the fact side, plan:\n$optimized")
+      // and the result is unaffected by the filter (it only skips non-matches)
+      val n = joined.head.getLong(0)
+      val expected = fact.join(
+        s.read.parquet(s"$sf0001/orders.parquet")
+          .filter(col("o_totalprice") > 500000.0).select(col("o_orderkey")).hint("broadcast"),
+        col("l_orderkey") === col("o_orderkey")).count()
+      assert(n == expected)
+    } finally prior.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
+  }
+
+  test("schema evolution: mergeSchema unifies old and new parquet layouts") {
+    // 100 TB corpora are written over months — columns get added. A reader
+    // must unify an old layout (no `quality` column) with a new one
+    // without rewriting history: mergeSchema=true unions the schemas and
+    // null-fills the missing column for old files, and predicates on the
+    // NEW column still push down to the scan (old files prune entirely on
+    // row-group stats since a missing column is all-null).
+    import spark.implicits._
+    val dir = s"$wh/evolving"
+    Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/batch=1")
+    Seq((3L, "gamma", 0.9), (4L, "delta", 0.2))
+      .toDF("doc_id", "text", "quality")
+      .write.mode("overwrite").parquet(s"$dir/batch=2")
+    val all = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(all.schema.fieldNames.toSet == Set("doc_id", "text", "quality", "batch"))
+    assert(all.count() == 4)
+    assert(all.filter(col("quality").isNull).count() == 2, "old files null-fill")
+    val q = all.filter(col("quality") > 0.5)
+    assert(q.count() == 1)
+    assert(q.queryExecution.executedPlan.toString.contains("PushedFilters: [IsNotNull(quality), GreaterThan(quality"),
+      "predicate on the evolved column must still reach the scan")
+  }
+
   test("Observation collects pipeline metrics with no extra pass") {
     // at 100 TB the difference between df.observe and a separate
     // metrics query is a full corpus scan: observe piggybacks exact
