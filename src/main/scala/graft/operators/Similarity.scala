@@ -205,6 +205,60 @@ object Similarity {
         .orderBy("q_id", "rn")
     }),
 
+    "q100_pq_ann" -> ((s, d) => {
+      // Product quantization ANN — the third quantized-ANN leg after int8
+      // (q35) and IVF (q73): vectors split into M=4 subspaces of 16 dims;
+      // each subvector encoded as the nearest of K=16 codebook entries, so
+      // a 64-float vector compresses to 4 bytes and query scoring is ADC
+      // (asymmetric distance computation): a per-query 4×16 lookup table,
+      // approx_dist = Σ_m table[m][code_m]. At corpus scale the encoded
+      // table is ~64× smaller than the vectors and scoring never touches
+      // floats — the memory-bound scan PQ exists for. The codebook here is
+      // the first K vectors (externally-trained stand-in, the q73 move);
+      // every distance is quantized to integer nano-units per element
+      // BEFORE summing (the q35 idiom), so encode and scoring are exact
+      // longs — bit-identical across any partitioning and vs the oracle.
+      val M = 4; val SubDim = Dim / M; val K = 16; val NQueries = 3
+      val ex = t(s, d, "embeddings")
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "x")))
+        .select(col("vec_id"), (col("i") / SubDim).cast("int").as("m"),
+          pmod(col("i"), lit(SubDim)).as("im"), col("x").cast("double").as("xd"))
+      // codebook from its own pruned scan (vec_id < K pushes down to
+      // parquet) — broadcast: M*SubDim*K = 1024 rows
+      val cb = t(s, d, "embeddings").filter(col("vec_id") < K)
+        .select(col("vec_id").cast("int").as("k"),
+          posexplode(col("embedding")).as(Seq("i", "x")))
+        .select(col("k"), (col("i") / SubDim).cast("int").as("m"),
+          pmod(col("i"), lit(SubDim)).as("im"), col("x").cast("double").as("c"))
+      val dist = ex.join(broadcast(cb), Seq("m", "im"))
+        .withColumn("en",
+          round((col("xd") - col("c")) * (col("xd") - col("c")) * 1e9)
+            .cast("long"))
+        .groupBy(col("vec_id"), col("m"), col("k"))
+        .agg(sum(col("en")).as("dn"))
+        // referenced twice (encode argmin + ADC tables) with different
+        // downstream shapes — persist or the explode+join runs twice
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // encode: argmin_k over exact integer distances, ties -> smallest k
+      // (min over (dn, k) structs = lexicographic argmin, no window pass)
+      val codes = dist.groupBy(col("vec_id"), col("m"))
+        .agg(min(struct(col("dn"), col("k"))).as("best"))
+        .select(col("vec_id"), col("m"), col("best.k").as("k"))
+      // ADC: the query's own per-(m, k) distances ARE its lookup table
+      val adc = dist.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("q_id"), col("m"), col("k"), col("dn"))
+      val approx = codes.join(broadcast(adc), Seq("m", "k"))
+        .groupBy(col("q_id"), col("vec_id"))
+        .agg(sum(col("dn")).as("ad_nano")) // 4 longs per pair — exact
+        .where(col("vec_id") =!= col("q_id"))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("ad_nano"), col("vec_id"))
+      approx.withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 10)
+        .select(col("q_id"), col("vec_id"), col("ad_nano"), col("rn"))
+        .orderBy("q_id", "rn")
+    }),
+
     "q72_centroids" -> ((s, d) =>
       // per-label centroid components — the aggregation shape of k-means /
       // class-prototype computation (long form: one row per (label, dim))
@@ -315,6 +369,36 @@ object Similarity {
          |  FROM scored)
          |SELECT q_id, cell, vec_id, round(cos*1e6)/1e6 AS cos6, rn
          |FROM ranked WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin,
+    "q100_pq_ann" ->
+      s"""WITH ex AS (
+         |  SELECT vec_id, (i-1) // 16 AS m, (i-1) % 16 AS im,
+         |    CAST(embedding[i] AS DOUBLE) AS xd
+         |  FROM (SELECT vec_id, embedding, unnest(range(1, ${Dim + 1})) AS i
+         |        FROM embeddings)),
+         |cb AS (SELECT vec_id AS k, m, im, xd AS c FROM ex WHERE vec_id < 16),
+         |dist AS (
+         |  SELECT e.vec_id, e.m, c.k,
+         |    CAST(sum(CAST(round((e.xd - c.c)*(e.xd - c.c)*1e9) AS BIGINT))
+         |      AS BIGINT) AS dn
+         |  FROM ex e JOIN cb c ON e.m = c.m AND e.im = c.im
+         |  GROUP BY 1, 2, 3),
+         |codes AS (
+         |  SELECT vec_id, m, k FROM (
+         |    SELECT vec_id, m, k,
+         |      row_number() OVER (PARTITION BY vec_id, m ORDER BY dn, k) AS rn
+         |    FROM dist) WHERE rn = 1),
+         |adc AS (SELECT vec_id AS q_id, m, k, dn FROM dist WHERE vec_id < 3),
+         |approx AS (
+         |  SELECT q_id, c.vec_id, CAST(sum(a.dn) AS BIGINT) AS ad_nano
+         |  FROM codes c JOIN adc a USING (m, k)
+         |  GROUP BY 1, 2),
+         |ranked AS (
+         |  SELECT q_id, vec_id, ad_nano,
+         |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY ad_nano, vec_id)
+         |      AS BIGINT) AS rn
+         |  FROM approx WHERE vec_id != q_id)
+         |SELECT q_id, vec_id, ad_nano, rn FROM ranked
+         |WHERE rn <= 10 ORDER BY q_id, rn""".stripMargin,
     "q72_centroids" ->
       s"""SELECT label, CAST(i AS BIGINT) AS i,
          |  round(avg(CAST(embedding[i] AS DOUBLE))*1e6)/1e6 AS mean6,

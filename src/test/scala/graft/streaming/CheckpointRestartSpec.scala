@@ -90,4 +90,65 @@ class CheckpointRestartSpec extends SparkSpec {
         "the window spanning the restart must be emitted from restored state")
     } finally spark.conf.set("spark.sql.shuffle.partitions", prior)
   }
+
+  test("foreachBatch CDC merge maintains a keyed snapshot across restart") {
+    // the streaming form of q39's SCD-1 merge: a change stream applied to
+    // a keyed snapshot via foreachBatch — the no-lakehouse upsert loop a
+    // 100 TB deployment runs continuously. foreachBatch is at-least-once
+    // (a batch can replay after a crash), so the merge must be IDEMPOTENT:
+    // latest-wins replace-by-key is — replaying the same updates against
+    // the already-merged snapshot changes nothing. The checkpoint makes
+    // the restart skip the committed batch entirely.
+    val root = java.nio.file.Files.createTempDirectory("graft_cdc")
+    val src = root.resolve("src"); java.nio.file.Files.createDirectories(src)
+    val ckpt = root.resolve("ckpt").toString
+    import spark.implicits._
+
+    // initial snapshot: keys 0..9
+    @volatile var snapPath = root.resolve("snap_v0").toString
+    (0L until 10L).map(k => (k, k * 1000L)).toDF("custkey", "cents")
+      .write.mode("overwrite").parquet(snapPath)
+
+    val updSchema = StructType(Seq(
+      StructField("custkey", LongType), StructField("cents", LongType),
+      StructField("seq", LongType)))
+    def mergeBatch(batch: DataFrame, id: Long): Unit = {
+      val s = batch.sparkSession
+      // per-key latest within the batch (a replayed/bundled batch can
+      // carry several updates for one key): max seq wins, exact longs
+      val latest = batch.groupBy(col("custkey"))
+        .agg(max(struct(col("seq"), col("cents"))).as("u"))
+        .select(col("custkey"), col("u.cents").as("new_cents"))
+      val merged = s.read.parquet(snapPath)
+        .join(latest, Seq("custkey"), "full_outer")
+        .select(col("custkey"),
+          coalesce(col("new_cents"), col("cents")).as("cents"))
+      val next = root.resolve(s"snap_v${id + 1}").toString
+      merged.write.mode("overwrite").parquet(next)
+      snapPath = next // publish AFTER the write commits (crash-safe order)
+    }
+    def start() = spark.readStream.schema(updSchema).parquet(src.toString)
+      .writeStream.foreachBatch(mergeBatch _)
+      .option("checkpointLocation", ckpt).start()
+
+    // phase 1: update keys 0-4, insert key 100
+    dumpOne(((0L to 4L).map(k => (k, k * 1000L + 7L, 1L)) :+ ((100L, 555L, 1L)))
+      .toDF("custkey", "cents", "seq"), src.resolve("u1.parquet"))
+    val q1 = start(); q1.processAllAvailable(); q1.stop()
+
+    // phase 2 arrives while the query is down: keys 3-7 again (seq 2), +101
+    dumpOne(((3L to 7L).map(k => (k, k * 1000L + 99L, 2L)) :+ ((101L, 777L, 2L)))
+      .toDF("custkey", "cents", "seq"), src.resolve("u2.parquet"))
+    val q2 = start(); q2.processAllAvailable()
+    val phase2Input = q2.recentProgress.map(_.numInputRows).sum
+    q2.stop()
+    assert(phase2Input == 6, s"restart must skip committed u1, read $phase2Input")
+
+    val fin = spark.read.parquet(snapPath).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = ((0L until 10L).map(k => k -> (k * 1000L)).toMap
+      ++ (0L to 4L).map(k => k -> (k * 1000L + 7L)) + (100L -> 555L)
+      ++ (3L to 7L).map(k => k -> (k * 1000L + 99L)) + (101L -> 777L))
+    assert(fin == expected, s"snapshot after both batches must equal $expected")
+  }
 }
