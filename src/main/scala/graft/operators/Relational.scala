@@ -496,6 +496,24 @@ object Relational {
         .orderBy("custkey")
     }),
 
+    "q101_window_range" -> ((s, d) => {
+      // RANGE-frame window — the frame form q31's ROWS running sum can't
+      // express: a trailing 2-hour sum per user over EVENT TIME. RANGE
+      // frames are order-value-based, so rows tied on ts share one frame
+      // and the result is deterministic under ties with no extra
+      // tie-break keys (the property ROWS frames need q31's careful
+      // ordering for). Order key is exact epoch micros; summand exact
+      // cents — partition-layout-independent.
+      val w = Window.partitionBy(col("user_id")).orderBy(col("us"))
+        .rangeBetween(-7200L * 1000000L, Window.currentRow)
+      events(s, d)
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("us"), cents(col("value")).as("v"))
+        .withColumn("trail_cents", sum(col("v")).over(w))
+        .select(col("user_id"), col("event_id"), col("us"), col("trail_cents"))
+        .orderBy("user_id", "us", "event_id")
+    }),
+
     "q27_pivot" -> ((s, d) =>
       // pivot with an EXPLICIT value list — at scale the implicit form
       // needs an extra distinct pass and can explode the column count
@@ -737,6 +755,15 @@ object Relational {
         |  ON a.user_id = b.user_id AND a.event_id < b.event_id
         | AND abs(epoch_us(b.ts) - epoch_us(a.ts)) <= 120000000
         |ORDER BY a.user_id, i, j""".stripMargin,
+    "q101_window_range" ->
+      """SELECT user_id, event_id, us, trail_cents FROM (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us,
+        |    CAST(sum(CAST(round(value*100) AS BIGINT)) OVER (
+        |      PARTITION BY user_id ORDER BY epoch_us(ts)
+        |      RANGE BETWEEN 7200000000 PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS trail_cents
+        |  FROM events)
+        |ORDER BY user_id, us, event_id""".stripMargin,
     "q39_merge_upsert" ->
       """WITH snap AS (
         |  SELECT CAST(c_custkey AS BIGINT) AS custkey, c_name AS name,

@@ -32,6 +32,25 @@ class TextStreamingSpec extends SparkSpec {
     assert(rows.forall(r => r.getDouble(5) > 0))
   }
 
+  test("q37 repetition: short-doc guard (1- and 2-token docs, no descending sequence)") {
+    // Spark's sequence(1, 0) is DESCENDING, not empty — wordGrams guards
+    // this; the sf corpora never contain 1-token docs, so pin the edge here
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_shortdoc").toString
+    Seq((0L, "a", "en", "s", 1L), (1L, "a b", "en", "s", 3L),
+      (2L, "a a a", "en", "s", 5L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = TextAnalysis.queries("q37_repetition")(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(4), r.getLong(5), r.getDouble(6), r.getLong(7), r.getInt(10)))
+      .toMap
+    // (n_tokens, n_bi, n_bi_d, dup_bi_frac, n_tri, keep)
+    assert(rows(0L) == ((1L, 0L, 0L, 0.0, 0L, 0)))   // no grams, top_frac=1 -> drop
+    assert(rows(1L) == ((2L, 1L, 1L, 0.0, 0L, 0)))   // one bigram, no trigram
+    assert(rows(2L) == ((3L, 2L, 1L, 0.5, 1L, 0)))   // "a a" duplicated
+  }
+
   test("q83 lang-id is deterministic and total") {
     val rows = TextAnalysis.queries("q83_lang_id")(spark, sf0001).collect()
     val langs = Set("en", "de", "es", "fr", "und")
