@@ -196,4 +196,19 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(r1.map(_.toString).toSeq == r2.map(_.toString).toSeq)
     assert(r1.forall(_.getDouble(2) >= Similarity.CosThreshold))
   }
+
+  test("q100 PQ: top-k complete per query, ADC distances exact and ordered") {
+    val rows = Similarity.queries("q100_pq_ann")(spark, sf0001).collect()
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.keySet == Set(0L, 1L, 2L))
+    byQ.foreach { case (q, rs) =>
+      assert(rs.length == 10, s"query $q must return 10 neighbors")
+      val ds = rs.sortBy(_.getLong(3)).map(_.getLong(2))
+      assert(ds.zip(ds.tail).forall { case (a, b) => a <= b }, "ascending dist")
+      assert(ds.forall(_ >= 0L))
+      // ties on ad_nano must break by ascending vec_id (the rn order)
+      val tied = rs.filter(r => r.getLong(2) == ds.head).map(_.getLong(1))
+      assert(tied.sorted.sameElements(tied), "tie-break by vec_id")
+    }
+  }
 }
