@@ -70,7 +70,9 @@ object Bench {
       "q68_simhash64", "q69_dedup_clusters", "q70_knn_brute", "q71_ann_lsh",
       "q73_ivf_knn", "q76_weighted_sample", "q77_training_pipeline",
       "q78_delta_dedup", "q79_decontaminate", "q85_tfidf",
-      "q94_stream_onebrc", "q97_stream_stream_join", "q99_stream_delta_admit")
+      "q94_stream_onebrc", "q97_stream_stream_join", "q99_stream_delta_admit",
+      "q36_bpe_pairs", "q37_repetition", "q39_merge_upsert",
+      "q100_pq_ann", "q101_window_range", "q102_dataset_card")
     val headSet = headline.toSet
     val shortJson =
       s"""{"metric":"total","value":$totalStr,"unit":"sec","n_queries":${results.size},"queries":${qJson(results.filter(r => headSet(r._1)))},"sf":"$sfDir"}"""
