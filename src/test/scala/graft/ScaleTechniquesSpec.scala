@@ -264,6 +264,51 @@ class ScaleTechniquesSpec extends SparkSpec {
       "predicate on the evolved column must still reach the scan")
   }
 
+  test("window operator spills to disk under memory pressure, result unchanged") {
+    // the spill-awareness property 100 TB operation depends on: when an
+    // operator's buffer exceeds its memory budget it must DEGRADE (spill
+    // to disk), not fail or corrupt — and the spilled run must produce
+    // the bit-identical result. The window buffer's row spill threshold
+    // makes this deterministic locally: force every partition buffer
+    // beyond 64 rows to disk and compare against the in-memory run.
+    val s = spark
+    // BOTH knobs: the window buffer only goes external past the in-memory
+    // row threshold (default 4096 — more rows than any per-supplier
+    // partition here), and only spills past the spill threshold
+    val keys = Seq(
+      "spark.sql.windowExec.buffer.in.memory.threshold" -> "16",
+      "spark.sql.windowExec.buffer.spill.threshold" -> "32")
+    val q31 = () => operators.Relational.queries("q31_window_running")(s, sf0001)
+    val inMem = q31().collect()
+    val spilled = new java.util.concurrent.atomic.AtomicLong(0L)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (e.taskMetrics != null)
+          spilled.addAndGet(e.taskMetrics.diskBytesSpilled)
+    }
+    val prior = keys.map { case (k, _) => k -> s.conf.getOption(k) }
+    s.sparkContext.addSparkListener(listener)
+    try {
+      keys.foreach { case (k, v) => s.conf.set(k, v) }
+      val underPressure = q31().collect()
+      // listener delivery is async; poll briefly instead of touching the
+      // private listenerBus
+      val deadline = System.nanoTime() + 10e9.toLong
+      while (spilled.get() == 0L && System.nanoTime() < deadline)
+        Thread.sleep(50)
+      assert(spilled.get() > 0L,
+        "the 32-row threshold must force the window buffers to disk")
+      assert(underPressure.sameElements(inMem),
+        "a spilled run must produce the bit-identical result")
+    } finally {
+      s.sparkContext.removeSparkListener(listener)
+      prior.foreach {
+        case (k, Some(v)) => s.conf.set(k, v)
+        case (k, None) => s.conf.unset(k)
+      }
+    }
+  }
+
   test("Observation collects pipeline metrics with no extra pass") {
     // at 100 TB the difference between df.observe and a separate
     // metrics query is a full corpus scan: observe piggybacks exact
