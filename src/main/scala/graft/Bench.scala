@@ -24,10 +24,24 @@ object Bench {
     // SPARK_GRAFT_ONLY=q10_...,q20_... restricts the run (profiling aid);
     // SPARK_GRAFT_REPS=N times each query N times and reports the MINIMUM
     // (the least-interference estimate — local[32] numbers carry ±0.5 s of
-    // GC/scheduler noise per query, see README bench notes).
+    // GC/scheduler noise per query, see README bench notes). The OFFICIAL
+    // protocol is min-of-2: single-pass numbers mis-report plan-unchanged
+    // trivial queries by ±1 s on this box (q33 swung 0.13↔1.45 s across
+    // rounds with an identical plan).
+    val defaultReps = 2
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "1").toInt
+    // a typo'd name would silently shrink the run while emitting the
+    // official-looking JSON shape — fail fast instead
+    only.foreach { o =>
+      val unknown = o.diff(SparkEntry.queries.keySet)
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_ONLY names not in SparkEntry.queries: ${unknown.toSeq.sorted.mkString(",")}")
+    }
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", defaultReps.toString).toInt
+    // any deviation from the official protocol is branded into the JSON so
+    // a profiling artifact can never pass as an official bench total
+    val profiling = only.isDefined || reps != defaultReps
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
     def run(name: String): Long = {
@@ -52,9 +66,11 @@ object Bench {
       rs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v / 1e9 }.sum
     val totalStr = BigDecimal(total).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val protoJson = s""""reps":$reps""" +
+      (if (profiling) ""","profiling":true""" else "")
     // Full per-query map (all queries, 3-decimal seconds) → file.
     val fullJson =
-      s"""{"metric":"total","value":$totalStr,"unit":"sec","queries":${qJson(results)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$totalStr,"unit":"sec",$protoJson,"queries":${qJson(results)},"sf":"$sfDir"}"""
     // The driver captures only the LAST 2000 CHARS of stdout and parses the
     // last line as JSON (BENCH_r01/r02 both lost the result: r01 to sbt's
     // trailing "[success]" line, r02 to the full 75-query line being 2291
@@ -72,10 +88,11 @@ object Bench {
       "q78_delta_dedup", "q79_decontaminate", "q85_tfidf",
       "q94_stream_onebrc", "q97_stream_stream_join", "q99_stream_delta_admit",
       "q36_bpe_pairs", "q37_repetition", "q39_merge_upsert",
-      "q100_pq_ann", "q101_window_range", "q102_dataset_card")
+      "q100_pq_ann", "q101_window_range", "q102_dataset_card",
+      "q103_approx_percentile", "q104_delta_dedup_full", "q105_staged_dedup")
     val headSet = headline.toSet
     val shortJson =
-      s"""{"metric":"total","value":$totalStr,"unit":"sec","n_queries":${results.size},"queries":${qJson(results.filter(r => headSet(r._1)))},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$totalStr,"unit":"sec","n_queries":${results.size},$protoJson,"queries":${qJson(results.filter(r => headSet(r._1)))},"sf":"$sfDir"}"""
     // file first: if the guard below ever trips (e.g. an unusually long
     // sfDir path), the completed run's full per-query map is already safe
     val outPath = java.nio.file.Paths.get(

@@ -227,11 +227,22 @@ object Relational {
         .orderBy("l_returnflag")),
 
     "q22_approx_distinct" -> ((s, d) =>
-      // HLL sketch (the §2.4 "not present" gap) — approx values are
-      // engine-specific, so this query gets the rows-only check.
+      // HLL sketch (the §2.4 "not present" gap). Sketch VALUES are
+      // engine-specific by definition, so the contract checked here is
+      // the one thing HLL guarantees: bounded relative error. The query
+      // emits the exact count plus rel_err_ok = |approx−exact|/exact ≤
+      // 0.05, keeping the raw sketch value OUT of the output — every
+      // emitted column is engine-independent, so the driver's hash
+      // compare binds (the oracle asserts TRUE). rsd is pinned at 0.02,
+      // well inside the 0.05 bound (HLL++ error ≈ rsd), so the boolean
+      // is a real assertion, not a tautology. The KMV pair q56/q57
+      // covers the same capability with oracle-exact VALUES.
       t(s, d, "lineitem").groupBy(col("l_returnflag"))
-        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
           countDistinct(col("l_partkey")).as("exact_parts"))
+        .select(col("l_returnflag"), col("exact_parts"),
+          (abs(col("approx_parts") - col("exact_parts")).cast("double") /
+            col("exact_parts") <= 0.05).as("rel_err_ok"))
         .orderBy("l_returnflag")),
 
     "q56_kmv_distinct" -> ((s, d) => {
@@ -402,13 +413,44 @@ object Relational {
       // ONE percentile aggregate with an array of fractions, not three:
       // exact percentile buffers every group value, so three separate
       // aggs would build (and merge, and sort) three copies of the data —
-      // the array form sorts once and probes three offsets.
+      // the array form sorts once and probes three offsets. Exact
+      // percentile remains UNBOUNDED-state per group (one reducer holds a
+      // group's every value); the 100 TB form is q103's approx_percentile
+      // twin (bounded GK sketch, mergeable partials), error-bounded
+      // against this query's values.
       t(s, d, "lineitem").groupBy(col("l_returnflag"))
         .agg(expr("percentile(l_extendedprice, array(0.25, 0.5, 0.75))").as("ps"))
         .select(col("l_returnflag"),
           r4(element_at(col("ps"), 1)).as("p25"),
           r4(element_at(col("ps"), 2)).as("p50"),
           r4(element_at(col("ps"), 3)).as("p75"))
+        .orderBy("l_returnflag")),
+
+    "q103_approx_percentile" -> ((s, d) =>
+      // The 100 TB twin of q26: approx_percentile (Greenwald-Khanna-style
+      // quantile sketch — bounded memory per group, mergeable partials)
+      // replaces exact percentile's buffer-every-value state. Approx
+      // VALUES are engine-specific, so the emitted columns are the exact
+      // percentiles (oracle-hash-matched, as in q26) plus within_tol —
+      // the in-query assertion that every approx quartile lands within 1%
+      // of the exact value. accuracy=10000 bounds rank error at n/10000
+      // per group, far inside 1% relative on this data, so the boolean
+      // asserts real sketch quality without value brittleness (the
+      // q56/q57-vs-q22 pattern applied to percentiles). The exact
+      // aggregate rides along HERE to materialize the assertion; the
+      // production form at scale runs the approx aggregate alone.
+      t(s, d, "lineitem").groupBy(col("l_returnflag"))
+        .agg(expr("percentile(l_extendedprice, array(0.25, 0.5, 0.75))").as("ps"),
+          expr("approx_percentile(l_extendedprice, array(0.25, 0.5, 0.75), 10000)")
+            .as("aps"))
+        .select(col("l_returnflag"),
+          r4(element_at(col("ps"), 1)).as("p25"),
+          r4(element_at(col("ps"), 2)).as("p50"),
+          r4(element_at(col("ps"), 3)).as("p75"),
+          (0 to 2).map(k =>
+            abs(element_at(col("aps"), k + 1) - element_at(col("ps"), k + 1)) <=
+              lit(0.01) * element_at(col("ps"), k + 1))
+            .reduce(_ && _).as("within_tol"))
         .orderBy("l_returnflag")),
 
     "q17_range_join" -> ((s, d) => {
@@ -818,6 +860,12 @@ object Relational {
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
         |  count(DISTINCT l_suppkey) AS n_supps, count(*) AS n_lines
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the bounded-error contract: the oracle asserts the boolean the Spark
+    // side computes from its real HLL estimate (see the q22 query doc)
+    "q22_approx_distinct" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts,
+        |  TRUE AS rel_err_ok
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "q56_kmv_distinct" -> KmvOracleSql,
     "q57_kmv_agg" -> KmvOracleSql, // identical estimate by construction
     "q58_secondary_sort" -> SessionsOracleSql,
@@ -847,6 +895,14 @@ object Relational {
         |  round(quantile_cont(l_extendedprice, 0.25)*1e4)/1e4 AS p25,
         |  round(quantile_cont(l_extendedprice, 0.5)*1e4)/1e4 AS p50,
         |  round(quantile_cont(l_extendedprice, 0.75)*1e4)/1e4 AS p75
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    // within_tol is computed from Spark's real sketch; the oracle asserts it
+    "q103_approx_percentile" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_extendedprice, 0.25)*1e4)/1e4 AS p25,
+        |  round(quantile_cont(l_extendedprice, 0.5)*1e4)/1e4 AS p50,
+        |  round(quantile_cont(l_extendedprice, 0.75)*1e4)/1e4 AS p75,
+        |  TRUE AS within_tol
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "q27_pivot" ->
       """SELECT user_id,

@@ -366,9 +366,9 @@ object TextAnalysis {
       """WITH words AS (
         |  SELECT unnest(string_split(text, ' ')) AS word FROM documents),
         |pairs AS (
-        |  SELECT unnest(list_transform(range(1, strlen(word)),
+        |  SELECT unnest(list_transform(range(1, length(word)),
         |    i -> substr(word, i, 2))) AS pair
-        |  FROM words WHERE strlen(word) >= 2)
+        |  FROM words WHERE length(word) >= 2)
         |SELECT pair, count(*) AS n FROM pairs
         |GROUP BY 1 ORDER BY n DESC, pair LIMIT 32""".stripMargin,
     "q37_repetition" ->

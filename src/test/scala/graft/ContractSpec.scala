@@ -12,9 +12,9 @@ class ContractSpec extends AnyFunSuite {
   // queries with no SQL equivalent — each says why in its module scaladoc.
   // (q06/q84/q91 graduated off this list when they gained real oracles:
   // committed generator fixture, HUGEINT mod-2^64 emulation, ascii-
-  // codepoint byte histogram.)
-  private val rowsOnlyByDesign = Set(
-    "q22_approx_distinct")      // HLL sketch values are engine-specific
+  // codepoint byte histogram; q22 graduated when its engine-specific HLL
+  // value was replaced by the bounded-relative-error contract.)
+  private val rowsOnlyByDesign = Set.empty[String]
 
   test("every oracle entry points at an existing query") {
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet

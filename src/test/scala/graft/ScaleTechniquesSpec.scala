@@ -10,8 +10,7 @@ import org.apache.spark.sql.functions._
   */
 class ScaleTechniquesSpec extends SparkSpec {
 
-  private lazy val wh = java.nio.file.Files
-    .createTempDirectory("graft_wh").toString
+  private lazy val wh = tempDir("graft_wh").toString
 
   test("bucketed tables join with zero Exchange in the plan") {
     val s = spark // warehouse dir set to a temp dir in SparkSpec (static conf)
@@ -178,7 +177,7 @@ class ScaleTechniquesSpec extends SparkSpec {
     // emit 200*199/2 = 19900 pairs through that single hot key.
     val hotDocs = (0 until 200).map(i =>
       (i.toLong, s"terms of service apply here unique$i tail$i body$i end$i"))
-    val dir = java.nio.file.Files.createTempDirectory("graft_skew").toString
+    val dir = tempDir("graft_skew").toString
     hotDocs.toDF("doc_id", "text").write.mode("overwrite")
       .parquet(s"$dir/documents.parquet")
     val sh = op.shingles(spark, dir)
@@ -268,9 +267,9 @@ class ScaleTechniquesSpec extends SparkSpec {
     // the spill-awareness property 100 TB operation depends on: when an
     // operator's buffer exceeds its memory budget it must DEGRADE (spill
     // to disk), not fail or corrupt — and the spilled run must produce
-    // the bit-identical result. The window buffer's row spill threshold
-    // makes this deterministic locally: force every partition buffer
-    // beyond 64 rows to disk and compare against the in-memory run.
+    // the bit-identical result. The window buffer's row spill thresholds
+    // make this deterministic locally: buffers go external past 16 rows,
+    // spill to disk past 32, and must match the in-memory run bit for bit.
     val s = spark
     // BOTH knobs: the window buffer only goes external past the in-memory
     // row threshold (default 4096 — more rows than any per-supplier
@@ -300,6 +299,50 @@ class ScaleTechniquesSpec extends SparkSpec {
         "the 32-row threshold must force the window buffers to disk")
       assert(underPressure.sameElements(inMem),
         "a spilled run must produce the bit-identical result")
+    } finally {
+      s.sparkContext.removeSparkListener(listener)
+      prior.foreach {
+        case (k, Some(v)) => s.conf.set(k, v)
+        case (k, None) => s.conf.unset(k)
+      }
+    }
+  }
+
+  test("packBatches cumsum spills on a single-source skewed frame, result unchanged") {
+    // q88/q77's packing shards its cumsum window by `source` — so ONE
+    // giant source is the worst case: that source's whole doc list lands
+    // in a single window partition on a single task. The defense is the
+    // same spill path as q31's running sum: the window buffer degrades to
+    // disk instead of OOMing, bit-identically. Proven here on a frame
+    // with ALL rows in one source (the shape a crawl-dump corpus takes
+    // when one domain dominates).
+    import spark.implicits._
+    val s = spark
+    val skewed = (1L to 20000L).map(i => ("the_one_source", i, 40L + i % 7))
+      .toDF("source", "doc_id", "n_tokens")
+    val keys = Seq(
+      "spark.sql.windowExec.buffer.in.memory.threshold" -> "16",
+      "spark.sql.windowExec.buffer.spill.threshold" -> "32")
+    val inMem = operators.TextAnalysis.packBatches(skewed).collect()
+    assert(inMem.length > 300, "the skewed source must pack into many batches")
+    val spilled = new java.util.concurrent.atomic.AtomicLong(0L)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (e.taskMetrics != null)
+          spilled.addAndGet(e.taskMetrics.diskBytesSpilled)
+    }
+    val prior = keys.map { case (k, _) => k -> s.conf.getOption(k) }
+    s.sparkContext.addSparkListener(listener)
+    try {
+      keys.foreach { case (k, v) => s.conf.set(k, v) }
+      val underPressure = operators.TextAnalysis.packBatches(skewed).collect()
+      val deadline = System.nanoTime() + 10e9.toLong
+      while (spilled.get() == 0L && System.nanoTime() < deadline)
+        Thread.sleep(50)
+      assert(spilled.get() > 0L,
+        "the one-source window partition must go to disk, not OOM")
+      assert(underPressure.sameElements(inMem),
+        "a spilled packing run must produce the bit-identical batches")
     } finally {
       s.sparkContext.removeSparkListener(listener)
       prior.foreach {

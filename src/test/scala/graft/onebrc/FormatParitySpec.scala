@@ -10,8 +10,7 @@ import org.apache.spark.sql.functions._
   */
 class FormatParitySpec extends SparkSpec {
 
-  private lazy val work = java.nio.file.Files
-    .createTempDirectory("graft_fmt").toString
+  private lazy val work = tempDir("graft_fmt").toString
 
   test("CSV scan and Parquet scan of the same rows aggregate identically") {
     val gen = OneBrc.generate(spark, 20000L)
@@ -51,7 +50,7 @@ class FormatParitySpec extends SparkSpec {
       OneBrc.brcAgg(OneBrc.readMeasurementsTurbo(spark, golden)).collect().toSeq ==
         OneBrc.brcAgg(OneBrc.readMeasurements(spark, golden)).collect().toSeq)
     // malformed lines -> null station/measure (not errors)
-    val bad = java.nio.file.Files.createTempFile("brct", ".csv")
+    val bad = tempFile("brct", ".csv")
     java.nio.file.Files.writeString(bad,
       // trailing-dot and 4-integer-digit measures are outside the domain
       // and must null out, not silently coerce; 103.4-style 3-digit values
@@ -70,7 +69,7 @@ class FormatParitySpec extends SparkSpec {
         .collect().toSeq ==
         OneBrc.brcAgg(OneBrc.readMeasurements(spark, golden)).collect().toSeq)
     // malformed measures -> null tenths; missing ';' -> null station too
-    val bad = java.nio.file.Files.createTempFile("brcs", ".csv")
+    val bad = tempFile("brcs", ".csv")
     java.nio.file.Files.writeString(bad,
       "Oslo;1.5\nnonsense\nOslo;x.y\nOslo;-12.3\nOslo;12.\nOslo;1234.5\nOslo;103.4\n")
     val parsed = OneBrc.readMeasurementsTenths(spark, bad.toString).collect()
@@ -111,7 +110,7 @@ class FormatParitySpec extends SparkSpec {
   test("DataSource V2 split boundaries: every line read exactly once at any split size") {
     // a file whose line boundaries hit every alignment case: split edge
     // mid-line, at a '\n', and exactly at a line start
-    val f = java.nio.file.Files.createTempFile("brcv2", ".csv")
+    val f = tempFile("brcv2", ".csv")
     val lines = (0 until 1000).map(i => s"S${i % 7};${(i % 199) / 10.0}")
     java.nio.file.Files.writeString(f, lines.mkString("\n") + "\n")
     val total = lines.length

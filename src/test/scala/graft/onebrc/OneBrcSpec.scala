@@ -49,7 +49,7 @@ class OneBrcSpec extends SparkSpec {
   test("malformed line is a hard error under FAILFAST, skipped under DROPMALFORMED") {
     // an unparsable measure is the malformed case both modes agree on
     // (a line with no ';' is padded with null, not dropped, by Spark's CSV)
-    val bad = java.nio.file.Files.createTempFile("brc", ".csv")
+    val bad = tempFile("brc", ".csv")
     java.nio.file.Files.writeString(bad, "Oslo;1.5\nOslo;not-a-number\nOslo;2.5\n")
     val strict = readMeasurements(spark, bad.toString)
     intercept[org.apache.spark.SparkException] { strict.collect() }

@@ -104,7 +104,7 @@ class DedupSimilaritySpec extends SparkSpec {
     // first materialization — after overwriting the files in-session,
     // invalidateClusters must drop the memo AND refresh the path-derived
     // cache entries so the next run sees the new data
-    val dir = java.nio.file.Files.createTempDirectory("graft_inval").toString
+    val dir = tempDir("graft_inval").toString
     val full = spark.read.parquet(s"$sf0001/documents.parquet")
     full.write.mode("overwrite").parquet(s"$dir/documents.parquet")
     val before = Dedup.nearDupClusters(spark, dir).count()
@@ -129,6 +129,53 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(sim.nonEmpty && exact.nonEmpty)
     assert(sim.intersect(exact).nonEmpty,
       "16-bit simhash at hamming<=3 should catch some jaccard near-dups")
+  }
+
+  test("q64 pairs are a superset of q68: shared banding, looser 16-bit payload") {
+    // q64's candidate generation reuses q68's 4×16-bit band keys; its
+    // hamming payload is band 0 alone, and bit_count(b0⊕b0') ≤ total
+    // 64-bit hamming — so every q68 pair must also be a q64 pair. This
+    // pins the re-keyed blocking (the retired 2×8-bit hi/lo scheme did
+    // NOT have this property: it missed band-straddling pairs).
+    val p64 = Dedup.queries("q64_simhash")(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val p68 = Dedup.queries("q68_simhash64")(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(p68.nonEmpty && p64.nonEmpty)
+    assert(p68.subsetOf(p64),
+      s"q68 pairs missing from q64: ${p68.diff(p64).take(5)}")
+  }
+
+  test("q104 delta-dedup verdicts: every branch fires on an engineered corpus") {
+    // sf0.01 (the driver's verify SF) happens to contain no delta-internal
+    // dups, so the within-batch branches are pinned here on a corpus built
+    // to exercise all five verdicts. Delta membership is doc_id % 5 == 4.
+    import spark.implicits._
+    val dir = tempDir("graft_q104").toString
+    def words(seed: String, n: Int): Seq[String] =
+      (0 until n).map(k => s"$seed$k")
+    val base = words("w", 60).mkString(" ") // 60 tokens -> 56 shingles
+    // swap the last token: 52 of 60 distinct shingles shared, J ≈ 0.87
+    val nearOfBase = (words("w", 59) :+ "zz").mkString(" ")
+    val docs = Seq(
+      (1L, base),                          // corpus
+      (2L, words("x", 60).mkString(" ")),  // corpus
+      (4L, base.toUpperCase),              // delta: exact_dup (normalized fp)
+      (9L, nearOfBase),                    // delta: near_dup (vs corpus doc 1)
+      (14L, words("y", 60).mkString(" ")), // delta: keeper of the fp pair
+      (19L, words("y", 60).mkString(" ")), // delta: exact_dup_in_delta (vs 14)
+      (24L, words("v", 60).mkString(" ")), // delta: keeper of the near pair
+      (29L, (words("v", 59) :+ "kk").mkString(" ")), // delta: near_dup_in_delta
+      (34L, words("z", 60).mkString(" "))  // delta: new
+    ).toDF("doc_id", "text")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Dedup.queries("q104_delta_dedup_full")(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(
+      4L -> "exact_dup", 9L -> "near_dup",
+      14L -> "new", 19L -> "exact_dup_in_delta",
+      24L -> "new", 29L -> "near_dup_in_delta",
+      34L -> "new"), s"got $got")
   }
 
   test("q68 64-bit simhash banding has perfect recall at hamming<=3") {

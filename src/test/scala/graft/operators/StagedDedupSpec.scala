@@ -11,7 +11,7 @@ import graft.SparkSpec
 class StagedDedupSpec extends SparkSpec {
 
   test("staged minhash-LSH equals the one-shot query, without re-scanning documents") {
-    val work = java.nio.file.Files.createTempDirectory("graft_stage").toString
+    val work = tempDir("graft_stage").toString
     val oneShot = Dedup.queries("q63_minhash_lsh")(spark, sf0001).collect().toSeq
     val staged = Dedup.minhashLshStaged(spark, sf0001, work)
     assert(staged.collect().toSeq == oneShot)
@@ -25,5 +25,17 @@ class StagedDedupSpec extends SparkSpec {
     val oneShotPlan = Dedup.queries("q63_minhash_lsh")(spark, sf0001)
       .queryExecution.executedPlan.toString
     assert("documents\\.parquet".r.findAllIn(oneShotPlan).length >= 4)
+  }
+
+  test("q105 first-class staged query equals q63 and stages under the JVM temp root") {
+    val q63 = Dedup.queries("q63_minhash_lsh")(spark, sf0001).collect().toSeq
+    val q105 = Dedup.queries("q105_staged_dedup")(spark, sf0001)
+    assert(q105.collect().toSeq == q63, "staging must not change a bit")
+    // the stage landed under the per-JVM root (removed on JVM exit) and
+    // the verify phase reads it, not the raw corpus
+    val stage = new java.io.File(Dedup.stageDir(sf0001), "shingles")
+    assert(stage.isDirectory && stage.listFiles.nonEmpty)
+    val p = q105.queryExecution.executedPlan.toString
+    assert(!p.contains("documents.parquet"))
   }
 }

@@ -36,7 +36,7 @@ class TextStreamingSpec extends SparkSpec {
     // Spark's sequence(1, 0) is DESCENDING, not empty — wordGrams guards
     // this; the sf corpora never contain 1-token docs, so pin the edge here
     import spark.implicits._
-    val dir = java.nio.file.Files.createTempDirectory("graft_shortdoc").toString
+    val dir = tempDir("graft_shortdoc").toString
     Seq((0L, "a", "en", "s", 1L), (1L, "a b", "en", "s", 3L),
       (2L, "a a a", "en", "s", 5L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
@@ -73,7 +73,7 @@ class TextStreamingSpec extends SparkSpec {
   test("append-mode watermark: trailing windows held back, flushed ones final") {
     // two-batch arrival: append mode emits only windows the watermark passed
     import org.apache.spark.sql.types._
-    val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
+    val dir = tempDir("graft_stream").toString
     val sch = StructType(Seq(StructField("ts", TimestampType),
       StructField("v", DoubleType)))
     def write(rows: Seq[(String, Double)], f: String): Unit = {
@@ -109,7 +109,7 @@ class TextStreamingSpec extends SparkSpec {
     // exactly-once event dedup — the streaming face of the dedup suite:
     // duplicates across micro-batches are suppressed by keyed state
     import org.apache.spark.sql.types._
-    val dir = java.nio.file.Files.createTempDirectory("graft_sdedup").toString
+    val dir = tempDir("graft_sdedup").toString
     val sch = StructType(Seq(StructField("id", LongType),
       StructField("v", DoubleType)))
     def write(rows: Seq[(Long, Double)]): Unit = {

@@ -32,7 +32,7 @@ class BrcSourcePropertySpec extends SparkSpec {
         val a = math.abs(t)
         s"$st;${if (t < 0) "-" else ""}${a / 10}.${a % 10}"
       }.mkString(sep) + trailing
-      val f = java.nio.file.Files.createTempFile("brcprop", ".csv")
+      val f = tempFile("brcprop", ".csv")
       java.nio.file.Files.write(f, text.getBytes("UTF-8"))
       val fileLen = java.nio.file.Files.size(f)
       val expected = rows.groupBy(identity).view.mapValues(_.size).toMap
@@ -48,7 +48,7 @@ class BrcSourcePropertySpec extends SparkSpec {
   }
 
   test("glob paths and case-insensitive options resolve like built-in sources") {
-    val dir = java.nio.file.Files.createTempDirectory("brcglob")
+    val dir = tempDir("brcglob")
     java.nio.file.Files.write(dir.resolve("a.csv"),
       "Oslo;1.5\nOslo;-0.5\n".getBytes("UTF-8"))
     java.nio.file.Files.write(dir.resolve("b.csv"),
@@ -67,7 +67,7 @@ class BrcSourcePropertySpec extends SparkSpec {
     // a SQL-first user never touches the DataFrame API: the V2 connector
     // must register through the USING clause and behave like any built-in
     // source from there
-    val f = java.nio.file.Files.createTempFile("brcddl", ".csv")
+    val f = tempFile("brcddl", ".csv")
     java.nio.file.Files.write(f, "Oslo;1.5\nBern;-0.5\nOslo;2.5\n".getBytes("UTF-8"))
     try {
       spark.sql(

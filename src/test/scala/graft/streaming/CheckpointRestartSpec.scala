@@ -21,7 +21,7 @@ class CheckpointRestartSpec extends SparkSpec {
 
   /** write df as a single parquet FILE at dst (file source tracks files). */
   private def dumpOne(df: DataFrame, dst: java.nio.file.Path): Unit = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_dump")
+    val tmp = tempDir("graft_dump")
     df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
     val part = java.nio.file.Files.list(tmp).filter(_.toString.endsWith(".parquet"))
       .findFirst().get()
@@ -30,7 +30,7 @@ class CheckpointRestartSpec extends SparkSpec {
   }
 
   test("checkpointed file-sink stream resumes exactly-once across restart") {
-    val root = java.nio.file.Files.createTempDirectory("graft_ckpt")
+    val root = tempDir("graft_ckpt")
     val src = root.resolve("src"); java.nio.file.Files.createDirectories(src)
     val out = root.resolve("out").toString
     val ckpt = root.resolve("ckpt").toString
@@ -99,7 +99,7 @@ class CheckpointRestartSpec extends SparkSpec {
     // latest-wins replace-by-key is — replaying the same updates against
     // the already-merged snapshot changes nothing. The checkpoint makes
     // the restart skip the committed batch entirely.
-    val root = java.nio.file.Files.createTempDirectory("graft_cdc")
+    val root = tempDir("graft_cdc")
     val src = root.resolve("src"); java.nio.file.Files.createDirectories(src)
     val ckpt = root.resolve("ckpt").toString
     import spark.implicits._

@@ -16,7 +16,7 @@ class StatefulStreamingSpec extends SparkSpec {
 
   test("flatMapGroupsWithState: per-user threshold alerts over a stream") {
     import spark.implicits._
-    val dir = java.nio.file.Files.createTempDirectory("graft_state").toString
+    val dir = tempDir("graft_state").toString
     Tables_events().select(col("user_id"), col("value"))
       .coalesce(1).write.mode("overwrite").parquet(dir)
 
