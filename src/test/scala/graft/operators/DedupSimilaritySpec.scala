@@ -146,6 +146,25 @@ class DedupSimilaritySpec extends SparkSpec {
       s"q68 pairs missing from q64: ${p68.diff(p64).take(5)}")
   }
 
+  test("q104 refines q78: corpus-gate verdicts agree, only 'new' docs get re-classified") {
+    // q104 = q78 + the within-batch stage, so the two must agree on the
+    // corpus gates: any doc q78 rejects keeps the same verdict in q104,
+    // and q104 may only move docs q78 admitted ('new') into the
+    // *_in_delta categories. Drift here would mean the composed pipeline
+    // silently re-ordered its gates.
+    val v78 = Dedup.queries("q78_delta_dedup")(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val v104 = Dedup.queries("q104_delta_dedup_full")(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(v78.keySet == v104.keySet)
+    v78.foreach { case (id, v) =>
+      if (v == "new")
+        assert(Set("new", "exact_dup_in_delta", "near_dup_in_delta")(v104(id)),
+          s"doc $id: q78=new but q104=${v104(id)}")
+      else assert(v104(id) == v, s"doc $id: q78=$v but q104=${v104(id)}")
+    }
+  }
+
   test("q104 delta-dedup verdicts: every branch fires on an engineered corpus") {
     // sf0.01 (the driver's verify SF) happens to contain no delta-internal
     // dups, so the within-batch branches are pinned here on a corpus built
