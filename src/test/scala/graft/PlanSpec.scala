@@ -104,6 +104,28 @@ class PlanSpec extends SparkSpec {
       s"no nested-loop fallback:\n$p")
   }
 
+  test("q103: both percentile sketches ride ONE scan and ONE aggregate pair") {
+    // the exact and approx percentile aggregates must share a single
+    // lineitem scan and a single partial/final ObjectHashAggregate pair —
+    // if the two sketches ever split into separate aggregations the query
+    // pays a second corpus pass for its own error assertion
+    val p = plan("q103_approx_percentile")
+    assert("Scan parquet".r.findAllIn(p).length == 1,
+      s"exact+approx must share one scan:\n$p")
+    assert(p.contains("ObjectHashAggregate"))
+    assert("partial_percentile".r.findAllIn(p).nonEmpty &&
+      "partial_approx_percentile".r.findAllIn(p).nonEmpty,
+      s"both sketches must combine map-side before the exchange:\n$p")
+  }
+
+  test("q22: HLL and exact distinct share one scan; HLL state merges map-side") {
+    val p = plan("q22_approx_distinct")
+    assert("Scan parquet".r.findAllIn(p).length == 1,
+      s"contract check must not pay a second corpus pass:\n$p")
+    assert(p.contains("partial_approx_count_distinct"),
+      s"HLL sketch must combine map-side before the exchange:\n$p")
+  }
+
   test("q76: weighted-sample top-k is TakeOrdered, not a full sort") {
     // orderBy+limit must plan as TakeOrderedAndProject: each partition
     // keeps k rows, the driver merges — no global sort exchange at scale
