@@ -37,5 +37,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("kmv_sketch"),
       new ExpressionInfo(classOf[graft.functions.KmvSketchAgg].getName, "kmv_sketch"),
       (exprs: Seq[Expression]) => graft.functions.KmvSketchAgg(exprs.head)))
+    e.injectFunction((FunctionIdentifier("freq_sketch"),
+      new ExpressionInfo(classOf[graft.functions.FreqSketchAgg].getName, "freq_sketch"),
+      (exprs: Seq[Expression]) => graft.functions.FreqSketchAgg(exprs.head)))
   }
 }

@@ -73,6 +73,25 @@ object TextAnalysis {
     substring(md5(col("doc_id").cast("string")), 1, 2) <=
       when(col("lang") === "en", lit("32")).otherwise(lit("7f"))
 
+  /** Every adjacent character pair of every token occurrence — the shared
+    * domain of q36 (BPE merge candidates) and q106 (heavy hitters), one
+    * definition so the two can never drift. */
+  private def charPairs(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) >= 2) // 1-char words carry no pair
+      .select(explode(transform(sequence(lit(1), length(col("word")) - 1),
+        i => col("word").substr(i, lit(2)))).as("pair"))
+
+  /** DuckDB spelling of [[charPairs]] (CTE `cpairs`). */
+  private val charPairsSql =
+    """words AS (
+      |  SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+      |cpairs AS (
+      |  SELECT unnest(list_transform(range(1, length(word)),
+      |    i -> substr(word, i, 2))) AS pair
+      |  FROM words WHERE length(word) >= 2)""".stripMargin
+
   /** Word n-gram list (as space-joined strings) over a `toks` array column,
     * empty when the doc is too short. The `when` guard matters: Spark's
     * `sequence(1, 0)` is DESCENDING ([1, 0]), not empty, so an unguarded
@@ -93,14 +112,43 @@ object TextAnalysis {
       // groupBy shape is map-side-combinable — at 100 TB each task folds
       // its shard's pairs to ≤ |alphabet|² partial counts before the
       // exchange, so the shuffle is O(distinct pairs), not O(corpus).
-      t(s, d, "documents")
-        .select(explode(split(col("text"), " ")).as("word"))
-        .filter(length(col("word")) >= 2) // 1-char words carry no pair
-        .select(explode(transform(sequence(lit(1), length(col("word")) - 1),
-          i => col("word").substr(i, lit(2)))).as("pair"))
+      charPairs(s, d)
         .groupBy(col("pair")).agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("pair"))
         .limit(32)),
+
+    "q106_heavy_hitters" -> ((s, d) => {
+      // Heavy hitters under BOUNDED state: freq_sketch is a Misra-Gries
+      // TypedImperativeAggregate (K=32 counters, mergeable-summaries
+      // combine) — the answer to "which items dominate" when the item
+      // domain is too wide to groupBy exactly. Its guarantees hold for
+      // ANY input order and merge tree: estimates never overcount,
+      // undercount by at most n/(K+1), and every item above that
+      // threshold survives in the sketch. Estimate VALUES are
+      // order-dependent (like every sketch), so the emitted columns are
+      // the exact top-16 pair counts (oracle-hash-matched; the corpus
+      // self-check rides along here, as in q103) plus the guarantee
+      // booleans computed from the real sketch — the q22/q103
+      // bounded-error-contract pattern. The char-pair domain (82 distinct
+      // values > K, with exactly one true heavy hitter at every SF)
+      // actually exercises eviction and the in-sketch guarantee.
+      graft.functions.FreqSketchAgg.register(s)
+      val K = graft.functions.FreqSketchAgg.K
+      val pairs = charPairs(s, d)
+      val sk = pairs.agg(expr("freq_sketch(pair)").as("sk"),
+        count(lit(1)).as("total"))
+      pairs.groupBy(col("pair")).agg(count(lit(1)).as("n"))
+        .crossJoin(sk) // lazy 1-row broadcast, q85 idiom
+        .withColumn("est", coalesce(element_at(col("sk"), col("pair")), lit(0L)))
+        .withColumn("is_heavy", col("n") * K > col("total"))
+        .withColumn("sketch_ok",
+          col("est") <= col("n") &&
+            (col("n") - col("est")) * (K + 1) <= col("total") &&
+            (!col("is_heavy") || col("est") > 0))
+        .orderBy(col("n").desc, col("pair"))
+        .limit(16)
+        .select(col("pair"), col("n"), col("is_heavy"), col("sketch_ok"))
+    }),
 
     "q37_repetition" -> ((s, d) => {
       // Gopher-style within-document repetition filters: most-common-token
@@ -363,14 +411,20 @@ object TextAnalysis {
 
   val oracle: Map[String, String] = Map(
     "q36_bpe_pairs" ->
-      """WITH words AS (
-        |  SELECT unnest(string_split(text, ' ')) AS word FROM documents),
-        |pairs AS (
-        |  SELECT unnest(list_transform(range(1, length(word)),
-        |    i -> substr(word, i, 2))) AS pair
-        |  FROM words WHERE length(word) >= 2)
-        |SELECT pair, count(*) AS n FROM pairs
-        |GROUP BY 1 ORDER BY n DESC, pair LIMIT 32""".stripMargin,
+      s"""WITH $charPairsSql
+         |SELECT pair, count(*) AS n FROM cpairs
+         |GROUP BY 1 ORDER BY n DESC, pair LIMIT 32""".stripMargin,
+    // exact top-16 counts hash-match; the guarantee booleans are computed
+    // from Spark's real Misra-Gries sketch and asserted by the oracle
+    "q106_heavy_hitters" ->
+      s"""WITH $charPairsSql,
+         |hc AS (SELECT pair, count(*) AS n FROM cpairs GROUP BY 1),
+         |htot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM hc)
+         |SELECT pair, n,
+         |  (n * ${graft.functions.FreqSketchAgg.K} > total) AS is_heavy,
+         |  TRUE AS sketch_ok
+         |FROM hc, htot
+         |ORDER BY n DESC, pair LIMIT 16""".stripMargin,
     "q37_repetition" ->
       """WITH base AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
         |tfc AS (SELECT doc_id, tok, count(*) AS tf
