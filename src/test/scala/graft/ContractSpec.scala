@@ -1,13 +1,11 @@
 package graft
 
-import org.scalatest.funsuite.AnyFunSuite
-
 /** Driver-contract invariants: the shapes Verify/Bench and the DuckDB
   * oracle depend on. Catches drift (a renamed query orphaning its oracle
   * SQL, an undocumented rows-only query) at test time instead of in the
   * driver's correctness report.
   */
-class ContractSpec extends AnyFunSuite {
+class ContractSpec extends SparkSpec {
 
   // queries with no SQL equivalent — each says why in its module scaladoc.
   // (q06/q84/q91 graduated off this list when they gained real oracles:
@@ -40,5 +38,19 @@ class ContractSpec extends AnyFunSuite {
     SparkEntry.oracleSql.foreach { case (name, sql) =>
       assert(!sql.contains("/tmp/"), s"$name oracle depends on a temp path")
     }
+  }
+
+  test("documents corpus is ASCII (the q91 ascii-codepoint oracle invariant)") {
+    // q91's DuckDB oracle rebuilds the fake decoder's BYTE histogram from
+    // per-CHARACTER ascii() codepoints — equal only while every document
+    // is pure ASCII (octet_length == char length). The invariant was
+    // previously a comment in Multimodal.scala; this executes it, so a
+    // future non-ASCII corpus fails loudly here instead of silently
+    // diverging the oracle.
+    import org.apache.spark.sql.functions._
+    val nonAscii = spark.read.parquet(s"$sf0001/documents.parquet")
+      .filter(octet_length(col("text")) =!= length(col("text"))).count()
+    assert(nonAscii == 0L,
+      s"$nonAscii non-ASCII documents would break q91's codepoint oracle")
   }
 }
