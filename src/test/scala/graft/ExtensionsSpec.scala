@@ -37,6 +37,15 @@ class ExtensionsSpec extends AnyFunSuite {
         s.sql("SELECT kmv_sketch(id) FROM range(10)").collect()
       }
       assert(err.getMessage.contains("STRING"))
+      // freq_sketch: injected; below K distinct the sketch is exact
+      val fs = s.sql(
+        "SELECT freq_sketch(CAST(id % 3 AS STRING)) AS m FROM range(9)")
+        .collect().head.getMap[String, Long](0)
+      assert(Seq("0", "1", "2").forall(k => fs.get(k).contains(3L)))
+      val ferr = intercept[org.apache.spark.sql.AnalysisException] {
+        s.sql("SELECT freq_sketch(id) FROM range(10)").collect()
+      }
+      assert(ferr.getMessage.contains("STRING"))
     } finally {
       SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
       prior.foreach(SparkSession.setDefaultSession)
