@@ -126,6 +126,24 @@ class PlanSpec extends SparkSpec {
       s"HLL sketch must combine map-side before the exchange:\n$p")
   }
 
+  test("q106: freq_sketch combines map-side; exact side stays a hash aggregate") {
+    val p = plan("q106_heavy_hitters")
+    assert(p.contains("ObjectHashAggregate"),
+      "a TypedImperativeAggregate must plan as ObjectHashAggregate")
+    assert(p.contains("partial_freq_sketch"),
+      "each task must ship ONE O(K) sketch buffer across the exchange, " +
+        "not its rows")
+  }
+
+  test("q104: the composed delta pipeline never falls back to a nested loop") {
+    // six gate joins over the LSH machinery — all must stay hash/broadcast
+    // joins on keys; one accidental non-equi condition would plan a
+    // BroadcastNestedLoop that scans delta×corpus at 100 TB
+    val p = plan("q104_delta_dedup_full")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"no nested-loop fallback in the delta pipeline:\n$p")
+  }
+
   test("q76: weighted-sample top-k is TakeOrdered, not a full sort") {
     // orderBy+limit must plan as TakeOrderedAndProject: each partition
     // keeps k rows, the driver merges — no global sort exchange at scale
