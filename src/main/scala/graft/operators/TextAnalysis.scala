@@ -74,14 +74,51 @@ object TextAnalysis {
       when(col("lang") === "en", lit("32")).otherwise(lit("7f"))
 
   /** Every adjacent character pair of every token occurrence — the shared
-    * domain of q36 (BPE merge candidates) and q106 (heavy hitters), one
-    * definition so the two can never drift. */
-  private def charPairs(s: SparkSession, d: String): DataFrame =
+    * domain of q36 (BPE merge candidates) and q106/q107 (heavy hitters),
+    * one definition so they can never drift. */
+  private[graft] def charPairs(s: SparkSession, d: String): DataFrame =
     t(s, d, "documents")
       .select(explode(split(col("text"), " ")).as("word"))
       .filter(length(col("word")) >= 2) // 1-char words carry no pair
       .select(explode(transform(sequence(lit(1), length(col("word")) - 1),
         i => col("word").substr(i, lit(2)))).as("pair"))
+
+  /** The heavy-hitters contract harness over a 1-row (sk, total) sketch
+    * frame and the exact pair domain: exact top-16 counts
+    * (oracle-hash-matched) + the Misra-Gries guarantee booleans from the
+    * real sketch. ONE definition for the batch (q106) and streaming
+    * (q107) forms, so the contract can never drift between them. */
+  private[graft] def heavyHitterReport(pairs: org.apache.spark.sql.DataFrame,
+      skTotal: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val K = graft.functions.FreqSketchAgg.K
+    pairs.groupBy(col("pair")).agg(count(lit(1)).as("n"))
+      .crossJoin(skTotal) // lazy 1-row broadcast, q85 idiom
+      .withColumn("est", coalesce(element_at(col("sk"), col("pair")), lit(0L)))
+      .withColumn("is_heavy", col("n") * K > col("total"))
+      .withColumn("sketch_ok",
+        col("est") <= col("n") &&
+          (col("n") - col("est")) * (K + 1) <= col("total") &&
+          (!col("is_heavy") || col("est") > 0))
+      .orderBy(col("n").desc, col("pair"))
+      .limit(16)
+      .select(col("pair"), col("n"), col("is_heavy"), col("sketch_ok"))
+  }
+
+  /** q106/q107 shared oracle: exact top-16 + asserted guarantee booleans. */
+  private[graft] val HeavyHittersOracleSql: String =
+    s"""WITH words AS (
+       |  SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+       |cpairs AS (
+       |  SELECT unnest(list_transform(range(1, length(word)),
+       |    i -> substr(word, i, 2))) AS pair
+       |  FROM words WHERE length(word) >= 2),
+       |hc AS (SELECT pair, count(*) AS n FROM cpairs GROUP BY 1),
+       |htot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM hc)
+       |SELECT pair, n,
+       |  (n * ${graft.functions.FreqSketchAgg.K} > total) AS is_heavy,
+       |  TRUE AS sketch_ok
+       |FROM hc, htot
+       |ORDER BY n DESC, pair LIMIT 16""".stripMargin
 
   /** DuckDB spelling of [[charPairs]] (CTE `cpairs`). */
   private val charPairsSql =
@@ -133,21 +170,10 @@ object TextAnalysis {
       // values > K, with exactly one true heavy hitter at every SF)
       // actually exercises eviction and the in-sketch guarantee.
       graft.functions.FreqSketchAgg.register(s)
-      val K = graft.functions.FreqSketchAgg.K
       val pairs = charPairs(s, d)
-      val sk = pairs.agg(expr("freq_sketch(pair)").as("sk"),
-        count(lit(1)).as("total"))
-      pairs.groupBy(col("pair")).agg(count(lit(1)).as("n"))
-        .crossJoin(sk) // lazy 1-row broadcast, q85 idiom
-        .withColumn("est", coalesce(element_at(col("sk"), col("pair")), lit(0L)))
-        .withColumn("is_heavy", col("n") * K > col("total"))
-        .withColumn("sketch_ok",
-          col("est") <= col("n") &&
-            (col("n") - col("est")) * (K + 1) <= col("total") &&
-            (!col("is_heavy") || col("est") > 0))
-        .orderBy(col("n").desc, col("pair"))
-        .limit(16)
-        .select(col("pair"), col("n"), col("is_heavy"), col("sketch_ok"))
+      heavyHitterReport(pairs,
+        pairs.agg(expr("freq_sketch(pair)").as("sk"),
+          count(lit(1)).as("total")))
     }),
 
     "q37_repetition" -> ((s, d) => {
@@ -416,15 +442,7 @@ object TextAnalysis {
          |GROUP BY 1 ORDER BY n DESC, pair LIMIT 32""".stripMargin,
     // exact top-16 counts hash-match; the guarantee booleans are computed
     // from Spark's real Misra-Gries sketch and asserted by the oracle
-    "q106_heavy_hitters" ->
-      s"""WITH $charPairsSql,
-         |hc AS (SELECT pair, count(*) AS n FROM cpairs GROUP BY 1),
-         |htot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM hc)
-         |SELECT pair, n,
-         |  (n * ${graft.functions.FreqSketchAgg.K} > total) AS is_heavy,
-         |  TRUE AS sketch_ok
-         |FROM hc, htot
-         |ORDER BY n DESC, pair LIMIT 16""".stripMargin,
+    "q106_heavy_hitters" -> HeavyHittersOracleSql,
     "q37_repetition" ->
       """WITH base AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
         |tfc AS (SELECT doc_id, tok, count(*) AS tf

@@ -201,6 +201,37 @@ object Streaming {
       drainMemorySink(sp, name).orderBy("doc_id")
     }),
 
+    "q107_stream_heavy_hitters" -> ((s, d) => withStreamPartitions(s, 4) { sp =>
+      // BOUNDED-state frequency tracking ON A STREAM — the reason the
+      // sketch exists: a streaming groupBy(item).count() grows one
+      // state-store row per distinct item FOREVER, while freq_sketch's
+      // global aggregate holds exactly K counters no matter how many
+      // distinct items the stream ever sees. Complete mode re-emits the
+      // sketch each micro-batch; the Misra-Gries guarantees hold across
+      // micro-batch merges by the same mergeable-summaries argument as
+      // across partitions. Single-batch over the static corpus ⇒ the
+      // contract report (exact top-16 + guarantee booleans, the q106
+      // harness — ONE shared definition) matches the shared oracle.
+      graft.functions.FreqSketchAgg.register(sp)
+      val name = s"graft_shh_${System.nanoTime()}"
+      val q = sp.readStream.schema(docsSchema)
+        .option("pathGlobFilter", "documents.parquet").parquet(d)
+        .select(explode(split(col("text"), " ")).as("word"))
+        .filter(length(col("word")) >= 2)
+        .select(explode(transform(sequence(lit(1), length(col("word")) - 1),
+          i => col("word").substr(i, lit(2)))).as("pair"))
+        .agg(expr("freq_sketch(pair)").as("sk"), count(lit(1)).as("total"))
+        .writeStream.outputMode("complete")
+        .format("memory").queryName(name)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      // exact side comes from the batch scan (the contract harness);
+      // the sketch under test is the STREAMED one
+      graft.operators.TextAnalysis.heavyHitterReport(
+        graft.operators.TextAnalysis.charPairs(s, d),
+        drainMemorySink(sp, name))
+    }),
+
     "q96_session_window" -> ((s, d) =>
       // session windows (30-min gap) per user over event time — Spark's
       // built-in session_window; stateful streaming analog in StreamingSpec
@@ -234,6 +265,9 @@ object Streaming {
       s"""SELECT DISTINCT ${graft.operators.Dedup.contentFpSql} AS fp
          |FROM documents ORDER BY fp""".stripMargin,
     "q99_stream_delta_admit" -> graft.operators.Dedup.deltaAdmitOracleSql,
+    // shared with q106: the streamed sketch must satisfy the same contract
+    "q107_stream_heavy_hitters" ->
+      graft.operators.TextAnalysis.HeavyHittersOracleSql,
     "q96_session_window" ->
       // gaps-and-islands: a new session starts when the gap > 30 minutes
       """WITH marked AS (
