@@ -118,6 +118,63 @@ class ScaleTechniquesSpec extends SparkSpec {
       s"sorted layout must row-group-skip: scanned $scanned of $total rows")
   }
 
+  test("z-order layout prunes row groups on EITHER filter dimension") {
+    // the fourth layout lever: range-partition + sort clusters ONE
+    // column (the previous test) — a filter on any other column still
+    // scans everything. Interleaving the bits of two columns into a
+    // z-value and sorting by THAT gives every file a bounded range in
+    // BOTH dimensions, so row-group statistics prune either predicate —
+    // at 100 TB this is how a (user, time) log store serves both
+    // per-user and per-window queries without duplicate layouts.
+    import org.apache.spark.sql.Column
+    val src = Tables.events(spark, sf0001)
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"))
+    val mm = src.agg(min("user_id"), max("user_id"), min("us"), max("us")).head
+    val (uMin, uMax, tMin, tMax) =
+      (mm.getLong(0), mm.getLong(1), mm.getLong(2), mm.getLong(3))
+    def scale8(c: Column, lo: Long, hi: Long): Column =
+      ((c - lit(lo)) * 255 / lit(hi - lo)).cast("long")
+    def bit(c: Column, i: Int): Column = shiftright(c, i).bitwiseAND(lit(1L))
+    val z = (0 until 8).map(i =>
+      shiftleft(bit(col("u8"), i), 2 * i + 1) +
+        shiftleft(bit(col("t8"), i), 2 * i)).reduce(_ + _)
+    val keyed = src
+      .withColumn("u8", scale8(col("user_id"), uMin, uMax))
+      .withColumn("t8", scale8(col("us"), tMin, tMax))
+      .withColumn("z", z)
+    val zDir = s"$wh/events_zorder"
+    val linDir = s"$wh/events_linear"
+    keyed.repartitionByRange(8, col("z")).sortWithinPartitions("z")
+      .select("event_id", "user_id", "us")
+      .write.mode("overwrite").parquet(zDir)
+    keyed.repartitionByRange(8, col("user_id")).sortWithinPartitions("user_id")
+      .select("event_id", "user_id", "us")
+      .write.mode("overwrite").parquet(linDir)
+    val total = src.count()
+    // 1/8-of-domain slices in each dimension, away from the edges
+    val uPred = col("user_id").between(
+      uMin + 3 * (uMax - uMin) / 8, uMin + 4 * (uMax - uMin) / 8)
+    val tPred = col("us").between(
+      tMin + 3 * (tMax - tMin) / 8, tMin + 4 * (tMax - tMin) / 8)
+    def scanned(dir: String, pred: Column): Long = {
+      val q = spark.read.parquet(dir).filter(pred)
+      q.collect()
+      q.queryExecution.executedPlan.collectLeaves().head
+        .metrics("numOutputRows").value
+    }
+    // z-order: BOTH dimensions prune
+    assert(scanned(zDir, uPred) <= 3 * total / 4,
+      "z-order must row-group-skip on the user dimension")
+    assert(scanned(zDir, tPred) <= 3 * total / 4,
+      "z-order must row-group-skip on the time dimension")
+    // linear user-sort: user prunes hard, time cannot prune at all —
+    // the asymmetry z-ordering exists to remove
+    assert(scanned(linDir, uPred) <= total / 4)
+    assert(scanned(linDir, tPred) >= 9 * total / 10,
+      "a user-sorted layout has no time locality; if this starts " +
+        "pruning, the generator changed and the contrast claim must move")
+  }
+
   test("ORC and JSON sources agree with parquet (cross-format parity)") {
     val gen = graft.onebrc.OneBrc.generate(spark, 20000L)
     gen.write.mode("overwrite").orc(s"$wh/m_orc")
