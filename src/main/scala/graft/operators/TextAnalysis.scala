@@ -48,6 +48,44 @@ object TextAnalysis {
       .orderBy("source", "batch_id")
   }
 
+  /** Shard width for the two-pass packing form: doc_id-range shards keep
+    * every heavy window partition at ≤ ~PackShardWidth docs. */
+  val PackShardWidth = 1000L
+
+  /** The two-pass prefix-sum form of [[packBatches]] — same output, no
+    * unbounded window partition. packBatches shards its cumsum by
+    * `source`, so ONE dominant source concentrates a whole corpus in a
+    * single window partition (it spills rather than fails — proven in
+    * ScaleTechniquesSpec — but at 100 TB you'd rather not spill a
+    * terabyte). This is the classic distributed scan: shard each source
+    * by doc_id range (order-compatible: shard s < t ⟹ every doc in s
+    * precedes every doc in t), pass 1 computes per-shard token sums and
+    * turns them into exclusive per-shard OFFSETS (a window over the tiny
+    * shard-sums frame), pass 2 computes the within-shard running sum and
+    * adds the offset — the global cumsum is reproduced exactly, so batch
+    * assignment is bit-identical to the one-pass form, with every window
+    * partition bounded by the shard width regardless of skew. */
+  def packBatchesSharded(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val sh = docs.withColumn("shard", expr(s"doc_id div $PackShardWidth"))
+    val offW = W.partitionBy(col("source")).orderBy(col("shard"))
+      .rowsBetween(W.unboundedPreceding, -1)
+    val offsets = sh.groupBy(col("source"), col("shard"))
+      .agg(sum(col("n_tokens")).as("shard_tokens"))
+      .withColumn("off", coalesce(sum(col("shard_tokens")).over(offW), lit(0L)))
+      .select(col("source"), col("shard"), col("off"))
+    val inW = W.partitionBy(col("source"), col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(W.unboundedPreceding, W.currentRow)
+    sh.join(offsets, Seq("source", "shard"))
+      .withColumn("cum", sum(col("n_tokens")).over(inW) + col("off"))
+      .withColumn("batch_id",
+        ((col("cum") - col("n_tokens")) / lit(PackBudget)).cast("long"))
+      .groupBy(col("source"), col("batch_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("batch_tokens"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+      .orderBy("source", "batch_id")
+  }
+
   /** DuckDB spelling of [[packBatches]] over a CTE named `fromRel` with
     * columns (source, doc_id, n_tokens) — the shared tail of the q88 and
     * q77 oracles. */
@@ -383,6 +421,17 @@ object TextAnalysis {
         .select(col("source"), col("doc_id"),
           size(split(col("text"), " ")).cast("long").as("n_tokens")))),
 
+    "q108_pack_sharded" -> ((s, d) =>
+      // the skew-immune two-pass prefix-sum form of q88 — identical
+      // batches (shares q88's oracle verbatim), but no window partition
+      // ever exceeds the shard width, however dominant one source is
+      // (see packBatchesSharded; bit-equality with the one-pass form is
+      // additionally pinned on an all-one-source frame in
+      // ScaleTechniquesSpec)
+      packBatchesSharded(t(s, d, "documents")
+        .select(col("source"), col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens")))),
+
     "q84_rolling_fp" -> ((s, d) => {
       // document fingerprinting with the custom codegen rolling-hash
       // Expression. Oracle-checked: DuckDB reproduces the 64-bit wrapping
@@ -585,6 +634,13 @@ object TextAnalysis {
         |    '[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS redacted
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q88_pack_batches" ->
+      s"""WITH toks AS (
+         |  SELECT source, doc_id,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |${packSql("toks")}""".stripMargin,
+    // the sharded form must produce bit-identical batches — same oracle
+    "q108_pack_sharded" ->
       s"""WITH toks AS (
          |  SELECT source, doc_id,
          |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens

@@ -400,6 +400,12 @@ class ScaleTechniquesSpec extends SparkSpec {
         "the one-source window partition must go to disk, not OOM")
       assert(underPressure.sameElements(inMem),
         "a spilled packing run must produce the bit-identical batches")
+      // and the two-pass prefix-sum form (q108) reproduces the same
+      // batches on this worst case WITHOUT any unbounded partition:
+      // its widest window is one doc_id-range shard, not the source
+      assert(operators.TextAnalysis.packBatchesSharded(skewed)
+        .collect().sameElements(inMem),
+        "sharded two-pass packing must equal the one-pass cumsum")
     } finally {
       s.sparkContext.removeSparkListener(listener)
       prior.foreach {
