@@ -33,7 +33,10 @@ object TextAnalysis {
   /** Token-budget batch packing over a (source, doc_id, n_tokens) frame:
     * batch = floor(exclusive-cumsum / budget) per `source` shard — each
     * shard packs independently in parallel (the 100 TB formulation of an
-    * inherently sequential assignment). */
+    * inherently sequential assignment). One dominant source makes its
+    * window partition spill (proven in ScaleTechniquesSpec); the
+    * skew-immune two-pass twin is [[packBatchesSharded]] (q108), which
+    * reproduces the identical batches with bounded partitions. */
   def packBatches(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val W = org.apache.spark.sql.expressions.Window
     val w = W.partitionBy(col("source")).orderBy(col("doc_id"))

@@ -59,5 +59,50 @@ class StatefulStreamingSpec extends SparkSpec {
     assert(alerts.map(_.user_id).distinct.length == alerts.length)
   }
 
+  test("freq_sketch carries bounded state across micro-batches (multi-batch stream)") {
+    // q107 runs single-batch at the test SFs (one parquet file), so the
+    // cross-micro-batch path — complete-mode aggregate state restored,
+    // merged with the new batch's partials, re-emitted — is pinned here:
+    // the corpus is split into 3 files, maxFilesPerTrigger=1 forces 3
+    // micro-batches, and the final sketch must satisfy the Misra-Gries
+    // envelope against exact counts over ALL batches combined.
+    import spark.implicits._
+    graft.functions.FreqSketchAgg.register(spark)
+    val K = graft.functions.FreqSketchAgg.K
+    val dir = tempDir("graft_mbsk").toString
+    // char pairs, not words: 82 distinct values > K, so eviction fires
+    // across batch boundaries, not just state restore
+    val words = graft.operators.TextAnalysis.charPairs(spark, sf0001)
+      .select(col("pair").as("w"))
+    words.repartition(3).write.mode("overwrite").parquet(dir)
+    assert(new java.io.File(dir).listFiles.count(_.getName.endsWith(".parquet")) == 3)
+    val name = s"graft_mbsk_${System.nanoTime()}"
+    val q = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("w",
+          org.apache.spark.sql.types.StringType))))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+      .agg(expr("freq_sketch(w)").as("sk"), count(lit(1)).as("total"))
+      .writeStream.outputMode("complete").format("memory").queryName(name)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val row = spark.table(name).collect().last // last emitted = all batches
+    spark.catalog.dropTempView(name)
+    val sk = row.getMap[String, Long](0)
+    val total = row.getLong(1)
+    val exact = words.groupBy("w").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(total == exact.values.sum)
+    assert(sk.size <= K, "stream state must stay capped at K counters")
+    sk.foreach { case (w, est) =>
+      assert(est <= exact(w), s"sketch overcounts $w")
+    }
+    exact.foreach { case (w, n) =>
+      assert(n - sk.getOrElse(w, 0L) <= total / (K + 1),
+        s"envelope violated for $w across micro-batches")
+    }
+  }
+
   private def Tables_events() = graft.Tables.events(spark, sf0001)
 }
