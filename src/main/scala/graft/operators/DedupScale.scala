@@ -1,0 +1,115 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Full-scale proof for the dedup flagship (the BrcScale twin for the
+  * LLM-pipeline side): generate an N-document corpus (default 1e6 — 200×
+  * the largest test SF), run the STAGED MinHash-LSH pipeline (q105's
+  * deployment shape) and near-dup clustering (q69) end to end, and check
+  * the result against the planted ground truth.
+  *
+  * The corpus is deterministic and partition-invariant (every token is a
+  * pure function of (doc_id, position) through xxhash64 — the OneBrc
+  * generator's trick): 50 tokens per doc from a 10k-word vocabulary, and
+  * every doc_id ≡ 7 (mod 100) is a planted near-dup of its predecessor
+  * (same token stream, last FIVE tokens swapped → 5 of 46 shingles
+  * differ per side → Jaccard = 41/51 ≈ 0.804, just above the 0.8
+  * threshold: the corpus deliberately sits at the LSH design point, not
+  * in the easy high-J regime). Ground truth is pure doc_id arithmetic:
+  *  - precision MUST be 1.0 — the verify step admits only true
+  *    candidates, and unrelated docs share ~no 5-grams at this vocab;
+  *  - recall is the banding probability, not 1.0: at J ≈ 0.804 with 16
+  *    hashes / 4 bands, P[some band matches] = 1-(1-J⁴)⁴ ≈ 0.89 — the
+  *    run asserts ≥ 0.80 and prints the measured value.
+  *
+  * Usage: runMain graft.operators.DedupScale [nDocs] [workDir] [--skip-gen]
+  */
+object DedupScale {
+
+  val VocabSize = 10000L
+  val DocTokens = 50
+  val DupMod = 100L
+  val DupRem = 7L
+
+  /** Deterministic corpus: token k of doc i derives from xxhash64(seed, k)
+    * where seed collapses a planted dup onto its predecessor; the last
+    * five tokens of a planted dup are swapped so the pair lands at
+    * J ≈ 0.804 — NEAR, not exact, and at the threshold. */
+  def generate(spark: SparkSession, n: Long): DataFrame = {
+    val isDup = (col("id") % DupMod) === DupRem
+    val seed = when(isDup, col("id") - 1).otherwise(col("id"))
+    val toks = transform(sequence(lit(1), lit(DocTokens)), k =>
+      concat(lit("w"),
+        pmod(xxhash64(seed, k), lit(VocabSize)).cast("string")))
+    val tail = array((0 until 5).map(k => lit(s"zz$k")): _*)
+    spark.range(n).select(
+      col("id").as("doc_id"),
+      concat_ws(" ",
+        when(isDup, concat(slice(toks, 1, DocTokens - 5), tail))
+          .otherwise(toks)).as("text"))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toLong).getOrElse(1000000L)
+    val work = args.drop(1).headOption.filterNot(_.startsWith("--"))
+      .getOrElse("/tmp/graft_dedup_scale")
+    val skipGen = args.contains("--skip-gen")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", "64")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def timed[T](phase: String)(body: => T): T = {
+      val t0 = System.nanoTime()
+      val r = body
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"""{"phase":"$phase","sec":$sec%.2f,"n_docs":$n}""")
+      r
+    }
+
+    val corpusDir = s"$work/corpus"
+    if (!skipGen) timed("gen") {
+      generate(spark, n).repartition(64)
+        .write.mode("overwrite").parquet(s"$corpusDir/documents.parquet")
+    }
+
+    // the q105 deployment shape: stage the df-capped shingle table once,
+    // then signatures → banded candidates → verified pairs off the stage
+    val stage = s"$work/stage"
+    timed("stage_shingles") {
+      Dedup.shingles(spark, corpusDir)
+        .write.mode("overwrite").parquet(s"$stage/shingles")
+    }
+    val pairs = timed("lsh_pairs") {
+      val p = Dedup.minhashLshFrom(spark.read.parquet(s"$stage/shingles"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      p.count()
+      p
+    }
+    val nClusters = timed("clusters") {
+      Dedup.clustersFromPairs(pairs.select(col("i"), col("j")))
+        .filter(col("doc_id") =!= col("keeper")).count()
+    }
+
+    // ground truth by doc_id arithmetic: planted pair = (i, i+1) with
+    // (i+1) % DupMod == DupRem (doc 0's predecessor does not exist)
+    val planted = (0L until n).count(id => id % DupMod == DupRem && id > 0)
+    val found = pairs.count()
+    val truePos = pairs
+      .filter(col("j") === col("i") + 1 && (col("j") % DupMod) === DupRem)
+      .count()
+    val precision = if (found == 0) 1.0 else truePos.toDouble / found
+    val recall = if (planted == 0) 1.0 else truePos.toDouble / planted
+    println(f"""{"check":"planted_pairs","planted":$planted,"found":$found,"precision":$precision%.4f,"recall":$recall%.4f,"dup_docs_clustered":$nClusters}""")
+    require(precision == 1.0,
+      s"verify step admitted a non-planted pair: precision=$precision")
+    require(recall >= 0.80,
+      s"LSH recall collapsed below the 16/4 design point: $recall")
+    spark.stop()
+  }
+}
