@@ -174,7 +174,9 @@ class DedupSimilaritySpec extends SparkSpec {
     def words(seed: String, n: Int): Seq[String] =
       (0 until n).map(k => s"$seed$k")
     val base = words("w", 60).mkString(" ") // 60 tokens -> 56 shingles
-    // swap the last token: 52 of 60 distinct shingles shared, J ≈ 0.87
+    // swap the last token: only the final shingle (p=56) differs per
+    // side, so J = 55/57 ≈ 0.965 — comfortably above the 0.8 threshold
+    // (the at-threshold regime is exercised in DedupScale)
     val nearOfBase = (words("w", 59) :+ "zz").mkString(" ")
     val docs = Seq(
       (1L, base),                          // corpus
