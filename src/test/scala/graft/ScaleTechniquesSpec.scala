@@ -415,6 +415,41 @@ class ScaleTechniquesSpec extends SparkSpec {
     }
   }
 
+  test("property: sharded two-pass packing equals one-pass on random frames") {
+    // the prefix correction must hold for ANY frame, not just the skew
+    // case: seeded random frames with multiple sources, doc_ids that
+    // straddle shard boundaries (ids drawn around multiples of the
+    // 1000-wide shard), sparse shards, and token counts spanning
+    // fractions of the pack budget
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    for (trial <- 0 until 4) {
+      val nSrc = 1 + rnd.nextInt(3)
+      val rows = (0 until 200 + rnd.nextInt(300)).map { _ =>
+        val src = s"s${rnd.nextInt(nSrc)}"
+        // cluster ids near shard boundaries to exercise the handoff
+        val id = rnd.nextInt(8) * 1000L + rnd.nextInt(20) - 10 match {
+          case v if v < 0 => -v
+          case v => v
+        }
+        (src, id, 1L + rnd.nextInt(3000))
+      }.distinct
+        // one row per (source, doc_id): duplicate ids would make the
+        // within-shard cumsum order-ambiguous in BOTH forms
+        .groupBy(r => (r._1, r._2)).map(_._2.head).toSeq
+      val df = rows.toDF("source", "doc_id", "n_tokens")
+      val a = operators.TextAnalysis.packBatches(df).collect()
+      val b = operators.TextAnalysis.packBatchesSharded(df).collect()
+      assert(a.sameElements(b), s"trial $trial: sharded != one-pass")
+    }
+    // degenerate frames
+    val empty = Seq.empty[(String, Long, Long)].toDF("source", "doc_id", "n_tokens")
+    assert(operators.TextAnalysis.packBatchesSharded(empty).collect().isEmpty)
+    val one = Seq(("s", 999L, 5L)).toDF("source", "doc_id", "n_tokens")
+    assert(operators.TextAnalysis.packBatchesSharded(one).collect()
+      .sameElements(operators.TextAnalysis.packBatches(one).collect()))
+  }
+
   test("Observation collects pipeline metrics with no extra pass") {
     // at 100 TB the difference between df.observe and a separate
     // metrics query is a full corpus scan: observe piggybacks exact
