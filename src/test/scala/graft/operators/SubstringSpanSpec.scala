@@ -1,0 +1,77 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** q109 exact-substring span semantics, pinned on an engineered corpus
+  * where the expected spans are known by construction (the sf tables only
+  * prove corpus-level agreement with the oracle; these pin the MERGE
+  * rules: maximality, island splitting, within-doc repeats). */
+class SubstringSpanSpec extends SparkSpec {
+
+  private def runOn(rows: Seq[(Long, String)]): Map[Long, (Long, Long, Long, Double)] = {
+    import spark.implicits._
+    val dir = tempDir("graft_spans").toString
+    rows.toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    Dedup.queries("q109_substring_spans")(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+  }
+
+  // unique vocabularies so nothing collides except what the test plants
+  private def words(tag: String, n: Int): Seq[String] =
+    (1 to n).map(i => s"$tag$i")
+
+  test("a 14-token run shared by two docs merges into ONE maximal span on each side") {
+    val shared = words("s", 14)
+    val d1 = words("a", 4) ++ shared ++ words("b", 12) // shared at pos 5..18
+    val d2 = words("c", 2) ++ shared ++ words("d", 9)  // shared at pos 3..16
+    val got = runOn(Seq(1L -> d1.mkString(" "), 2L -> d2.mkString(" "),
+      3L -> words("z", 30).mkString(" ")))
+    // 5 consecutive window starts (14-10+1) merge to one span of 14 tokens
+    assert(got(1L) == ((1L, 14L, 30L, 0.466667)), got(1L).toString)
+    assert(got(2L) == ((1L, 14L, 25L, 0.56)), got(2L).toString)
+    assert(!got.contains(3L), "unique doc must produce no span row")
+  }
+
+  test("two disjoint shared runs stay two islands; within-doc repeat is a dup") {
+    val r1 = words("p", 10) // exactly one window each
+    val r2 = words("q", 10)
+    // doc 1 carries both runs separated by unique filler -> 2 spans
+    val d1 = r1 ++ words("f", 5) ++ r2
+    // doc 2/3 carry one run each (the cross-doc partners)
+    val got = runOn(Seq(
+      1L -> d1.mkString(" "),
+      2L -> (words("g", 3) ++ r1 ++ words("h", 3)).mkString(" "),
+      // doc 4: the same 10-token block twice -> dup with ITSELF, two
+      // islands (positions 1 and 11 are not adjacent), whole doc covered
+      3L -> (words("k", 7) ++ r2).mkString(" "),
+      4L -> (words("x", 10) ++ words("x", 10)).mkString(" ")))
+    assert(got(1L) == ((2L, 20L, 25L, 0.8)), got(1L).toString)
+    assert(got(2L) == ((1L, 10L, 16L, 0.625)), got(2L).toString)
+    assert(got(3L) == ((1L, 10L, 17L, 0.588235)), got(3L).toString)
+    assert(got(4L) == ((2L, 20L, 20L, 1.0)), got(4L).toString)
+  }
+
+  test("q109 plan: no cartesian/nested-loop join, windows partition by doc_id") {
+    val p = Dedup.queries("q109_substring_spans")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "span detection must never form a pair join")
+    assert(p.contains("LeftSemi"), "dup-hash join-back is a semi-join")
+  }
+
+  test("q109 on the corpus: spans lie inside docs and fractions are sane") {
+    val rows = Dedup.queries("q109_substring_spans")(spark, sf0001).collect()
+    assert(rows.nonEmpty, "sf0.001 contains duplicated substrings")
+    rows.foreach { r =>
+      val (nSpans, dupToks, nToks, frac) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))
+      assert(nSpans >= 1 && dupToks >= Dedup.SpanWin && dupToks <= nToks,
+        r.toString)
+      assert(frac > 0.0 && frac <= 1.0, r.toString)
+    }
+  }
+}
