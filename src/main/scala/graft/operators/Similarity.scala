@@ -29,6 +29,12 @@ object Similarity {
   val BitsPerBand = 4
   val NPlanes: Int = NBands * BitsPerBand // 16
   val CosThreshold = 0.45
+  /** Number of coarse cells for q110's SemDeDup clustering (the first K
+    * vectors as an externally-trained codebook stand-in, the q73/q100
+    * move). At production scale K grows with the corpus (the paper uses
+    * ~√n) so expected cell size — and with it the within-cell pair
+    * count — stays bounded. */
+  val SemK = 32
 
   /** plane[k][i] = (strpos('0123456789abcdef', first_hex_char(md5("k_i"))) - 8.5)/8
     * — matches the SQL formula in `planesSql` exactly. */
@@ -162,6 +168,55 @@ object Similarity {
         .filter(col("rn") === 1)
         .select(col("j").as("dup_id"), col("i").as("keeper_id"),
           r6(col("cos")).as("cos6"))
+        .orderBy("dup_id")
+    }),
+
+    "q110_semantic_dedup" -> ((s, d) => {
+      // SemDeDup (Abbas et al., 2023): semantic dedup via CLUSTER-
+      // restricted pairwise cosine — the embedding-space answer to "these
+      // two documents say the same thing in different words", which no
+      // lexical gate (q60-q69, q109) can see. Assign every vector to its
+      // nearest coarse centroid (broadcast codebook — the first SemK
+      // vectors, the externally-trained stand-in q73/q100 use), then
+      // verify pairs ONLY within a cell and keep the min-id survivor
+      // (q74's single-pass rule standing in for the paper's random-keep:
+      // deterministic, so oracle-checkable). vs q74: LSH buckets catch
+      // pairs by random-hyperplane agreement; SemDeDup's cells make the
+      // complementary trade — candidates follow the data's own cluster
+      // structure, and pairs split across cells are deliberately out of
+      // scope (the paper's documented recall trade-off). Scale shape: the
+      // codebook broadcasts (KB), assignment is one map-side pass + one
+      // tiny row_number window per vector, and the self-join meets on
+      // `cell` — with K ~ √n cells the expected within-cell pair count
+      // stays near-linear, and ids-only candidates keep the 64-float
+      // payloads out of the shuffle (joined back once per candidate).
+      VectorExpressions.register(s)
+      val e = t(s, d, "embeddings")
+      val seeds = e.filter(col("vec_id") < SemK)
+        .select(col("vec_id").as("k"), col("embedding").as("se"))
+      val asg = e.crossJoin(broadcast(seeds))
+        .withColumn("ck", expr("cosine_sim(embedding, se)"))
+        .withColumn("rk", row_number().over(Window.partitionBy(col("vec_id"))
+          .orderBy(col("ck").desc, col("k"))))
+        .filter(col("rk") === 1)
+        .select(col("vec_id"), col("k").as("cell"))
+        // referenced as both self-join sides — persist or the assignment
+        // (scan + broadcast score + window) computes twice
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val cand = asg.select(col("cell"), col("vec_id").as("i"))
+        .join(asg.select(col("cell"), col("vec_id").as("j")), Seq("cell"))
+        .where(col("i") < col("j"))
+      val pairs = cand
+        .join(e.select(col("vec_id").as("i"), col("embedding").as("ea")), "i")
+        .join(e.select(col("vec_id").as("j"), col("embedding").as("eb")), "j")
+        .withColumn("cos", expr("cosine_sim(ea, eb)"))
+        .filter(col("cos") >= CosThreshold)
+      pairs
+        .withColumn("rn",
+          row_number().over(Window.partitionBy(col("j")).orderBy(col("i"))))
+        .filter(col("rn") === 1)
+        .select(col("j").as("dup_id"), col("i").as("keeper_id"),
+          col("cell"), r6(col("cos")).as("cos6"))
         .orderBy("dup_id")
     }),
 
@@ -345,6 +400,32 @@ object Similarity {
          |  SELECT i, j, cos, row_number() OVER (PARTITION BY j ORDER BY i) AS rn
          |  FROM scored WHERE cos >= $CosThreshold)
          |SELECT j AS dup_id, i AS keeper_id, round(cos*1e6)/1e6 AS cos6
+         |FROM ranked WHERE rn = 1 ORDER BY dup_id""".stripMargin,
+    "q110_semantic_dedup" ->
+      s"""WITH seeds AS (
+         |  SELECT vec_id AS k, embedding AS se FROM embeddings
+         |  WHERE vec_id < $SemK),
+         |cellscore AS (
+         |  SELECT vec_id, k, ${cosSql("embedding", "se")} AS ck
+         |  FROM embeddings CROSS JOIN seeds),
+         |asg AS (
+         |  SELECT vec_id, k AS cell FROM (
+         |    SELECT vec_id, k,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY ck DESC, k) AS rk
+         |    FROM cellscore) WHERE rk = 1),
+         |cand AS (
+         |  SELECT a.vec_id AS i, b.vec_id AS j, a.cell
+         |  FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id),
+         |spairs AS (
+         |  SELECT i, j, cell, ${cosSql("ea.embedding", "eb.embedding")} AS cos
+         |  FROM cand
+         |  JOIN embeddings ea ON ea.vec_id = i
+         |  JOIN embeddings eb ON eb.vec_id = j),
+         |ranked AS (
+         |  SELECT i, j, cell, cos,
+         |    row_number() OVER (PARTITION BY j ORDER BY i) AS rn
+         |  FROM spairs WHERE cos >= $CosThreshold)
+         |SELECT j AS dup_id, i AS keeper_id, cell, round(cos*1e6)/1e6 AS cos6
          |FROM ranked WHERE rn = 1 ORDER BY dup_id""".stripMargin,
     "q73_ivf_knn" ->
       s"""WITH cents AS (

@@ -265,6 +265,46 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(r1.forall(_.getDouble(2) >= Similarity.CosThreshold))
   }
 
+  test("q110 semantic dedup: in-cell min-id keepers, cross-cell pairs out of scope") {
+    import spark.implicits._
+    // engineered embedding corpus: seeds 0..31 are one-hot basis vectors
+    // over dims 0..31 (so cell assignment is exact); 100/101 duplicate
+    // seed 0's direction, 102 duplicates seed 1's; 104/105 share a strong
+    // common component in dims 32+ (cos = 0.9 with EACH OTHER) but their
+    // weak seed components land them in DIFFERENT cells — SemDeDup's
+    // documented recall trade-off says that pair must NOT be emitted.
+    def vec(parts: (Int, Float)*): Array[Float] = {
+      val a = Array.fill(Similarity.Dim)(0.0f)
+      parts.foreach { case (i, x) => a(i) = x }
+      a
+    }
+    val w = (32 until 64).map(i => i -> 3.0f / math.sqrt(32).toFloat)
+    val rows =
+      (0 until Similarity.SemK).map(k => k.toLong -> vec(k -> 1.0f)) ++
+        Seq(100L -> vec(0 -> 1.0f), 101L -> vec(0 -> 1.0f),
+          102L -> vec(1 -> 1.0f),
+          104L -> vec((w :+ (2 -> 1.0f)): _*),
+          105L -> vec((w :+ (3 -> 1.0f)): _*))
+    val dir = tempDir("graft_semdedup").toString
+    rows.toDF("vec_id", "embedding").withColumn("label", lit(0))
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = Similarity.queries("q110_semantic_dedup")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == Seq((100L, 0L, 0L, 1.0), (101L, 0L, 0L, 1.0),
+      (102L, 1L, 1L, 1.0)), got.mkString(", "))
+    // the cross-cell near-identical pair is absent by design
+    assert(!got.exists(r => r._1 == 105L || r._2 == 104L))
+  }
+
+  test("q110 plan: codebook broadcasts; candidates meet on cell, never n²") {
+    val df = Similarity.queries("q110_semantic_dedup")(spark, sf0001)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastExchange"), "seed codebook must broadcast")
+    assert(!p.contains("CartesianProduct"),
+      "within-cell self-join must be an equi-join on cell")
+    assert(df.collect().nonEmpty, "sf0.001 contains at least one semantic dup")
+  }
+
   test("q100 PQ: top-k complete per query, ADC distances exact and ordered") {
     val rows = Similarity.queries("q100_pq_ann")(spark, sf0001).collect()
     val byQ = rows.groupBy(_.getLong(0))
