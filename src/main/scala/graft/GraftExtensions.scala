@@ -40,5 +40,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("freq_sketch"),
       new ExpressionInfo(classOf[graft.functions.FreqSketchAgg].getName, "freq_sketch"),
       (exprs: Seq[Expression]) => graft.functions.FreqSketchAgg(exprs.head)))
+    // Spark's own runtime-filter bloom pair, exposed as SQL (see
+    // graft.functions.BloomFunctions for why they aren't already)
+    e.injectFunction((FunctionIdentifier("bloom_agg"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+        "bloom_agg"),
+      (exprs: Seq[Expression]) => graft.functions.BloomFunctions.bloomAggBuilder(exprs)))
+    e.injectFunction((FunctionIdentifier("might_contain"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+        "might_contain"),
+      (exprs: Seq[Expression]) =>
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          exprs.head, exprs(1))))
   }
 }

@@ -46,6 +46,17 @@ class ExtensionsSpec extends AnyFunSuite {
         s.sql("SELECT freq_sketch(id) FROM range(10)").collect()
       }
       assert(ferr.getMessage.contains("STRING"))
+      // bloom_agg/might_contain: Spark's runtime-filter pair, injected as
+      // SQL — the bloom side must be a scalar subquery (or foldable), and
+      // membership has no false negatives
+      s.range(0, 100).createOrReplaceTempView("bloom_keys")
+      val hits = s.sql(
+        """SELECT count(*) AS n FROM range(200)
+          |WHERE might_contain(
+          |  (SELECT bloom_agg(xxhash64(id)) FROM bloom_keys),
+          |  xxhash64(id))""".stripMargin).collect().head.getLong(0)
+      assert(hits >= 100 && hits <= 110, // all members + bounded FPs
+        s"bloom admitted $hits of 200 (100 true members)")
     } finally {
       SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
       prior.foreach(SparkSession.setDefaultSession)

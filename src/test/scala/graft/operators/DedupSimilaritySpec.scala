@@ -265,6 +265,20 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(r1.forall(_.getDouble(2) >= Similarity.CosThreshold))
   }
 
+  test("q111 bloom prefilter: identical rows to q79, might_contain below the join") {
+    val q79 = Dedup.queries("q79_decontaminate")(spark, sf0001)
+      .collect().map(_.toString).toSeq
+    val df = Dedup.queries("q111_bloom_decontaminate")(spark, sf0001)
+    assert(df.collect().map(_.toString).toSeq == q79,
+      "bloom is a prefilter: no false negatives, FPs removed by the join")
+    val p = df.queryExecution.executedPlan.toString
+    val filterAt = p.indexOf("might_contain")
+    val joinAt = p.indexOf("Join")
+    assert(filterAt >= 0, "the bloom prefilter must survive optimization")
+    assert(joinAt >= 0 && filterAt > joinAt,
+      "might_contain must sit BELOW the exact join (map-side prefilter)")
+  }
+
   test("q110 semantic dedup: in-cell min-id keepers, cross-cell pairs out of scope") {
     import spark.implicits._
     // engineered embedding corpus: seeds 0..31 are one-hot basis vectors
