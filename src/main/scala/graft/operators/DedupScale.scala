@@ -110,6 +110,28 @@ object DedupScale {
       s"verify step admitted a non-planted pair: precision=$precision")
     require(recall >= 0.80,
       s"LSH recall collapsed below the 16/4 design point: $recall")
+
+    // q109 substring spans at full scale — and unlike the probabilistic
+    // LSH gate, this one is EXACT: a planted dup shares tokens 1..45 with
+    // its predecessor (the swapped 5-token tail breaks every window that
+    // crosses position 41), so window starts 1..36 duplicate on both
+    // sides and the island merge must recover exactly ONE span of
+    // 36 + (W-1) = 45 tokens covering 0.9 of each 50-token doc — for the
+    // planted doc AND its predecessor, and for nobody else (independent
+    // xxhash64 token streams over a 10k vocab share no 10-token window).
+    timed("substring_spans") {
+      val spans = Dedup.queries("q109_substring_spans")(spark, corpusDir)
+      val agg = spans.agg(
+        count(lit(1)).as("docs"),
+        sum(when(col("n_spans") === 1L && col("dup_tokens") === 45L &&
+          col("n_tokens") === 50L && col("dup_frac6") === 0.9, 0L)
+          .otherwise(1L)).as("bad")).head()
+      val (docs, bad) = (agg.getLong(0), agg.getLong(1))
+      println(s"""{"check":"planted_spans","expected_docs":${2 * planted},"got_docs":$docs,"malformed":$bad}""")
+      require(docs == 2 * planted,
+        s"span detection must flag each planted doc + its predecessor: got $docs, want ${2 * planted}")
+      require(bad == 0, s"$bad docs deviate from the exact [1,45] span")
+    }
     spark.stop()
   }
 }
