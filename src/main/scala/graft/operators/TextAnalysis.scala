@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables._
 import graft.functions.VectorExpressions
@@ -180,6 +181,33 @@ object TextAnalysis {
         i => concat_ws(" ",
           (0 until n).map(k => element_at(col("toks"), i + lit(k))): _*)))
       .otherwise(array().cast("array<string>"))
+
+  /** Number of training shards for the epoch shuffle (q112). */
+  val NShards = 16
+
+  /** Deterministic epoch shuffle + shard assignment (q112) — the
+    * training-order primitive: every epoch the corpus is re-permuted and
+    * split into reader shards, and the permutation must be REPRODUCIBLE
+    * (resume-from-step, bitwise-repeatable runs) yet epoch-dependent.
+    * h = md5(epoch-salted doc_id) gives both: shard = first hex nibble
+    * (16-way — at 100 TB make it the reader-process count), position =
+    * rank of h within the shard. Scale shape: NO global total order —
+    * one shuffle on the shard key, then Spark's spillable per-shard sort;
+    * re-seeding an epoch is a literal change, zero state carried. The
+    * hash-order trick is the same content-hash determinism q75/q76 use
+    * for sampling (never rand(), which is layout-dependent on a cluster). */
+  def epochShuffle(s: SparkSession, d: String, epoch: Int): DataFrame = {
+    val h = md5(concat(lit(s"ep${epoch}_"), col("doc_id").cast("string")))
+    t(s, d, "documents")
+      .select(col("doc_id"), h.as("h"))
+      .withColumn("shard",
+        expr("cast(conv(substring(h, 1, 1), 16, 10) AS bigint)"))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("shard")).orderBy(col("h"), col("doc_id")))
+        .cast("long"))
+      .select(col("doc_id"), col("shard"), col("pos"))
+      .orderBy("shard", "pos")
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -463,6 +491,8 @@ object TextAnalysis {
         .orderBy("lang")
     }),
 
+    "q112_epoch_shuffle" -> ((s, d) => epochShuffle(s, d, 1)),
+
     "q76_weighted_sample" -> ((s, d) => {
       // Weighted sampling without replacement (Efraimidis-Spirakis):
       // rank by -ln(u)/w ascending and take k — equivalent to sampling
@@ -545,6 +575,18 @@ object TextAnalysis {
         |  round(CAST(round(CAST(wq AS DOUBLE) / wq_total * 1e6) AS BIGINT)
         |    / tokens * 1e6) / 1e6 AS epochs6
         |FROM sc CROSS JOIN wt ORDER BY source""".stripMargin,
+    "q112_epoch_shuffle" ->
+      """SELECT doc_id, shard,
+        |  CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id)
+        |       AS BIGINT) AS pos
+        |FROM (
+        |  SELECT doc_id,
+        |    CAST(strpos('0123456789abcdef', substr(h, 1, 1)) - 1 AS BIGINT)
+        |      AS shard, h
+        |  FROM (SELECT doc_id,
+        |          md5('ep1_' || CAST(doc_id AS VARCHAR)) AS h
+        |        FROM documents))
+        |ORDER BY shard, pos""".stripMargin,
     "q75_stratified_sample" ->
       s"""SELECT lang, count(*) AS n_sampled,
          |  CAST(sum(n_chars) AS BIGINT) AS chars

@@ -51,6 +51,29 @@ class TextStreamingSpec extends SparkSpec {
     assert(rows(2L) == ((3L, 2L, 1L, 0.5, 1L, 0)))   // "a a" duplicated
   }
 
+  test("q112 epoch shuffle: a permutation per epoch, contiguous shard positions") {
+    val e1 = TextAnalysis.epochShuffle(spark, sf0001, 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // deterministic: re-running epoch 1 reproduces the exact assignment
+    val e1again = TextAnalysis.epochShuffle(spark, sf0001, 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(e1.toSeq == e1again.toSeq)
+    // every doc appears exactly once (it IS a permutation into shards)
+    assert(e1.map(_._1).distinct.length == e1.length)
+    // positions are contiguous 1..n within each shard — a reader can
+    // seek by (shard, pos) with no gaps
+    e1.groupBy(_._2).foreach { case (shard, rows) =>
+      assert(rows.map(_._3).sorted.sameElements(1L to rows.length),
+        s"shard $shard positions not contiguous")
+    }
+    assert(e1.map(_._2).distinct.length > 1, "multiple shards in use")
+    // a different epoch re-permutes: same docs, different order
+    val e2 = TextAnalysis.epochShuffle(spark, sf0001, 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(e2.map(_._1).sorted.sameElements(e1.map(_._1).sorted))
+    assert(e2.toSeq != e1.toSeq, "epoch salt must change the permutation")
+  }
+
   test("q83 lang-id is deterministic and total") {
     val rows = TextAnalysis.queries("q83_lang_id")(spark, sf0001).collect()
     val langs = Set("en", "de", "es", "fr", "und")
