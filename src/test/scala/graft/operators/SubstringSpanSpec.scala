@@ -54,6 +54,43 @@ class SubstringSpanSpec extends SparkSpec {
     assert(got(4L) == ((2L, 20L, 20L, 1.0)), got(4L).toString)
   }
 
+  test("property: q109 matches a local brute-force span reference on random corpora") {
+    // tiny vocabulary => organic window collisions everywhere: heavy
+    // overlaps, within-doc repeats, islands that touch — the adversarial
+    // regime for the gaps-and-islands merge. Reference = literal window
+    // multiset counting + island folding in plain Scala.
+    val W = Dedup.SpanWin
+    def reference(docs: Seq[(Long, Seq[String])]): Map[Long, (Long, Long, Long, Double)] = {
+      val wins = docs.flatMap { case (id, ts) =>
+        (0 to ts.length - W).map(p => (id, p + 1, ts.slice(p, p + W).mkString(" ")))
+      }
+      val counts = wins.groupBy(_._3).map { case (k, v) => k -> v.size }
+      docs.flatMap { case (id, ts) =>
+        val ps = wins.filter(w => w._1 == id && counts(w._3) >= 2).map(_._2).sorted
+        if (ps.isEmpty) None else {
+          val islands = ps.foldLeft(List.empty[(Int, Int)]) {
+            case ((s, e) :: rest, p) if p == e + 1 => (s, p) :: rest
+            case (acc, p) => (p, p) :: acc
+          }.reverse
+          val spans = islands.map { case (s, e) => (s, e + W - 1) }
+          val dup = spans.map { case (s, e) => e - s + 1 }.sum.toLong
+          val frac = math.round(dup.toDouble / ts.length * 1e6) / 1e6
+          Some(id -> ((islands.length.toLong, dup, ts.length.toLong, frac)))
+        }
+      }.toMap
+    }
+    val rnd = new scala.util.Random(19)
+    for (trial <- 0 until 4) {
+      val vocab = Vector("a", "b", "c").take(2 + trial % 2)
+      val docs = (0L until (15 + rnd.nextInt(20)).toLong).map { id =>
+        val len = W + rnd.nextInt(30)
+        id -> Vector.fill(len)(vocab(rnd.nextInt(vocab.length)))
+      }
+      val got = runOn(docs.map { case (id, ts) => id -> ts.mkString(" ") })
+      assert(got == reference(docs), s"trial=$trial")
+    }
+  }
+
   test("q109 plan: no cartesian/nested-loop join, windows partition by doc_id") {
     val p = Dedup.queries("q109_substring_spans")(spark, sf0001)
       .queryExecution.executedPlan.toString
