@@ -25,6 +25,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("rolling_hash"),
       new ExpressionInfo(classOf[RollingHash].getName, "rolling_hash"),
       (exprs: Seq[Expression]) => RollingHash(exprs.head)))
+    e.injectFunction((FunctionIdentifier("rolling_window_hashes"),
+      new ExpressionInfo(
+        classOf[graft.functions.RollingWindowHashes].getName,
+        "rolling_window_hashes"),
+      (exprs: Seq[Expression]) =>
+        graft.functions.VectorExpressions.rollingWindowHashesBuilder(exprs)))
     e.injectFunction((FunctionIdentifier("brc_parse"),
       new ExpressionInfo(classOf[BrcParseLine].getName, "brc_parse"),
       (exprs: Seq[Expression]) => BrcParseLine(exprs.head)))

@@ -167,6 +167,80 @@ case class LshBands(child: Expression, planes: Array[Double],
     copy(child = newChild)
 }
 
+/** rolling_window_hashes(text, W) -> array<long>: the hash of EVERY
+  * W-token window of `text` (stride 1, tokens = single-space split with
+  * trailing empties kept, matching `split(text, ' ')`), in ONE O(bytes +
+  * windows) pass — the Rabin-Karp move the substring-dedup literature
+  * builds on. The declarative spelling (transform + md5(concat_ws(slice)))
+  * re-reads every token W times: O(tokens × W) hash work, a 10× constant
+  * at the default window. Here each token is byte-hashed once (h*31+b, the
+  * rolling_hash recurrence) and windows advance by the token-level
+  * recurrence wh' = (wh - th_out * B^(W-1)) * B + th_in over base
+  * B = 0x100000001b3 (FNV-1a prime; token hashes are effectively random
+  * 64-bit values, so window collisions sit at the 2^-64 birthday floor —
+  * far below any dedup threshold's noise, and the span output never
+  * exposes the hash values). Codegen delegates to the same compute method
+  * eval uses: one implementation, no interpreted/generated drift. */
+case class RollingWindowHashes(child: Expression, w: Int)
+    extends UnaryExpression {
+  require(w >= 1, s"window length must be >= 1, got $w")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "rolling_window_hashes"
+
+  override def nullSafeEval(v: Any): Any =
+    RollingWindowHashes.compute(v.asInstanceOf[UTF8String], w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"""${ev.value} = graft.functions.RollingWindowHashes.compute($s, $w);""")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object RollingWindowHashes {
+  /** Token-level rolling base (FNV-1a 64-bit prime — odd, so multiplication
+    * mod 2^64 is a bijection and no hash state is ever "lost"). */
+  val Base = 0x100000001b3L
+
+  /** Shared by interpreted eval AND generated code (called statically from
+    * the codegen template above). */
+  def compute(text: UTF8String, w: Int): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val bytes = text.getBytes
+    // pass 1: per-token byte hashes (h*31 + b, the rolling_hash formula),
+    // split on single 0x20 bytes with trailing empties kept
+    val toks = new java.util.ArrayList[java.lang.Long]()
+    var h = 0L
+    var i = 0
+    while (i < bytes.length) {
+      if (bytes(i) == 0x20) { toks.add(h); h = 0L }
+      else h = h * 31L + (bytes(i) & 0xffL)
+      i += 1
+    }
+    toks.add(h) // final token (split keeps trailing empties)
+    val n = toks.size
+    if (n < w)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.emptyLongArray)
+    // B^(W-1) mod 2^64 for the remove-token step
+    var bw = 1L
+    var k = 0
+    while (k < w - 1) { bw *= Base; k += 1 }
+    // pass 2: first window from scratch, the rest by the O(1) recurrence
+    val out = new Array[Long](n - w + 1)
+    var wh = 0L
+    k = 0
+    while (k < w) { wh = wh * Base + toks.get(k); k += 1 }
+    out(0) = wh
+    k = 1
+    while (k <= n - w) {
+      wh = (wh - toks.get(k - 1) * bw) * Base + toks.get(k + w - 1)
+      out(k) = wh
+      k += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
 /** nfc_normalize(string) -> string: Unicode NFC normalization — Spark has
   * no built-in for it, yet text dedup REQUIRES it ("Zürich" composed vs
   * decomposed are different byte strings that md5/groupBy treat as distinct
@@ -201,6 +275,22 @@ object VectorExpressions {
       exprs => RollingHash(exprs.head), "built-in")
     reg.createOrReplaceTempFunction("nfc_normalize",
       exprs => NfcNormalize(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction("rolling_window_hashes",
+      exprs => rollingWindowHashesBuilder(exprs), "built-in")
+  }
+
+  /** Builder shared with GraftExtensions' config-only injection. */
+  def rollingWindowHashesBuilder(exprs: Seq[Expression]): Expression =
+    RollingWindowHashes(exprs.head, litInt(exprs(1)))
+
+  /** The window length binds into the generated code, so it must be a
+    * literal int (same restriction Spark's own array functions place on
+    * e.g. array_repeat counts used in codegen constants). */
+  private def litInt(e: Expression): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int,
+      org.apache.spark.sql.types.IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"rolling_window_hashes window length must be an int literal, got $other")
   }
 
   /** Register lsh_bands bound to a concrete hyperplane matrix. */

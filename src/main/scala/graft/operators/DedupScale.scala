@@ -132,6 +132,20 @@ object DedupScale {
         s"span detection must flag each planted doc + its predecessor: got $docs, want ${2 * planted}")
       require(bad == 0, s"$bad docs deviate from the exact [1,45] span")
     }
+
+    // the rolling-hash twin at the scale where hashing dominates: same
+    // exact gate, one O(bytes+windows) Rabin-Karp pass instead of
+    // re-hashing every token W times through md5(concat_ws(slice))
+    timed("substring_spans_rolling") {
+      val spans = Dedup.queries("q113_spans_rolling")(spark, corpusDir)
+      val agg = spans.agg(
+        count(lit(1)).as("docs"),
+        sum(when(col("n_spans") === 1L && col("dup_tokens") === 45L &&
+          col("n_tokens") === 50L && col("dup_frac6") === 0.9, 0L)
+          .otherwise(1L)).as("bad")).head()
+      require(agg.getLong(0) == 2 * planted && agg.getLong(1) == 0,
+        s"rolling twin diverged: docs=${agg.getLong(0)} bad=${agg.getLong(1)}")
+    }
     spark.stop()
   }
 }

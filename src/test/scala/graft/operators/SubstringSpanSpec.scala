@@ -9,12 +9,13 @@ import org.apache.spark.sql.functions._
   * rules: maximality, island splitting, within-doc repeats). */
 class SubstringSpanSpec extends SparkSpec {
 
-  private def runOn(rows: Seq[(Long, String)]): Map[Long, (Long, Long, Long, Double)] = {
+  private def runOn(rows: Seq[(Long, String)],
+                    query: String = "q109_substring_spans"): Map[Long, (Long, Long, Long, Double)] = {
     import spark.implicits._
     val dir = tempDir("graft_spans").toString
     rows.toDF("doc_id", "text")
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
-    Dedup.queries("q109_substring_spans")(spark, dir).collect()
+    Dedup.queries(query)(spark, dir).collect()
       .map(r => r.getLong(0) ->
         (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
   }
@@ -86,9 +87,60 @@ class SubstringSpanSpec extends SparkSpec {
         val len = W + rnd.nextInt(30)
         id -> Vector.fill(len)(vocab(rnd.nextInt(vocab.length)))
       }
-      val got = runOn(docs.map { case (id, ts) => id -> ts.mkString(" ") })
-      assert(got == reference(docs), s"trial=$trial")
+      val strs = docs.map { case (id, ts) => id -> ts.mkString(" ") }
+      val want = reference(docs)
+      assert(runOn(strs) == want, s"trial=$trial (q109)")
+      assert(runOn(strs, "q113_spans_rolling") == want, s"trial=$trial (q113)")
     }
+  }
+
+  test("rolling_window_hashes: recurrence equals from-scratch polynomial, split parity") {
+    import graft.functions.RollingWindowHashes.{compute, Base}
+    import org.apache.spark.unsafe.types.UTF8String
+    def tokHash(t: String): Long =
+      t.getBytes("UTF-8").foldLeft(0L)((h, b) => h * 31L + (b & 0xffL))
+    def scratch(text: String, w: Int): Seq[Long] = {
+      val toks = text.split(" ", -1).toSeq // split(text,' ') semantics
+      if (toks.length < w) Nil
+      else (0 to toks.length - w).map(p =>
+        toks.slice(p, p + w).foldLeft(0L)((h, t) => h * Base + tokHash(t)))
+    }
+    val rnd = new scala.util.Random(23)
+    val cases = Seq("", " ", "a", "a b", "a  b ", "x " * 30 + "x") ++
+      (0 until 20).map(_ => Seq.fill(3 + rnd.nextInt(40))(
+        s"t${rnd.nextInt(6)}").mkString(" "))
+    for (text <- cases; w <- Seq(1, 2, 10)) {
+      val got = compute(UTF8String.fromString(text), w)
+        .toLongArray().toSeq
+      assert(got == scratch(text, w), s"text='$text' w=$w")
+    }
+  }
+
+  test("q113 rolling twin: identical output to q109, incl. whitespace edges") {
+    val shared = words("s", 14).mkString(" ")
+    // double/trailing spaces: split(text, ' ') keeps empty tokens, and the
+    // rolling tokenizer must agree with it token-for-token
+    val corpus = Seq(
+      1L -> s"${words("a", 4).mkString(" ")} $shared ${words("b", 12).mkString(" ")}",
+      2L -> s"${words("c", 2).mkString(" ")} $shared",
+      3L -> (words("x", 10) ++ words("x", 10)).mkString(" "),
+      4L -> (words("e", 6).mkString(" ") + "  " + shared + " "), // "" tokens
+      5L -> (words("f", 6).mkString(" ") + "  " + shared + " "))
+    assert(runOn(corpus, "q113_spans_rolling") == runOn(corpus))
+    // and on the real corpus
+    val q109 = Dedup.queries("q109_substring_spans")(spark, sf0001)
+      .collect().map(_.toString).toSeq
+    val q113 = Dedup.queries("q113_spans_rolling")(spark, sf0001)
+      .collect().map(_.toString).toSeq
+    assert(q113 == q109, "rolling-hash twin must not change a bit")
+  }
+
+  test("q113 plan: fused rolling expression, no md5/slice re-hash per window") {
+    val p = Dedup.queries("q113_spans_rolling")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("rolling_window_hashes"),
+      "window hashing must go through the fused codegen expression")
+    assert(!p.contains("md5"), "the rolling twin must not fall back to md5")
   }
 
   test("q109 plan: no cartesian/nested-loop join, windows partition by doc_id") {
