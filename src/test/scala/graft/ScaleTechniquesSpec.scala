@@ -450,6 +450,48 @@ class ScaleTechniquesSpec extends SparkSpec {
       .sameElements(operators.TextAnalysis.packBatches(one).collect()))
   }
 
+  test("q111 bloom prefilter: metrics prove the map-side row cut before the join") {
+    // the selectivity claim, measured: the might_contain filter must pass
+    // only true eval-gram hits plus the bounded false-positive sliver —
+    // at 100 TB this is the difference between shuffling the whole train
+    // gram table into the join and shuffling a contaminated sliver
+    import org.apache.spark.sql.execution.{FilterExec, SparkPlan}
+    val df = graft.operators.Dedup
+      .queries("q111_bloom_decontaminate")(spark, sf0001)
+    df.collect()
+    // AQE wraps materialized stages in QueryStageExec LEAVES — a plain
+    // collect() stops at the stage boundary, so flatten through them
+    def flatten(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        flatten(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        q +: flatten(q.plan)
+      case other => other +: other.children.flatMap(flatten)
+    }
+    val filters = flatten(df.queryExecution.executedPlan).collect {
+      case f: FilterExec
+        if f.condition.toString.contains("might_contain") => f
+    }
+    assert(filters.nonEmpty, "bloom prefilter FilterExec not found")
+    val passed = filters.map(_.metrics("numOutputRows").value).sum
+    // denominator measured independently: all train-side grams
+    val trainGrams = graft.Tables.t(spark, sf0001, "documents")
+      .filter(!col("source").isin("src0", "src1", "src2"))
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), size(split(col("text"), " ")) - 7),
+        i => substring(md5(concat_ws(" ",
+          slice(split(col("text"), " "), i, lit(8)))), 1, 16))).as("s"))
+      .distinct().count()
+    // true contamination on this corpus is a sliver; 1% FP default makes
+    // anything above a quarter of the table a broken prefilter
+    assert(passed < trainGrams / 4,
+      s"bloom passed $passed of $trainGrams train grams — no real cut")
+    // and nothing true is lost: every exact hit survived the prefilter
+    val hits = df.agg(sum(col("n_grams_hit"))).head.getLong(0)
+    assert(passed >= hits,
+      s"prefilter passed $passed rows but the exact join found $hits hits")
+  }
+
   test("Observation collects pipeline metrics with no extra pass") {
     // at 100 TB the difference between df.observe and a separate
     // metrics query is a full corpus scan: observe piggybacks exact
