@@ -152,6 +152,85 @@ class SubstringSpanSpec extends SparkSpec {
     assert(p.contains("LeftSemi"), "dup-hash join-back is a semi-join")
   }
 
+  private def runRemoval(rows: Seq[(Long, String)]): Map[Long, (Long, Long, Long, String)] = {
+    import spark.implicits._
+    val dir = tempDir("graft_spanrm").toString
+    rows.toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    Dedup.queries("q114_span_removal")(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))).toMap
+  }
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("q114 removal: canonical doc survives verbatim, borrower is cut, full-borrow empties") {
+    val shared = words("s", 14)
+    val d1 = words("a", 4) ++ shared ++ words("b", 12) // canonical owner
+    val d2 = words("c", 2) ++ shared ++ words("d", 9)  // borrower: s cut
+    val d4 = words("x", 10) ++ words("x", 10)          // within-doc repeat
+    val got = runRemoval(Seq(
+      1L -> d1.mkString(" "), 2L -> d2.mkString(" "),
+      3L -> words("z", 30).mkString(" "), 4L -> d4.mkString(" "),
+      // doc 5 is d1's text verbatim -> every window borrowed -> empties
+      5L -> d1.mkString(" ")))
+    assert(got(1L) == ((0L, 0L, 30L, md5hex(d1.mkString(" ")))), got(1L).toString)
+    val d2clean = (words("c", 2) ++ words("d", 9)).mkString(" ")
+    assert(got(2L) == ((1L, 14L, 11L, md5hex(d2clean))), got(2L).toString)
+    assert(got(3L) == ((0L, 0L, 30L, md5hex(words("z", 30).mkString(" ")))),
+      got(3L).toString)
+    // second x-run removed (its windows rehit pos-1 hashes), first kept
+    assert(got(4L) == ((1L, 10L, 10L, md5hex(words("x", 10).mkString(" ")))),
+      got(4L).toString)
+    assert(got(5L) == ((1L, 30L, 0L, md5hex(""))), got(5L).toString)
+  }
+
+  test("property: q114 matches a local brute-force removal reference on random corpora") {
+    val W = Dedup.SpanWin
+    def reference(docs: Seq[(Long, Seq[String])]): Map[Long, (Long, Long, Long, String)] = {
+      val wins = docs.flatMap { case (id, ts) =>
+        (0 to ts.length - W).map(p => (id, p + 1, ts.slice(p, p + W).mkString(" ")))
+      }
+      val nonCanon = wins.groupBy(_._3).values.flatMap(_.sortBy(w => (w._1, w._2)).drop(1))
+      val coveredBy = nonCanon.toSeq.groupBy(_._1).map { case (id, ws) =>
+        id -> ws.flatMap(w => w._2 until w._2 + W).toSet
+      }
+      docs.map { case (id, ts) =>
+        val cov = coveredBy.getOrElse(id, Set.empty[Int]).toSeq.sorted
+        val islands = cov.foldLeft(0L) {
+          case (n, p) if cov.contains(p - 1) => n
+          case (n, _) => n + 1
+        }
+        val kept = ts.zipWithIndex.collect {
+          case (t, i) if !cov.contains(i + 1) => t }
+        id -> ((islands, cov.size.toLong, kept.size.toLong,
+          md5hex(kept.mkString(" "))))
+      }.toMap
+    }
+    val rnd = new scala.util.Random(31)
+    for (trial <- 0 until 4) {
+      val vocab = Vector("a", "b", "c").take(2 + trial % 2)
+      val docs = (0L until (15 + rnd.nextInt(20)).toLong).map { id =>
+        val len = W + rnd.nextInt(30)
+        id -> Vector.fill(len)(vocab(rnd.nextInt(vocab.length)))
+      }
+      val strs = docs.map { case (id, ts) => id -> ts.mkString(" ") }
+      assert(runRemoval(strs) == reference(docs), s"trial=$trial")
+    }
+  }
+
+  test("q114 plan: no pair join; reconstruction is a per-row filter, not a token shuffle") {
+    val p = Dedup.queries("q114_span_removal")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "removal must never form a pair join")
+    assert(p.contains("rolling_window_hashes"),
+      "q114 must ride the fused rolling-hash window stage")
+  }
+
   test("q109 on the corpus: spans lie inside docs and fractions are sane") {
     val rows = Dedup.queries("q109_substring_spans")(spark, sf0001).collect()
     assert(rows.nonEmpty, "sf0.001 contains duplicated substrings")
