@@ -36,6 +36,11 @@ object Similarity {
     * count — stays bounded. */
   val SemK = 32
 
+  /** Probes per vector for q115's multi-probe variant of q110: each
+    * vector joins its top-2 nearest cells, so a near-dup pair split by a
+    * cell boundary still meets wherever their probe sets intersect. */
+  val SemProbes = 2
+
   /** plane[k][i] = (strpos('0123456789abcdef', first_hex_char(md5("k_i"))) - 8.5)/8
     * — matches the SQL formula in `planesSql` exactly. */
   lazy val planes: Array[Array[Double]] = {
@@ -96,6 +101,26 @@ object Similarity {
       s"""(list_sum(list_transform(range(1, ${Dim + 1}), i -> CAST($a[i] AS DOUBLE)*CAST($b[i] AS DOUBLE))) /
          |  (sqrt(list_sum(list_transform(range(1, ${Dim + 1}), i -> CAST($a[i] AS DOUBLE)*CAST($a[i] AS DOUBLE)))) *
          |   sqrt(list_sum(list_transform(range(1, ${Dim + 1}), i -> CAST($b[i] AS DOUBLE)*CAST($b[i] AS DOUBLE))))))""".stripMargin
+
+  /** Top-`probes` nearest-coarse-centroid cell assignment over the
+    * broadcast SemK-seed codebook — the shared candidate generator of
+    * q110 (probes=1, SemDeDup proper) and q115 (probes=2, multi-probe).
+    * Persisted because both self-join sides reference it. */
+  private def semAssign(s: SparkSession, d: String, probes: Int): DataFrame = {
+    VectorExpressions.register(s)
+    val e = t(s, d, "embeddings")
+    val seeds = e.filter(col("vec_id") < SemK)
+      .select(col("vec_id").as("k"), col("embedding").as("se"))
+    e.crossJoin(broadcast(seeds))
+      .withColumn("ck", expr("cosine_sim(embedding, se)"))
+      .withColumn("rk", row_number().over(Window.partitionBy(col("vec_id"))
+        .orderBy(col("ck").desc, col("k"))))
+      .filter(col("rk") <= probes)
+      .select(col("vec_id"), col("k").as("cell"))
+      // referenced as both self-join sides — persist or the assignment
+      // (scan + broadcast score + window) computes twice
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -190,19 +215,8 @@ object Similarity {
       // `cell` — with K ~ √n cells the expected within-cell pair count
       // stays near-linear, and ids-only candidates keep the 64-float
       // payloads out of the shuffle (joined back once per candidate).
-      VectorExpressions.register(s)
       val e = t(s, d, "embeddings")
-      val seeds = e.filter(col("vec_id") < SemK)
-        .select(col("vec_id").as("k"), col("embedding").as("se"))
-      val asg = e.crossJoin(broadcast(seeds))
-        .withColumn("ck", expr("cosine_sim(embedding, se)"))
-        .withColumn("rk", row_number().over(Window.partitionBy(col("vec_id"))
-          .orderBy(col("ck").desc, col("k"))))
-        .filter(col("rk") === 1)
-        .select(col("vec_id"), col("k").as("cell"))
-        // referenced as both self-join sides — persist or the assignment
-        // (scan + broadcast score + window) computes twice
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val asg = semAssign(s, d, probes = 1)
       val cand = asg.select(col("cell"), col("vec_id").as("i"))
         .join(asg.select(col("cell"), col("vec_id").as("j")), Seq("cell"))
         .where(col("i") < col("j"))
@@ -217,6 +231,41 @@ object Similarity {
         .filter(col("rn") === 1)
         .select(col("j").as("dup_id"), col("i").as("keeper_id"),
           col("cell"), r6(col("cos")).as("cos6"))
+        .orderBy("dup_id")
+    }),
+
+    "q115_semantic_multiprobe" -> ((s, d) => {
+      // q110's documented recall gap, closed: SemDeDup misses a near-dup
+      // pair whose members straddle a cell boundary (the spec pins one).
+      // Multi-probe assignment — each vector joins its top-SemProbes
+      // nearest cells, the standard IVF/LSH multi-probe move — catches
+      // any pair whose probe sets intersect, at a bounded cost multiple:
+      // candidate volume grows by at most probes² per cell pair, and the
+      // exact-cosine verify is unchanged. Candidates stay ids-only and
+      // are distinct'd BEFORE the payload join, so a pair meeting in two
+      // shared cells is verified once, not twice. Cell ids are dropped
+      // from the output (a pair no longer belongs to one cell); keeper
+      // rule and threshold are q110's. Invariant vs q110: the candidate
+      // set is a strict superset (rk=1 cells are probed too), so q115's
+      // dup_id set contains q110's and, per shared dup_id, its keeper_id
+      // is <= q110's (more verified neighbors can only lower the min).
+      val e = t(s, d, "embeddings")
+      val asg = semAssign(s, d, probes = SemProbes)
+      val cand = asg.select(col("cell"), col("vec_id").as("i"))
+        .join(asg.select(col("cell"), col("vec_id").as("j")), Seq("cell"))
+        .where(col("i") < col("j"))
+        .select(col("i"), col("j")).distinct()
+      val pairs = cand
+        .join(e.select(col("vec_id").as("i"), col("embedding").as("ea")), "i")
+        .join(e.select(col("vec_id").as("j"), col("embedding").as("eb")), "j")
+        .withColumn("cos", expr("cosine_sim(ea, eb)"))
+        .filter(col("cos") >= CosThreshold)
+      pairs
+        .withColumn("rn",
+          row_number().over(Window.partitionBy(col("j")).orderBy(col("i"))))
+        .filter(col("rn") === 1)
+        .select(col("j").as("dup_id"), col("i").as("keeper_id"),
+          r6(col("cos")).as("cos6"))
         .orderBy("dup_id")
     }),
 
@@ -426,6 +475,32 @@ object Similarity {
          |    row_number() OVER (PARTITION BY j ORDER BY i) AS rn
          |  FROM spairs WHERE cos >= $CosThreshold)
          |SELECT j AS dup_id, i AS keeper_id, cell, round(cos*1e6)/1e6 AS cos6
+         |FROM ranked WHERE rn = 1 ORDER BY dup_id""".stripMargin,
+    "q115_semantic_multiprobe" ->
+      s"""WITH seeds AS (
+         |  SELECT vec_id AS k, embedding AS se FROM embeddings
+         |  WHERE vec_id < $SemK),
+         |cellscore AS (
+         |  SELECT vec_id, k, ${cosSql("embedding", "se")} AS ck
+         |  FROM embeddings CROSS JOIN seeds),
+         |asg AS (
+         |  SELECT vec_id, k AS cell FROM (
+         |    SELECT vec_id, k,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY ck DESC, k) AS rk
+         |    FROM cellscore) WHERE rk <= $SemProbes),
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS i, b.vec_id AS j
+         |  FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id),
+         |spairs AS (
+         |  SELECT i, j, ${cosSql("ea.embedding", "eb.embedding")} AS cos
+         |  FROM cand
+         |  JOIN embeddings ea ON ea.vec_id = i
+         |  JOIN embeddings eb ON eb.vec_id = j),
+         |ranked AS (
+         |  SELECT i, j, cos,
+         |    row_number() OVER (PARTITION BY j ORDER BY i) AS rn
+         |  FROM spairs WHERE cos >= $CosThreshold)
+         |SELECT j AS dup_id, i AS keeper_id, round(cos*1e6)/1e6 AS cos6
          |FROM ranked WHERE rn = 1 ORDER BY dup_id""".stripMargin,
     "q73_ivf_knn" ->
       s"""WITH cents AS (

@@ -310,6 +310,53 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(!got.exists(r => r._1 == 105L || r._2 == 104L))
   }
 
+  test("q115 multi-probe: catches the cross-cell pair q110 misses, keepers only shrink") {
+    import spark.implicits._
+    // q110's engineered corpus, with 104/105 given a COMMON weak second
+    // component on seed-dim 4: their strong shared direction (dims 32+,
+    // cos ≈ 0.902 with each other) still lands their NEAREST cells apart
+    // (2 vs 3), but both probe cell 4 second — the multi-probe rendezvous.
+    def vec(parts: (Int, Float)*): Array[Float] = {
+      val a = Array.fill(Similarity.Dim)(0.0f)
+      parts.foreach { case (i, x) => a(i) = x }
+      a
+    }
+    val w = (32 until 64).map(i => i -> 3.0f / math.sqrt(32).toFloat)
+    val rows =
+      (0 until Similarity.SemK).map(k => k.toLong -> vec(k -> 1.0f)) ++
+        Seq(100L -> vec(0 -> 1.0f), 101L -> vec(0 -> 1.0f),
+          102L -> vec(1 -> 1.0f),
+          104L -> vec((w ++ Seq(2 -> 1.0f, 4 -> 0.5f)): _*),
+          105L -> vec((w ++ Seq(3 -> 1.0f, 4 -> 0.5f)): _*))
+    val dir = tempDir("graft_semprobe").toString
+    rows.toDF("vec_id", "embedding").withColumn("label", lit(0))
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = Similarity.queries("q115_semantic_multiprobe")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.map(r => (r._1, r._2)).toSeq ==
+      Seq((100L, 0L), (101L, 0L), (102L, 1L), (105L, 104L)),
+      got.mkString(", "))
+    // the rendezvous pair scores its true (cross-cell) cosine
+    val cross = got.find(_._1 == 105L).get
+    assert(cross._3 > 0.9 && cross._3 < 0.91, cross.toString)
+    // and single-probe q110 indeed cannot see it (regression-pins the gap)
+    val q110 = Similarity.queries("q110_semantic_dedup")(spark, dir)
+      .collect().map(_.getLong(0)).toSet
+    assert(!q110.contains(105L), "q110 must still miss the cross-cell pair")
+  }
+
+  test("q115 vs q110 on the corpus: dup superset, per-dup keeper never grows") {
+    val q110 = Similarity.queries("q110_semantic_dedup")(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val q115 = Similarity.queries("q115_semantic_multiprobe")(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(q110.keySet.subsetOf(q115.keySet),
+      s"multi-probe must not lose dups: ${q110.keySet -- q115.keySet}")
+    q110.foreach { case (dup, keeper) =>
+      assert(q115(dup) <= keeper, s"dup $dup: keeper grew ${q115(dup)} > $keeper")
+    }
+  }
+
   test("q110 plan: codebook broadcasts; candidates meet on cell, never n²") {
     val df = Similarity.queries("q110_semantic_dedup")(spark, sf0001)
     val p = df.queryExecution.executedPlan.toString
