@@ -92,7 +92,8 @@ object Bench {
       "q103_approx_percentile", "q104_delta_dedup_full", "q105_staged_dedup",
       "q106_heavy_hitters", "q107_stream_heavy_hitters", "q108_pack_sharded",
       "q109_substring_spans", "q110_semantic_dedup", "q111_bloom_decontaminate",
-      "q113_spans_rolling", "q114_span_removal", "q115_semantic_multiprobe")
+      "q113_spans_rolling", "q114_span_removal", "q115_semantic_multiprobe",
+      "q116_temperature_sample")
     val headSet = headline.toSet
     val shortJson =
       s"""{"metric":"total","value":$totalStr,"unit":"sec","n_queries":${results.size},$protoJson,"queries":${qJson(results.filter(r => headSet(r._1)))},"sf":"$sfDir"}"""

@@ -309,6 +309,54 @@ object TextAnalysis {
         .orderBy("source")
     }),
 
+    "q116_temperature_sample" -> ((s, d) => {
+      // Executes the resample q38 only PLANS: q38 emits the α=0.5
+      // temperature-flattened target allocation; q116 turns it into an
+      // actual sampled corpus with a per-document content-hash accept
+      // test (the q75 determinism idiom — no rand(), layout- and
+      // retry-invariant, composes with incremental runs). Integer chain,
+      // exact end to end: wu = round(sqrt(token_mass)·1e6) (sqrt is
+      // IEEE-correctly-rounded in both engines; masses < 2^53 are exact
+      // doubles), share in ppm by BIGINT division, per-source accept
+      // rate in 2^20 units, and a doc is picked iff its 20-bit md5
+      // prefix falls under the rate. Overflow headroom documented at
+      // the use sites — every product stays under 2^63 up to ~10^13
+      // corpus tokens (≈ 100 TB of text). Scale shape: two map-side
+      // aggs + two lazy 1-row crossJoins (q85 idiom); the rate table
+      // broadcasts onto the doc scan, so the pick is one pass.
+      val docs = t(s, d, "documents")
+        .select(col("source"), col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"),
+          // 5 hex chars = exactly 20 bits: hp uniform on [0, 2^20)
+          expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 5), 16, 10) AS BIGINT)")
+            .as("hp"))
+      val src = docs.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("m_tok"))
+        .withColumn("wu",
+          round(sqrt(col("m_tok").cast("double")) * 1e6).cast("long"))
+      val tot = src.agg(expr("sum(wu) AS wu_tot"),
+        expr("sum(m_tok) DIV 4 AS b_tok")) // budget: a quarter of the mass
+      val rates = src.crossJoin(tot)
+        .withColumn("share_ppm", expr("wu * 1000000 DIV wu_tot"))
+        // ppm-quantized target: share_ppm·b_tok ≤ 1e6·~2.5e12 < 2^63
+        .withColumn("target_tokens", expr("share_ppm * b_tok DIV 1000000"))
+        // target·2^20 ≤ b_tok·2^20 < 2^63 at ≤ ~6·10^12 budget tokens
+        .withColumn("rate20", least(lit(1048576L),
+          expr("target_tokens * 1048576 DIV m_tok")))
+      val picked = docs
+        .join(rates.select(col("source"), col("rate20")), "source")
+        .where(col("hp") < col("rate20"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("picked_docs"),
+          sum(col("n_tokens")).as("picked_tokens"))
+      rates.join(picked, Seq("source"), "left")
+        .select(col("source"), col("n_docs"), col("m_tok"), col("wu"),
+          col("share_ppm"), col("target_tokens"), col("rate20"),
+          coalesce(col("picked_docs"), lit(0L)).as("picked_docs"),
+          coalesce(col("picked_tokens"), lit(0L)).as("picked_tokens"))
+        .orderBy("source")
+    }),
+
     "q80_token_stats" -> ((s, d) =>
       // token counting: whitespace tokenizer + a BPE-style pre-tokenizer
       // (letter runs / digit runs / single punctuation, the GPT-2 regex
@@ -557,6 +605,39 @@ object TextAnalysis {
         |  CAST(top_tok_frac <= 0.12 AND dup_bi_frac <= 0.2
         |       AND dup_tri_frac <= 0.05 AS INT) AS keep
         |FROM m ORDER BY doc_id""".stripMargin,
+    "q116_temperature_sample" ->
+      """WITH docs AS (
+        |  SELECT source, doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 5) AS BIGINT) AS hp
+        |  FROM documents),
+        |src AS (
+        |  SELECT source, count(*) AS n_docs,
+        |    CAST(sum(n_tokens) AS BIGINT) AS m_tok,
+        |    CAST(round(sqrt(CAST(sum(n_tokens) AS DOUBLE)) * 1e6) AS BIGINT) AS wu
+        |  FROM docs GROUP BY 1),
+        |tot AS (
+        |  SELECT CAST(sum(wu) AS BIGINT) AS wu_tot,
+        |    CAST(sum(m_tok) // 4 AS BIGINT) AS b_tok FROM src),
+        |rates AS (
+        |  SELECT source, n_docs, m_tok, wu,
+        |    wu * 1000000 // wu_tot AS share_ppm,
+        |    (wu * 1000000 // wu_tot) * b_tok // 1000000 AS target_tokens,
+        |    least(1048576,
+        |      (wu * 1000000 // wu_tot) * b_tok // 1000000 * 1048576 // m_tok)
+        |      AS rate20
+        |  FROM src, tot),
+        |picked AS (
+        |  SELECT d.source, count(*) AS picked_docs,
+        |    CAST(sum(n_tokens) AS BIGINT) AS picked_tokens
+        |  FROM docs d JOIN rates USING (source)
+        |  WHERE hp < rate20 GROUP BY 1)
+        |SELECT r.source, n_docs, m_tok, wu, share_ppm, target_tokens, rate20,
+        |  coalesce(picked_docs, 0) AS picked_docs,
+        |  coalesce(picked_tokens, 0) AS picked_tokens
+        |FROM rates r LEFT JOIN picked USING (source)
+        |ORDER BY source""".stripMargin,
+
     "q38_mix_weights" ->
       """WITH per AS (
         |  SELECT source, count(*) AS n_docs,

@@ -74,6 +74,37 @@ class TextStreamingSpec extends SparkSpec {
     assert(e2.toSeq != e1.toSeq, "epoch salt must change the permutation")
   }
 
+  test("q116 temperature sample: rare sources up-weighted, targets honored, deterministic") {
+    import spark.implicits._
+    // 90/10 skew: α=0.5 must flatten toward 75/25, so the rare source's
+    // accept rate and sampled share both exceed its raw share
+    val rows =
+      (0L until 900L).map(i => (i, ("w" + i % 7 + " ") * 19 + "w", "big")) ++
+        (1000L until 1100L).map(i => (i, ("v" + i % 5 + " ") * 19 + "v", "rare"))
+    val dir = tempDir("graft_tmix").toString
+    rows.toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val run = () => TextAnalysis.queries("q116_temperature_sample")(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(2), r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(8))).toMap
+    val got = run()
+    val (bigTok, bigPpm, bigTarget, bigRate, bigPicked) = got("big")
+    val (rareTok, rarePpm, rareTarget, rareRate, rarePicked) = got("rare")
+    assert(bigTok == 18000L && rareTok == 2000L)
+    // flattening: raw 900000/100000 ppm -> ~750000/250000 ppm
+    assert(bigPpm < 800000L && bigPpm > 700000L, bigPpm.toString)
+    assert(rarePpm > 200000L && rarePpm < 300000L, rarePpm.toString)
+    assert(rareRate > bigRate, "rare source must be sampled at a higher rate")
+    // the hash accept-test tracks the integer targets (deterministic corpus)
+    assert(math.abs(bigPicked - bigTarget) < bigTarget / 5,
+      s"big: picked $bigPicked vs target $bigTarget")
+    assert(math.abs(rarePicked - rareTarget) < rareTarget / 5,
+      s"rare: picked $rarePicked vs target $rareTarget")
+    // sampled token share of the rare source beats its 10% raw share
+    assert(rarePicked.toDouble / (bigPicked + rarePicked) > 0.15)
+    assert(run() == got, "content-hash sampling must be bit-deterministic")
+  }
+
   test("q83 lang-id is deterministic and total") {
     val rows = TextAnalysis.queries("q83_lang_id")(spark, sf0001).collect()
     val langs = Set("en", "de", "es", "fr", "und")
