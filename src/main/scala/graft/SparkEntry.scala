@@ -24,6 +24,7 @@ object SparkEntry {
       operators.Similarity.queries ++
       operators.TextAnalysis.queries ++
       operators.Multimodal.queries ++
+      sources.JsonlIngest.queries ++
       streaming.Streaming.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -36,5 +37,6 @@ object SparkEntry {
       operators.Similarity.oracle ++
       operators.TextAnalysis.oracle ++
       operators.Multimodal.oracle ++
+      sources.JsonlIngest.oracle ++
       streaming.Streaming.oracle
 }
