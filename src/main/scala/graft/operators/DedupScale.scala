@@ -50,6 +50,33 @@ object DedupScale {
           .otherwise(toks)).as("text"))
   }
 
+  val VecDim = 64
+  val VecDupMod = 50L
+  val VecDupRem = 3L
+
+  /** Deterministic embedding corpus for the semantic-dedup gate: each
+    * component uniform-ish in [-1, 1] from xxhash64(seed, dim); every
+    * vec_id ≡ VecDupRem (mod VecDupMod) is a planted NEAR-dup of its
+    * predecessor — same base vector plus a per-dup ±0.1 component
+    * perturbation, which lands the pair at cos ≈ 0.995 (near, not
+    * exact) while two independent 64-dim vectors sit at |cos| ~ 1/8
+    * (3.6σ below the 0.45 threshold). */
+  def generateEmbeddings(spark: SparkSession, n: Long): DataFrame = {
+    val isDup = (col("id") % VecDupMod) === VecDupRem
+    val seed = when(isDup, col("id") - 1).otherwise(col("id"))
+    val base = transform(sequence(lit(1), lit(VecDim)), k =>
+      (pmod(xxhash64(seed, k), lit(2000001L)) - 1000000L).cast("double") / 1e6)
+    val noise = transform(sequence(lit(1), lit(VecDim)), k =>
+      when(isDup,
+        (pmod(xxhash64(col("id"), k, lit(7)), lit(2001L)) - 1000L)
+          .cast("double") / 1e4)
+        .otherwise(lit(0.0)))
+    spark.range(n).select(
+      col("id").as("vec_id"),
+      zip_with(base, noise, (b, e) => (b + e).cast("float")).as("embedding"),
+      lit(0).as("label"))
+  }
+
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toLong).getOrElse(1000000L)
     val work = args.drop(1).headOption.filterNot(_.startsWith("--"))
@@ -145,6 +172,69 @@ object DedupScale {
           .otherwise(1L)).as("bad")).head()
       require(agg.getLong(0) == 2 * planted && agg.getLong(1) == 0,
         s"rolling twin diverged: docs=${agg.getLong(0)} bad=${agg.getLong(1)}")
+    }
+
+    // q114 removal at full scale — EXACT, like the span gate: the
+    // canonical (predecessor) side of every planted pair keeps all 50
+    // tokens; the planted doc loses exactly the shared [1,45] span and
+    // keeps only its 5-token zz-tail, whose cleaned fingerprint is ONE
+    // constant md5 across all planted docs; every other doc is untouched.
+    timed("span_removal") {
+      val zzFp = java.security.MessageDigest.getInstance("MD5")
+        .digest("zz0 zz1 zz2 zz3 zz4".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      val rm = Dedup.queries("q114_span_removal")(spark, corpusDir)
+      val agg = rm.agg(
+        count(lit(1)).as("rows"),
+        sum(when(col("removed_tokens") === 0L, 1L).otherwise(0L)).as("untouched"),
+        sum(when(col("n_spans_removed") === 1L && col("removed_tokens") === 45L &&
+          col("kept_tokens") === 5L && col("clean_fp") === zzFp, 1L)
+          .otherwise(0L)).as("cut"))
+        .head()
+      val (rows, untouched, cut) =
+        (agg.getLong(0), agg.getLong(1), agg.getLong(2))
+      println(s"""{"check":"span_removal","rows":$rows,"untouched":$untouched,"cut":$cut,"planted":$planted}""")
+      require(rows == n, s"removal must report every doc: $rows != $n")
+      require(cut == planted,
+        s"exactly the planted docs lose their [1,45] span: cut=$cut planted=$planted")
+      require(untouched == n - planted,
+        s"everyone else keeps every token: untouched=$untouched")
+    }
+
+    // semantic dedup at scale: 100k vectors (or n/10 capped), K ≈ √n
+    // cells — the paper's sizing, vs the test tables' fixed SemK=32. The
+    // gate is probabilistic like the LSH one: over a random codebook many
+    // cells score within a near-tie of a vector's best, so even a
+    // cos ≈ 0.995 pair ranks different cells first a measurable fraction
+    // of the time — measured 0.155 of planted pairs at 100k vectors /
+    // 316 cells (single-probe recall 0.845). THAT is the recall q115's
+    // second probe exists to recover: measured multi-probe recall 0.9935
+    // here (1.00 at 10k/100). Floors are set under the measured values
+    // (0.70 / 0.90), and multi-probe must never lose a pair single-probe
+    // finds.
+    val nVec = math.min(100000L, math.max(n / 10L, 10000L))
+    val semDir = s"$work/semantic"
+    if (!skipGen) timed("gen_embeddings") {
+      generateEmbeddings(spark, nVec).repartition(32)
+        .write.mode("overwrite").parquet(s"$semDir/embeddings.parquet")
+    }
+    timed("semantic_dedup") {
+      val k = math.sqrt(nVec.toDouble).toInt
+      val plantedV =
+        (0L until nVec).count(id => id % VecDupMod == VecDupRem && id > 0)
+      def plantedFound(probes: Int): Long =
+        Similarity.semanticPairs(spark, semDir, probes, k)
+          .filter(col("j") === col("i") + 1 &&
+            (col("j") % VecDupMod) === VecDupRem)
+          .count()
+      val f1 = plantedFound(1)
+      val f2 = plantedFound(2)
+      val (r1, r2) = (f1.toDouble / plantedV, f2.toDouble / plantedV)
+      println(f"""{"check":"semantic_planted","n_vec":$nVec,"cells":$k,"planted":$plantedV,"recall_probe1":$r1%.4f,"recall_probe2":$r2%.4f}""")
+      require(r2 >= r1,
+        s"multi-probe must never lose recall: $r2 < $r1")
+      require(r1 >= 0.70 && r2 >= 0.90,
+        s"near-identical pairs must rendezvous: probe1=$r1 probe2=$r2")
     }
     spark.stop()
   }

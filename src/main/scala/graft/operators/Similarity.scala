@@ -103,13 +103,16 @@ object Similarity {
          |   sqrt(list_sum(list_transform(range(1, ${Dim + 1}), i -> CAST($b[i] AS DOUBLE)*CAST($b[i] AS DOUBLE))))))""".stripMargin
 
   /** Top-`probes` nearest-coarse-centroid cell assignment over the
-    * broadcast SemK-seed codebook — the shared candidate generator of
+    * broadcast `k`-seed codebook — the shared candidate generator of
     * q110 (probes=1, SemDeDup proper) and q115 (probes=2, multi-probe).
-    * Persisted because both self-join sides reference it. */
-  private def semAssign(s: SparkSession, d: String, probes: Int): DataFrame = {
+    * Persisted because both self-join sides reference it. `k` is SemK for
+    * the test-table queries; DedupScale passes ~√n (the paper's sizing —
+    * expected within-cell pair count stays near-linear). */
+  private def semAssign(s: SparkSession, d: String, probes: Int,
+                        k: Int): DataFrame = {
     VectorExpressions.register(s)
     val e = t(s, d, "embeddings")
-    val seeds = e.filter(col("vec_id") < SemK)
+    val seeds = e.filter(col("vec_id") < k)
       .select(col("vec_id").as("k"), col("embedding").as("se"))
     e.crossJoin(broadcast(seeds))
       .withColumn("ck", expr("cosine_sim(embedding, se)"))
@@ -120,6 +123,26 @@ object Similarity {
       // referenced as both self-join sides — persist or the assignment
       // (scan + broadcast score + window) computes twice
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
+
+  /** Verified within-probed-cell near-dup pairs (i < j, exact cosine ≥
+    * CosThreshold) — the pair stage both semantic-dedup queries and the
+    * DedupScale gate share. Candidates are ids-only and distinct'd before
+    * the payload join. */
+  def semanticPairs(s: SparkSession, d: String, probes: Int,
+                    k: Int = SemK): DataFrame = {
+    val e = t(s, d, "embeddings")
+    val asg = semAssign(s, d, probes, k)
+    val cand = asg.select(col("cell"), col("vec_id").as("i"))
+      .join(asg.select(col("cell"), col("vec_id").as("j")), Seq("cell"))
+      .where(col("i") < col("j"))
+      .select(col("i"), col("j")).distinct()
+    cand
+      .join(e.select(col("vec_id").as("i"), col("embedding").as("ea")), "i")
+      .join(e.select(col("vec_id").as("j"), col("embedding").as("eb")), "j")
+      .withColumn("cos", expr("cosine_sim(ea, eb)"))
+      .filter(col("cos") >= CosThreshold)
+      .select(col("i"), col("j"), col("cos"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -216,7 +239,7 @@ object Similarity {
       // stays near-linear, and ids-only candidates keep the 64-float
       // payloads out of the shuffle (joined back once per candidate).
       val e = t(s, d, "embeddings")
-      val asg = semAssign(s, d, probes = 1)
+      val asg = semAssign(s, d, probes = 1, k = SemK)
       val cand = asg.select(col("cell"), col("vec_id").as("i"))
         .join(asg.select(col("cell"), col("vec_id").as("j")), Seq("cell"))
         .where(col("i") < col("j"))
@@ -249,18 +272,7 @@ object Similarity {
       // set is a strict superset (rk=1 cells are probed too), so q115's
       // dup_id set contains q110's and, per shared dup_id, its keeper_id
       // is <= q110's (more verified neighbors can only lower the min).
-      val e = t(s, d, "embeddings")
-      val asg = semAssign(s, d, probes = SemProbes)
-      val cand = asg.select(col("cell"), col("vec_id").as("i"))
-        .join(asg.select(col("cell"), col("vec_id").as("j")), Seq("cell"))
-        .where(col("i") < col("j"))
-        .select(col("i"), col("j")).distinct()
-      val pairs = cand
-        .join(e.select(col("vec_id").as("i"), col("embedding").as("ea")), "i")
-        .join(e.select(col("vec_id").as("j"), col("embedding").as("eb")), "j")
-        .withColumn("cos", expr("cosine_sim(ea, eb)"))
-        .filter(col("cos") >= CosThreshold)
-      pairs
+      semanticPairs(s, d, probes = SemProbes)
         .withColumn("rn",
           row_number().over(Window.partitionBy(col("j")).orderBy(col("i"))))
         .filter(col("rn") === 1)
