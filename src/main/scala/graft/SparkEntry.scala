@@ -25,6 +25,7 @@ object SparkEntry {
       operators.TextAnalysis.queries ++
       operators.Multimodal.queries ++
       sources.JsonlIngest.queries ++
+      sources.OrcStage.queries ++
       streaming.Streaming.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -38,5 +39,6 @@ object SparkEntry {
       operators.TextAnalysis.oracle ++
       operators.Multimodal.oracle ++
       sources.JsonlIngest.oracle ++
+      sources.OrcStage.oracle ++
       streaming.Streaming.oracle
 }

@@ -202,6 +202,33 @@ object Similarity {
         .select(col("i"), col("j"), r6(col("cos")).as("cos6"))
         .orderBy("i", "j")),
 
+    "q119_hard_negatives" -> ((s, d) => {
+      // hard-negative mining — the batch-construction step of contrastive
+      // embedding training: for each anchor, the top-k most-similar vectors
+      // with a DIFFERENT label (the negatives nearest the decision boundary,
+      // where the gradient signal lives). Same distributed shape as q70's
+      // kNN: tiny anchor side broadcast, one pruned scan of the corpus side,
+      // per-anchor top-k as a bounded window. The label-inequality predicate
+      // rides the broadcast join, so mining costs exactly one kNN pass — at
+      // 100 TB the corpus side never shuffles and the anchor batch scales to
+      // thousands of rows before the broadcast stops fitting.
+      VectorExpressions.register(s)
+      val e = t(s, d, "embeddings")
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
+          col("label").as("q_label"))
+      val scored = broadcast(q).crossJoin(e)
+        .where(col("label") =!= col("q_label"))
+        .withColumn("cos", expr("cosine_sim(qe, embedding)"))
+      val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+      scored.withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 5)
+        .select(col("q_id"), col("q_label").cast("long").as("q_label"),
+          col("vec_id"), col("label").cast("long").as("neg_label"),
+          r6(col("cos")).as("cos6"), col("rn"))
+        .orderBy("q_id", "rn")
+    }),
+
     "q74_embed_dedup" -> ((s, d) => {
       // embedding-cosine near-dup DEDUP (vs q71's pair search): the
       // standard min-id-representative rule — a vector is a duplicate iff
@@ -573,6 +600,21 @@ object Similarity {
          |  count(*) AS n
          |FROM (SELECT label, embedding, unnest(range(1, ${Dim + 1})) AS i
          |      FROM embeddings)
-         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q119_hard_negatives" ->
+      s"""WITH e AS (SELECT vec_id, embedding, label FROM embeddings),
+         |q AS (SELECT vec_id AS q_id, embedding AS qe, label AS q_label
+         |      FROM e WHERE vec_id < 5),
+         |scored AS (
+         |  SELECT q_id, q_label, vec_id, label AS neg_label,
+         |    ${cosSql("qe", "embedding")} AS cos
+         |  FROM q CROSS JOIN e WHERE label != q_label),
+         |ranked AS (SELECT q_id, q_label, vec_id, neg_label, cos,
+         |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS BIGINT) AS rn
+         |  FROM scored)
+         |SELECT q_id, CAST(q_label AS BIGINT) AS q_label, vec_id,
+         |  CAST(neg_label AS BIGINT) AS neg_label,
+         |  round(cos*1e6)/1e6 AS cos6, rn
+         |FROM ranked WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin
   )
 }

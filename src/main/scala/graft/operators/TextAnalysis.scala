@@ -457,6 +457,42 @@ object TextAnalysis {
         .orderBy("doc_id", "rn")
     }),
 
+    "q118_lm_surprisal" -> ((s, d) => {
+      // unigram-LM surprisal scoring — the KenLM-shaped quality filter at
+      // n-gram order 1: score each document by the mean negative
+      // log-probability of its tokens under the corpus's OWN unigram
+      // distribution (high mean surprisal = rare-token-heavy / gibberish,
+      // low = boilerplate-common). Distributed shape: aggregate to
+      // (doc, term, tf) FIRST, so the model join keys on distinct doc-term
+      // pairs, never the raw token stream (at 100 TB the exploded stream is
+      // ~10x the corpus; tf collapses map-side before any shuffle). The
+      // vocab side is a shuffle join on `word`, NOT a broadcast — a web-scale
+      // vocab is itself huge. Surprisal per term is quantized to integer
+      // nanounits BEFORE the tf-weighted sum, so doc scores are exact
+      // BIGINTs (order-independent across cluster layouts), and the mean is
+      // integer division (`div` here, `//` in the oracle — both positive, so
+      // truncation agrees).
+      val tf = t(s, d, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+        .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
+        // referenced as vocab source AND join probe — persist or the
+        // scan+explode+agg computes twice
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val vocab = tf.groupBy(col("word")).agg(sum(col("tf")).as("cnt"))
+      // corpus token total as a lazy 1-row crossJoin (the q85 idiom) — an
+      // eager .count() here would scan before the real query starts
+      val tot = vocab.agg(sum(col("cnt")).as("t"))
+      tf.join(vocab, "word").crossJoin(tot)
+        .withColumn("lp_n",
+          round(log(col("t").cast("double") / col("cnt")) * 1e9).cast("long"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("tf")).as("n_tokens"),
+          sum(col("tf") * col("lp_n")).as("surprisal_nano"))
+        .withColumn("mean_surprisal_nano",
+          expr("surprisal_nano div n_tokens"))
+        .orderBy("doc_id")
+    }),
+
     "q86_chunking" -> ((s, d) => {
       // document chunking: overlapping token windows (size 64, stride 32) —
       // the standard pre-tokenization shape for LLM training data. Window
@@ -787,6 +823,20 @@ object TextAnalysis {
         |  FROM scored)
         |SELECT doc_id, term, tf, df, round(tfidf*1e6)/1e6 AS tfidf6, rn
         |FROM ranked WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin,
+    "q118_lm_surprisal" ->
+      """WITH tokens AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+        |tf AS (SELECT doc_id, word, count(*) AS tf FROM tokens GROUP BY 1, 2),
+        |vocab AS (SELECT word, CAST(sum(tf) AS BIGINT) AS cnt FROM tf GROUP BY 1),
+        |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS t FROM vocab),
+        |lp AS (
+        |  SELECT doc_id, tf,
+        |    CAST(round(ln(CAST(t AS DOUBLE)/cnt)*1e9) AS BIGINT) AS lp_n
+        |  FROM tf JOIN vocab USING (word) CROSS JOIN tot)
+        |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+        |  CAST(sum(tf*lp_n) AS BIGINT) AS surprisal_nano,
+        |  CAST(sum(tf*lp_n) // sum(tf) AS BIGINT) AS mean_surprisal_nano
+        |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q83_lang_id" -> {
       val scoreCols = LangMarkers.map { case (lang, markers) =>
         s"CAST(len(list_filter(toks, x -> x IN ${inList(markers)})) AS BIGINT) AS score_$lang"

@@ -121,6 +121,27 @@ object Streaming {
 
     "q95_stream_tumbling" -> ((s, d) => tumblingHourly(s, d)),
 
+    "q122_stream_sliding" -> ((s, d) => withStreamPartitions(s, 4) { sp =>
+      // SLIDING windows (1 h length, 30 min slide) — the overlapping-window
+      // twin of q95's tumbling agg: each event contributes to exactly
+      // length/slide = 2 windows. Spark expands each event to its window
+      // set BEFORE the stateful aggregation, so streaming state is
+      // O(open windows × event types) — bounded by the watermark — never
+      // O(events). Same complete-mode reasoning as q95 on a finite source.
+      val name = s"graft_sliding_${System.nanoTime()}"
+      val q = eventsStream(sp, d)
+        .withWatermark("ts", "30 minutes")
+        .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("sum_cents"))
+        .select(col("window.start").as("window_start"), col("event_type"),
+          col("n"), dollars(col("sum_cents")).as("total"))
+        .writeStream.outputMode("complete")
+        .format("memory").queryName(name)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      drainMemorySink(sp, name).orderBy("window_start", "event_type")
+    }),
+
     "q97_stream_stream_join" -> ((s, d) => withStreamPartitions(s, 4) { sp =>
       // stream-stream inner join: purchases joined to same-user clicks in
       // the preceding 10 minutes. Both sides watermarked and the join
@@ -253,6 +274,19 @@ object Streaming {
         |  count(*) AS n,
         |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS DOUBLE)/100.0 AS total
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // each event expands to its two covering 30-min-aligned window starts;
+    // time_bucket's default origin (2000-01-03) is itself 30-min-aligned
+    // to the epoch, so DuckDB's buckets coincide with Spark's epoch-aligned
+    // window starts exactly
+    "q122_stream_sliding" ->
+      """SELECT window_start, event_type, count(*) AS n,
+        |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS DOUBLE)/100.0 AS total
+        |FROM (
+        |  SELECT unnest([time_bucket(INTERVAL 30 MINUTE, ts),
+        |                 time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE])
+        |    AS window_start, event_type, value
+        |  FROM events)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q97_stream_stream_join" ->
       """SELECT p.user_id, p.event_id AS p_id, c.event_id AS c_id,
         |  epoch_us(p.ts) - epoch_us(c.ts) AS gap_us

@@ -1,0 +1,87 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Round-5 pipeline operators: LM surprisal scoring (q118), hard-negative
+  * mining (q119), cluster-aware split (q120), ORC roundtrip (q121),
+  * sliding-window streaming (q122). Each test pins the semantic invariant
+  * the DuckDB oracle cannot see from hash equality alone.
+  */
+class PipelineOpsSpec extends SparkSpec {
+
+  test("q118: surprisal bounds — 0 < mean <= ln(T) nanounits, token totals conserved") {
+    val rows = TextAnalysis.queries("q118_lm_surprisal")(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val corpusTokens = graft.Tables.t(spark, sf0001, "documents")
+      .select(sum(size(split(col("text"), " ")).cast("long")))
+      .head.getLong(0)
+    // the per-doc token counts must partition the corpus token stream
+    assert(rows.map(_.getLong(1)).sum == corpusTokens)
+    // a singleton token's surprisal is ln(T/1) — the per-token max — so
+    // every doc mean sits in (0, ln(T)]; and the reported mean must BE the
+    // integer division of the reported sum (the column is derived, never
+    // independently computed)
+    val maxNano = math.round(math.log(corpusTokens.toDouble) * 1e9)
+    rows.foreach { r =>
+      val (n, sumN, meanN) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(meanN > 0 && meanN <= maxNano, s"doc ${r.getLong(0)} mean $meanN")
+      assert(meanN == sumN / n)
+    }
+  }
+
+  test("q119: hard negatives never share the anchor's label and rank by cosine") {
+    val rows = Similarity.queries("q119_hard_negatives")(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(0)).foreach { case (_, anchor) =>
+      assert(anchor.length <= 5)
+      // one anchor label, all negatives differ from it
+      assert(anchor.map(_.getLong(1)).distinct.length == 1)
+      anchor.foreach(r => assert(r.getLong(3) != r.getLong(1)))
+      // cos6 non-increasing in rank
+      val byRank = anchor.sortBy(_.getLong(5)).map(_.getDouble(4))
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("q120: the split never separates a near-dup pair (zero leakage)") {
+    val split = Dedup.queries("q120_cluster_split")(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    val pairs = Dedup.queries("q63_minhash_lsh")(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty, "corpus must contain near-dup pairs for the test to bind")
+    pairs.foreach { case (i, j) =>
+      assert(split(i) == split(j), s"near-dup pair ($i,$j) crosses the split")
+    }
+    // both sides populated at the 25% cutoff on this corpus
+    assert(split.values.toSet == Set("train", "eval"))
+  }
+
+  test("q121: ORC roundtrip preserves every row and the scan pushes filters") {
+    val dir = graft.sources.OrcStage.stage(spark, sf0001)
+    val orc = graft.sources.OrcStage.readOrc(spark, dir)
+    val n = graft.Tables.t(spark, sf0001, "documents").count()
+    assert(orc.count() == n)
+    // predicate pushdown reaches the ORC scan exactly as it does parquet
+    val plan = orc.filter(col("n_chars") > 500).select(col("doc_id"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("n_chars"),
+      s"ORC scan did not push the filter:\n$plan")
+  }
+
+  test("q122: sliding 1h/30min windows cover each event exactly twice") {
+    val slid = Streaming_q122Helper.run(spark, sf0001)
+    val events = graft.Tables.events(spark, sf0001).count()
+    assert(slid.agg(sum(col("n"))).head.getLong(0) == 2 * events)
+    // window starts land on 30-minute boundaries
+    val starts = slid.select(col("window_start")).collect()
+      .map(_.getTimestamp(0).getTime)
+    assert(starts.forall(_ % (30L * 60 * 1000) == 0))
+  }
+}
+
+/** Indirection keeps the spec free of streaming imports. */
+private object Streaming_q122Helper {
+  def run(s: org.apache.spark.sql.SparkSession, d: String) =
+    graft.streaming.Streaming.queries("q122_stream_sliding")(s, d)
+}
