@@ -106,6 +106,25 @@ object Relational {
         .orderBy("o_orderstatus")
     }),
 
+    "q124_join_shufflehash" -> ((s, d) => {
+      // the third join physical strategy (broadcast = q10, sort-merge =
+      // q11): SHUFFLED HASH JOIN — both sides partition on the key, the
+      // build side becomes a per-partition hash map, the probe side
+      // streams through with NO sort. The right choice when both sides
+      // are too big to broadcast but each build partition fits in
+      // executor memory: it skips sort-merge's two full sorts, which at
+      // 100 TB are most of the join's cost. The hint is advisory;
+      // PipelineOpsSpec asserts ShuffledHashJoin actually executes.
+      val li = t(s, d, "lineitem"); val o = t(s, d, "orders")
+      li.join(o.hint("shuffle_hash"), li("l_orderkey") === o("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_lines"),
+          sum(cents(col("l_extendedprice"))).as("sum_cents"))
+        .select(col("o_orderpriority"), col("n_lines"),
+          dollars(col("sum_cents")).as("revenue"))
+        .orderBy("o_orderpriority")
+    }),
+
     "q12_join_semi" -> ((s, d) => {
       val li = t(s, d, "lineitem").filter(col("l_quantity") >= 48)
       t(s, d, "orders")
@@ -763,6 +782,11 @@ object Relational {
          |GROUP BY n_name, r_name ORDER BY revenue DESC, n_name""".stripMargin,
     "q11_join_sortmerge" ->
       """SELECT o_orderstatus, count(*) AS n_lines, sum(l_quantity) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q124_join_shufflehash" ->
+      """SELECT o_orderpriority, count(*) AS n_lines,
+        |  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS DOUBLE)/100.0 AS revenue
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q12_join_semi" ->

@@ -493,6 +493,49 @@ object TextAnalysis {
         .orderBy("doc_id")
     }),
 
+    "q123_curriculum_bins" -> ((s, d) => {
+      // curriculum binning — the data-ordering move of curriculum
+      // training: bucket documents into quality quartiles so the loader
+      // can schedule easy→hard (or mix per-bin rates). Quality is q82's
+      // formula quantized to integer nanounits (q102's `qn`); the bin
+      // rule is "count of quartile cutoffs strictly below qn", so bins
+      // are a broadcast 1-row crossJoin + a single pass over the corpus —
+      // the corpus never sorts globally and never shuffles beyond the
+      // final 4-row aggregate. Cutoffs here are EXACT percentile (q26's
+      // unbounded-state caveat applies to that one 1-row aggregate); the
+      // 100 TB swap is approx_percentile in its place, and this query
+      // certifies that swap in-line: cuts_within_tol asserts each approx
+      // quartile lands within 1% of the exact one (the q103 pattern).
+      val toks = split(col("text"), " ")
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"),
+          size(toks).cast("long").as("n_tokens"),
+          size(filter(toks, x => x.isin("the", "a"))).cast("long").as("n_stop"),
+          size(array_distinct(toks)).cast("long").as("n_distinct"))
+        .withColumn("qn", round(
+          least(col("n_tokens").cast("double") / 100.0, lit(1.0)) *
+            (lit(1.0) - col("n_stop").cast("double") / col("n_tokens")) *
+            (col("n_distinct").cast("double") / col("n_tokens")) * 1e9)
+          .cast("long"))
+      val cuts = docs.agg(
+        expr("percentile(qn, array(0.25, 0.5, 0.75))").as("cs"),
+        expr("approx_percentile(qn, array(0.25, 0.5, 0.75), 10000)").as("acs"))
+      docs.crossJoin(cuts)
+        .withColumn("bin",
+          (1 to 3).map(k =>
+            when(col("qn") > element_at(col("cs"), k), 1).otherwise(0))
+            .reduce(_ + _).cast("long"))
+        .withColumn("within",
+          forall(zip_with(col("cs"), col("acs"),
+            (e, a) => abs(a - e) <= abs(e) * 0.01), x => x))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("qn")).as("qn_min"), max(col("qn")).as("qn_max"),
+          sum(col("n_tokens")).as("tokens"),
+          expr("bool_and(within)").as("cuts_within_tol"))
+        .orderBy("bin")
+    }),
+
     "q86_chunking" -> ((s, d) => {
       // document chunking: overlapping token windows (size 64, stride 32) —
       // the standard pre-tokenization shape for LLM training data. Window
@@ -837,6 +880,30 @@ object TextAnalysis {
         |  CAST(sum(tf*lp_n) AS BIGINT) AS surprisal_nano,
         |  CAST(sum(tf*lp_n) // sum(tf) AS BIGINT) AS mean_surprisal_nano
         |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // cuts_within_tol is computed from Spark's real sketch; the oracle
+    // asserts it (the q103 contract)
+    "q123_curriculum_bins" ->
+      """WITH docs AS (
+        |  SELECT doc_id,
+        |    CAST(len(toks) AS BIGINT) AS n_tokens,
+        |    CAST(len(list_filter(toks, x -> x IN ('the', 'a'))) AS BIGINT) AS n_stop,
+        |    CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+        |q AS (
+        |  SELECT doc_id, n_tokens,
+        |    CAST(round(least(CAST(n_tokens AS DOUBLE)/100.0, 1.0)
+        |      * (1.0 - CAST(n_stop AS DOUBLE)/n_tokens)
+        |      * (CAST(n_distinct AS DOUBLE)/n_tokens) * 1e9) AS BIGINT) AS qn
+        |  FROM docs),
+        |cuts AS (SELECT quantile_cont(qn, 0.25) AS c1, quantile_cont(qn, 0.5) AS c2,
+        |                quantile_cont(qn, 0.75) AS c3 FROM q)
+        |SELECT CAST(CASE WHEN qn > c1 THEN 1 ELSE 0 END
+        |          + CASE WHEN qn > c2 THEN 1 ELSE 0 END
+        |          + CASE WHEN qn > c3 THEN 1 ELSE 0 END AS BIGINT) AS bin,
+        |  count(*) AS n_docs, min(qn) AS qn_min, max(qn) AS qn_max,
+        |  CAST(sum(n_tokens) AS BIGINT) AS tokens,
+        |  TRUE AS cuts_within_tol
+        |FROM q CROSS JOIN cuts GROUP BY 1 ORDER BY 1""".stripMargin,
     "q83_lang_id" -> {
       val scoreCols = LangMarkers.map { case (lang, markers) =>
         s"CAST(len(list_filter(toks, x -> x IN ${inList(markers)})) AS BIGINT) AS score_$lang"

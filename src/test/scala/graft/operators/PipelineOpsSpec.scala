@@ -69,6 +69,26 @@ class PipelineOpsSpec extends SparkSpec {
       s"ORC scan did not push the filter:\n$plan")
   }
 
+  test("q123: quartile bins partition the corpus and certify the approx cutoffs") {
+    val rows = TextAnalysis.queries("q123_curriculum_bins")(spark, sf0001).collect()
+    val n = graft.Tables.t(spark, sf0001, "documents").count()
+    assert(rows.map(_.getLong(1)).sum == n)
+    assert(rows.map(_.getLong(0)).toSet == Set(0L, 1L, 2L, 3L))
+    // qn ranges are disjoint and ordered across bins
+    val ordered = rows.sortBy(_.getLong(0))
+    ordered.zip(ordered.tail).foreach { case (lo, hi) =>
+      assert(lo.getLong(3) <= hi.getLong(2), "bin qn ranges out of order")
+    }
+    assert(rows.forall(_.getBoolean(5)), "approx cutoffs outside 1% of exact")
+  }
+
+  test("q124: the shuffle_hash hint actually executes a ShuffledHashJoin") {
+    val df = Relational.queries("q124_join_shufflehash")(spark, sf0001)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ShuffledHashJoin"), s"expected SHJ in plan:\n$plan")
+    assert(df.collect().nonEmpty)
+  }
+
   test("q122: sliding 1h/30min windows cover each event exactly twice") {
     val slid = Streaming_q122Helper.run(spark, sf0001)
     val events = graft.Tables.events(spark, sf0001).count()
