@@ -118,9 +118,39 @@ object DedupScale {
       p.count()
       p
     }
-    val nClusters = timed("clusters") {
-      Dedup.clustersFromPairs(pairs.select(col("i"), col("j")))
-        .filter(col("doc_id") =!= col("keeper")).count()
+    val labels = timed("clusters") {
+      val l = Dedup.clustersFromPairs(pairs.select(col("i"), col("j")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      l.count()
+      l
+    }
+    val nClusters = labels.filter(col("doc_id") =!= col("keeper")).count()
+
+    // q120's split rule at full scale: hash the cluster ROOT, never the
+    // doc — zero near-dup pairs may cross the train/eval boundary, and
+    // the md5 cutoff must land the eval fraction near its 64/256 design
+    // point even though cluster roots are a biased (min-id) id sample.
+    timed("cluster_split") {
+      val split = spark.range(n).select(col("id").as("doc_id"))
+        .join(labels.select(col("doc_id").as("l_doc"), col("keeper")),
+          col("doc_id") === col("l_doc"), "left")
+        .withColumn("root", coalesce(col("keeper"), col("doc_id")))
+        .select(col("doc_id"),
+          (substring(md5(col("root").cast("string")), 1, 2) <= "3f")
+            .as("is_eval"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nEval = split.filter(col("is_eval")).count()
+      val crossing = pairs.select(col("i"), col("j"))
+        .join(split.select(col("doc_id").as("i"), col("is_eval").as("ei")), "i")
+        .join(split.select(col("doc_id").as("j"), col("is_eval").as("ej")), "j")
+        .filter(col("ei") =!= col("ej")).count()
+      val frac = nEval.toDouble / n
+      println(f"""{"check":"cluster_split","eval_frac":$frac%.4f,"crossing_pairs":$crossing}""")
+      require(crossing == 0L,
+        s"$crossing near-dup pairs cross the train/eval split")
+      require(frac > 0.23 && frac < 0.27,
+        s"eval fraction drifted from the 25%% design point: $frac")
+      split.unpersist()
     }
 
     // ground truth by doc_id arithmetic: planted pair = (i, i+1) with
