@@ -95,7 +95,7 @@ object Bench {
       "q113_spans_rolling", "q114_span_removal", "q115_semantic_multiprobe",
       "q116_temperature_sample", "q117_jsonl_ingest",
       "q118_lm_surprisal", "q120_cluster_split", "q121_orc_ingest",
-      "q122_stream_sliding", "q123_curriculum_bins")
+      "q122_stream_sliding", "q123_curriculum_bins", "q125_sql_recursive")
     val headSet = headline.toSet
     val shortJson =
       s"""{"metric":"total","value":$totalStr,"unit":"sec","n_queries":${results.size},$protoJson,"queries":${qJson(results.filter(r => headSet(r._1)))},"sf":"$sfDir"}"""

@@ -25,7 +25,9 @@ import graft.Tables.t
   *  - q48: correlated LATERAL derived table with ORDER BY+LIMIT (top-k
   *    per group as a join);
   *  - q49: explicit GROUPING SETS with NULLS FIRST pinned (the one
-  *    ORDER BY default that diverges between the dialects).
+  *    ORDER BY default that diverges between the dialects);
+  *  - q125: WITH RECURSIVE (Spark 4's UnionLoopExec) — iterative SQL
+  *    the DataFrame API has no declarative equivalent for.
   *
   * Scale: q45 is a pure map-side scan+agg (one exchange of one row);
   * q46 shuffles orders once on o_custkey (pre-aggregated before the
@@ -119,6 +121,39 @@ object SqlEntry {
       |                        (o_orderstatus, o_orderpriority), ())
       |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin
 
+  // Recursive CTE (Spark 4's UnionLoopExec; SPARK-24497): a data-driven
+  // month spine over the orders date range, LEFT JOINed to the monthly
+  // aggregate so ZERO-order months surface — the gaps-filling query that
+  // plain GROUP BY cannot express (missing groups simply don't exist).
+  // Kept to the ANSI intersection: integer month index m = yr*12+mon-1
+  // (date-interval arithmetic spellings diverge between the dialects);
+  // the anchor reads a 1-row bounds CTE and the recursive step cross
+  // joins it back for the stop predicate. Scale: the recursion materializes
+  // one row per month (~tens) per iteration driver-side — the spine is
+  // metadata-sized no matter how large orders is; the single real shuffle
+  // is the monthly pre-aggregation, which collapses map-side first.
+  private val Q125 =
+    """WITH RECURSIVE
+      |bounds AS (
+      |  SELECT min(year(o_orderdate)*12 + month(o_orderdate) - 1) AS lo,
+      |         max(year(o_orderdate)*12 + month(o_orderdate) - 1) AS hi
+      |  FROM orders),
+      |months(m) AS (
+      |  SELECT lo AS m FROM bounds
+      |  UNION ALL
+      |  SELECT m + 1 FROM months, bounds WHERE m < hi),
+      |monthly AS (
+      |  SELECT year(o_orderdate)*12 + month(o_orderdate) - 1 AS m,
+      |         count(*) AS n_orders,
+      |         sum(CAST(round(o_totalprice*100) AS BIGINT)) AS cents
+      |  FROM orders GROUP BY 1)
+      |SELECT CAST(floor(m/12.0) AS BIGINT) AS yr,
+      |       CAST(m - 12*CAST(floor(m/12.0) AS BIGINT) + 1 AS BIGINT) AS mon,
+      |       coalesce(n_orders, 0) AS n_orders,
+      |       CAST(coalesce(cents, 0) AS DOUBLE)/100.0 AS total
+      |FROM months LEFT JOIN monthly USING (m)
+      |ORDER BY yr, mon""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q45_sql_scan_agg" ->
       ((s, d) => runSql(s, d, Seq("lineitem"), Q45)),
@@ -129,12 +164,15 @@ object SqlEntry {
     "q48_sql_lateral_topk" ->
       ((s, d) => runSql(s, d, Seq("orders", "customer"), Q48)),
     "q49_sql_grouping_sets" ->
-      ((s, d) => runSql(s, d, Seq("orders"), Q49)))
+      ((s, d) => runSql(s, d, Seq("orders"), Q49)),
+    "q125_sql_recursive" ->
+      ((s, d) => runSql(s, d, Seq("orders"), Q125)))
 
   val oracle: Map[String, String] = Map(
     "q45_sql_scan_agg" -> Q45,
     "q46_sql_cte_window" -> Q46,
     "q47_sql_subqueries" -> Q47,
     "q48_sql_lateral_topk" -> Q48,
-    "q49_sql_grouping_sets" -> Q49)
+    "q49_sql_grouping_sets" -> Q49,
+    "q125_sql_recursive" -> Q125)
 }

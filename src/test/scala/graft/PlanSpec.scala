@@ -151,6 +151,22 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), s"expected top-k plan:\n$p")
   }
 
+  test("q125: WITH RECURSIVE plans as UnionLoop; spine is contiguous") {
+    val df = SparkEntry.queries("q125_sql_recursive")(spark, sf0001)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("UnionLoop"),
+      s"recursive CTE must plan as Spark 4's UnionLoopExec:\n$p")
+    // semantics the recursion exists for: one row per month between the
+    // corpus min and max, with zero-order gap months filled (plain GROUP
+    // BY cannot produce a group that has no rows)
+    val rows = df.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val idx = rows.map { case (yr, mon) => yr * 12 + mon - 1 }
+    assert(idx.length == idx.max - idx.min + 1,
+      "month spine must cover the full [min,max] range with no holes")
+    assert(idx.sameElements(idx.min to idx.max),
+      "spine must be sorted and contiguous")
+  }
+
   test("q92: frame sampling is shuffle-free until the final sort") {
     // per-row explode: the only exchange allowed is the sort's range
     // partitioning (plus AQE read nodes) — no hash shuffle anywhere
