@@ -82,8 +82,7 @@ object Bench {
       "q01_onebrc_events", "q03_onebrc_tenths", "q06_generator",
       "q11_join_sortmerge", "q17_range_join", "q20_tpch_q1",
       "q30_window_topk", "q62_ngram_jaccard", "q63_minhash_lsh",
-      "q64_simhash", "q66_containment", "q67_minhash_estimate",
-      "q68_simhash64", "q69_dedup_clusters", "q70_knn_brute", "q71_ann_lsh",
+      "q66_containment", "q68_simhash64", "q69_dedup_clusters", "q70_knn_brute", "q71_ann_lsh",
       "q73_ivf_knn", "q76_weighted_sample", "q77_training_pipeline",
       "q78_delta_dedup", "q79_decontaminate", "q85_tfidf",
       "q94_stream_onebrc", "q97_stream_stream_join", "q99_stream_delta_admit",
@@ -95,7 +94,8 @@ object Bench {
       "q113_spans_rolling", "q114_span_removal", "q115_semantic_multiprobe",
       "q116_temperature_sample", "q117_jsonl_ingest",
       "q118_lm_surprisal", "q120_cluster_split", "q121_orc_ingest",
-      "q122_stream_sliding", "q123_curriculum_bins", "q125_sql_recursive")
+      "q122_stream_sliding", "q123_curriculum_bins", "q125_sql_recursive",
+      "q126_transform_with_state")
     val headSet = headline.toSet
     val shortJson =
       s"""{"metric":"total","value":$totalStr,"unit":"sec","n_queries":${results.size},$protoJson,"queries":${qJson(results.filter(r => headSet(r._1)))},"sf":"$sfDir"}"""

@@ -1,9 +1,47 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 import org.apache.spark.sql.types._
 import graft.Tables._
+
+/** Typed rows for q126's arbitrary-stateful processor (top-level: Spark
+  * product encoders require stable, non-inner case classes). Money is
+  * integer cents end-to-end so the running sums are exact in any
+  * accumulation order (Tables.scala parity rules). */
+case class SpendEvent(user_id: Long, event_id: Long, ts_us: Long, cts: Long)
+case class SpendRun(user_id: Long, event_id: Long, run_n: Long, run_cents: Long)
+case class SpendState(n: Long, cents: Long)
+
+/** Per-user running spend via Spark 4's `transformWithState`
+  * (SPARK-46815, the arbitrary-stateful successor to
+  * [flat]mapGroupsWithState): typed `ValueState` in the RocksDB state
+  * store, explicitly initialized/read/updated per key per micro-batch.
+  * State is O(distinct users) × 16 bytes — the store holds the running
+  * (n, cents) pair, never the events. Within a batch the key's rows are
+  * ordered by (ts, event_id) so the emitted running values are
+  * deterministic and equal the batch window aggregate; across batches
+  * the state carries forward (pinned in StatefulStreamingSpec). */
+class RunningSpendProcessor
+    extends StatefulProcessor[Long, SpendEvent, SpendRun] {
+  @transient private var st: ValueState[SpendState] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    st = getHandle.getValueState("run", Encoders.product[SpendState],
+      TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[SpendEvent],
+      tv: TimerValues): Iterator[SpendRun] = {
+    var s = if (st.exists()) st.get() else SpendState(0L, 0L)
+    val out = rows.toIndexedSeq.sortBy(r => (r.ts_us, r.event_id)).map { r =>
+      s = SpendState(s.n + 1, s.cents + r.cts)
+      SpendRun(key, r.event_id, s.n, s.cents)
+    }
+    st.update(s)
+    out.iterator
+  }
+}
 
 /** Structured Streaming surface (SURVEY §2.9 gap / §7.3 M4): the reference
   * has no stream processing — Polars "streaming" is bounded-memory batch —
@@ -253,6 +291,31 @@ object Streaming {
         drainMemorySink(sp, name))
     }),
 
+    "q126_transform_with_state" -> ((s, d) => withStreamPartitions(s, 4) { sp =>
+      // transformWithState REQUIRES the RocksDB provider (typed-state
+      // column families are a RocksDB feature); set on the clone only so
+      // the caller's HDFS-backed stateful queries are untouched.
+      sp.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      import sp.implicits._
+      val name = s"graft_tws_${System.nanoTime()}"
+      val q = eventsStream(sp, d)
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("ts_us"), cents(col("value")).as("cts"))
+        .as[SpendEvent]
+        .groupByKey(_.user_id)
+        .transformWithState(new RunningSpendProcessor,
+          TimeMode.None(), OutputMode.Append())
+        .writeStream.outputMode("append")
+        .format("memory").queryName(name)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      drainMemorySink(sp, name)
+        .select(col("user_id"), col("event_id"), col("run_n"),
+          dollars(col("run_cents")).as("run_total"))
+        .orderBy("user_id", "event_id")
+    }),
+
     "q96_session_window" -> ((s, d) =>
       // session windows (30-min gap) per user over event time — Spark's
       // built-in session_window; stateful streaming analog in StreamingSpec
@@ -302,6 +365,17 @@ object Streaming {
     // shared with q106: the streamed sketch must satisfy the same contract
     "q107_stream_heavy_hitters" ->
       graft.operators.TextAnalysis.HeavyHittersOracleSql,
+    // the batch-window equivalent of the stateful processor's running
+    // values: same (ts, event_id) order, same integer-cents arithmetic
+    "q126_transform_with_state" ->
+      """SELECT user_id, event_id,
+        |  count(*) OVER w AS run_n,
+        |  CAST(sum(CAST(round(value*100) AS BIGINT)) OVER w AS DOUBLE)/100.0
+        |    AS run_total
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, event_id""".stripMargin,
     "q96_session_window" ->
       // gaps-and-islands: a new session starts when the gap > 30 minutes
       """WITH marked AS (

@@ -104,5 +104,61 @@ class StatefulStreamingSpec extends SparkSpec {
     }
   }
 
+  test("transformWithState: ValueState carries across micro-batches (RocksDB)") {
+    // q126 runs single-batch at the test SFs (one parquet file); the whole
+    // point of the state store — running values CONTINUING across
+    // micro-batches — is pinned here: 3 files, maxFilesPerTrigger=1 ⇒ 3
+    // batches, and each user's final running (n, cents) must equal the
+    // batch aggregate over ALL files even though no single batch saw all
+    // of the user's events.
+    import spark.implicits._
+    val s2 = graft.Tables.sessionClone(spark)
+    s2.conf.set("spark.sql.shuffle.partitions", "2")
+    s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val dir = tempDir("graft_tws").toString
+    val evs = Tables_events().select(col("user_id"), col("event_id"),
+      unix_micros(col("ts")).as("ts_us"),
+      graft.Tables.cents(col("value")).as("cts"))
+    evs.repartition(3).write.mode("overwrite").parquet(dir)
+    val name = s"graft_tws_spec_${System.nanoTime()}"
+    val q = s2.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("user_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("event_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("ts_us",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("cts",
+          org.apache.spark.sql.types.LongType))))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir).as[SpendEvent]
+      .groupByKey(_.user_id)
+      .transformWithState(new RunningSpendProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Append())
+      .writeStream.outputMode("append").format("memory").queryName(name)
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(q.recentProgress.count(_.numInputRows > 0) == 3,
+        "3 files @ maxFilesPerTrigger=1 must arrive as 3 micro-batches")
+    } finally q.stop()
+    val out = s2.table(name).as[SpendRun].collect()
+    s2.catalog.dropTempView(name)
+    assert(out.length == evs.count(), "one output row per input event")
+    val lastPerUser = out.groupBy(_.user_id)
+      .map { case (u, rs) => u -> rs.maxBy(_.run_n) }
+    val exact = evs.groupBy("user_id")
+      .agg(count(lit(1)).as("n"), sum("cts").as("c")).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(lastPerUser.size == exact.size)
+    lastPerUser.foreach { case (u, r) =>
+      assert((r.run_n, r.run_cents) == exact(u),
+        s"user $u: state did not accumulate across batches")
+    }
+  }
+
   private def Tables_events() = graft.Tables.events(spark, sf0001)
 }
