@@ -145,6 +145,47 @@ object Similarity {
       .select(col("i"), col("j"), col("cos"))
   }
 
+  /** PQ ADC approximate distances (q_id, vec_id, ad_nano) — the shared
+    * first stage of q100 (pure PQ top-k) and q127 (shortlist + exact
+    * rerank). Codebook = first K vectors (externally-trained stand-in);
+    * distances are exact integer nano-units end to end (the q35 idiom),
+    * so the shortlist is bit-identical across partitionings and engines. */
+  private def pqApproxDistances(s: SparkSession, d: String): DataFrame = {
+    val M = 4; val SubDim = Dim / M; val K = 16; val NQueries = 3
+    val ex = t(s, d, "embeddings")
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "x")))
+      .select(col("vec_id"), (col("i") / SubDim).cast("int").as("m"),
+        pmod(col("i"), lit(SubDim)).as("im"), col("x").cast("double").as("xd"))
+    // codebook from its own pruned scan (vec_id < K pushes down to
+    // parquet) — broadcast: M*SubDim*K = 1024 rows
+    val cb = t(s, d, "embeddings").filter(col("vec_id") < K)
+      .select(col("vec_id").cast("int").as("k"),
+        posexplode(col("embedding")).as(Seq("i", "x")))
+      .select(col("k"), (col("i") / SubDim).cast("int").as("m"),
+        pmod(col("i"), lit(SubDim)).as("im"), col("x").cast("double").as("c"))
+    val dist = ex.join(broadcast(cb), Seq("m", "im"))
+      .withColumn("en",
+        round((col("xd") - col("c")) * (col("xd") - col("c")) * 1e9)
+          .cast("long"))
+      .groupBy(col("vec_id"), col("m"), col("k"))
+      .agg(sum(col("en")).as("dn"))
+      // referenced twice (encode argmin + ADC tables) with different
+      // downstream shapes — persist or the explode+join runs twice
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // encode: argmin_k over exact integer distances, ties -> smallest k
+    // (min over (dn, k) structs = lexicographic argmin, no window pass)
+    val codes = dist.groupBy(col("vec_id"), col("m"))
+      .agg(min(struct(col("dn"), col("k"))).as("best"))
+      .select(col("vec_id"), col("m"), col("best.k").as("k"))
+    // ADC: the query's own per-(m, k) distances ARE its lookup table
+    val adc = dist.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("m"), col("k"), col("dn"))
+    codes.join(broadcast(adc), Seq("m", "k"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(sum(col("dn")).as("ad_nano")) // 4 longs per pair — exact
+      .where(col("vec_id") =!= col("q_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     "q35_embed_quantize" -> ((s, d) => {
@@ -361,44 +402,45 @@ object Similarity {
       // every distance is quantized to integer nano-units per element
       // BEFORE summing (the q35 idiom), so encode and scoring are exact
       // longs — bit-identical across any partitioning and vs the oracle.
-      val M = 4; val SubDim = Dim / M; val K = 16; val NQueries = 3
-      val ex = t(s, d, "embeddings")
-        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "x")))
-        .select(col("vec_id"), (col("i") / SubDim).cast("int").as("m"),
-          pmod(col("i"), lit(SubDim)).as("im"), col("x").cast("double").as("xd"))
-      // codebook from its own pruned scan (vec_id < K pushes down to
-      // parquet) — broadcast: M*SubDim*K = 1024 rows
-      val cb = t(s, d, "embeddings").filter(col("vec_id") < K)
-        .select(col("vec_id").cast("int").as("k"),
-          posexplode(col("embedding")).as(Seq("i", "x")))
-        .select(col("k"), (col("i") / SubDim).cast("int").as("m"),
-          pmod(col("i"), lit(SubDim)).as("im"), col("x").cast("double").as("c"))
-      val dist = ex.join(broadcast(cb), Seq("m", "im"))
-        .withColumn("en",
-          round((col("xd") - col("c")) * (col("xd") - col("c")) * 1e9)
-            .cast("long"))
-        .groupBy(col("vec_id"), col("m"), col("k"))
-        .agg(sum(col("en")).as("dn"))
-        // referenced twice (encode argmin + ADC tables) with different
-        // downstream shapes — persist or the explode+join runs twice
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      // encode: argmin_k over exact integer distances, ties -> smallest k
-      // (min over (dn, k) structs = lexicographic argmin, no window pass)
-      val codes = dist.groupBy(col("vec_id"), col("m"))
-        .agg(min(struct(col("dn"), col("k"))).as("best"))
-        .select(col("vec_id"), col("m"), col("best.k").as("k"))
-      // ADC: the query's own per-(m, k) distances ARE its lookup table
-      val adc = dist.filter(col("vec_id") < NQueries)
-        .select(col("vec_id").as("q_id"), col("m"), col("k"), col("dn"))
-      val approx = codes.join(broadcast(adc), Seq("m", "k"))
-        .groupBy(col("q_id"), col("vec_id"))
-        .agg(sum(col("dn")).as("ad_nano")) // 4 longs per pair — exact
-        .where(col("vec_id") =!= col("q_id"))
+      val approx = pqApproxDistances(s, d)
       val w = Window.partitionBy(col("q_id"))
         .orderBy(col("ad_nano"), col("vec_id"))
       approx.withColumn("rn", row_number().over(w).cast("long"))
         .filter(col("rn") <= 10)
         .select(col("q_id"), col("vec_id"), col("ad_nano"), col("rn"))
+        .orderBy("q_id", "rn")
+    }),
+
+    "q127_ann_rerank" -> ((s, d) => {
+      // Two-stage retrieval — the production ANN deployment shape (IVF/PQ
+      // papers' "search then rerank", every vector DB's default): stage 1
+      // scores the WHOLE corpus with q100's 4-byte PQ codes and integer
+      // ADC (memory-bound, never touches floats), keeps a per-query
+      // shortlist of 25; stage 2 joins the full 64-float payloads back
+      // for ONLY those 25 and reranks by exact cosine to the final 10.
+      // At 100 TB the exact-distance work is O(queries × shortlist), not
+      // O(queries × corpus) — the float vectors stay in cold storage and
+      // only shortlist rows are ever fetched. ad_rn (the PQ rank) rides
+      // along so the output shows the reorder the rerank exists for.
+      VectorExpressions.register(s)
+      val Shortlist = 25
+      val wShort = Window.partitionBy(col("q_id"))
+        .orderBy(col("ad_nano"), col("vec_id"))
+      val shortl = pqApproxDistances(s, d)
+        .withColumn("ad_rn", row_number().over(wShort).cast("long"))
+        .filter(col("ad_rn") <= Shortlist)
+      val e = t(s, d, "embeddings")
+      val rer = shortl
+        .join(e.select(col("vec_id").as("q_id"), col("embedding").as("qe")),
+          "q_id")
+        .join(e.select(col("vec_id"), col("embedding").as("ve")), "vec_id")
+        .withColumn("cos", expr("cosine_sim(qe, ve)"))
+      val wFin = Window.partitionBy(col("q_id"))
+        .orderBy(col("cos").desc, col("vec_id"))
+      rer.withColumn("rn", row_number().over(wFin).cast("long"))
+        .filter(col("rn") <= 10)
+        .select(col("q_id"), col("vec_id"), col("ad_rn"),
+          r6(col("cos")).as("cos6"), col("rn"))
         .orderBy("q_id", "rn")
     }),
 
@@ -594,6 +636,48 @@ object Similarity {
          |  FROM approx WHERE vec_id != q_id)
          |SELECT q_id, vec_id, ad_nano, rn FROM ranked
          |WHERE rn <= 10 ORDER BY q_id, rn""".stripMargin,
+    "q127_ann_rerank" ->
+      s"""WITH ex AS (
+         |  SELECT vec_id, (i-1) // 16 AS m, (i-1) % 16 AS im,
+         |    CAST(embedding[i] AS DOUBLE) AS xd
+         |  FROM (SELECT vec_id, embedding, unnest(range(1, ${Dim + 1})) AS i
+         |        FROM embeddings)),
+         |cb AS (SELECT vec_id AS k, m, im, xd AS c FROM ex WHERE vec_id < 16),
+         |dist AS (
+         |  SELECT e.vec_id, e.m, c.k,
+         |    CAST(sum(CAST(round((e.xd - c.c)*(e.xd - c.c)*1e9) AS BIGINT))
+         |      AS BIGINT) AS dn
+         |  FROM ex e JOIN cb c ON e.m = c.m AND e.im = c.im
+         |  GROUP BY 1, 2, 3),
+         |codes AS (
+         |  SELECT vec_id, m, k FROM (
+         |    SELECT vec_id, m, k,
+         |      row_number() OVER (PARTITION BY vec_id, m ORDER BY dn, k) AS rn
+         |    FROM dist) WHERE rn = 1),
+         |adc AS (SELECT vec_id AS q_id, m, k, dn FROM dist WHERE vec_id < 3),
+         |approx AS (
+         |  SELECT q_id, c.vec_id, CAST(sum(a.dn) AS BIGINT) AS ad_nano
+         |  FROM codes c JOIN adc a USING (m, k)
+         |  GROUP BY 1, 2),
+         |short AS (
+         |  SELECT q_id, vec_id, ad_rn FROM (
+         |    SELECT q_id, vec_id,
+         |      CAST(row_number() OVER (PARTITION BY q_id ORDER BY ad_nano, vec_id)
+         |        AS BIGINT) AS ad_rn
+         |    FROM approx WHERE vec_id != q_id) WHERE ad_rn <= 25),
+         |rer AS (
+         |  SELECT q_id, s.vec_id, ad_rn,
+         |    ${cosSql("eq.embedding", "ev.embedding")} AS cos
+         |  FROM short s
+         |  JOIN embeddings eq ON eq.vec_id = s.q_id
+         |  JOIN embeddings ev ON ev.vec_id = s.vec_id),
+         |ranked AS (
+         |  SELECT q_id, vec_id, ad_rn, cos,
+         |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id)
+         |      AS BIGINT) AS rn
+         |  FROM rer)
+         |SELECT q_id, vec_id, ad_rn, round(cos*1e6)/1e6 AS cos6, rn
+         |FROM ranked WHERE rn <= 10 ORDER BY q_id, rn""".stripMargin,
     "q72_centroids" ->
       s"""SELECT label, CAST(i AS BIGINT) AS i,
          |  round(avg(CAST(embedding[i] AS DOUBLE))*1e6)/1e6 AS mean6,
