@@ -95,7 +95,7 @@ object Bench {
       "q116_temperature_sample", "q117_jsonl_ingest",
       "q118_lm_surprisal", "q120_cluster_split", "q121_orc_ingest",
       "q122_stream_sliding", "q123_curriculum_bins", "q125_sql_recursive",
-      "q126_transform_with_state", "q127_ann_rerank")
+      "q126_transform_with_state", "q127_ann_rerank", "q128_pagerank")
     val headSet = headline.toSet
     val shortJson =
       s"""{"metric":"total","value":$totalStr,"unit":"sec","n_queries":${results.size},$protoJson,"queries":${qJson(results.filter(r => headSet(r._1)))},"sf":"$sfDir"}"""

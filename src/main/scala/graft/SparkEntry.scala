@@ -21,6 +21,7 @@ object SparkEntry {
       operators.Relational.queries ++
       operators.SqlEntry.queries ++
       operators.Dedup.queries ++
+      operators.Graph.queries ++
       operators.Similarity.queries ++
       operators.TextAnalysis.queries ++
       operators.Multimodal.queries ++
@@ -35,6 +36,7 @@ object SparkEntry {
       operators.Relational.oracle ++
       operators.SqlEntry.oracle ++
       operators.Dedup.oracle ++
+      operators.Graph.oracle ++
       operators.Similarity.oracle ++
       operators.TextAnalysis.oracle ++
       operators.Multimodal.oracle ++

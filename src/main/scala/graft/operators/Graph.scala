@@ -1,0 +1,112 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables.t
+
+/** Iterative graph dataflow (PageRank) — the fixed-point computation
+  * pattern the reference category has no answer for and a training-data
+  * pipeline meets as soon as it ranks sources by link structure (the
+  * original PageRank use: which pages/domains to crawl and keep).
+  *
+  * Graph: the part–supplier bipartite graph from lineitem (edge iff some
+  * order ships part p from supplier s), symmetrized. Nodes are encoded in
+  * one id space (2·partkey for parts, 2·suppkey+1 for suppliers) so the
+  * rank vector is a single (node, r) frame.
+  *
+  * The iteration is a DRIVER LOOP THAT ONLY BUILDS PLAN — no action, no
+  * collect inside: each of the 5 steps composes one equi-join
+  * (ranks ⋈ edges on the source key) and one map-side-combinable sum
+  * onto the logical plan, and the whole 5-step pipeline executes as one
+  * job when the result materializes. Scale shape: per iteration exactly
+  * one shuffle of O(E) contribution rows hash-partitioned on dst (at
+  * 100 TB you bucket `edges` once on src so the per-iteration join
+  * reuses its partitioning and only the O(V) rank vector moves);
+  * `edges`/`deg` are persisted because every iteration references them.
+  * Unbounded iteration would checkpoint every ~10 steps to truncate
+  * lineage (q69's localCheckpoint pattern); 5 fixed steps keep the plan
+  * small enough that lineage is free — and fixed iterations are what
+  * makes the result DuckDB-oracle-checkable (the oracle unrolls the same
+  * 5 steps as CTEs).
+  *
+  * Arithmetic parity (Tables.scala rules): all mass is integer units of
+  * 1e-12 of the graph (`Base`), every division is integer `div` with
+  * positive operands (= DuckDB `//`), so each iteration is bit-exact in
+  * any partitioning and across engines — no floating-point rank drift.
+  * r_{t+1}(v) = (15·Base) div (100·N) + (85·Σ_{u∼v} (r_t(u) div deg u)) div 100.
+  */
+object Graph {
+
+  val Iters = 5
+  val Base = 1000000000000L // total rank mass, 1e-12 units
+  val TopK = 20
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "q128_pagerank" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+        .select((col("l_partkey") * 2).as("a"),
+          (col("l_suppkey") * 2 + 1).as("b"))
+        .distinct()
+      // symmetric edge list; a is even, b odd, so the union can't collide
+      val edges = li.select(col("a").as("src"), col("b").as("dst"))
+        .union(li.select(col("b").as("src"), col("a").as("dst")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val deg = edges.groupBy(col("src").as("node"))
+        .agg(count(lit(1)).as("deg"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // graph size as a lazy 1-row frame (the q85 idiom), not an eager
+      // driver-side count — the plan stays fully declarative
+      val n1 = deg.agg(count(lit(1)).as("n"))
+      var ranks = deg.crossJoin(n1)
+        .select(col("node"), col("deg"), expr(s"$Base div n").as("r"))
+      for (_ <- 1 to Iters) {
+        val sums = ranks
+          .join(edges, col("node") === col("src"))
+          .select(col("dst"), expr("r div deg").as("c"))
+          .groupBy("dst").agg(sum(col("c")).as("sc"))
+        ranks = deg.join(sums, col("node") === col("dst"), "left")
+          .crossJoin(n1)
+          .select(col("node"), col("deg"),
+            (expr(s"(15 * $Base) div (100 * n)") +
+              expr("(85 * coalesce(sc, 0)) div 100")).as("r"))
+      }
+      ranks
+        .select(col("node"),
+          when(pmod(col("node"), lit(2)) === 0, lit("part"))
+            .otherwise(lit("supplier")).as("kind"),
+          col("deg"), col("r").as("rank_mass"))
+        .orderBy(col("rank_mass").desc, col("node"))
+        .limit(TopK)
+    })
+  )
+
+  /** The same 5 steps unrolled as CTEs — one integer formula, two engines. */
+  val oracle: Map[String, String] = Map(
+    "q128_pagerank" -> {
+      val step = (i: Int, prev: String) =>
+        s"""s$i AS (
+           |  SELECT e.dst, sum(r.r // r.deg) AS sc
+           |  FROM $prev r JOIN edges e ON r.node = e.src GROUP BY 1),
+           |r$i AS (
+           |  SELECT d.node, d.deg,
+           |    (15 * $Base) // (100 * n) + (85 * coalesce(sc, 0)) // 100 AS r
+           |  FROM deg d CROSS JOIN nn LEFT JOIN s$i ON d.node = s$i.dst)"""
+          .stripMargin
+      s"""WITH li AS (
+         |  SELECT DISTINCT l_partkey*2 AS a, l_suppkey*2+1 AS b FROM lineitem),
+         |edges AS (
+         |  SELECT a AS src, b AS dst FROM li
+         |  UNION ALL SELECT b, a FROM li),
+         |deg AS (SELECT src AS node, count(*) AS deg FROM edges GROUP BY 1),
+         |nn AS (SELECT count(*) AS n FROM deg),
+         |r0 AS (SELECT node, deg, $Base // n AS r FROM deg CROSS JOIN nn),
+         |${(1 to Iters).map(i => step(i, s"r${i - 1}")).mkString(",\n")}
+         |SELECT node,
+         |  CASE WHEN node % 2 = 0 THEN 'part' ELSE 'supplier' END AS kind,
+         |  deg, r AS rank_mass
+         |FROM r$Iters
+         |ORDER BY rank_mass DESC, node LIMIT $TopK""".stripMargin
+    }
+  )
+}
