@@ -86,7 +86,7 @@ object Bench {
       "q73_ivf_knn", "q76_weighted_sample", "q77_training_pipeline",
       "q78_delta_dedup", "q79_decontaminate", "q85_tfidf",
       "q94_stream_onebrc", "q97_stream_stream_join", "q99_stream_delta_admit",
-      "q36_bpe_pairs", "q37_repetition", "q39_merge_upsert",
+      "q39_merge_upsert",
       "q100_pq_ann", "q101_window_range", "q102_dataset_card",
       "q103_approx_percentile", "q104_delta_dedup_full", "q105_staged_dedup",
       "q106_heavy_hitters", "q107_stream_heavy_hitters", "q108_pack_sharded",
@@ -95,7 +95,8 @@ object Bench {
       "q116_temperature_sample", "q117_jsonl_ingest",
       "q118_lm_surprisal", "q120_cluster_split", "q121_orc_ingest",
       "q122_stream_sliding", "q123_curriculum_bins", "q125_sql_recursive",
-      "q126_transform_with_state", "q127_ann_rerank", "q128_pagerank")
+      "q126_transform_with_state", "q127_ann_rerank", "q128_pagerank",
+      "q129_kmeans_train")
     val headSet = headline.toSet
     val shortJson =
       s"""{"metric":"total","value":$totalStr,"unit":"sec","n_queries":${results.size},$protoJson,"queries":${qJson(results.filter(r => headSet(r._1)))},"sf":"$sfDir"}"""

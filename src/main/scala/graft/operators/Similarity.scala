@@ -444,6 +444,61 @@ object Similarity {
         .orderBy("q_id", "rn")
     }),
 
+    "q129_kmeans_train" -> ((s, d) => {
+      // k-means codebook TRAINING — closes the loop the quantized-ANN
+      // suite leaves open: q73/q100/q110 all take their codebook as an
+      // "externally-trained stand-in"; this is the trainer. Three Lloyd
+      // iterations: assign every vector to its nearest centroid, recompute
+      // centroids as member means, repeat. Same driver-loop-builds-plan
+      // shape as q128 (no action inside); per iteration one broadcast of
+      // the KB-sized codebook + one map-side-combinable sum — the corpus
+      // never shuffles on anything but (vec_id) and (k, i) aggregates.
+      // Arithmetic parity: components live as integer nano-units
+      // (xn = round(x·1e9)); distances are the q100 idiom (per-element
+      // round((xd − cn/1e9)²·1e9), exact BIGINT sums); new centroids are
+      // sn div n (integer division). Every iteration is bit-exact across
+      // partitionings and engines; the oracle unrolls the same 3 steps.
+      // Empty clusters keep their previous centroid (the LEFT JOIN
+      // fallback) — deterministic, no reseeding randomness.
+      val K = 8; val Iters = 3
+      val exn = t(s, d, "embeddings")
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "x")))
+        .select(col("vec_id"), col("i"), col("x").cast("double").as("xd"),
+          round(col("x").cast("double") * 1e9).cast("long").as("xn"))
+        // referenced by every iteration's distance join AND mean update
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      var cent = exn.filter(col("vec_id") < K)
+        .select(col("vec_id").as("k"), col("i"), col("xn").as("cn"))
+      for (_ <- 1 to Iters) {
+        val dist = exn.join(broadcast(cent), Seq("i"))
+          .withColumn("en", round((col("xd") - col("cn") / 1e9)
+            * (col("xd") - col("cn") / 1e9) * 1e9).cast("long"))
+          .groupBy(col("vec_id"), col("k"))
+          .agg(sum(col("en")).as("dn"))
+        val asg = dist.groupBy(col("vec_id"))
+          .agg(min(struct(col("dn"), col("k"))).as("best"))
+          .select(col("vec_id"), col("best.k").as("k"))
+        val sums = exn.join(asg, "vec_id")
+          .groupBy(col("k"), col("i"))
+          .agg(sum(col("xn")).as("sn"), count(lit(1)).as("n"))
+        cent = cent.select(col("k"), col("i"), col("cn").as("cn_prev"))
+          .join(sums, Seq("k", "i"), "left")
+          .select(col("k"), col("i"),
+            // sn div n: Spark `div` TRUNCATES toward zero (Java long
+            // division); components go negative, so the oracle must spell
+            // trunc explicitly (DuckDB `//` floors): -((-sn) // n)
+            when(col("n").isNull, col("cn_prev"))
+              .otherwise(expr("sn div n")).as("cn"),
+            coalesce(col("n"), lit(0L)).as("n"))
+          // referenced twice next iteration (distance join + fallback) —
+          // persist or the whole preceding chain recomputes per reference
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      }
+      cent.select(col("k").cast("long").as("k"), col("i").cast("long").as("i"),
+          col("cn"), col("n").as("n_members"))
+        .orderBy("k", "i")
+    }),
+
     "q72_centroids" -> ((s, d) =>
       // per-label centroid components — the aggregation shape of k-means /
       // class-prototype computation (long form: one row per (label, dim))
@@ -636,6 +691,45 @@ object Similarity {
          |  FROM approx WHERE vec_id != q_id)
          |SELECT q_id, vec_id, ad_nano, rn FROM ranked
          |WHERE rn <= 10 ORDER BY q_id, rn""".stripMargin,
+    "q129_kmeans_train" -> {
+      val K = 8; val Iters = 3
+      val step = (t: Int) => {
+        val prev = s"cent${t - 1}"
+        s"""dist$t AS (
+           |  SELECT e.vec_id, c.k,
+           |    CAST(sum(CAST(round((e.xd - c.cn/1e9)*(e.xd - c.cn/1e9)*1e9)
+           |      AS BIGINT)) AS BIGINT) AS dn
+           |  FROM exn e JOIN $prev c ON e.i = c.i
+           |  GROUP BY 1, 2),
+           |asg$t AS (
+           |  SELECT vec_id, k FROM (
+           |    SELECT vec_id, k,
+           |      row_number() OVER (PARTITION BY vec_id ORDER BY dn, k) AS rn
+           |    FROM dist$t) WHERE rn = 1),
+           |sums$t AS (
+           |  SELECT a.k, e.i, CAST(sum(e.xn) AS BIGINT) AS sn, count(*) AS n
+           |  FROM exn e JOIN asg$t a USING (vec_id) GROUP BY 1, 2),
+           |cent$t AS (
+           |  SELECT c.k, c.i,
+           |    CASE WHEN s.n IS NULL THEN c.cn
+           |         WHEN s.sn >= 0 THEN s.sn // s.n
+           |         ELSE -((-s.sn) // s.n) END AS cn,
+           |    coalesce(s.n, 0) AS n
+           |  FROM $prev c LEFT JOIN sums$t s ON c.k = s.k AND c.i = s.i)"""
+          .stripMargin
+      }
+      s"""WITH exn AS (
+         |  SELECT vec_id, i-1 AS i, CAST(embedding[i] AS DOUBLE) AS xd,
+         |    CAST(round(CAST(embedding[i] AS DOUBLE)*1e9) AS BIGINT) AS xn
+         |  FROM (SELECT vec_id, embedding, unnest(range(1, ${Dim + 1})) AS i
+         |        FROM embeddings)),
+         |cent0 AS (
+         |  SELECT vec_id AS k, i, xn AS cn FROM exn WHERE vec_id < $K),
+         |${(1 to Iters).map(step).mkString(",\n")}
+         |SELECT CAST(k AS BIGINT) AS k, CAST(i AS BIGINT) AS i, cn,
+         |  n AS n_members
+         |FROM cent$Iters ORDER BY k, i""".stripMargin
+    },
     "q127_ann_rerank" ->
       s"""WITH ex AS (
          |  SELECT vec_id, (i-1) // 16 AS m, (i-1) % 16 AS im,

@@ -420,4 +420,53 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(recall(rerSets) >= recall(pqSets),
       s"rerank recall ${recall(rerSets)} < PQ recall ${recall(pqSets)}")
   }
+
+  test("q129 k-means training equals an in-memory integer Lloyd model") {
+    import org.apache.spark.sql.functions._
+    val K = 8; val Iters = 3
+    val vecs = graft.Tables.t(spark, sf0001, "embeddings")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray.map(_.toDouble))
+      .sortBy(_._1)
+    val n = vecs.length
+    val dim = vecs.head._2.length
+    def nano(x: Double): Long = math.round(x * 1e9)
+    var cent: Array[Array[Long]] =
+      vecs.take(K).map(_._2.map(nano)) // seeds = first K vectors
+    var members: Array[Long] = Array.fill(K)(0L)
+    for (_ <- 1 to Iters) {
+      val asg = vecs.map { case (_, x) =>
+        val dists = cent.map { c =>
+          var s = 0L
+          var i = 0
+          while (i < dim) {
+            val dxy = x(i) - c(i) / 1e9
+            s += math.round(dxy * dxy * 1e9); i += 1
+          }
+          s
+        }
+        dists.zipWithIndex.minBy { case (dn, k) => (dn, k) }._2
+      }
+      val sums = Array.fill(K, dim)(0L)
+      val cnt = Array.fill(K)(0L)
+      vecs.zip(asg).foreach { case ((_, x), k) =>
+        cnt(k) += 1
+        var i = 0
+        while (i < dim) { sums(k)(i) += nano(x(i)); i += 1 }
+      }
+      cent = Array.tabulate(K, dim) { (k, i) =>
+        if (cnt(k) == 0) cent(k)(i) else sums(k)(i) / cnt(k) // Java / = div
+      }
+      members = cnt
+    }
+    val got = Similarity.queries("q129_kmeans_train")(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.length == K * dim)
+    val exp = for (k <- 0 until K; i <- 0 until dim)
+      yield (k.toLong, i.toLong, cent(k)(i), members(k))
+    assert(got.toSeq == exp,
+      "distributed k-means != in-memory integer Lloyd model")
+    // every vector is assigned somewhere on the final step
+    assert(members.sum == n.toLong)
+  }
 }
