@@ -27,6 +27,7 @@ object SparkEntry {
       operators.Multimodal.queries ++
       sources.JsonlIngest.queries ++
       sources.OrcStage.queries ++
+      sources.PartitionedStage.queries ++
       streaming.Streaming.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -42,5 +43,6 @@ object SparkEntry {
       operators.Multimodal.oracle ++
       sources.JsonlIngest.oracle ++
       sources.OrcStage.oracle ++
+      sources.PartitionedStage.oracle ++
       streaming.Streaming.oracle
 }
