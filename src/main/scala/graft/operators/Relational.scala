@@ -575,6 +575,39 @@ object Relational {
         .orderBy("user_id", "us", "event_id")
     }),
 
+    "q131_locf_resample" -> ((s, d) => {
+      // time-series RESAMPLE to a regular hourly grid + LOCF
+      // (last-observation-carried-forward) — the standard feature-store /
+      // metrics prep step: per entity, one row per hour between its first
+      // and last event, missing hours gap-filled (q125's theme, here per
+      // key via sequence+explode instead of recursion) and the carried
+      // value filled by an IGNORE NULLS window last(). Scale shape: spine
+      // generation is one map-side explode off the per-user bounds agg
+      // (O(users) rows in, O(users × span) out, no shuffle beyond the
+      // joins' key partitioning); the LOCF window is the same single
+      // partition-sorted pass as q31, and all money is exact cents.
+      // user_id < 50 bounds the demo's spine; production would shard any
+      // multi-year × billion-entity grid by (entity, time-range) first.
+      val ev = events(s, d).filter(col("user_id") < 50)
+        .select(col("user_id"), date_trunc("hour", col("ts")).as("h"),
+          cents(col("value")).as("v"))
+      val hourly = ev.groupBy("user_id", "h")
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("sum_cents"))
+      val spine = ev.groupBy("user_id")
+        .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+        .select(col("user_id"), explode(
+          sequence(col("h0"), col("h1"), expr("interval 1 hour"))).as("h"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("h"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      spine.join(hourly, Seq("user_id", "h"), "left")
+        .select(col("user_id"), col("h").as("bucket_h"),
+          coalesce(col("n"), lit(0L)).as("n_events"),
+          dollars(coalesce(col("sum_cents"), lit(0L))).as("total"),
+          dollars(last(col("sum_cents"), ignoreNulls = true).over(w))
+            .as("locf_total"))
+        .orderBy("user_id", "bucket_h")
+    }),
+
     "q27_pivot" -> ((s, d) =>
       // pivot with an EXPLICIT value list — at scale the implicit form
       // needs an extra distinct pass and can explode the column count
@@ -830,6 +863,26 @@ object Relational {
         |      AS BIGINT) AS trail_cents
         |  FROM events)
         |ORDER BY user_id, us, event_id""".stripMargin,
+    "q131_locf_resample" ->
+      """WITH ev AS (
+        |  SELECT user_id, date_trunc('hour', ts) AS h,
+        |    CAST(round(value*100) AS BIGINT) AS v
+        |  FROM events WHERE user_id < 50),
+        |hourly AS (
+        |  SELECT user_id, h, count(*) AS n, CAST(sum(v) AS BIGINT) AS sum_cents
+        |  FROM ev GROUP BY 1, 2),
+        |spine AS (
+        |  SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+        |  FROM (SELECT user_id, min(h) AS h0, max(h) AS h1 FROM ev GROUP BY 1))
+        |SELECT s.user_id, s.h AS bucket_h,
+        |  coalesce(n, 0) AS n_events,
+        |  CAST(coalesce(sum_cents, 0) AS DOUBLE)/100.0 AS total,
+        |  CAST(last_value(sum_cents IGNORE NULLS) OVER (
+        |    PARTITION BY s.user_id ORDER BY s.h
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS DOUBLE)/100.0 AS locf_total
+        |FROM spine s LEFT JOIN hourly USING (user_id, h)
+        |ORDER BY 1, 2""".stripMargin,
     "q39_merge_upsert" ->
       """WITH snap AS (
         |  SELECT CAST(c_custkey AS BIGINT) AS custkey, c_name AS name,

@@ -167,6 +167,27 @@ class PlanSpec extends SparkSpec {
       "spine must be sorted and contiguous")
   }
 
+  test("q131: hourly spine is contiguous per user; LOCF fills exactly the gaps") {
+    val rows = SparkEntry.queries("q131_locf_resample")(spark, sf0001)
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime,
+        r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (u, rs) =>
+      val hours = rs.map(_._2).sorted
+      assert(hours.zip(hours.tail).forall { case (a, b) => b - a == 3600000L },
+        s"user $u: spine must step by exactly one hour")
+      // LOCF law: on an empty hour the carried value equals the previous
+      // row's carried value; on a non-empty hour it equals that hour's own
+      var prev = Double.NaN
+      rs.sortBy(_._2).foreach { case (_, _, n, total, locf) =>
+        if (n == 0L) assert(locf == prev, s"user $u: gap must carry forward")
+        else assert(locf == total, s"user $u: observed hour must reset LOCF")
+        prev = locf
+      }
+    }
+  }
+
   test("q92: frame sampling is shuffle-free until the final sort") {
     // per-row explode: the only exchange allowed is the sort's range
     // partitioning (plus AQE read nodes) — no hash shuffle anywhere
