@@ -28,6 +28,7 @@ object SparkEntry {
       sources.JsonlIngest.queries ++
       sources.OrcStage.queries ++
       sources.PartitionedStage.queries ++
+      sources.BucketedStage.queries ++
       streaming.Streaming.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -44,5 +45,6 @@ object SparkEntry {
       sources.JsonlIngest.oracle ++
       sources.OrcStage.oracle ++
       sources.PartitionedStage.oracle ++
+      sources.BucketedStage.oracle ++
       streaming.Streaming.oracle
 }
