@@ -608,6 +608,25 @@ object Relational {
         .orderBy("user_id", "bucket_h")
     }),
 
+    "q133_variant_json" -> ((s, d) =>
+      // VARIANT (Spark 4, SPARK-45827) — the binary semi-structured type
+      // that replaces carry-strings-and-reparse JSON handling: parse_json
+      // once into the variant encoding, then typed path extraction
+      // (variant_get), schema introspection (schema_of_variant) and the
+      // null-on-miss twin (try_variant_get). At scale the win is that a
+      // variant column parses each document ONCE at ingest and every
+      // downstream path access is a binary-offset lookup, not a regex/
+      // parser pass — q55's get_json_object re-parses the string per
+      // expression. Output is fully shredded to primitives (variant
+      // itself has no stable cross-engine serialization to compare).
+      events(s, d).select(
+        col("event_id"),
+        expr("variant_get(parse_json(props), '$.k', 'long')").as("k_var"),
+        expr("schema_of_variant(parse_json(props))").as("v_schema"),
+        expr("try_variant_get(parse_json(props), '$.missing', 'long')")
+          .as("missing"))
+        .orderBy("event_id")),
+
     "q27_pivot" -> ((s, d) =>
       // pivot with an EXPLICIT value list — at scale the implicit form
       // needs an extra distinct pass and can explode the column count
@@ -863,6 +882,14 @@ object Relational {
         |      AS BIGINT) AS trail_cents
         |  FROM events)
         |ORDER BY user_id, us, event_id""".stripMargin,
+    // schema_of_variant's exact rendering pinned as a literal — if a
+    // Spark upgrade changes it, the hash compare flags it loudly
+    "q133_variant_json" ->
+      """SELECT event_id,
+        |  CAST(json_extract(props, '$.k') AS BIGINT) AS k_var,
+        |  'OBJECT<k: BIGINT>' AS v_schema,
+        |  CAST(NULL AS BIGINT) AS missing
+        |FROM events ORDER BY event_id""".stripMargin,
     "q131_locf_resample" ->
       """WITH ev AS (
         |  SELECT user_id, date_trunc('hour', ts) AS h,

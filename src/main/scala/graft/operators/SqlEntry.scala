@@ -157,6 +157,28 @@ object SqlEntry {
       |FROM months LEFT JOIN monthly USING (m)
       |ORDER BY yr, mon""".stripMargin
 
+  // SQL pipe syntax (Spark 4, SPARK-49555): the linear FROM-first form —
+  // each |> step consumes the previous relation, so the query reads in
+  // execution order instead of inside-out. Spark-only surface (DuckDB has
+  // no pipe operators), so unlike q45-q49 the oracle is the equivalent
+  // ANSI text rather than the same string; Catalyst compiles both to the
+  // identical plan (filter pushed, partial agg before the exchange).
+  private val Q134 =
+    """FROM orders
+      ||> WHERE o_orderstatus = 'O'
+      ||> AGGREGATE count(*) AS n_orders,
+      |     sum(CAST(round(o_totalprice*100) AS BIGINT)) AS cents
+      |   GROUP BY o_orderpriority
+      ||> SELECT o_orderpriority, n_orders, CAST(cents AS DOUBLE)/100.0 AS total
+      ||> ORDER BY o_orderpriority""".stripMargin
+
+  private val Q134Oracle =
+    """SELECT o_orderpriority, count(*) AS n_orders,
+      |  CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS DOUBLE)/100.0
+      |    AS total
+      |FROM orders WHERE o_orderstatus = 'O'
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q45_sql_scan_agg" ->
       ((s, d) => runSql(s, d, Seq("lineitem"), Q45)),
@@ -169,7 +191,9 @@ object SqlEntry {
     "q49_sql_grouping_sets" ->
       ((s, d) => runSql(s, d, Seq("orders"), Q49)),
     "q125_sql_recursive" ->
-      ((s, d) => runSql(s, d, Seq("orders"), Q125)))
+      ((s, d) => runSql(s, d, Seq("orders"), Q125)),
+    "q134_sql_pipe" ->
+      ((s, d) => runSql(s, d, Seq("orders"), Q134)))
 
   val oracle: Map[String, String] = Map(
     "q45_sql_scan_agg" -> Q45,
@@ -177,5 +201,6 @@ object SqlEntry {
     "q47_sql_subqueries" -> Q47,
     "q48_sql_lateral_topk" -> Q48,
     "q49_sql_grouping_sets" -> Q49,
-    "q125_sql_recursive" -> Q125)
+    "q125_sql_recursive" -> Q125,
+    "q134_sql_pipe" -> Q134Oracle)
 }

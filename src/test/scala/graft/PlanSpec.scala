@@ -167,6 +167,16 @@ class PlanSpec extends SparkSpec {
       "spine must be sorted and contiguous")
   }
 
+  test("q134: pipe-syntax SQL compiles to the same pushed-down shape as ANSI") {
+    val p = SparkEntry.queries("q134_sql_pipe")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(p.contains(
+      "PushedFilters: [IsNotNull(o_orderstatus), EqualTo(o_orderstatus,O)]"),
+      s"the |> WHERE step must reach the parquet scan:\n$p")
+    assert("HashAggregate".r.findAllIn(p).length >= 2,
+      "|> AGGREGATE must plan the partial+final pair")
+  }
+
   test("q131: hourly spine is contiguous per user; LOCF fills exactly the gaps") {
     val rows = SparkEntry.queries("q131_locf_resample")(spark, sf0001)
       .collect()
