@@ -608,6 +608,41 @@ object Relational {
         .orderBy("user_id", "bucket_h")
     }),
 
+    "q135_funnel" -> ((s, d) => {
+      // sequence/funnel analytics — the event-ordering question windowed
+      // aggs can't answer: of the users who VIEWED, how many CLICKED
+      // within an hour of a view, and then PURCHASED within an hour of
+      // that click? Three stage frames, two time-bounded equi-joins on
+      // user_id (hash joins with residual time predicates — never a
+      // cartesian; per-user pair counts are bounded by per-user activity,
+      // the q17 range-join argument), distinct-user counts per stage, and
+      // integer basis-point conversion rates (div — no float ratios).
+      // The three 1-row stage counts meet by crossJoin (the q85 idiom:
+      // lazy 1-row frames, no eager driver count).
+      val ev = events(s, d)
+        .select(col("user_id"), col("event_type"), col("ts"))
+      def stage(t: String, as: String) =
+        ev.filter(col("event_type") === t)
+          .select(col("user_id"), col("ts").as(as))
+      val v = stage("view", "v_ts")
+      val c = stage("click", "c_ts")
+      val p = stage("purchase", "p_ts")
+      val vc = v.join(c, "user_id")
+        .where(col("c_ts") >= col("v_ts") &&
+          col("c_ts") <= col("v_ts") + expr("interval 1 hour"))
+      val vcp = vc.join(p, "user_id")
+        .where(col("p_ts") >= col("c_ts") &&
+          col("p_ts") <= col("c_ts") + expr("interval 1 hour"))
+      val n1 = v.agg(countDistinct(col("user_id")).as("n_view"))
+      val n2 = vc.agg(countDistinct(col("user_id")).as("n_view_click"))
+      val n3 = vcp.agg(countDistinct(col("user_id")).as("n_full_funnel"))
+      n1.crossJoin(n2).crossJoin(n3)
+        .select(col("n_view"), col("n_view_click"), col("n_full_funnel"),
+          expr("n_view_click * 10000 div n_view").as("conv12_bp"),
+          expr("n_full_funnel * 10000 div n_view_click").as("conv23_bp"),
+          expr("n_full_funnel * 10000 div n_view").as("conv13_bp"))
+    }),
+
     "q133_variant_json" -> ((s, d) =>
       // VARIANT (Spark 4, SPARK-45827) — the binary semi-structured type
       // that replaces carry-strings-and-reparse JSON handling: parse_json
@@ -882,6 +917,27 @@ object Relational {
         |      AS BIGINT) AS trail_cents
         |  FROM events)
         |ORDER BY user_id, us, event_id""".stripMargin,
+    "q135_funnel" ->
+      """WITH v AS (SELECT user_id, ts AS v_ts FROM events
+        |           WHERE event_type = 'view'),
+        |c AS (SELECT user_id, ts AS c_ts FROM events
+        |      WHERE event_type = 'click'),
+        |p AS (SELECT user_id, ts AS p_ts FROM events
+        |      WHERE event_type = 'purchase'),
+        |vc AS (
+        |  SELECT v.user_id, c_ts FROM v JOIN c USING (user_id)
+        |  WHERE c_ts >= v_ts AND c_ts <= v_ts + INTERVAL 1 HOUR),
+        |vcp AS (
+        |  SELECT vc.user_id FROM vc JOIN p USING (user_id)
+        |  WHERE p_ts >= c_ts AND p_ts <= c_ts + INTERVAL 1 HOUR),
+        |n1 AS (SELECT count(DISTINCT user_id) AS n_view FROM v),
+        |n2 AS (SELECT count(DISTINCT user_id) AS n_view_click FROM vc),
+        |n3 AS (SELECT count(DISTINCT user_id) AS n_full_funnel FROM vcp)
+        |SELECT n_view, n_view_click, n_full_funnel,
+        |  n_view_click * 10000 // NULLIF(n_view, 0) AS conv12_bp,
+        |  n_full_funnel * 10000 // NULLIF(n_view_click, 0) AS conv23_bp,
+        |  n_full_funnel * 10000 // NULLIF(n_view, 0) AS conv13_bp
+        |FROM n1, n2, n3""".stripMargin,
     // schema_of_variant's exact rendering pinned as a literal — if a
     // Spark upgrade changes it, the hash compare flags it loudly
     "q133_variant_json" ->

@@ -167,6 +167,16 @@ class PlanSpec extends SparkSpec {
       "spine must be sorted and contiguous")
   }
 
+  test("q135: funnel stages are monotone and rates are exact basis points") {
+    val r = SparkEntry.queries("q135_funnel")(spark, sf0001).collect().head
+    val (n1, n2, n3) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(n1 >= n2 && n2 >= n3, "each funnel stage can only shrink")
+    assert(n2 > 0, "sf0.001 contains at least one view→click user")
+    assert(r.getLong(3) == n2 * 10000 / n1)
+    assert(r.getLong(4) == n3 * 10000 / n2)
+    assert(r.getLong(5) == n3 * 10000 / n1)
+  }
+
   test("q134: pipe-syntax SQL compiles to the same pushed-down shape as ANSI") {
     val p = SparkEntry.queries("q134_sql_pipe")(spark, sf0001)
       .queryExecution.executedPlan.toString
