@@ -608,6 +608,48 @@ object Relational {
         .orderBy("user_id", "bucket_h")
     }),
 
+    "q136_string_agg" -> ((s, d) =>
+      // grouped string aggregation (LISTAGG/STRING_AGG — the report
+      // surface every warehouse dialect has): per region, its nations as
+      // one ordered comma-joined string. Spelled collect_list →
+      // array_sort → array_join: the EXPLICIT order is what makes a
+      // set-valued aggregate deterministic under any partitioning — a
+      // bare collect_list order is partition-arrival order, never
+      // hash-comparable. Dims broadcast; output is 5 rows.
+      t(s, d, "nation")
+        .join(broadcast(t(s, d, "region")),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(count(lit(1)).as("n_nations"),
+          array_join(array_sort(collect_list(col("n_name"))), ",")
+            .as("nations"))
+        .orderBy("r_name")),
+
+    "q137_retention_cohorts" -> ((s, d) => {
+      // retention-cohort matrix — the product-analytics workhorse: users
+      // cohorted by the week of their FIRST event; cell (cohort, k) =
+      // distinct users of that cohort active k weeks later. Shape: one
+      // min-ts aggregate per user, one distinct (user, week) projection,
+      // one equi-join on user_id, one groupBy — all map-side-combinable,
+      // no window over the full event stream. Week offsets are exact
+      // integer epoch-second division (week-truncated stamps are always
+      // 604800 apart, both engines Monday-truncate).
+      val ev = events(s, d).select(col("user_id"),
+        date_trunc("week", col("ts")).as("w"))
+      val cohort = ev.groupBy("user_id").agg(min(col("w")).as("cw"))
+      val active = ev.distinct()
+      active.join(cohort, "user_id")
+        .select(col("cw"),
+          ((unix_seconds(col("w")) - unix_seconds(col("cw")))
+            / 604800L).cast("long").as("offset_w"),
+          col("user_id"))
+        .filter(col("offset_w") <= 3)
+        .distinct()
+        .groupBy(col("cw").as("cohort_week"), col("offset_w"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy("cohort_week", "offset_w")
+    }),
+
     "q135_funnel" -> ((s, d) => {
       // sequence/funnel analytics — the event-ordering question windowed
       // aggs can't answer: of the users who VIEWED, how many CLICKED
@@ -917,6 +959,22 @@ object Relational {
         |      AS BIGINT) AS trail_cents
         |  FROM events)
         |ORDER BY user_id, us, event_id""".stripMargin,
+    "q136_string_agg" ->
+      """SELECT r_name, count(*) AS n_nations,
+        |  string_agg(n_name, ',' ORDER BY n_name) AS nations
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q137_retention_cohorts" ->
+      """WITH ev AS (
+        |  SELECT user_id, date_trunc('week', ts) AS w FROM events),
+        |cohort AS (SELECT user_id, min(w) AS cw FROM ev GROUP BY 1),
+        |active AS (SELECT DISTINCT user_id, w FROM ev)
+        |SELECT cw AS cohort_week,
+        |  (epoch(w) - epoch(cw)) // 604800 AS offset_w,
+        |  count(DISTINCT a.user_id) AS n_users
+        |FROM active a JOIN cohort USING (user_id)
+        |WHERE (epoch(w) - epoch(cw)) // 604800 <= 3
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q135_funnel" ->
       """WITH v AS (SELECT user_id, ts AS v_ts FROM events
         |           WHERE event_type = 'view'),
