@@ -27,6 +27,7 @@ object SparkEntry {
       operators.Multimodal.queries ++
       sources.JsonlIngest.queries ++
       sources.OrcStage.queries ++
+      sources.XmlStage.queries ++
       sources.PartitionedStage.queries ++
       sources.BucketedStage.queries ++
       streaming.Streaming.queries
@@ -44,6 +45,7 @@ object SparkEntry {
       operators.Multimodal.oracle ++
       sources.JsonlIngest.oracle ++
       sources.OrcStage.oracle ++
+      sources.XmlStage.oracle ++
       sources.PartitionedStage.oracle ++
       sources.BucketedStage.oracle ++
       streaming.Streaming.oracle
