@@ -472,6 +472,79 @@ object Relational {
             .reduce(_ && _).as("within_tol"))
         .orderBy("l_returnflag")),
 
+    "q139_hll_sketch_shards" -> ((s, d) => {
+      // The MERGEABLE-sketch deployment shape q22's monolithic
+      // approx_count_distinct cannot show: Spark 4's Apache DataSketches
+      // HLL surface (hll_sketch_agg / hll_union_agg /
+      // hll_sketch_estimate) builds one sketch PER SHARD, then unions the
+      // ~KB sketch bytes — the 100 TB cardinality pattern, where each
+      // data shard (here pmod(user_id, 8); in production a partition or a
+      // day) summarizes independently and only sketches travel to the
+      // union. Sketch bytes and estimates are engine-specific, so the
+      // emitted columns are the exact count plus the q22 bounded-error
+      // contract: lgConfigK=14 gives HLL standard error ≈ 1.04/√2¹⁴ ≈
+      // 0.8%, so rel_err_ok at 5% is a ~6σ real assertion. The exact
+      // countDistinct rides along to materialize it; production runs the
+      // sketch path alone.
+      val ev = events(s, d)
+      val merged = ev
+        .groupBy(col("event_type"), pmod(col("user_id"), lit(8)).as("shard"))
+        .agg(expr("hll_sketch_agg(user_id, 14)").as("sk"))
+        .groupBy(col("event_type"))
+        .agg(expr("hll_sketch_estimate(hll_union_agg(sk, false))")
+          .as("approx_users"))
+      ev.groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("exact_users"))
+        .join(merged, Seq("event_type"))
+        .select(col("event_type"), col("exact_users"),
+          (abs(col("approx_users") - col("exact_users")).cast("double") /
+            col("exact_users") <= 0.05).as("rel_err_ok"))
+        .orderBy("event_type")
+    }),
+
+    "q140_regr_stats" -> ((s, d) => {
+      // Least-squares regression (the regr_slope/regr_intercept family)
+      // from EXACT integer moments: Spark's float regr_* aggregates are
+      // single-pass but their large-magnitude outputs aren't cross-engine
+      // bit-stable at any fixed rounding, so the query aggregates the
+      // five sufficient statistics (n, Σx, Σy, Σx², Σxy) as integers —
+      // x = quantity units, y = price cents — and derives
+      // slope = (nΣxy−ΣxΣy)/(nΣx²−(Σx)²) and the intercept in integer
+      // NANOUNITS via DECIMAL(38,0) arithmetic: exact in any aggregation
+      // order, so partial/final over 32 partitions hash-matches DuckDB's
+      // HUGEINT sequential scan bit for bit. Same single corpus pass and
+      // map-side-combinable shape as the float regr_* internals; DECIMAL
+      // headroom (~1e38 vs products ≤ ~1e34 here) survives the 100 TB
+      // row counts that would overflow BIGINT moments. Signs are split
+      // around the integral division because Spark `div` truncates toward
+      // zero while engines disagree on negative floor-vs-truncate (the
+      // q17 dt lesson); divisions here run on non-negative values only.
+      val dec = "decimal(38,0)"
+      val m = t(s, d, "lineitem")
+        .select(col("l_returnflag"),
+          col("l_quantity").cast("long").cast(s"$dec").as("x"),
+          cents(col("l_extendedprice")).cast(s"$dec").as("y"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).cast(dec).as("n"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("x") * col("y")).as("sxy"))
+        .withColumn("num", col("n") * col("sxy") - col("sx") * col("sy"))
+        .withColumn("den", col("n") * col("sxx") - col("sx") * col("sx"))
+        .withColumn("ti",
+          col("sy") * col("den") - col("num") * col("sx"))
+      m.selectExpr(
+          "l_returnflag",
+          "CAST(n AS BIGINT) AS n",
+          """CAST(CASE WHEN num >= 0 THEN (num * 1000000000) div den
+            |     ELSE -((-num * 1000000000) div den) END AS BIGINT)
+            |  AS slope_nano""".stripMargin,
+          """CAST(CASE WHEN ti >= 0 THEN (ti * 1000000000) div (n * den)
+            |     ELSE -((-ti * 1000000000) div (n * den)) END AS BIGINT)
+            |  AS icept_nano""".stripMargin)
+        .orderBy("l_returnflag")
+    }),
+
     "q17_range_join" -> ((s, d) => {
       // Range/interval join: event pairs of the same user within 120s.
       // A naive theta-join is BroadcastNestedLoop (O(n*m) compares); the
@@ -1122,6 +1195,37 @@ object Relational {
         |  round(quantile_cont(l_extendedprice, 0.75)*1e4)/1e4 AS p75,
         |  TRUE AS within_tol
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    // rel_err_ok is computed from Spark's real DataSketches HLL union;
+    // the oracle asserts it (the q22 bounded-error contract)
+    "q139_hll_sketch_shards" ->
+      """SELECT event_type, count(DISTINCT user_id) AS exact_users,
+        |  TRUE AS rel_err_ok
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    // HUGEINT moments mirror the Spark side's DECIMAL(38,0): both exact,
+    // so slope/intercept nanounits match bit for bit
+    "q140_regr_stats" ->
+      """WITH m AS (
+        |  SELECT l_returnflag,
+        |    CAST(count(*) AS HUGEINT) AS n,
+        |    CAST(sum(CAST(l_quantity AS BIGINT)) AS HUGEINT) AS sx,
+        |    CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS HUGEINT) AS sy,
+        |    CAST(sum(CAST(l_quantity AS BIGINT)*CAST(l_quantity AS BIGINT)) AS HUGEINT) AS sxx,
+        |    CAST(sum(CAST(l_quantity AS BIGINT)*CAST(round(l_extendedprice*100) AS BIGINT)) AS HUGEINT) AS sxy
+        |  FROM lineitem GROUP BY 1),
+        |d AS (
+        |  SELECT l_returnflag, n, sx, sy,
+        |    n*sxy - sx*sy AS num, n*sxx - sx*sx AS den
+        |  FROM m),
+        |e AS (
+        |  SELECT l_returnflag, n, num, den,
+        |    sy*den - num*sx AS ti
+        |  FROM d)
+        |SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+        |  CAST(CASE WHEN num >= 0 THEN (num * 1000000000) // den
+        |       ELSE -((-num * 1000000000) // den) END AS BIGINT) AS slope_nano,
+        |  CAST(CASE WHEN ti >= 0 THEN (ti * 1000000000) // (n * den)
+        |       ELSE -((-ti * 1000000000) // (n * den)) END AS BIGINT) AS icept_nano
+        |FROM e ORDER BY 1""".stripMargin,
     "q27_pivot" ->
       """SELECT user_id,
         |  count(*) FILTER (event_type = 'click') AS click,

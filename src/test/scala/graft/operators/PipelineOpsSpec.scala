@@ -89,6 +89,46 @@ class PipelineOpsSpec extends SparkSpec {
     assert(df.collect().nonEmpty)
   }
 
+  test("q139: sharded HLL union is within tolerance AND agrees with the unsharded sketch") {
+    val rows = Relational.queries("q139_hll_sketch_shards")(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getBoolean(2)), "sharded union estimate outside 5% of exact")
+    // merge correctness: unioning per-shard sketches must reproduce the
+    // single global sketch's estimate (HLL union = per-register max, so
+    // disjoint-shard union converges to the same register state)
+    val ev = graft.Tables.events(spark, sf0001)
+    val global = ev.groupBy(col("event_type"))
+      .agg(expr("hll_sketch_estimate(hll_sketch_agg(user_id, 14))").as("g"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sharded = ev
+      .groupBy(col("event_type"), pmod(col("user_id"), lit(8)).as("shard"))
+      .agg(expr("hll_sketch_agg(user_id, 14)").as("sk"))
+      .groupBy(col("event_type"))
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk, false))").as("u"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sharded == global,
+      s"shard-union diverged from global sketch: $sharded vs $global")
+  }
+
+  test("q140: integer-moment slope/intercept agree with Spark's float regr_*") {
+    val got = Relational.queries("q140_regr_stats")(spark, sf0001).collect()
+      .map(r => r.getString(0) -> ((r.getLong(2) / 1e9, r.getLong(3) / 1e9))).toMap
+    val ref = graft.Tables.t(spark, sf0001, "lineitem")
+      .selectExpr("l_returnflag", "CAST(l_quantity AS DOUBLE) AS x",
+        "round(l_extendedprice*100) AS y")
+      .groupBy(col("l_returnflag"))
+      .agg(expr("regr_slope(y, x)").as("m"), expr("regr_intercept(y, x)").as("b"))
+      .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    assert(got.keySet == ref.keySet)
+    got.foreach { case (k, (m, b)) =>
+      val (rm, rb) = ref(k)
+      assert(math.abs(m - rm) <= 1e-3 * math.max(1.0, math.abs(rm)),
+        s"$k slope $m vs regr_slope $rm")
+      assert(math.abs(b - rb) <= 1e-3 * math.max(1.0, math.abs(rb)),
+        s"$k intercept $b vs regr_intercept $rb")
+    }
+  }
+
   test("q122: sliding 1h/30min windows cover each event exactly twice") {
     val slid = Streaming_q122Helper.run(spark, sf0001)
     val events = graft.Tables.events(spark, sf0001).count()
