@@ -22,6 +22,7 @@ object SparkEntry {
       operators.SqlEntry.queries ++
       operators.Dedup.queries ++
       operators.Graph.queries ++
+      operators.Layout.queries ++
       operators.Similarity.queries ++
       operators.TextAnalysis.queries ++
       operators.Multimodal.queries ++
@@ -40,6 +41,7 @@ object SparkEntry {
       operators.SqlEntry.oracle ++
       operators.Dedup.oracle ++
       operators.Graph.oracle ++
+      operators.Layout.oracle ++
       operators.Similarity.oracle ++
       operators.TextAnalysis.oracle ++
       operators.Multimodal.oracle ++

@@ -175,6 +175,26 @@ class ScaleTechniquesSpec extends SparkSpec {
         "pruning, the generator changed and the contrast claim must move")
   }
 
+  test("q141: every z-bucket's box is bounded in BOTH dimensions") {
+    // top-5-bit buckets fix sk's top 3 scaled bits and pk's top 2
+    // (z interleaves sk into odd bits, pk into even), so each bucket's
+    // value box spans at most 1/4 of the pk domain and 1/8 of the sk
+    // domain — the property that lets row-group stats prune either
+    // predicate. +2 slack absorbs the integer-rescale rounding.
+    val li = graft.Tables.t(spark, sf0001, "lineitem")
+    val mm = li.agg(max("l_partkey"), max("l_suppkey")).head
+    val (pmax, smax) = (mm.getLong(0), mm.getLong(1))
+    val rows = graft.operators.Layout
+      .queries("q141_zorder_key")(spark, sf0001).collect()
+    assert(rows.length > 1, "rescaled z-key must spread across buckets")
+    rows.foreach { r =>
+      assert(r.getLong(3) - r.getLong(2) <= pmax / 4 + 2,
+        s"bucket ${r.getLong(0)} pk box too wide")
+      assert(r.getLong(5) - r.getLong(4) <= smax / 8 + 2,
+        s"bucket ${r.getLong(0)} sk box too wide")
+    }
+  }
+
   test("ORC and JSON sources agree with parquet (cross-format parity)") {
     val gen = graft.onebrc.OneBrc.generate(spark, 20000L)
     gen.write.mode("overwrite").orc(s"$wh/m_orc")
