@@ -130,6 +130,48 @@ object Streaming {
     drainMemorySink(sp, name).orderBy("window_start", "event_type")
   }
 
+  /** Completed checkpoint for q142: a per-type count+sum aggregation run
+    * to completion with an explicit checkpointLocation. Written once per
+    * (JVM, corpus) — md5-keyed temp dir, single-flight, deleted on JVM
+    * exit (the q105/q121 stage discipline). */
+  private val ckptMemo =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private val ckptLocks =
+    scala.collection.concurrent.TrieMap.empty[String, Object]
+  private lazy val ckptRoot: java.nio.file.Path = {
+    val root = java.nio.file.Files.createTempDirectory("graft-ckpt-")
+    sys.addShutdownHook {
+      def del(p: java.io.File): Unit = {
+        Option(p.listFiles).foreach(_.foreach(del)); p.delete(); ()
+      }
+      del(root.toFile)
+    }
+    root
+  }
+
+  def stateCheckpoint(sp: SparkSession, d: String): String = {
+    val canon = java.nio.file.Paths.get(d).toAbsolutePath.normalize.toString
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(canon.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+    ckptLocks.getOrElseUpdate(key, new Object).synchronized {
+      ckptMemo.getOrElseUpdate(key, {
+        val ckpt = ckptRoot.resolve(key).toString
+        val name = s"graft_ckpt_${System.nanoTime()}"
+        val q = eventsStream(sp, d)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("sum_cents"))
+          .writeStream.outputMode("update")
+          .option("checkpointLocation", ckpt)
+          .format("memory").queryName(name)
+          .start()
+        try q.processAllAvailable() finally q.stop()
+        sp.catalog.dropTempView(name)
+        ckpt
+      })
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     "q94_stream_onebrc" -> ((s, _) => withStreamPartitions(s, 4) { sp =>
@@ -316,6 +358,30 @@ object Streaming {
         .orderBy("user_id", "event_id")
     }),
 
+    "q142_statestore_read" -> ((s, d) => withStreamPartitions(s, 4) { sp =>
+      // the STATE DATA SOURCE (SPARK-45511): a completed checkpoint is
+      // itself a queryable table — `format("statestore")` reads the
+      // keyed state a stateful operator left behind, the ops surface for
+      // inspecting/repairing/migrating production checkpoints without
+      // replaying the stream. The query runs a checkpointed per-type
+      // count+sum aggregation to completion, then reconstructs the
+      // aggregate FROM THE STATE ALONE — the oracle (the batch answer
+      // from the raw table) binds the whole round: ingest → state
+      // commit → state scan. The agg buffer's field order is
+      // (count, sum) by construction of the agg; names are
+      // plan-internal, so the rename is positional.
+      // State rows are O(distinct keys), partitioned exactly like the
+      // shuffle (4 here) — at 100 TB the state scan parallelizes over
+      // the store's partitions and never touches the event data.
+      val ckpt = stateCheckpoint(sp, d)
+      sp.read.format("statestore").load(ckpt)
+        .select(col("key.*"), col("value.*"))
+        .toDF("event_type", "n", "sum_cents")
+        .select(col("event_type"), col("n"),
+          dollars(col("sum_cents")).as("total"))
+        .orderBy("event_type")
+    }),
+
     "q96_session_window" -> ((s, d) =>
       // session windows (30-min gap) per user over event time — Spark's
       // built-in session_window; stateful streaming analog in StreamingSpec
@@ -376,6 +442,12 @@ object Streaming {
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
         |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |ORDER BY user_id, event_id""".stripMargin,
+    // the batch answer from the RAW table — equality binds
+    // ingest → state commit → state-source scan end to end
+    "q142_statestore_read" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS DOUBLE)/100.0 AS total
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "q96_session_window" ->
       // gaps-and-islands: a new session starts when the gap > 30 minutes
       """WITH marked AS (

@@ -160,5 +160,50 @@ class StatefulStreamingSpec extends SparkSpec {
     }
   }
 
+  test("q142: state source time-travels across micro-batch snapshots") {
+    // the state data source's ops value is PER-BATCH snapshots: reading
+    // batchId=k shows the store as of micro-batch k. 3 files @
+    // maxFilesPerTrigger=1 ⇒ 3 commits; per-key counts must be
+    // non-decreasing across snapshots and the last snapshot must equal
+    // the batch aggregate over all files.
+    val s2 = graft.Tables.sessionClone(spark)
+    s2.conf.set("spark.sql.shuffle.partitions", "2")
+    val dir = tempDir("graft_ssrc").toString
+    val evs = Tables_events().select(col("event_type"), col("value"))
+    evs.repartition(3).write.mode("overwrite").parquet(dir)
+    val ckpt = tempDir("graft_ssrc_ck").toString
+    val name = s"graft_ssrc_${System.nanoTime()}"
+    val q = s2.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("event_type",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("value",
+          org.apache.spark.sql.types.DoubleType))))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      .writeStream.outputMode("update")
+      .option("checkpointLocation", ckpt)
+      .format("memory").queryName(name)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    s2.catalog.dropTempView(name)
+    def snapshot(batch: Long): Map[String, Long] =
+      s2.read.format("statestore").option("batchId", batch).load(ckpt)
+        .select(col("key.*"), col("value.*")).toDF("event_type", "n")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val snaps = (0L to 2L).map(snapshot)
+    snaps.sliding(2).foreach { case Seq(a, b) =>
+      a.foreach { case (k, n) =>
+        assert(b.getOrElse(k, 0L) >= n, s"count for $k regressed across batches")
+      }
+    }
+    val exact = evs.groupBy("event_type").agg(count(lit(1))).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(snaps.last == exact, "final snapshot must equal the batch answer")
+    assert(snaps.head.values.sum < exact.values.sum,
+      "batch-0 snapshot must predate the later commits")
+  }
+
   private def Tables_events() = graft.Tables.events(spark, sf0001)
 }
