@@ -15,18 +15,31 @@ import org.apache.spark.sql.functions._
   * /root/reference/rust_1brc/src/rangnargrootkeorkamp.rs:80-107).
   */
 object Tables {
-  def t(spark: SparkSession, dir: String, name: String): DataFrame =
+  /** All loads disable TIMESTAMP_NTZ inference: the testdata parquet stores
+    * naive timestamps (timestamp[us], isAdjustedToUTC=false), which Spark 4
+    * would otherwise surface as TIMESTAMP_NTZ — a type the whole library
+    * (and its DuckDB parity contract) treats as plain TimestampType under a
+    * UTC session, exactly as Spark 3 read it. Runtime SQL conf, idempotent. */
+  def t(spark: SparkSession, dir: String, name: String): DataFrame = {
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     spark.read.parquet(s"$dir/$name.parquet")
+  }
 
-  /** events.parquet stores ts as parquet TIMESTAMP(NANOS), which Spark's
-    * reader rejects. Read nanos as long (legacy conf) and convert to a
-    * microsecond TimestampType with integer division — `ts div 1000`, NOT
-    * `/1000.0`: epoch-nanos ~1.7e18 exceeds double's 2^53 exact range, so
-    * float division would corrupt timestamps. */
+  /** events.parquet `ts` has shipped in two physical forms across testdata
+    * generations: parquet TIMESTAMP(NANOS) (which Spark's reader rejects —
+    * read nanos as long via the legacy conf, then integer-divide; never
+    * `/1000.0`, epoch-nanos ~1.7e18 exceeds double's 2^53 exact range) and
+    * plain naive timestamp[us] (read directly, as TimestampType via the
+    * inference conf in `t`). Dispatch on the scanned type so both
+    * generations load identically. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(spark, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = t(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => raw
+    }
   }
 
   /** 2-decimal double -> exact integer cents (long). */

@@ -62,10 +62,12 @@ object Streaming {
     StructField("lang", StringType), StructField("source", StringType),
     StructField("n_chars", LongType)))
 
-  /** events schema as the stream source must declare it (ts is parquet
-    * TIMESTAMP(NANOS) -> read as long, converted after). */
-  private val eventsRawSchema = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
+  /** events schema as the stream source must declare it. `ts` is declared
+    * by probing the batch reader once (Tables.events handles both physical
+    * generations: TIMESTAMP(NANOS)-as-long and naive timestamp[us]), so the
+    * stream schema always matches what the files actually store. */
+  private def eventsRawSchema(ts: StructField): StructType = StructType(Seq(
+    StructField("event_id", LongType), ts,
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
@@ -98,14 +100,19 @@ object Streaming {
     df
   }
 
-  /** readStream over the events parquet with ns->us conversion. */
+  /** readStream over the events parquet; `ts` lands as TimestampType for
+    * either physical generation (ns-as-long converted, us read directly). */
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema(eventsRawSchema)
+    val physicalTs =
+      graft.Tables.t(spark, dir, "events").schema("ts")
+    val stream = spark.readStream
+      .schema(eventsRawSchema(physicalTs))
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    if (physicalTs.dataType == LongType)
+      stream.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else stream
   }
 
   /** Tumbling 1-hour windows per event_type with a 30-minute watermark,
