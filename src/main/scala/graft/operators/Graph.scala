@@ -55,13 +55,17 @@ object Graph {
       // the O(E) side every step (measured 7.0 → 3.1 s at sf0.1) — the
       // cached-bucketing move that at cluster scale is `edges` bucketed
       // on src once at write time (q132's layout applied to iteration).
-      val edges = li.select(col("a").as("src"), col("b").as("dst"))
-        .union(li.select(col("b").as("src"), col("a").as("dst")))
-        .repartition(col("src"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val deg = edges.groupBy(col("src").as("node"))
-        .agg(count(lit(1)).as("deg"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // persists route through the session-keyed CacheRegistry (shared
+      // with Dedup) so Dedup.invalidateClusters / CacheRegistry.release
+      // drains them — a long-lived driver must not accumulate one
+      // MEMORY_AND_DISK entry per corpus per bench rep.
+      val edges = graft.CacheRegistry.cached(
+        li.select(col("a").as("src"), col("b").as("dst"))
+          .union(li.select(col("b").as("src"), col("a").as("dst")))
+          .repartition(col("src")))
+      val deg = graft.CacheRegistry.cached(
+        edges.groupBy(col("src").as("node"))
+          .agg(count(lit(1)).as("deg")))
       // graph size as a lazy 1-row frame (the q85 idiom), not an eager
       // driver-side count — the plan stays fully declarative
       val n1 = deg.agg(count(lit(1)).as("n"))
@@ -88,16 +92,23 @@ object Graph {
     })
   )
 
-  /** The same 5 steps unrolled as CTEs — one integer formula, two engines. */
+  /** The same 5 steps unrolled as CTEs — one integer formula, two engines.
+    * Every step's sum() is CAST back to BIGINT: DuckDB promotes integer
+    * sum() to HUGEINT, which would propagate through all five CTEs and
+    * make the driver's canonical-value hash diverge from Spark's BIGINT
+    * even though every value is identical (the round-5 red row). Same
+    * discipline as q140's oracle: every computed output column carries an
+    * explicit CAST to the Spark-side type. */
   val oracle: Map[String, String] = Map(
     "q128_pagerank" -> {
       val step = (i: Int, prev: String) =>
         s"""s$i AS (
-           |  SELECT e.dst, sum(r.r // r.deg) AS sc
+           |  SELECT e.dst, CAST(sum(r.r // r.deg) AS BIGINT) AS sc
            |  FROM $prev r JOIN edges e ON r.node = e.src GROUP BY 1),
            |r$i AS (
            |  SELECT d.node, d.deg,
-           |    (15 * $Base) // (100 * n) + (85 * coalesce(sc, 0)) // 100 AS r
+           |    CAST((15 * $Base) // (100 * n)
+           |      + (85 * coalesce(sc, 0)) // 100 AS BIGINT) AS r
            |  FROM deg d CROSS JOIN nn LEFT JOIN s$i ON d.node = s$i.dst)"""
           .stripMargin
       s"""WITH li AS (
@@ -111,7 +122,7 @@ object Graph {
          |${(1 to Iters).map(i => step(i, s"r${i - 1}")).mkString(",\n")}
          |SELECT node,
          |  CASE WHEN node % 2 = 0 THEN 'part' ELSE 'supplier' END AS kind,
-         |  deg, r AS rank_mass
+         |  deg, CAST(r AS BIGINT) AS rank_mass
          |FROM r$Iters
          |ORDER BY rank_mass DESC, node LIMIT $TopK""".stripMargin
     }

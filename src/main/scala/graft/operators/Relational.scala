@@ -700,27 +700,31 @@ object Relational {
 
     "q137_retention_cohorts" -> ((s, d) => {
       // retention-cohort matrix — the product-analytics workhorse: users
-      // cohorted by the week of their FIRST event; cell (cohort, k) =
-      // distinct users of that cohort active k weeks later. Shape: one
-      // min-ts aggregate per user, one distinct (user, week) projection,
-      // one equi-join on user_id, one groupBy — all map-side-combinable,
-      // no window over the full event stream. Week offsets are exact
-      // integer epoch-second division (week-truncated stamps are always
-      // 604800 apart, both engines Monday-truncate).
+      // cohorted by the HOUR of their FIRST event; cell (cohort, k) =
+      // distinct users of that cohort active k hours later (launch-day
+      // retention granularity: the synthetic corpus starts all users
+      // within its first two days, so weekly/daily cohorting would
+      // collapse to 1–2 cohorts and leave the cohort join structurally
+      // untested — hourly yields 25+ cohorts at sf0.01, pinned by
+      // RetentionSpec). Shape: one min-ts aggregate per user, one
+      // distinct (user, hour) projection, one equi-join on user_id, one
+      // groupBy — all map-side-combinable, no window over the full event
+      // stream. Hour offsets are exact integer epoch-second division
+      // (hour-truncated stamps are always 3600 apart).
       val ev = events(s, d).select(col("user_id"),
-        date_trunc("week", col("ts")).as("w"))
+        date_trunc("hour", col("ts")).as("w"))
       val cohort = ev.groupBy("user_id").agg(min(col("w")).as("cw"))
       val active = ev.distinct()
       active.join(cohort, "user_id")
         .select(col("cw"),
           ((unix_seconds(col("w")) - unix_seconds(col("cw")))
-            / 604800L).cast("long").as("offset_w"),
+            / 3600L).cast("long").as("offset_h"),
           col("user_id"))
-        .filter(col("offset_w") <= 3)
+        .filter(col("offset_h") <= 48)
         .distinct()
-        .groupBy(col("cw").as("cohort_week"), col("offset_w"))
+        .groupBy(col("cw").as("cohort_hour"), col("offset_h"))
         .agg(count(lit(1)).as("n_users"))
-        .orderBy("cohort_week", "offset_w")
+        .orderBy("cohort_hour", "offset_h")
     }),
 
     "q135_funnel" -> ((s, d) => {
@@ -1037,16 +1041,21 @@ object Relational {
         |  string_agg(n_name, ',' ORDER BY n_name) AS nations
         |FROM nation JOIN region ON n_regionkey = r_regionkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // CASTs are type parity, not semantics (the round-5 red-row class):
+    // DuckDB date_trunc can return DATE where Spark emits TIMESTAMP, and
+    // epoch() returns DOUBLE so the // quotient stays DOUBLE where Spark
+    // emits BIGINT. tools/check_oracle.py's type gate enforces this.
     "q137_retention_cohorts" ->
       """WITH ev AS (
-        |  SELECT user_id, date_trunc('week', ts) AS w FROM events),
+        |  SELECT user_id,
+        |    CAST(date_trunc('hour', ts) AS TIMESTAMP) AS w FROM events),
         |cohort AS (SELECT user_id, min(w) AS cw FROM ev GROUP BY 1),
         |active AS (SELECT DISTINCT user_id, w FROM ev)
-        |SELECT cw AS cohort_week,
-        |  (epoch(w) - epoch(cw)) // 604800 AS offset_w,
+        |SELECT cw AS cohort_hour,
+        |  CAST((epoch(w) - epoch(cw)) // 3600 AS BIGINT) AS offset_h,
         |  count(DISTINCT a.user_id) AS n_users
         |FROM active a JOIN cohort USING (user_id)
-        |WHERE (epoch(w) - epoch(cw)) // 604800 <= 3
+        |WHERE (epoch(w) - epoch(cw)) // 3600 <= 48
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q135_funnel" ->
       """WITH v AS (SELECT user_id, ts AS v_ts FROM events
@@ -1302,7 +1311,7 @@ object Relational {
         |  CAST(EXTRACT(MONTH FROM o_orderdate) AS BIGINT) AS mo,
         |  CAST(EXTRACT(DAY FROM o_orderdate) AS BIGINT) AS dy,
         |  CAST(EXTRACT(QUARTER FROM o_orderdate) AS BIGINT) AS qtr,
-        |  date_trunc('month', o_orderdate) AS month_start,
+        |  CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
         |  last_day(o_orderdate) AS month_end,
         |  CAST(date_diff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) AS BIGINT) AS days_since
         |FROM orders ORDER BY o_orderkey""".stripMargin,

@@ -177,6 +177,27 @@ class PlanSpec extends SparkSpec {
     assert(r.getLong(5) == n3 * 10000 / n1)
   }
 
+  test("q137: retention matrix is multi-cohort and offset-0 dominates") {
+    // the round-5 fixture was degenerate (weekly cohorts → 1 cohort at
+    // the oracle SF, so the cohort join was structurally untested);
+    // hourly cohorting must yield several cohorts even at sf0.001
+    val rows = SparkEntry.queries("q137_retention_cohorts")(spark, sf0001)
+      .collect()
+      .map(r => (r.getTimestamp(0).getTime, r.getLong(1), r.getLong(2)))
+    val cohorts = rows.map(_._1).distinct
+    assert(cohorts.length >= 3,
+      s"retention must exercise >1 cohort; got ${cohorts.length}")
+    assert(rows.forall { case (_, k, _) => k >= 0 && k <= 48 })
+    // offset 0 counts every cohort member (their first event defines the
+    // cohort hour), so it bounds every later offset's distinct-user count
+    rows.groupBy(_._1).foreach { case (c, rs) =>
+      val byOff = rs.map { case (_, k, n) => k -> n }.toMap
+      assert(byOff.contains(0L), s"cohort $c must have an offset-0 cell")
+      assert(rs.forall { case (_, _, n) => n <= byOff(0L) },
+        s"cohort $c: retention can never exceed cohort size")
+    }
+  }
+
   test("q134: pipe-syntax SQL compiles to the same pushed-down shape as ANSI") {
     val p = SparkEntry.queries("q134_sql_pipe")(spark, sf0001)
       .queryExecution.executedPlan.toString

@@ -5,9 +5,18 @@ Usage: python3 tools/check_oracle.py <sfDir> <outDir>
 
 Reads each <outDir>/<name> parquet (written by graft.Verify), runs the
 matching SQL from <outDir>/oracle_sql.json in DuckDB with every testdata
-table registered as a view, and compares values exactly (row order AND
-value bit-equality, columns sorted by name) — stricter than any plausible
-driver comparison, so a PASS here should be a PASS there.
+table registered as a view, and compares:
+
+1. SCHEMA TYPE PARITY — DESCRIBE of the Spark parquet output vs DESCRIBE
+   of the oracle SQL, per column (names lowercased, types normalized only
+   for the known-benign tz annotation). This catches the round-5 bug
+   class the value compare below cannot: DuckDB silently promoting
+   sum() to HUGEINT, date_trunc('week') returning DATE where Spark emits
+   TIMESTAMP, epoch() arithmetic staying DOUBLE where Spark emits BIGINT.
+   The driver's canonical-value hash distinguishes all of those even when
+   every value is numerically identical, so a type mismatch here is a
+   guaranteed red driver row.
+2. VALUES — row order AND value equality, columns sorted by name.
 """
 import sys, os, json, math
 import duckdb
@@ -19,6 +28,26 @@ def norm(v):
         if math.isnan(v): return "NaN"
         return v
     return v
+
+def norm_type(t):
+    """DuckDB type name → canonical form for parity comparison.
+
+    The ONLY collapse is the timezone annotation: Spark writes parquet
+    TIMESTAMP with isAdjustedToUTC=true, which DuckDB reads back as
+    TIMESTAMP WITH TIME ZONE, while oracle SQL produces plain TIMESTAMP
+    — both hash identically driver-side (proven by 140 green timestamp
+    rows in r05), so the annotation is noise. Everything else (HUGEINT
+    vs BIGINT, DATE vs TIMESTAMP, DOUBLE vs BIGINT, DECIMAL widths) is
+    a real driver-visible difference and must compare exactly.
+    """
+    t = t.strip().upper()
+    if t == "TIMESTAMP WITH TIME ZONE":
+        return "TIMESTAMP"
+    return t
+
+def described(con, sql):
+    return {r[0].lower(): norm_type(r[1])
+            for r in con.execute(f"DESCRIBE {sql}").fetchall()}
 
 def main(sf_dir, out_dir):
     con = duckdb.connect()
@@ -52,6 +81,23 @@ def main(sf_dir, out_dir):
         gc, ec = sorted(got.columns), sorted(exp.columns)
         if [c.lower() for c in gc] != [c.lower() for c in ec]:
             print(f"FAIL  {name}: columns differ: spark={gc} oracle={ec}")
+            n_fail += 1
+            continue
+        # type-parity gate (see module docstring): per-column DuckDB type
+        # of the Spark parquet vs the oracle result must match exactly
+        # (modulo the tz annotation) or the driver hash WILL diverge.
+        try:
+            gt = described(con, f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
+            et = described(con, oracle[name])
+        except Exception as e:
+            print(f"FAIL  {name}: describe error: {e}")
+            n_fail += 1
+            continue
+        tbad = [(c, gt.get(c.lower()), et.get(c.lower())) for c in gc
+                if gt.get(c.lower()) != et.get(c.lower())]
+        if tbad:
+            for c, a, b in tbad:
+                print(f"FAIL  {name}: TYPE col={c}: spark={a} oracle={b}")
             n_fail += 1
             continue
         if len(got) != len(exp):
