@@ -477,7 +477,7 @@ object TextAnalysis {
         .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
         // referenced as vocab source AND join probe — persist or the
         // scan+explode+agg computes twice
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .transform(graft.CacheRegistry.cached)
       val vocab = tf.groupBy(col("word")).agg(sum(col("tf")).as("cnt"))
       // corpus token total as a lazy 1-row crossJoin (the q85 idiom) — an
       // eager .count() here would scan before the real query starts

@@ -42,6 +42,20 @@ class GraphSpec extends SparkSpec {
       s"rank mass $total escaped the [0.9·Base, Base] envelope")
   }
 
+  test("q128 persists register with CacheRegistry; release() drains them") {
+    graft.CacheRegistry.release(spark)
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    Graph.queries("q128_pagerank")(spark, sf0001).collect()
+    assert(graft.CacheRegistry.size(spark) >= 2,
+      "edges + deg must route through the shared registry")
+    assert((spark.sparkContext.getPersistentRDDs.keySet -- before).nonEmpty,
+      "materialization must actually cache blocks")
+    graft.CacheRegistry.release(spark)
+    assert(graft.CacheRegistry.size(spark) == 0)
+    assert(spark.sparkContext.getPersistentRDDs.keySet.subsetOf(before),
+      "no MEMORY_AND_DISK entries may survive release()")
+  }
+
   test("q128 plan: ranks/edges meet on equi-joins; top-k is TakeOrdered") {
     val p = Graph.queries("q128_pagerank")(spark, sf0001)
       .queryExecution.executedPlan.toString
