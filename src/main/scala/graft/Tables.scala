@@ -19,11 +19,26 @@ object Tables {
     * naive timestamps (timestamp[us], isAdjustedToUTC=false), which Spark 4
     * would otherwise surface as TIMESTAMP_NTZ — a type the whole library
     * (and its DuckDB parity contract) treats as plain TimestampType under a
-    * UTC session, exactly as Spark 3 read it. Runtime SQL conf, idempotent. */
+    * UTC session, exactly as Spark 3 read it.
+    *
+    * SESSION-WIDE CONTRACT: the conf flips once per session, at that
+    * session's first `t()` load (per-session memo below — not on every
+    * call, since mutating shared-session conf concurrently with other
+    * queries' planning is exactly what withStreamPartitions warns
+    * against). Any external code sharing the session therefore also sees
+    * NTZ inference off; a caller that genuinely needs TIMESTAMP_NTZ
+    * inference must use its own `newSession()`. */
   def t(spark: SparkSession, dir: String, name: String): DataFrame = {
-    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    configured.getOrElseUpdate(spark, {
+      configured.keys.filter(_.sparkContext.isStopped).foreach(configured.remove)
+      spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    })
     spark.read.parquet(s"$dir/$name.parquet")
   }
+
+  private val configured =
+    scala.collection.concurrent.TrieMap.empty[SparkSession, Unit]
 
   /** events.parquet `ts` has shipped in two physical forms across testdata
     * generations: parquet TIMESTAMP(NANOS) (which Spark's reader rejects —
@@ -33,12 +48,20 @@ object Tables {
     * inference conf in `t`). Dispatch on the scanned type so both
     * generations load identically. */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = t(spark, dir, "events")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case _ => raw
+      case org.apache.spark.sql.types.TimestampType => raw
+      case other =>
+        // fail fast: TIMESTAMP_NTZ (or anything else) here means the NTZ
+        // inference conf did not take effect — silently passing it through
+        // would break the DuckDB-parity contract downstream where the
+        // symptom is an inscrutable hash mismatch, not a type error.
+        throw new IllegalStateException(
+          s"events.ts scanned as $other; expected LongType (nanos) or " +
+            "TimestampType — is spark.sql.parquet.inferTimestampNTZ.enabled" +
+            " unexpectedly on in this session?")
     }
   }
 

@@ -101,11 +101,19 @@ object Streaming {
   }
 
   /** readStream over the events parquet; `ts` lands as TimestampType for
-    * either physical generation (ns-as-long converted, us read directly). */
+    * either physical generation (ns-as-long converted, us read directly).
+    * The physical-type probe reads the batch parquet footer, so it is
+    * memoized per canonical dir (the ckptMemo pattern) — q97 builds two
+    * streams per invocation and would otherwise pay the footer read
+    * twice per run, every run. */
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    // conf, not probe: the streaming read itself needs nanosAsLong on
+    // THIS session (fresh clones don't share the memo's session), and
+    // setting a conf is cheap — only the footer read is worth memoizing.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val physicalTs =
-      graft.Tables.t(spark, dir, "events").schema("ts")
+    val canon = java.nio.file.Paths.get(dir).toAbsolutePath.normalize.toString
+    val physicalTs = tsFieldMemo.getOrElseUpdate(canon,
+      graft.Tables.t(spark, dir, "events").schema("ts"))
     val stream = spark.readStream
       .schema(eventsRawSchema(physicalTs))
       .option("pathGlobFilter", "events.parquet")
@@ -114,6 +122,11 @@ object Streaming {
       stream.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else stream
   }
+
+  /** events.ts physical StructField per canonical dir — a property of the
+    * files, not the session, so one probe serves every session/clone. */
+  private val tsFieldMemo = scala.collection.concurrent.TrieMap
+    .empty[String, org.apache.spark.sql.types.StructField]
 
   /** Tumbling 1-hour windows per event_type with a 30-minute watermark,
     * executed as a real streaming query into a memory sink. Complete mode:
