@@ -120,9 +120,10 @@ object Similarity {
         .orderBy(col("ck").desc, col("k"))))
       .filter(col("rk") <= probes)
       .select(col("vec_id"), col("k").as("cell"))
-      // referenced as both self-join sides — persist or the assignment
+      // referenced as both self-join sides — persist (via the session-
+      // keyed CacheRegistry, so release() drains it) or the assignment
       // (scan + broadcast score + window) computes twice
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheRegistry.cached)
   }
 
   /** Verified within-probed-cell near-dup pairs (i < j, exact cosine ≥
@@ -145,12 +146,15 @@ object Similarity {
       .select(col("i"), col("j"), col("cos"))
   }
 
-  /** PQ ADC approximate distances (q_id, vec_id, ad_nano) — the shared
-    * first stage of q100 (pure PQ top-k) and q127 (shortlist + exact
-    * rerank). Codebook = first K vectors (externally-trained stand-in);
+  /** PQ index artifacts: (codes, adc) — `codes` is the whole corpus
+    * encoded to M=4 sub-codes (the one-time index build), `adc` the
+    * per-query 4×16 integer lookup tables. Shared by q100/q127 (which
+    * ADC-score the full corpus) and q143 (which ADC-scores only IVF-probed
+    * cells). Codebook = first K vectors (externally-trained stand-in);
     * distances are exact integer nano-units end to end (the q35 idiom),
-    * so the shortlist is bit-identical across partitionings and engines. */
-  private def pqApproxDistances(s: SparkSession, d: String): DataFrame = {
+    * so every downstream shortlist is bit-identical across partitionings
+    * and engines. */
+  private def pqCodesAndAdc(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val M = 4; val SubDim = Dim / M; val K = 16; val NQueries = 3
     val ex = t(s, d, "embeddings")
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "x")))
@@ -170,8 +174,9 @@ object Similarity {
       .groupBy(col("vec_id"), col("m"), col("k"))
       .agg(sum(col("en")).as("dn"))
       // referenced twice (encode argmin + ADC tables) with different
-      // downstream shapes — persist or the explode+join runs twice
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // downstream shapes — persist (registry-routed) or the
+      // explode+join runs twice
+      .transform(graft.CacheRegistry.cached)
     // encode: argmin_k over exact integer distances, ties -> smallest k
     // (min over (dn, k) structs = lexicographic argmin, no window pass)
     val codes = dist.groupBy(col("vec_id"), col("m"))
@@ -180,6 +185,101 @@ object Similarity {
     // ADC: the query's own per-(m, k) distances ARE its lookup table
     val adc = dist.filter(col("vec_id") < NQueries)
       .select(col("vec_id").as("q_id"), col("m"), col("k"), col("dn"))
+    (codes, adc)
+  }
+
+  /** Lloyd-training constants shared by q129 (the trainer) and q143 (the
+    * serving pipeline that probes the trained cells). */
+  val LloydK = 8
+  val LloydIters = 3
+
+  /** Exploded nano-unit components (vec_id, i(0-based), xd, xn) —
+    * referenced by every Lloyd iteration's distance join AND mean update,
+    * and by q143's cell assignment; registry-cached. */
+  private def exnFrame(s: SparkSession, d: String): DataFrame =
+    t(s, d, "embeddings")
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "x")))
+      .select(col("vec_id"), col("i"), col("x").cast("double").as("xd"),
+        round(col("x").cast("double") * 1e9).cast("long").as("xn"))
+      .transform(graft.CacheRegistry.cached)
+
+  /** The trained codebook: (k, i, cn, n) after LloydIters integer-exact
+    * Lloyd steps (see q129's scaladoc for the arithmetic-parity rules).
+    * Driver loop builds plan only — no action inside. */
+  private def lloydCentroids(s: SparkSession, d: String): DataFrame = {
+    val exn = exnFrame(s, d)
+    var cent = exn.filter(col("vec_id") < LloydK)
+      .select(col("vec_id").as("k"), col("i"), col("xn").as("cn"),
+        lit(0L).as("n"))
+    for (_ <- 1 to LloydIters) {
+      val dist = exn.join(broadcast(cent.select("k", "i", "cn")), Seq("i"))
+        .withColumn("en", round((col("xd") - col("cn") / 1e9)
+          * (col("xd") - col("cn") / 1e9) * 1e9).cast("long"))
+        .groupBy(col("vec_id"), col("k"))
+        .agg(sum(col("en")).as("dn"))
+      val asg = dist.groupBy(col("vec_id"))
+        .agg(min(struct(col("dn"), col("k"))).as("best"))
+        .select(col("vec_id"), col("best.k").as("k"))
+      val sums = exn.join(asg, "vec_id")
+        .groupBy(col("k"), col("i"))
+        .agg(sum(col("xn")).as("sn"), count(lit(1)).as("n"))
+      cent = cent.select(col("k"), col("i"), col("cn").as("cn_prev"))
+        .join(sums, Seq("k", "i"), "left")
+        .select(col("k"), col("i"),
+          // sn div n: Spark `div` TRUNCATES toward zero (Java long
+          // division); components go negative, so the oracle must spell
+          // trunc explicitly (DuckDB `//` floors): -((-sn) // n)
+          when(col("n").isNull, col("cn_prev"))
+            .otherwise(expr("sn div n")).as("cn"),
+          coalesce(col("n"), lit(0L)).as("n"))
+        // referenced twice next iteration (distance join + fallback) —
+        // persist or the whole preceding chain recomputes per reference
+        .transform(graft.CacheRegistry.cached)
+    }
+    cent
+  }
+
+  /** q143's IVF candidate stage: (q_id, vec_id) pairs the composed
+    * pipeline ADC-scores — each of the 3 queries probes its NProbe=2
+    * nearest coarse cells and meets only vectors ASSIGNED (rk=1) to
+    * those cells. The coarse quantizer is q129's Lloyd-TRAINED codebook
+    * (not the per-label centroids: labels don't track cosine geometry in
+    * this corpus — measured cell-recall 0.07 label-cells vs 0.90
+    * trained-cells at nprobe=2). Vectors are unit-norm so the trainer's
+    * integer L2 ordering IS cosine ordering. Public so IvfPqSpec can
+    * assert the measured scan fraction vs the full corpus. Unique per
+    * (q_id, vec_id) by construction: assignment is rk=1-unique and a
+    * query's probe cells are distinct. */
+  def ivfCandidates(s: SparkSession, d: String): DataFrame = {
+    val NQueries = 3; val NProbe = 2
+    val exn = exnFrame(s, d)
+    val cent = lloydCentroids(s, d)
+    val dist = exn.join(broadcast(cent.select("k", "i", "cn")), Seq("i"))
+      .withColumn("en", round((col("xd") - col("cn") / 1e9)
+        * (col("xd") - col("cn") / 1e9) * 1e9).cast("long"))
+      .groupBy(col("vec_id"), col("k"))
+      .agg(sum(col("en")).as("dn"))
+    // one ranked pass serves BOTH the corpus assignment (rk=1) and the
+    // query probe sets (rk<=nprobe) — registry-cached
+    val ranked = dist.withColumn("rk",
+        row_number().over(Window.partitionBy(col("vec_id"))
+          .orderBy(col("dn"), col("k"))))
+      .select(col("vec_id"), col("k"), col("rk"))
+      .transform(graft.CacheRegistry.cached)
+    val assigned = ranked.filter(col("rk") === 1)
+      .select(col("vec_id"), col("k").as("cell"))
+    val probes = ranked
+      .filter(col("vec_id") < NQueries && col("rk") <= NProbe)
+      .select(col("vec_id").as("q_id"), col("k").as("cell"))
+    probes.join(assigned, "cell")
+      .where(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"))
+  }
+
+  /** Full-corpus PQ ADC distances (q_id, vec_id, ad_nano) — q100/q127's
+    * stage 1: every query scores every encoded vector. */
+  private def pqApproxDistances(s: SparkSession, d: String): DataFrame = {
+    val (codes, adc) = pqCodesAndAdc(s, d)
     codes.join(broadcast(adc), Seq("m", "k"))
       .groupBy(col("q_id"), col("vec_id"))
       .agg(sum(col("dn")).as("ad_nano")) // 4 longs per pair — exact
@@ -206,7 +306,7 @@ object Similarity {
         // referenced under the amax aggregate AND as the join probe —
         // different exchange shapes, so ReuseExchange can't deduplicate
         // the scan+explode; persist or it computes twice
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .transform(graft.CacheRegistry.cached)
       val am = ex.groupBy(col("vec_id"))
         .agg(max(abs(col("xd"))).as("amax"), count(lit(1)).as("n_dims"))
       ex.join(am, "vec_id")
@@ -375,7 +475,7 @@ object Similarity {
         // referenced as BOTH join sides (broadcast query + probe), which
         // defeats exchange reuse — persist or the centroid scoring and
         // rank window compute twice
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .transform(graft.CacheRegistry.cached)
       val q = assigned.filter(col("vec_id") < 5)
         .select(col("vec_id").as("q_id"), col("embedding").as("qe"), col("cell"))
       val scored = broadcast(q).join(assigned, "cell")
@@ -444,6 +544,58 @@ object Similarity {
         .orderBy("q_id", "rn")
     }),
 
+    "q143_ivf_pq_rerank" -> ((s, d) => {
+      // The COMPOSED ANN serving pipeline — q129's TRAINED coarse cells
+      // + q100's PQ codes + q127's exact rerank chained into the actual
+      // 100 TB shape (IVF-PQ proper). q127 fixed the exact-distance cost
+      // at O(queries×shortlist) but still ADC-scanned the WHOLE corpus
+      // per query; here the coarse quantizer bounds the ADC stage too:
+      // each query probes its nprobe=2 nearest of the 8 Lloyd-trained
+      // cells and ADC-scores only vectors ASSIGNED to those cells —
+      // measured ~25% of the corpus, with measured recall vs brute force
+      // BETTER than q127's full ADC scan (0.50 vs 0.40 at sf0.001: the
+      // shortlist competes against 4× fewer PQ-noise candidates), both
+      // pinned by IvfPqSpec. At 10⁹ vectors this is the difference
+      // between a linear scan per query and touching only probed shards:
+      // the PQ codes live partitioned BY CELL (q130's layout), so a
+      // query reads nprobe partitions of 4-byte codes and exactly
+      // `shortlist` full vectors. Index build (train + encode) stays
+      // one-time and amortized. Everything stays integer-exact: cell
+      // assignment rides the trainer's integer L2 distances (unit-norm
+      // vectors make that cosine ordering), ADC is the q35 nano-unit
+      // idiom — so shortlist AND result are bit-identical vs the
+      // oracle's unrolled SQL.
+      VectorExpressions.register(s)
+      val Shortlist = 25
+      val e = t(s, d, "embeddings")
+      val cand = ivfCandidates(s, d)
+      val (codes, adc) = pqCodesAndAdc(s, d)
+      // ADC restricted to candidates: the join on vec_id fans each
+      // candidate out to its M=4 codes; the broadcast 4×16-per-query
+      // table turns them into an exact integer distance.
+      val approx = cand.join(codes, "vec_id")
+        .join(broadcast(adc), Seq("q_id", "m", "k"))
+        .groupBy(col("q_id"), col("vec_id"))
+        .agg(sum(col("dn")).as("ad_nano"))
+      val wShort = Window.partitionBy(col("q_id"))
+        .orderBy(col("ad_nano"), col("vec_id"))
+      val shortl = approx
+        .withColumn("ad_rn", row_number().over(wShort).cast("long"))
+        .filter(col("ad_rn") <= Shortlist)
+      val rer = shortl
+        .join(e.select(col("vec_id").as("q_id"), col("embedding").as("qe")),
+          "q_id")
+        .join(e.select(col("vec_id"), col("embedding").as("ve")), "vec_id")
+        .withColumn("cos", expr("cosine_sim(qe, ve)"))
+      val wFin = Window.partitionBy(col("q_id"))
+        .orderBy(col("cos").desc, col("vec_id"))
+      rer.withColumn("rn", row_number().over(wFin).cast("long"))
+        .filter(col("rn") <= 10)
+        .select(col("q_id"), col("vec_id"), col("ad_rn"),
+          r6(col("cos")).as("cos6"), col("rn"))
+        .orderBy("q_id", "rn")
+    }),
+
     "q129_kmeans_train" -> ((s, d) => {
       // k-means codebook TRAINING — closes the loop the quantized-ANN
       // suite leaves open: q73/q100/q110 all take their codebook as an
@@ -460,41 +612,10 @@ object Similarity {
       // partitionings and engines; the oracle unrolls the same 3 steps.
       // Empty clusters keep their previous centroid (the LEFT JOIN
       // fallback) — deterministic, no reseeding randomness.
-      val K = 8; val Iters = 3
-      val exn = t(s, d, "embeddings")
-        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "x")))
-        .select(col("vec_id"), col("i"), col("x").cast("double").as("xd"),
-          round(col("x").cast("double") * 1e9).cast("long").as("xn"))
-        // referenced by every iteration's distance join AND mean update
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      var cent = exn.filter(col("vec_id") < K)
-        .select(col("vec_id").as("k"), col("i"), col("xn").as("cn"))
-      for (_ <- 1 to Iters) {
-        val dist = exn.join(broadcast(cent), Seq("i"))
-          .withColumn("en", round((col("xd") - col("cn") / 1e9)
-            * (col("xd") - col("cn") / 1e9) * 1e9).cast("long"))
-          .groupBy(col("vec_id"), col("k"))
-          .agg(sum(col("en")).as("dn"))
-        val asg = dist.groupBy(col("vec_id"))
-          .agg(min(struct(col("dn"), col("k"))).as("best"))
-          .select(col("vec_id"), col("best.k").as("k"))
-        val sums = exn.join(asg, "vec_id")
-          .groupBy(col("k"), col("i"))
-          .agg(sum(col("xn")).as("sn"), count(lit(1)).as("n"))
-        cent = cent.select(col("k"), col("i"), col("cn").as("cn_prev"))
-          .join(sums, Seq("k", "i"), "left")
-          .select(col("k"), col("i"),
-            // sn div n: Spark `div` TRUNCATES toward zero (Java long
-            // division); components go negative, so the oracle must spell
-            // trunc explicitly (DuckDB `//` floors): -((-sn) // n)
-            when(col("n").isNull, col("cn_prev"))
-              .otherwise(expr("sn div n")).as("cn"),
-            coalesce(col("n"), lit(0L)).as("n"))
-          // referenced twice next iteration (distance join + fallback) —
-          // persist or the whole preceding chain recomputes per reference
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      }
-      cent.select(col("k").cast("long").as("k"), col("i").cast("long").as("i"),
+      // The loop lives in lloydCentroids — shared with q143, whose coarse
+      // cells are exactly this trained codebook.
+      lloydCentroids(s, d)
+        .select(col("k").cast("long").as("k"), col("i").cast("long").as("i"),
           col("cn"), col("n").as("n_members"))
         .orderBy("k", "i")
     }),
@@ -508,6 +629,47 @@ object Similarity {
         .agg(r6(avg(col("x").cast("double"))).as("mean6"), count(lit(1)).as("n"))
         .orderBy("label", "i"))
   )
+
+  /** Shared Lloyd-training CTE chain (`exn`, `cent0`..`cent{Iters}`) —
+    * the oracle twin of [[lloydCentroids]], spliced into both q129 (which
+    * SELECTs the codebook) and q143 (which assigns cells from it). One
+    * SQL text, two consumers: the training arithmetic can never drift
+    * between trainer and server. */
+  private def lloydCtes: String = {
+    val step = (t: Int) => {
+      val prev = s"cent${t - 1}"
+      s"""dist$t AS (
+         |  SELECT e.vec_id, c.k,
+         |    CAST(sum(CAST(round((e.xd - c.cn/1e9)*(e.xd - c.cn/1e9)*1e9)
+         |      AS BIGINT)) AS BIGINT) AS dn
+         |  FROM exn e JOIN $prev c ON e.i = c.i
+         |  GROUP BY 1, 2),
+         |asg$t AS (
+         |  SELECT vec_id, k FROM (
+         |    SELECT vec_id, k,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY dn, k) AS rn
+         |    FROM dist$t) WHERE rn = 1),
+         |sums$t AS (
+         |  SELECT a.k, e.i, CAST(sum(e.xn) AS BIGINT) AS sn, count(*) AS n
+         |  FROM exn e JOIN asg$t a USING (vec_id) GROUP BY 1, 2),
+         |cent$t AS (
+         |  SELECT c.k, c.i,
+         |    CASE WHEN s.n IS NULL THEN c.cn
+         |         WHEN s.sn >= 0 THEN s.sn // s.n
+         |         ELSE -((-s.sn) // s.n) END AS cn,
+         |    coalesce(s.n, 0) AS n
+         |  FROM $prev c LEFT JOIN sums$t s ON c.k = s.k AND c.i = s.i)"""
+        .stripMargin
+    }
+    s"""exn AS (
+       |  SELECT vec_id, i-1 AS i, CAST(embedding[i] AS DOUBLE) AS xd,
+       |    CAST(round(CAST(embedding[i] AS DOUBLE)*1e9) AS BIGINT) AS xn
+       |  FROM (SELECT vec_id, embedding, unnest(range(1, ${Dim + 1})) AS i
+       |        FROM embeddings)),
+       |cent0 AS (
+       |  SELECT vec_id AS k, i, xn AS cn FROM exn WHERE vec_id < $LloydK),
+       |${(1 to LloydIters).map(step).mkString(",\n")}""".stripMargin
+  }
 
   val oracle: Map[String, String] = Map(
 
@@ -691,45 +853,11 @@ object Similarity {
          |  FROM approx WHERE vec_id != q_id)
          |SELECT q_id, vec_id, ad_nano, rn FROM ranked
          |WHERE rn <= 10 ORDER BY q_id, rn""".stripMargin,
-    "q129_kmeans_train" -> {
-      val K = 8; val Iters = 3
-      val step = (t: Int) => {
-        val prev = s"cent${t - 1}"
-        s"""dist$t AS (
-           |  SELECT e.vec_id, c.k,
-           |    CAST(sum(CAST(round((e.xd - c.cn/1e9)*(e.xd - c.cn/1e9)*1e9)
-           |      AS BIGINT)) AS BIGINT) AS dn
-           |  FROM exn e JOIN $prev c ON e.i = c.i
-           |  GROUP BY 1, 2),
-           |asg$t AS (
-           |  SELECT vec_id, k FROM (
-           |    SELECT vec_id, k,
-           |      row_number() OVER (PARTITION BY vec_id ORDER BY dn, k) AS rn
-           |    FROM dist$t) WHERE rn = 1),
-           |sums$t AS (
-           |  SELECT a.k, e.i, CAST(sum(e.xn) AS BIGINT) AS sn, count(*) AS n
-           |  FROM exn e JOIN asg$t a USING (vec_id) GROUP BY 1, 2),
-           |cent$t AS (
-           |  SELECT c.k, c.i,
-           |    CASE WHEN s.n IS NULL THEN c.cn
-           |         WHEN s.sn >= 0 THEN s.sn // s.n
-           |         ELSE -((-s.sn) // s.n) END AS cn,
-           |    coalesce(s.n, 0) AS n
-           |  FROM $prev c LEFT JOIN sums$t s ON c.k = s.k AND c.i = s.i)"""
-          .stripMargin
-      }
-      s"""WITH exn AS (
-         |  SELECT vec_id, i-1 AS i, CAST(embedding[i] AS DOUBLE) AS xd,
-         |    CAST(round(CAST(embedding[i] AS DOUBLE)*1e9) AS BIGINT) AS xn
-         |  FROM (SELECT vec_id, embedding, unnest(range(1, ${Dim + 1})) AS i
-         |        FROM embeddings)),
-         |cent0 AS (
-         |  SELECT vec_id AS k, i, xn AS cn FROM exn WHERE vec_id < $K),
-         |${(1 to Iters).map(step).mkString(",\n")}
+    "q129_kmeans_train" ->
+      s"""WITH $lloydCtes
          |SELECT CAST(k AS BIGINT) AS k, CAST(i AS BIGINT) AS i, cn,
          |  n AS n_members
-         |FROM cent$Iters ORDER BY k, i""".stripMargin
-    },
+         |FROM cent$LloydIters ORDER BY k, i""".stripMargin,
     "q127_ann_rerank" ->
       s"""WITH ex AS (
          |  SELECT vec_id, (i-1) // 16 AS m, (i-1) % 16 AS im,
@@ -759,6 +887,67 @@ object Similarity {
          |      CAST(row_number() OVER (PARTITION BY q_id ORDER BY ad_nano, vec_id)
          |        AS BIGINT) AS ad_rn
          |    FROM approx WHERE vec_id != q_id) WHERE ad_rn <= 25),
+         |rer AS (
+         |  SELECT q_id, s.vec_id, ad_rn,
+         |    ${cosSql("eq.embedding", "ev.embedding")} AS cos
+         |  FROM short s
+         |  JOIN embeddings eq ON eq.vec_id = s.q_id
+         |  JOIN embeddings ev ON ev.vec_id = s.vec_id),
+         |ranked AS (
+         |  SELECT q_id, vec_id, ad_rn, cos,
+         |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id)
+         |      AS BIGINT) AS rn
+         |  FROM rer)
+         |SELECT q_id, vec_id, ad_rn, round(cos*1e6)/1e6 AS cos6, rn
+         |FROM ranked WHERE rn <= 10 ORDER BY q_id, rn""".stripMargin,
+    "q143_ivf_pq_rerank" ->
+      s"""WITH $lloydCtes,
+         |celldist AS (
+         |  SELECT e.vec_id, c.k,
+         |    CAST(sum(CAST(round((e.xd - c.cn/1e9)*(e.xd - c.cn/1e9)*1e9)
+         |      AS BIGINT)) AS BIGINT) AS dn
+         |  FROM exn e JOIN cent$LloydIters c ON e.i = c.i
+         |  GROUP BY 1, 2),
+         |cellrk AS (
+         |  SELECT vec_id, k,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY dn, k) AS rk
+         |  FROM celldist),
+         |assigned AS (SELECT vec_id, k AS cell FROM cellrk WHERE rk = 1),
+         |probes AS (SELECT vec_id AS q_id, k AS cell FROM cellrk
+         |           WHERE vec_id < 3 AND rk <= 2),
+         |cand AS (
+         |  SELECT p.q_id, a.vec_id FROM probes p JOIN assigned a USING (cell)
+         |  WHERE a.vec_id != p.q_id),
+         |ex AS (
+         |  SELECT vec_id, (i-1) // 16 AS m, (i-1) % 16 AS im,
+         |    CAST(embedding[i] AS DOUBLE) AS xd
+         |  FROM (SELECT vec_id, embedding, unnest(range(1, ${Dim + 1})) AS i
+         |        FROM embeddings)),
+         |cb AS (SELECT vec_id AS k, m, im, xd AS c FROM ex WHERE vec_id < 16),
+         |dist AS (
+         |  SELECT e.vec_id, e.m, c.k,
+         |    CAST(sum(CAST(round((e.xd - c.c)*(e.xd - c.c)*1e9) AS BIGINT))
+         |      AS BIGINT) AS dn
+         |  FROM ex e JOIN cb c ON e.m = c.m AND e.im = c.im
+         |  GROUP BY 1, 2, 3),
+         |codes AS (
+         |  SELECT vec_id, m, k FROM (
+         |    SELECT vec_id, m, k,
+         |      row_number() OVER (PARTITION BY vec_id, m ORDER BY dn, k) AS rn
+         |    FROM dist) WHERE rn = 1),
+         |adc AS (SELECT vec_id AS q_id, m, k, dn FROM dist WHERE vec_id < 3),
+         |approx AS (
+         |  SELECT cd.q_id, cd.vec_id, CAST(sum(a.dn) AS BIGINT) AS ad_nano
+         |  FROM cand cd
+         |  JOIN codes c ON c.vec_id = cd.vec_id
+         |  JOIN adc a ON a.q_id = cd.q_id AND a.m = c.m AND a.k = c.k
+         |  GROUP BY 1, 2),
+         |short AS (
+         |  SELECT q_id, vec_id, ad_rn FROM (
+         |    SELECT q_id, vec_id,
+         |      CAST(row_number() OVER (PARTITION BY q_id ORDER BY ad_nano, vec_id)
+         |        AS BIGINT) AS ad_rn
+         |    FROM approx) WHERE ad_rn <= 25),
          |rer AS (
          |  SELECT q_id, s.vec_id, ad_rn,
          |    ${cosSql("eq.embedding", "ev.embedding")} AS cos
