@@ -78,25 +78,25 @@ object Bench {
     // stdout line must be SHORT: total + a fixed headline subset, with the
     // complete per-query map written to SPARK_GRAFT_BENCH_OUT (default
     // bench_out.json). build.sbt's `showSuccess := false` keeps the line last.
+    // Pruned each round to hold the stdout line near ~1200 chars (the
+    // full map always lands in SPARK_GRAFT_BENCH_OUT): flagship 1BRC,
+    // one representative per operator family, every query the round-5
+    // plan audit watches (q97/q103/q107/q122/q125/q126/q128), and the
+    // newest additions.
     val headline = Seq(
       "q01_onebrc_events", "q03_onebrc_tenths", "q06_generator",
       "q11_join_sortmerge", "q17_range_join", "q20_tpch_q1",
-      "q30_window_topk", "q62_ngram_jaccard", "q63_minhash_lsh",
-      "q66_containment", "q68_simhash64", "q69_dedup_clusters", "q70_knn_brute", "q71_ann_lsh",
-      "q73_ivf_knn", "q76_weighted_sample", "q77_training_pipeline",
-      "q78_delta_dedup", "q79_decontaminate", "q85_tfidf",
+      "q30_window_topk", "q39_merge_upsert", "q63_minhash_lsh",
+      "q69_dedup_clusters", "q70_knn_brute", "q73_ivf_knn",
+      "q77_training_pipeline", "q78_delta_dedup", "q85_tfidf",
       "q94_stream_onebrc", "q97_stream_stream_join", "q99_stream_delta_admit",
-      "q39_merge_upsert",
-      "q100_pq_ann", "q101_window_range", "q102_dataset_card",
-      "q103_approx_percentile", "q104_delta_dedup_full", "q105_staged_dedup",
-      "q106_heavy_hitters", "q107_stream_heavy_hitters", "q108_pack_sharded",
-      "q109_substring_spans", "q110_semantic_dedup", "q111_bloom_decontaminate",
-      "q113_spans_rolling", "q114_span_removal", "q115_semantic_multiprobe",
-      "q116_temperature_sample", "q117_jsonl_ingest",
-      "q118_lm_surprisal", "q120_cluster_split", "q121_orc_ingest",
-      "q122_stream_sliding", "q123_curriculum_bins", "q125_sql_recursive",
+      "q100_pq_ann", "q103_approx_percentile", "q104_delta_dedup_full",
+      "q105_staged_dedup", "q107_stream_heavy_hitters",
+      "q109_substring_spans", "q110_semantic_dedup", "q113_spans_rolling",
+      "q115_semantic_multiprobe", "q118_lm_surprisal", "q120_cluster_split",
+      "q122_stream_sliding", "q125_sql_recursive",
       "q126_transform_with_state", "q127_ann_rerank", "q128_pagerank",
-      "q129_kmeans_train")
+      "q129_kmeans_train", "q143_ivf_pq_rerank", "q144_png_ingest")
     val headSet = headline.toSet
     val shortJson =
       s"""{"metric":"total","value":$totalStr,"unit":"sec","n_queries":${results.size},$protoJson,"queries":${qJson(results.filter(r => headSet(r._1)))},"sf":"$sfDir"}"""

@@ -116,10 +116,48 @@ object Multimodal {
         .withColumn("crop_x", expr("(out_w - 224) div 2"))
         .withColumn("crop_y", expr("(out_h - 224) div 2"))
         .orderBy("asset_id")
+    }),
+
+    "q144_png_ingest" -> ((s, d) => {
+      // REAL-bytes multimodal ingest — closes the "metadata-only" gap of
+      // q90–q93: Spark's public binaryFile source reads the committed PNG
+      // fixture set as (path, modificationTime, length, content) and the
+      // png_ihdr codegen expression decodes actual header bytes (big-
+      // endian IHDR width/height/depth/color) from the binary column. No
+      // UDF, no imaging library — the same single-pass byte-parser
+      // discipline as the 1BRC tokenizers, applied to a binary format.
+      // The oracle is the fixtures' generation manifest (ground truth by
+      // construction, tools/gen_png_fixtures.py) — the decoder is checked
+      // against what the files were BUILT with, never its own output. At
+      // 100 TB this is the ingest shape for image corpora: binary
+      // payloads stay columnar, header metadata extracts in the scan
+      // projection without shuffling a single payload byte; the codec
+      // call (q91's mapPartitions stub) remains the only non-real step.
+      graft.functions.PngFunctions.register(s)
+      s.read.format("binaryFile")
+        .option("pathGlobFilter", "*.png")
+        .load("/root/repo/fixtures/png")
+        .select(element_at(split(col("path"), "/"), -1).as("name"),
+          expr("png_ihdr(content)").as("h"),
+          col("length").as("n_bytes"))
+        .select(col("name"), col("h.width").as("width"),
+          col("h.height").as("height"), col("h.bit_depth").as("bit_depth"),
+          col("h.color_type").as("color_type"), col("n_bytes"))
+        .orderBy("name")
     })
   )
 
   val oracle: Map[String, String] = Map(
+    // the generation manifest IS the oracle (see q144's scaladoc); CASTs
+    // pin every numeric to BIGINT for type parity with the Spark side
+    "q144_png_ingest" ->
+      """SELECT name, CAST(width AS BIGINT) AS width,
+        |  CAST(height AS BIGINT) AS height,
+        |  CAST(bit_depth AS BIGINT) AS bit_depth,
+        |  CAST(color_type AS BIGINT) AS color_type,
+        |  CAST(n_bytes AS BIGINT) AS n_bytes
+        |FROM read_csv('/root/repo/fixtures/png/manifest.csv', header=true)
+        |ORDER BY name""".stripMargin,
     // the fake decoder's 8-bin byte histogram, rebuilt in SQL: per-char
     // ascii codepoints (== payload bytes on this ASCII corpus; verified
     // strlen == octet_length at every sf), binned by //32; same

@@ -1,0 +1,44 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** png_ihdr must decode real bytes correctly and refuse non-PNG bytes. */
+class PngSpec extends SparkSpec {
+
+  test("q144: IHDR decode matches the generation manifest, null on junk") {
+    import spark.implicits._
+    PngFunctions.register(spark)
+    val got = graft.SparkEntry.queries("q144_png_ingest")(spark, sf0001)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    val manifest = scala.io.Source
+      .fromFile("/root/repo/fixtures/png/manifest.csv").getLines().drop(1)
+      .map { l =>
+        val f = l.split(",")
+        (f(0), f(1).toLong, f(2).toLong, f(3).toLong, f(4).toLong, f(5).toLong)
+      }.toArray.sortBy(_._1)
+    assert(got.toSeq == manifest.toSeq,
+      s"decode != manifest:\n got=${got.toSeq}\n exp=${manifest.toSeq}")
+
+    // adversarial bytes: short, wrong signature, signature but bad tag —
+    // all must decode to null, never garbage
+    val junk = Seq(
+      Array.empty[Byte],
+      "not a png at all, just text bytes".getBytes("UTF-8"),
+      Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A) ++
+        Array.fill[Byte](30)(7)
+    ).toDF("content")
+    val decoded = junk.select(expr("png_ihdr(content)").as("h")).collect()
+    assert(decoded.forall(_.isNullAt(0)),
+      "non-PNG bytes must decode to null")
+
+    // interpreted path agrees with codegen (nullSafeEval vs doGenCode)
+    val bytes = java.nio.file.Files
+      .readAllBytes(java.nio.file.Paths.get("/root/repo/fixtures/png/img_e.png"))
+    val row = PngHeader.ihdr(bytes)
+    assert(row.getLong(0) == 64 && row.getLong(1) == 48 &&
+      row.getLong(2) == 8 && row.getLong(3) == 2)
+  }
+}
