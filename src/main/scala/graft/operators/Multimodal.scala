@@ -144,12 +144,40 @@ object Multimodal {
           col("h.height").as("height"), col("h.bit_depth").as("bit_depth"),
           col("h.color_type").as("color_type"), col("n_bytes"))
         .orderBy("name")
+    }),
+
+    "q146_wav_ingest" -> ((s, d) => {
+      // audio leg of the real-bytes ingest (q144's PNG twin): RIFF/WAVE
+      // fmt+data chunks decoded by walking the chunk list — one fixture
+      // deliberately leads with a junk LIST chunk, so this query fails
+      // if the decoder ever regresses to assuming the canonical offset.
+      // Oracle = generation manifest (tools/gen_wav_fixtures.py).
+      graft.functions.WavFunctions.register(s)
+      s.read.format("binaryFile")
+        .option("pathGlobFilter", "*.wav")
+        .load("/root/repo/fixtures/wav")
+        .select(element_at(split(col("path"), "/"), -1).as("name"),
+          expr("wav_fmt(content)").as("h"),
+          col("length").as("n_bytes"))
+        .select(col("name"), col("h.channels").as("channels"),
+          col("h.sample_rate").as("sample_rate"),
+          col("h.bits_per_sample").as("bits_per_sample"),
+          col("h.n_frames").as("n_frames"), col("n_bytes"))
+        .orderBy("name")
     })
   )
 
   val oracle: Map[String, String] = Map(
     // the generation manifest IS the oracle (see q144's scaladoc); CASTs
     // pin every numeric to BIGINT for type parity with the Spark side
+    "q146_wav_ingest" ->
+      """SELECT name, CAST(channels AS BIGINT) AS channels,
+        |  CAST(sample_rate AS BIGINT) AS sample_rate,
+        |  CAST(bits_per_sample AS BIGINT) AS bits_per_sample,
+        |  CAST(n_frames AS BIGINT) AS n_frames,
+        |  CAST(n_bytes AS BIGINT) AS n_bytes
+        |FROM read_csv('/root/repo/fixtures/wav/manifest.csv', header=true)
+        |ORDER BY name""".stripMargin,
     "q144_png_ingest" ->
       """SELECT name, CAST(width AS BIGINT) AS width,
         |  CAST(height AS BIGINT) AS height,

@@ -727,6 +727,32 @@ object Relational {
         .orderBy("cohort_hour", "offset_h")
     }),
 
+    "q145_scd2_history" -> ((s, d) => {
+      // SCD Type-2 dimension build from an append-only change log — the
+      // warehouse op that q39's CDC merge feeds: collapse each user's
+      // event stream into versioned validity intervals of their
+      // event_type "state" (change rows = rows whose state differs from
+      // the previous row; valid_to = next change's timestamp, NULL for
+      // the open current version). Two window passes over the same
+      // (user_id; ts, event_id) ordering — one shuffle, both windows
+      // reuse its partitioning; at 100 TB this is a single sort-based
+      // window stage per user shard, no self-join against the history.
+      // event_id breaks ts ties so versioning is total and
+      // partition-invariant.
+      val ev = events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val ch = ev.withColumn("prev", lag(col("event_type"), 1).over(w))
+        .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+      ch.withColumn("valid_to", lead(col("ts"), 1).over(w))
+        .withColumn("version", row_number().over(w).cast("long"))
+        .select(col("user_id"), col("version"),
+          col("event_type").as("state"), col("ts").as("valid_from"),
+          col("valid_to"), col("valid_to").isNull.as("is_current"))
+        .orderBy("user_id", "version")
+    }),
+
     "q135_funnel" -> ((s, d) => {
       // sequence/funnel analytics — the event-ordering question windowed
       // aggs can't answer: of the users who VIEWED, how many CLICKED
@@ -1041,6 +1067,25 @@ object Relational {
         |  string_agg(n_name, ',' ORDER BY n_name) AS nations
         |FROM nation JOIN region ON n_regionkey = r_regionkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q145_scd2_history" ->
+      """WITH ch AS (
+        |  SELECT user_id, ts, event_id, event_type FROM (
+        |    SELECT user_id, ts, event_id, event_type,
+        |      lag(event_type) OVER
+        |        (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |    FROM events)
+        |  WHERE prev IS NULL OR prev != event_type),
+        |iv AS (
+        |  SELECT user_id, ts, event_type,
+        |    lead(ts) OVER
+        |      (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+        |    CAST(row_number() OVER
+        |      (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT)
+        |      AS version
+        |  FROM ch)
+        |SELECT user_id, version, event_type AS state, ts AS valid_from,
+        |  valid_to, valid_to IS NULL AS is_current
+        |FROM iv ORDER BY user_id, version""".stripMargin,
     // CASTs are type parity, not semantics (the round-5 red-row class):
     // DuckDB date_trunc can return DATE where Spark emits TIMESTAMP, and
     // epoch() returns DOUBLE so the // quotient stays DOUBLE where Spark

@@ -1,0 +1,57 @@
+#!/usr/bin/env python3
+"""Generate the committed WAV fixture set for q146 (audio binary ingest).
+
+Handcrafted canonical RIFF/WAVE files (RIFF + fmt + data chunks) with
+deterministic integer sample formulas — no audio library. As with the
+PNG set (gen_png_fixtures.py), the manifest records the GENERATION
+parameters plus written byte length: ground truth by construction, so
+the wav_fmt decoder is checked against what the files were BUILT with.
+One fixture (wav_e) puts a junk chunk before fmt to prove the decoder
+walks the chunk list instead of assuming the canonical offset.
+"""
+import os, struct
+
+OUT = os.path.join(os.path.dirname(__file__), "..", "fixtures", "wav")
+
+def wav(sample_rate, channels, bits, n_frames, pre_chunks=()):
+    bytes_per = bits // 8
+    block = channels * bytes_per
+    data = b""
+    for i in range(n_frames):
+        for c in range(channels):
+            v = (i * 37 + c * 11) % (1 << bits)
+            if bits == 16:
+                v = ((i * 37 + c * 11) % 65536) - 32768
+                data += struct.pack("<h", v)
+            else:
+                data += struct.pack("<B", v % 256)
+    fmt = struct.pack("<HHIIHH", 1, channels, sample_rate,
+                      sample_rate * block, block, bits)
+    chunks = b""
+    for tag, payload in pre_chunks:
+        chunks += tag + struct.pack("<I", len(payload)) + payload
+    chunks += b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    chunks += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+FIXTURES = [  # (name, sample_rate, channels, bits, n_frames, pre_chunks)
+    ("wav_a.wav", 8000, 1, 8, 80, ()),
+    ("wav_b.wav", 16000, 2, 16, 160, ()),
+    ("wav_c.wav", 44100, 1, 16, 441, ()),
+    ("wav_d.wav", 22050, 2, 8, 50, ()),
+    ("wav_e.wav", 48000, 1, 16, 120, ((b"LIST", b"\x07" * 10),)),
+]
+
+def main():
+    os.makedirs(OUT, exist_ok=True)
+    with open(os.path.join(OUT, "manifest.csv"), "w") as mf:
+        mf.write("name,channels,sample_rate,bits_per_sample,n_frames,n_bytes\n")
+        for name, sr, ch, bits, nf, pre in FIXTURES:
+            data = wav(sr, ch, bits, nf, pre)
+            with open(os.path.join(OUT, name), "wb") as f:
+                f.write(data)
+            mf.write(f"{name},{ch},{sr},{bits},{nf},{len(data)}\n")
+            print(f"{name}: {sr}Hz x{ch} {bits}bit {nf}f {len(data)} bytes")
+
+if __name__ == "__main__":
+    main()
