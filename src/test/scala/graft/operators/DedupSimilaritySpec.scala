@@ -23,6 +23,37 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(lsh.nonEmpty, "LSH should recover at least one near-dup pair")
   }
 
+  test("q147 fuzzy decontamination: cross-membership only, best is argmax") {
+    val evalSrc = Set("src0", "src1", "src2")
+    val srcOf = graft.Tables.t(spark, sf0001, "documents")
+      .select(col("doc_id"), col("source")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val pairs = Dedup.queries("q63_minhash_lsh")(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val got = Dedup.queries("q147_fuzzy_decontaminate")(spark, sf0001)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(got.nonEmpty, "testdata plants cross-source near-dups")
+    got.foreach { case (doc, _, jac, evalDoc) =>
+      assert(!evalSrc(srcOf(doc)), s"$doc must be a TRAIN doc")
+      assert(evalSrc(srcOf(evalDoc)), s"$evalDoc must be an EVAL doc")
+      assert(jac >= Dedup.JaccardThreshold)
+    }
+    // independent model from the q63 pair frame
+    val expect = pairs.flatMap { case (i, j, jac) =>
+      (evalSrc(srcOf(i)), evalSrc(srcOf(j))) match {
+        case (true, false) => Some((j, i, jac))
+        case (false, true) => Some((i, j, jac))
+        case _             => None
+      }
+    }.groupBy(_._1).map { case (doc, ms) =>
+      val best = ms.map { case (_, e, jc) => (jc, e) }.max
+      (doc, ms.length.toLong, best._1, best._2)
+    }.toSeq.sortBy(_._1)
+    assert(got.toSeq == expect,
+      s"fuzzy decontamination != pair-frame model:\n got=${got.toSeq}\n exp=$expect")
+  }
+
   test("q69 clustering closes chains: A~B, B~C => one cluster, min-id keeper") {
     import spark.implicits._
     // a 4-link chain, a 2-cycle-plus-tail, and an isolated pair — the
