@@ -885,6 +885,30 @@ object Relational {
         .orderBy(col("o_orderpriority"), col("o_totalprice").desc, col("o_orderkey"))
     }),
 
+    "q148_window_values" -> ((s, d) => {
+      // the window surface q30–q33/q101/q131 leave uncovered: cume_dist
+      // and the value-extraction family (first/last/nth) under an
+      // EXPLICIT full-partition frame — last_value/nth_value under the
+      // default frame (RANGE … CURRENT ROW) are the classic silent-wrong
+      // answer, so the frame is spelled out. Ordering carries the
+      // o_orderkey tiebreak: every function here is total-order-
+      // deterministic and partition-invariant.
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      val wf = w.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+      t(s, d, "orders")
+        .withColumn("cd", r6(cume_dist().over(w)))
+        .withColumn("top_key", first(col("o_orderkey")).over(wf))
+        .withColumn("bottom_key", last(col("o_orderkey")).over(wf))
+        .withColumn("second_key", nth_value(col("o_orderkey"), 2).over(wf))
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          col("o_totalprice"), col("cd"), col("top_key"),
+          col("bottom_key"), col("second_key"))
+        .orderBy(col("o_orderpriority"), col("o_totalprice").desc,
+          col("o_orderkey"))
+    }),
+
     "q44_hash_sample" -> ((s, d) =>
       // Deterministic ~10% sample via content hash (md5 prefix in
       // {00..19} = 26/256). Unlike rand()-based sample(), this is
@@ -920,6 +944,25 @@ object Relational {
       t(s, d, "orders").select(col("o_orderkey").as("key"))
         .except(t(s, d, "lineitem").select(col("l_orderkey")))
         .orderBy("key")),
+
+    "q149_set_all" -> ((s, d) => {
+      // the multiset set-ops q41–q43 leave uncovered: INTERSECT ALL /
+      // EXCEPT ALL (bag semantics — duplicates carry multiplicity, which
+      // DISTINCT-flavored set ops destroy). Quantity multisets of the
+      // A-vs-R return flags; the result is aggregated per value so the
+      // output is order-deterministic while still pinning the bag math
+      // (n = min(multiplicity) for intersect, max(0, a−b) for except).
+      val li = t(s, d, "lineitem")
+      def side(f: String) = li.filter(col("l_returnflag") === f)
+        .select(col("l_quantity").cast("long").as("q"))
+      val a = side("A"); val b = side("R")
+      val ia = a.intersectAll(b).groupBy(col("q"))
+        .agg(count(lit(1)).as("n")).withColumn("op", lit("intersect_all"))
+      val ea = a.exceptAll(b).groupBy(col("q"))
+        .agg(count(lit(1)).as("n")).withColumn("op", lit("except_all"))
+      ia.union(ea).select(col("op"), col("q"), col("n"))
+        .orderBy("op", "q")
+    }),
 
     // ---- scalar functions --------------------------------------------------
 
@@ -1350,6 +1393,32 @@ object Relational {
         |  p_brand || '|' || p_type AS brand_type,
         |  lpad(CAST(p_size AS VARCHAR), 4, '0') AS size4
         |FROM part ORDER BY p_partkey""".stripMargin,
+    "q148_window_values" ->
+      """SELECT o_orderkey, o_orderpriority, o_totalprice,
+        |  round(cume_dist() OVER w * 1e6)/1e6 AS cd,
+        |  first_value(o_orderkey) OVER wf AS top_key,
+        |  last_value(o_orderkey) OVER wf AS bottom_key,
+        |  nth_value(o_orderkey, 2) OVER wf AS second_key
+        |FROM orders
+        |WINDOW
+        |  w AS (PARTITION BY o_orderpriority
+        |        ORDER BY o_totalprice DESC, o_orderkey),
+        |  wf AS (PARTITION BY o_orderpriority
+        |         ORDER BY o_totalprice DESC, o_orderkey
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_orderpriority, o_totalprice DESC, o_orderkey""".stripMargin,
+    "q149_set_all" ->
+      """WITH a AS (SELECT CAST(l_quantity AS BIGINT) AS q FROM lineitem
+        |           WHERE l_returnflag = 'A'),
+        |b AS (SELECT CAST(l_quantity AS BIGINT) AS q FROM lineitem
+        |      WHERE l_returnflag = 'R'),
+        |ia AS (SELECT q FROM a INTERSECT ALL SELECT q FROM b),
+        |ea AS (SELECT q FROM a EXCEPT ALL SELECT q FROM b),
+        |u AS (
+        |  SELECT 'intersect_all' AS op, q, count(*) AS n FROM ia GROUP BY 2
+        |  UNION ALL
+        |  SELECT 'except_all' AS op, q, count(*) AS n FROM ea GROUP BY 2)
+        |SELECT op, q, n FROM u ORDER BY op, q""".stripMargin,
     "q51_date_funcs" ->
       """SELECT o_orderkey,
         |  CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS yr,
