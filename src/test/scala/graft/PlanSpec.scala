@@ -177,6 +177,23 @@ class PlanSpec extends SparkSpec {
     assert(r.getLong(5) == n3 * 10000 / n1)
   }
 
+  test("q145: both SCD2 windows share one hash exchange") {
+    // change detection (lag) and interval close-off (lead) both sort by
+    // (user_id; ts, event_id) — a second hashpartitioning exchange would
+    // mean the shared-partitioning design regressed
+    val p = plan("q145_scd2_history")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1,
+      s"SCD2 must shuffle user_id exactly once:\n$p")
+  }
+
+  test("q143: composed ANN plan has no cartesian and broadcasts codebooks") {
+    val p = plan("q143_ivf_pq_rerank")
+    assert(!p.contains("CartesianProduct"),
+      s"cell/PQ joins must stay equi or broadcast:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      "codebook/ADC sides must broadcast")
+  }
+
   test("q137: retention matrix is multi-cohort and offset-0 dominates") {
     // the round-5 fixture was degenerate (weekly cohorts → 1 cohort at
     // the oracle SF, so the cohort join was structurally untested);
