@@ -46,6 +46,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("freq_sketch"),
       new ExpressionInfo(classOf[graft.functions.FreqSketchAgg].getName, "freq_sketch"),
       (exprs: Seq[Expression]) => graft.functions.FreqSketchAgg(exprs.head)))
+    e.injectFunction((FunctionIdentifier("png_ihdr"),
+      new ExpressionInfo(classOf[graft.functions.PngIhdr].getName, "png_ihdr"),
+      (exprs: Seq[Expression]) => graft.functions.PngIhdr(exprs.head)))
+    e.injectFunction((FunctionIdentifier("wav_fmt"),
+      new ExpressionInfo(classOf[graft.functions.WavFmt].getName, "wav_fmt"),
+      (exprs: Seq[Expression]) => graft.functions.WavFmt(exprs.head)))
     // Spark's own runtime-filter bloom pair, exposed as SQL (see
     // graft.functions.BloomFunctions for why they aren't already)
     e.injectFunction((FunctionIdentifier("bloom_agg"),

@@ -49,6 +49,11 @@ class ExtensionsSpec extends AnyFunSuite {
       // bloom_agg/might_contain: Spark's runtime-filter pair, injected as
       // SQL — the bloom side must be a scalar subquery (or foldable), and
       // membership has no false negatives
+      // png_ihdr / wav_fmt: injected media-header decoders reject junk
+      val media = s.sql(
+        "SELECT png_ihdr(CAST('junk' AS BINARY)) AS p, " +
+          "wav_fmt(CAST('junk' AS BINARY)) AS w").collect().head
+      assert(media.isNullAt(0) && media.isNullAt(1))
       s.range(0, 100).createOrReplaceTempView("bloom_keys")
       val hits = s.sql(
         """SELECT count(*) AS n FROM range(200)
