@@ -59,4 +59,27 @@ class IvfPqSpec extends SparkSpec {
     info(f"recall q127=$r127%.3f q143=$r143%.3f cell=${recall(cand)}%.3f; " +
       f"ADC pairs ${scanned} / ${full} (${scanned * 100.0 / full}%.1f%%)")
   }
+
+  test("q150: staged serving is bit-identical to q143 and reads the stage") {
+    val composed = graft.SparkEntry
+      .queries("q143_ivf_pq_rerank")(spark, sf0001).collect().toSeq
+    val served = graft.SparkEntry
+      .queries("q150_staged_ann")(spark, sf0001)
+    assert(served.collect().toSeq == composed,
+      "staged index must serve exactly the composed pipeline's answer")
+    // the serving plan's ADC side scans the CELL-PARTITIONED staged codes
+    // (FileScan truncates long paths in the plan string, so match the
+    // stage ROOT prefix rather than the full md5-keyed dir)
+    val p = served.queryExecution.executedPlan.toString
+    assert(p.contains("graft-stage-"),
+      s"ADC stage must read the staged index:\n$p")
+    // single-flight: a second build call is a no-op (memo already set)
+    assert(graft.Staging.isStaged(Similarity.annStageDir(sf0001)))
+    // the staged layout is physically partitioned by cell — nprobe cell
+    // dirs is all a query's ADC scan would list at cluster scale
+    val dirs = new java.io.File(Similarity.annStageDir(sf0001) + "/codes")
+      .listFiles().filter(_.isDirectory).map(_.getName)
+    assert(dirs.count(_.startsWith("cell=")) == Similarity.LloydK,
+      s"stage must be hive-partitioned on cell: ${dirs.toSeq}")
+  }
 }
