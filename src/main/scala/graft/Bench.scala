@@ -96,7 +96,8 @@ object Bench {
       "q115_semantic_multiprobe", "q118_lm_surprisal", "q120_cluster_split",
       "q122_stream_sliding", "q125_sql_recursive",
       "q126_transform_with_state", "q127_ann_rerank", "q128_pagerank",
-      "q129_kmeans_train", "q143_ivf_pq_rerank", "q144_png_ingest")
+      "q129_kmeans_train", "q143_ivf_pq_rerank", "q144_png_ingest",
+      "q150_staged_ann")
     val headSet = headline.toSet
     val shortJson =
       s"""{"metric":"total","value":$totalStr,"unit":"sec","n_queries":${results.size},$protoJson,"queries":${qJson(results.filter(r => headSet(r._1)))},"sf":"$sfDir"}"""
