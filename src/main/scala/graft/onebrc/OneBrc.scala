@@ -297,13 +297,13 @@ object OneBrc {
       brcAgg(parsed)
     }),
     "q08_scan_csv" -> ((s, _) =>
-      brcAgg(readMeasurements(s, "/root/repo/fixtures/measurements_golden.csv"))),
+      brcAgg(readMeasurements(s, graft.Fixtures.path("measurements_golden.csv")))),
     "q09_onebrc_lines" -> ((s, d) => perLine(brcAgg(stationsFromEvents(s, d)))),
     // custom DataSource V2 connector (graft.sources.BrcDataSource) under
     // the oracle gate: fused line-split+parse scan -> integer-tenths agg
     "q19_scan_dsv2" -> ((s, _) =>
       brcAggTenths(readMeasurementsV2(
-        s, "/root/repo/fixtures/measurements_golden.csv")))
+        s, graft.Fixtures.path("measurements_golden.csv"))))
   )
 
   private val meanSql =
@@ -316,8 +316,8 @@ object OneBrc {
     // aggregate is a constant: the committed fixture (dumped once, exact
     // 1-dp decimal -> double roundtrip) is a true oracle for regressions
     "q06_generator" ->
-      """SELECT station, min_measure, mean_measure, max_measure
-        |FROM read_csv('/root/repo/fixtures/q06_generator_expected.csv',
+      s"""SELECT station, min_measure, mean_measure, max_measure
+        |FROM read_csv('${graft.Fixtures.path("q06_generator_expected.csv")}',
         |  header=true, delim=';',
         |  columns={'station':'VARCHAR','min_measure':'DOUBLE',
         |           'mean_measure':'DOUBLE','max_measure':'DOUBLE'})
@@ -354,12 +354,12 @@ object OneBrc {
         |       CAST(split_part(line, ';', 2) AS DOUBLE) AS measure
         |FROM (SELECT event_type || ';' || CAST(value AS VARCHAR) AS line FROM events)""".stripMargin),
     "q08_scan_csv" -> brcAggSql(
-      """SELECT station, measure FROM read_csv('/root/repo/fixtures/measurements_golden.csv',
+      s"""SELECT station, measure FROM read_csv('${graft.Fixtures.path("measurements_golden.csv")}',
         |  delim=';', header=false, columns={'station':'VARCHAR','measure':'DOUBLE'})""".stripMargin),
     // identical answer contract: the V2 connector's integer-tenths path
     // must reproduce the generic CSV scan bit-for-bit on 1-dp data
     "q19_scan_dsv2" -> brcAggSql(
-      """SELECT station, measure FROM read_csv('/root/repo/fixtures/measurements_golden.csv',
+      s"""SELECT station, measure FROM read_csv('${graft.Fixtures.path("measurements_golden.csv")}',
         |  delim=';', header=false, columns={'station':'VARCHAR','measure':'DOUBLE'})""".stripMargin),
     "q09_onebrc_lines" ->
       s"""SELECT station, station || ': ' ||

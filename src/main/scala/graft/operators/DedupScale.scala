@@ -113,14 +113,14 @@ object DedupScale {
         .write.mode("overwrite").parquet(s"$stage/shingles")
     }
     val pairs = timed("lsh_pairs") {
-      val p = Dedup.minhashLshFrom(spark.read.parquet(s"$stage/shingles"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val p = graft.CacheRegistry.cached(
+        Dedup.minhashLshFrom(spark.read.parquet(s"$stage/shingles")))
       p.count()
       p
     }
     val labels = timed("clusters") {
-      val l = Dedup.clustersFromPairs(pairs.select(col("i"), col("j")))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val l = graft.CacheRegistry.cached(
+        Dedup.clustersFromPairs(pairs.select(col("i"), col("j"))))
       l.count()
       l
     }
@@ -131,14 +131,14 @@ object DedupScale {
     // the md5 cutoff must land the eval fraction near its 64/256 design
     // point even though cluster roots are a biased (min-id) id sample.
     timed("cluster_split") {
-      val split = spark.range(n).select(col("id").as("doc_id"))
-        .join(labels.select(col("doc_id").as("l_doc"), col("keeper")),
-          col("doc_id") === col("l_doc"), "left")
-        .withColumn("root", coalesce(col("keeper"), col("doc_id")))
-        .select(col("doc_id"),
-          (substring(md5(col("root").cast("string")), 1, 2) <= "3f")
-            .as("is_eval"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val split = graft.CacheRegistry.cached(
+        spark.range(n).select(col("id").as("doc_id"))
+          .join(labels.select(col("doc_id").as("l_doc"), col("keeper")),
+            col("doc_id") === col("l_doc"), "left")
+          .withColumn("root", coalesce(col("keeper"), col("doc_id")))
+          .select(col("doc_id"),
+            (substring(md5(col("root").cast("string")), 1, 2) <= "3f")
+              .as("is_eval")))
       val nEval = split.filter(col("is_eval")).count()
       val crossing = pairs.select(col("i"), col("j"))
         .join(split.select(col("doc_id").as("i"), col("is_eval").as("ei")), "i")

@@ -136,7 +136,7 @@ object Multimodal {
       graft.functions.PngFunctions.register(s)
       s.read.format("binaryFile")
         .option("pathGlobFilter", "*.png")
-        .load("/root/repo/fixtures/png")
+        .load(graft.Fixtures.path("png"))
         .select(element_at(split(col("path"), "/"), -1).as("name"),
           expr("png_ihdr(content)").as("h"),
           col("length").as("n_bytes"))
@@ -155,7 +155,7 @@ object Multimodal {
       graft.functions.WavFunctions.register(s)
       s.read.format("binaryFile")
         .option("pathGlobFilter", "*.wav")
-        .load("/root/repo/fixtures/wav")
+        .load(graft.Fixtures.path("wav"))
         .select(element_at(split(col("path"), "/"), -1).as("name"),
           expr("wav_fmt(content)").as("h"),
           col("length").as("n_bytes"))
@@ -171,20 +171,20 @@ object Multimodal {
     // the generation manifest IS the oracle (see q144's scaladoc); CASTs
     // pin every numeric to BIGINT for type parity with the Spark side
     "q146_wav_ingest" ->
-      """SELECT name, CAST(channels AS BIGINT) AS channels,
+      s"""SELECT name, CAST(channels AS BIGINT) AS channels,
         |  CAST(sample_rate AS BIGINT) AS sample_rate,
         |  CAST(bits_per_sample AS BIGINT) AS bits_per_sample,
         |  CAST(n_frames AS BIGINT) AS n_frames,
         |  CAST(n_bytes AS BIGINT) AS n_bytes
-        |FROM read_csv('/root/repo/fixtures/wav/manifest.csv', header=true)
+        |FROM read_csv('${graft.Fixtures.path("wav")}/manifest.csv', header=true)
         |ORDER BY name""".stripMargin,
     "q144_png_ingest" ->
-      """SELECT name, CAST(width AS BIGINT) AS width,
+      s"""SELECT name, CAST(width AS BIGINT) AS width,
         |  CAST(height AS BIGINT) AS height,
         |  CAST(bit_depth AS BIGINT) AS bit_depth,
         |  CAST(color_type AS BIGINT) AS color_type,
         |  CAST(n_bytes AS BIGINT) AS n_bytes
-        |FROM read_csv('/root/repo/fixtures/png/manifest.csv', header=true)
+        |FROM read_csv('${graft.Fixtures.path("png")}/manifest.csv', header=true)
         |ORDER BY name""".stripMargin,
     // the fake decoder's 8-bin byte histogram, rebuilt in SQL: per-char
     // ascii codepoints (== payload bytes on this ASCII corpus; verified

@@ -128,6 +128,14 @@ object Streaming {
   private val tsFieldMemo = scala.collection.concurrent.TrieMap
     .empty[String, org.apache.spark.sql.types.StructField]
 
+  /** Corpus-rewrite hook (Dedup.invalidateClusters routes here): drop the
+    * memoized physical ts field so a regenerated events.parquet — possibly
+    * in the other physical generation (ns-as-long vs us) — is re-probed. */
+  def forgetTsField(dir: String): Unit = {
+    val canon = java.nio.file.Paths.get(dir).toAbsolutePath.normalize.toString
+    tsFieldMemo.remove(canon); ()
+  }
+
   /** Tumbling 1-hour windows per event_type with a 30-minute watermark,
     * executed as a real streaming query into a memory sink. Complete mode:
     * in append mode the trailing windows (within the watermark delay of max
@@ -206,7 +214,7 @@ object Streaming {
       val q = sp.readStream
         .schema(StructType(Seq(StructField("value", StringType))))
         .option("pathGlobFilter", "measurements_golden.csv")
-        .text("/root/repo/fixtures")
+        .text(graft.Fixtures.root)
         .select(expr("brc_station(value)").as("station"),
           expr("brc_tenths(value)").as("t"))
         .groupBy(col("station"))
@@ -416,8 +424,8 @@ object Streaming {
 
   val oracle: Map[String, String] = Map(
     "q94_stream_onebrc" -> graft.onebrc.OneBrc.brcAggSql(
-      """SELECT station, measure FROM read_csv('/root/repo/fixtures/measurements_golden.csv',
-        |  delim=';', header=false, columns={'station':'VARCHAR','measure':'DOUBLE'})""".stripMargin),
+      s"""SELECT station, measure FROM read_csv('${graft.Fixtures.path("measurements_golden.csv")}',
+         |  delim=';', header=false, columns={'station':'VARCHAR','measure':'DOUBLE'})""".stripMargin),
     "q95_stream_tumbling" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
         |  count(*) AS n,

@@ -14,7 +14,7 @@ class PngSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
         r.getLong(4), r.getLong(5)))
     val manifest = scala.io.Source
-      .fromFile("/root/repo/fixtures/png/manifest.csv").getLines().drop(1)
+      .fromFile(graft.Fixtures.path("png/manifest.csv")).getLines().drop(1)
       .map { l =>
         val f = l.split(",")
         (f(0), f(1).toLong, f(2).toLong, f(3).toLong, f(4).toLong, f(5).toLong)
@@ -36,7 +36,7 @@ class PngSpec extends SparkSpec {
 
     // interpreted path agrees with codegen (nullSafeEval vs doGenCode)
     val bytes = java.nio.file.Files
-      .readAllBytes(java.nio.file.Paths.get("/root/repo/fixtures/png/img_e.png"))
+      .readAllBytes(java.nio.file.Paths.get(graft.Fixtures.path("png/img_e.png")))
     val row = PngHeader.ihdr(bytes)
     assert(row.getLong(0) == 64 && row.getLong(1) == 48 &&
       row.getLong(2) == 8 && row.getLong(3) == 2)

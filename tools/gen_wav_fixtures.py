@@ -27,11 +27,18 @@ def wav(sample_rate, channels, bits, n_frames, pre_chunks=()):
                 data += struct.pack("<B", v % 256)
     fmt = struct.pack("<HHIIHH", 1, channels, sample_rate,
                       sample_rate * block, block, bits)
+    def chunk(tag, payload):
+        # RIFF word alignment: odd-sized payloads carry a zero pad byte
+        # (not counted in the chunk size but part of the stream), matching
+        # the decoder's pos advance of 8 + size + (size & 1)
+        return tag + struct.pack("<I", len(payload)) + payload \
+            + (b"\x00" if len(payload) % 2 else b"")
+
     chunks = b""
     for tag, payload in pre_chunks:
-        chunks += tag + struct.pack("<I", len(payload)) + payload
-    chunks += b"fmt " + struct.pack("<I", len(fmt)) + fmt
-    chunks += b"data" + struct.pack("<I", len(data)) + data
+        chunks += chunk(tag, payload)
+    chunks += chunk(b"fmt ", fmt)
+    chunks += chunk(b"data", data)
     return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
 
 FIXTURES = [  # (name, sample_rate, channels, bits, n_frames, pre_chunks)
@@ -40,6 +47,9 @@ FIXTURES = [  # (name, sample_rate, channels, bits, n_frames, pre_chunks)
     ("wav_c.wav", 44100, 1, 16, 441, ()),
     ("wav_d.wav", 22050, 2, 8, 50, ()),
     ("wav_e.wav", 48000, 1, 16, 120, ((b"LIST", b"\x07" * 10),)),
+    # odd-size junk payload: its pad byte exercises the decoder's
+    # word-alignment advance (8 + size + (size & 1))
+    ("wav_f.wav", 11025, 1, 8, 33, ((b"LIST", b"\x05" * 7),)),
 ]
 
 def main():
