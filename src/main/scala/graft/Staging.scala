@@ -1,30 +1,48 @@
 package graft
 
-/** Shared per-JVM parquet staging: a temp root deleted on JVM exit, a
-  * canonical-path-keyed directory per (namespace, corpus), and a
-  * single-flight write-once memo. This is the q105 staging discipline
-  * (one eager materialization serves every subsequent plan construction;
-  * two threads never interleave overwrite-and-read on one dir) factored
-  * out so the dedup shingle stage (Dedup.minhashLshStaged) and the ANN
-  * index stage (Similarity q150) share one implementation.
+/** Shared parquet staging: a configurable root, a canonical-path-keyed
+  * directory per (namespace, corpus), and a single-flight write-once memo.
+  * This is the q105 staging discipline (one eager materialization serves
+  * every subsequent plan construction; two threads never interleave
+  * overwrite-and-read on one dir) factored out so the dedup shingle stage
+  * (Dedup.minhashLshStaged) and the ANN index stages (Similarity
+  * q150/q151) share one implementation.
+  *
+  * Durability: by default the root is a temp dir deleted on JVM exit
+  * (tests, one-shot jobs). Setting `-Dgraft.stage.dir=<path>` points the
+  * root at real storage and the stages become DURABLE: every completed
+  * [[once]] drops a `<key>.staged` marker next to the stage, and a fresh
+  * JVM seeing the marker serves the existing files instead of rebuilding —
+  * the "materialized once" contract survives restarts. [[forget]] removes
+  * the marker with the memo, so corpus-rewrite invalidation works the
+  * same in both modes. (Markers are written in both modes; under the temp
+  * root they die with the JVM, so they add nothing — and cost nothing.)
+  * Single-flight is per-JVM; concurrent DRIVERS racing one durable stage
+  * need external coordination, as with any shared output path.
   */
 object Staging {
 
-  private lazy val root: java.nio.file.Path = {
-    val r = java.nio.file.Files.createTempDirectory("graft-stage-")
-    sys.addShutdownHook {
-      def del(p: java.io.File): Unit = {
-        Option(p.listFiles).foreach(_.foreach(del)); p.delete(); ()
-      }
-      del(r.toFile)
+  private lazy val root: java.nio.file.Path =
+    sys.props.get("graft.stage.dir") match {
+      case Some(p) =>
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(p))
+      case None =>
+        val r = java.nio.file.Files.createTempDirectory("graft-stage-")
+        sys.addShutdownHook {
+          def del(p: java.io.File): Unit = {
+            Option(p.listFiles).foreach(_.foreach(del)); p.delete(); ()
+          }
+          del(r.toFile)
+        }
+        r
     }
-    r
-  }
 
   private val written =
     scala.collection.concurrent.TrieMap.empty[String, Boolean]
   private val locks =
     scala.collection.concurrent.TrieMap.empty[String, Object]
+
+  private def marker(key: String) = new java.io.File(key + ".staged")
 
   /** Stage directory for (`ns`, corpus `d`) — keyed by the md5 of the
     * CANONICAL absolute corpus path, so distinct corpora can never share
@@ -38,20 +56,37 @@ object Staging {
     root.resolve(s"$ns-$key").toString
   }
 
-  /** Run `write` the first time `workDir` is staged in this JVM; no-op
-    * after (memoized, single-flight per dir). */
-  def once(workDir: String)(write: => Unit): Unit =
-    locks.getOrElseUpdate(workDir, new Object).synchronized {
-      if (!written.contains(workDir)) {
-        write
-        written(workDir) = true
+  /** Run `write` the first time `key` is staged — in this JVM (memo) or,
+    * under a durable root, EVER (marker file); no-op after (memoized,
+    * single-flight per key). `key` is usually the staged dir itself; a
+    * multi-step stage writing one dir uses distinct keys per step. */
+  def once(key: String)(write: => Unit): Unit =
+    locks.getOrElseUpdate(key, new Object).synchronized {
+      if (!written.contains(key)) {
+        if (!marker(key).isFile) {
+          write
+          val m = marker(key)
+          Option(m.getParentFile).foreach(_.mkdirs())
+          m.createNewFile()
+        }
+        written(key) = true
       }
     }
 
   /** Forget a stage so the next [[once]] re-writes it — the in-session
-    * corpus-rewrite hook (Dedup.invalidateClusters routes here). */
-  def forget(workDir: String): Unit = { written.remove(workDir); () }
+    * corpus-rewrite hook (Dedup.invalidateClusters routes here). Drops
+    * the durable marker too, so invalidation survives into the next JVM. */
+  def forget(key: String): Unit = {
+    written.remove(key); marker(key).delete(); ()
+  }
 
-  /** Spec probe: has `workDir` been staged in this JVM? */
-  def isStaged(workDir: String): Boolean = written.contains(workDir)
+  /** Spec probe: has `key` been staged in this JVM? */
+  def isStaged(key: String): Boolean = written.contains(key)
+
+  /** Spec-only hook simulating a JVM restart for one key: drops the
+    * in-memory memo but KEEPS the durable marker, so the next [[once]]
+    * must decide from disk state alone. */
+  private[graft] def dropMemoForTest(key: String): Unit = {
+    written.remove(key); ()
+  }
 }

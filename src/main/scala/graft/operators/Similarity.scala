@@ -154,15 +154,27 @@ object Similarity {
     * distances are exact integer nano-units end to end (the q35 idiom),
     * so every downstream shortlist is bit-identical across partitionings
     * and engines. */
-  private def pqCodesAndAdc(s: SparkSession, d: String): (DataFrame, DataFrame) = {
-    val M = 4; val SubDim = Dim / M; val K = 16; val NQueries = 3
-    val ex = t(s, d, "embeddings")
+  private def pqCodesAndAdc(s: SparkSession, d: String): (DataFrame, DataFrame) =
+    pqCodesAndAdcOn(s, d, None, col("vec_id") < 16)
+
+  /** pqCodesAndAdc generalized for the incremental index (q151): `enc`
+    * restricts WHICH vectors get encoded (None = all; the delta admission
+    * passes the delta predicate so per-vector encode work — explode, join,
+    * agg — runs over the delta alone), `cbPred` selects the codebook
+    * vectors (q151 trains on BASE vectors only, so a later delta can
+    * never have shifted the codes of what is already staged). */
+  private def pqCodesAndAdcOn(s: SparkSession, d: String, enc: Option[Column],
+      cbPred: Column): (DataFrame, DataFrame) = {
+    val M = 4; val SubDim = Dim / M; val NQueries = 3
+    val encSrc = enc.map(t(s, d, "embeddings").filter)
+      .getOrElse(t(s, d, "embeddings"))
+    val ex = encSrc
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "x")))
       .select(col("vec_id"), (col("i") / SubDim).cast("int").as("m"),
         pmod(col("i"), lit(SubDim)).as("im"), col("x").cast("double").as("xd"))
     // codebook from its own pruned scan (vec_id < K pushes down to
     // parquet) — broadcast: M*SubDim*K = 1024 rows
-    val cb = t(s, d, "embeddings").filter(col("vec_id") < K)
+    val cb = t(s, d, "embeddings").filter(cbPred)
       .select(col("vec_id").cast("int").as("k"),
         posexplode(col("embedding")).as(Seq("i", "x")))
       .select(col("k"), (col("i") / SubDim).cast("int").as("m"),
@@ -206,9 +218,18 @@ object Similarity {
   /** The trained codebook: (k, i, cn, n) after LloydIters integer-exact
     * Lloyd steps (see q129's scaladoc for the arithmetic-parity rules).
     * Driver loop builds plan only — no action inside. */
-  private def lloydCentroids(s: SparkSession, d: String): DataFrame = {
-    val exn = exnFrame(s, d)
-    var cent = exn.filter(col("vec_id") < LloydK)
+  private def lloydCentroids(s: SparkSession, d: String): DataFrame =
+    lloydCentroidsOn(s, d, None, col("vec_id") < LloydK)
+
+  /** lloydCentroids generalized for the incremental index (q151): `train`
+    * restricts the training set (None = all vectors; q151 trains on the
+    * BASE corpus only, so admitting a delta later never moves the cells),
+    * `seedPred` picks the LloydK seed vectors from that training set. */
+  private def lloydCentroidsOn(s: SparkSession, d: String,
+      train: Option[Column], seedPred: Column): DataFrame = {
+    val exn0 = exnFrame(s, d)
+    val exn = train.map(exn0.filter).getOrElse(exn0)
+    var cent = exn.filter(seedPred)
       .select(col("vec_id").as("k"), col("i"), col("xn").as("cn"),
         lit(0L).as("n"))
     for (_ <- 1 to LloydIters) {
@@ -257,9 +278,25 @@ object Similarity {
     * cells — rk=1 is the IVF assignment, rk<=nprobe a query's probe set.
     * One ranked pass serves corpus assignment, query probes, AND q150's
     * staged index build; registry-cached. */
-  def cellRanked(s: SparkSession, d: String): DataFrame = {
-    val exn = exnFrame(s, d)
-    val cent = lloydCentroids(s, d)
+  def cellRanked(s: SparkSession, d: String): DataFrame =
+    cellRankedOn(s, d, lloydCentroids(s, d), None)
+
+  /** cellRanked against an explicit centroid frame, optionally ranking
+    * only a subset of vectors (q151 ranks the delta alone at admission
+    * time — assignment work proportional to the delta, not the corpus). */
+  private def cellRankedOn(s: SparkSession, d: String, cent: DataFrame,
+      only: Option[Column]): DataFrame = {
+    // a subset ranking (q151 delta admission / query probes) explodes its
+    // OWN filtered scan — vec_id filter below the explode, so per-vector
+    // assignment work is proportional to the subset, not the corpus; the
+    // full ranking shares the registry-cached corpus-wide frame
+    val exn = only match {
+      case None => exnFrame(s, d)
+      case Some(p) => t(s, d, "embeddings").filter(p)
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "x")))
+        .select(col("vec_id"), col("i"), col("x").cast("double").as("xd"),
+          round(col("x").cast("double") * 1e9).cast("long").as("xn"))
+    }
     exn.join(broadcast(cent.select("k", "i", "cn")), Seq("i"))
       .withColumn("en", round((col("xd") - col("cn") / 1e9)
         * (col("xd") - col("cn") / 1e9) * 1e9).cast("long"))
@@ -311,6 +348,83 @@ object Similarity {
 
   /** q150's stage root for corpus `d` (shared Staging discipline). */
   def annStageDir(d: String): String = graft.Staging.dirFor("ann", d)
+
+  /** q151's stage root — separate namespace from q150: the incremental
+    * index is trained on the BASE corpus only, so its cells/codes differ
+    * from the full-corpus index and the two must never share files. */
+  def annIncStageDir(d: String): String = graft.Staging.dirFor("ann-inc", d)
+
+  /** q151's delta split of the embeddings corpus — vec_id ≡ 4 (mod 5) is
+    * the arriving batch, everything else the already-indexed base (the
+    * q78 DeltaMod/DeltaRem convention applied to vectors). */
+  val AnnDeltaMod = 5
+  val AnnDeltaRem = 4
+  def isBaseVec: Column = (col("vec_id") % AnnDeltaMod) =!= AnnDeltaRem
+
+  /** Seed/codebook id bounds for the base-trained index: {0..9} minus the
+    * delta ids is exactly LloydK=8 seeds, {0..19} minus the delta ids
+    * exactly the 16 PQ codebook vectors — closed forms both engines
+    * express as `vec_id < bound AND vec_id % 5 != 4`. */
+  val AnnIncSeedBound = 10
+  val AnnIncCbBound = 20
+
+  /** Corpus-rewrite hook for every ANN stage of `d` (q150's composed
+    * index and q151's incremental build+admission) —
+    * Dedup.invalidateClusters routes here. Dropping the base key makes
+    * the next q151 rebuild OVERWRITE the stage dir (clearing appended
+    * delta files with it), so a forgotten index can never double-admit. */
+  def forgetAnnStages(d: String): Unit = {
+    graft.Staging.forget(annStageDir(d))
+    graft.Staging.forget(s"${annIncStageDir(d)}/codes@base")
+    graft.Staging.forget(s"${annIncStageDir(d)}/codes@delta")
+  }
+
+  /** q151's base-trained centroid frame (Lloyd over base vectors only). */
+  private def annIncCentroids(s: SparkSession, d: String): DataFrame =
+    lloydCentroidsOn(s, d, Some(isBaseVec),
+      col("vec_id") < AnnIncSeedBound)
+
+  private def annIncCbPred: Column =
+    col("vec_id") < AnnIncCbBound && isBaseVec
+
+  /** (vec_id, m, k, cell) for the subset of the corpus `pred` selects,
+    * assigned/encoded against the base-trained cells and codebook — the
+    * shared frame of the q151 build (pred = base) and admission (pred =
+    * delta). Package-private so AnnDeltaSpec can pin the admission plan
+    * shape (vec_id filter BELOW the explode: per-vector work touches
+    * only the selected subset). */
+  private[operators] def annIncCodesWithCells(s: SparkSession, d: String,
+      pred: Column): DataFrame = {
+    val (codes, _) = pqCodesAndAdcOn(s, d, Some(pred), annIncCbPred)
+    val asg = cellRankedOn(s, d, annIncCentroids(s, d), Some(pred))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("k").as("cell"))
+    codes.join(asg, "vec_id")
+  }
+
+  /** q151 step 1: materialize the BASE index (codes + cell assignment,
+    * parquet partitioned by cell), single-flight; overwrite on rebuild so
+    * an invalidated index can never double-admit its old delta files. */
+  def annIncBuild(s: SparkSession, d: String): Unit = {
+    val stage = annIncStageDir(d)
+    graft.Staging.once(s"$stage/codes@base") {
+      annIncCodesWithCells(s, d, isBaseVec)
+        .write.mode("overwrite").partitionBy("cell")
+        .parquet(s"$stage/codes")
+    }
+  }
+
+  /** q151 step 2: admit the DELTA — assign to the existing trained cells,
+    * encode with the existing codebook, APPEND into the matching cell=
+    * partitions. No retrain, no rewrite of base files. */
+  def annIncAdmit(s: SparkSession, d: String): Unit = {
+    val stage = annIncStageDir(d)
+    graft.Staging.once(s"$stage/codes@delta") {
+      annIncCodesWithCells(s, d, !isBaseVec)
+        .write.mode("append").partitionBy("cell")
+        .parquet(s"$stage/codes")
+    }
+  }
 
   /** Full-corpus PQ ADC distances (q_id, vec_id, ad_nano) — q100/q127's
     * stage 1: every query scores every encoded vector. */
@@ -647,6 +761,43 @@ object Similarity {
       shortlistRerank(t(s, d, "embeddings"), approx)
     }),
 
+    "q151_ann_delta" -> ((s, d) => {
+      // Incrementally-MAINTAINED ANN index — the q78 admission discipline
+      // applied to q150's staged serving. The index is trained on the
+      // BASE corpus alone (Lloyd cells from base seeds, PQ codebook from
+      // the first 16 base vectors) and staged cell-partitioned; when the
+      // delta batch (vec_id ≡ 4 mod 5) arrives it is assigned to the
+      // EXISTING trained cells and encoded with the EXISTING codebook —
+      // no retrain, no rewrite — and its codes are APPENDED into the
+      // matching cell= partitions. Queries then see old+new from one
+      // cell-partitioned read. Admission cost is proportional to the
+      // DELTA: the encode/assign subtrees filter vec_id before the
+      // explode, so per-vector work never touches the base (AnnDeltaSpec
+      // pins the plan shape and that delta files append without
+      // rewriting a single base file). Under a durable stage root
+      // (-Dgraft.stage.dir) both steps survive JVM restarts via
+      // Staging's marker files — the 100 TB contract: an index is built
+      // once, maintained by deltas, and outlives every driver.
+      VectorExpressions.register(s)
+      annIncBuild(s, d)
+      annIncAdmit(s, d)
+      // serving = q150's tail: probes and ADC tables are per-QUERY work
+      // (3 vectors), the staged read is the only corpus-sized input
+      val staged = s.read.parquet(s"${annIncStageDir(d)}/codes")
+      val cent = annIncCentroids(s, d)
+      val queriesOnly = Some(col("vec_id") < AnnQueries)
+      val probes = cellRankedOn(s, d, cent, queriesOnly)
+        .filter(col("rk") <= AnnProbes)
+        .select(col("vec_id").as("q_id"), col("k").as("cell"))
+      val (_, adc) = pqCodesAndAdcOn(s, d, queriesOnly, annIncCbPred)
+      val approx = broadcast(probes).join(staged, "cell")
+        .where(col("vec_id") =!= col("q_id"))
+        .join(broadcast(adc), Seq("q_id", "m", "k"))
+        .groupBy(col("q_id"), col("vec_id"))
+        .agg(sum(col("dn")).as("ad_nano"))
+      shortlistRerank(t(s, d, "embeddings"), approx)
+    }),
+
     "q129_kmeans_train" -> ((s, d) => {
       // k-means codebook TRAINING — closes the loop the quantized-ANN
       // suite leaves open: q73/q100/q110 all take their codebook as an
@@ -686,14 +837,24 @@ object Similarity {
     * SELECTs the codebook) and q143 (which assigns cells from it). One
     * SQL text, two consumers: the training arithmetic can never drift
     * between trainer and server. */
-  private def lloydCtes: String = {
+  private def lloydCtes: String =
+    lloydCtesOn("exn", s"vec_id < $LloydK", "")
+
+  /** Lloyd CTE chain generalized for q151: `trainSrc` is the CTE the
+    * training iterations read (q151 inserts an `exnb` base-only view via
+    * `extra` and trains on it), `seedWhere` picks the cent0 seeds. The
+    * final assignment/probe CTEs downstream still read the full `exn` —
+    * training restriction and assignment coverage are independent, same
+    * as the Spark side's lloydCentroidsOn/cellRankedOn split. */
+  private def lloydCtesOn(trainSrc: String, seedWhere: String,
+      extra: String): String = {
     val step = (t: Int) => {
       val prev = s"cent${t - 1}"
       s"""dist$t AS (
          |  SELECT e.vec_id, c.k,
          |    CAST(sum(CAST(round((e.xd - c.cn/1e9)*(e.xd - c.cn/1e9)*1e9)
          |      AS BIGINT)) AS BIGINT) AS dn
-         |  FROM exn e JOIN $prev c ON e.i = c.i
+         |  FROM $trainSrc e JOIN $prev c ON e.i = c.i
          |  GROUP BY 1, 2),
          |asg$t AS (
          |  SELECT vec_id, k FROM (
@@ -702,7 +863,7 @@ object Similarity {
          |    FROM dist$t) WHERE rn = 1),
          |sums$t AS (
          |  SELECT a.k, e.i, CAST(sum(e.xn) AS BIGINT) AS sn, count(*) AS n
-         |  FROM exn e JOIN asg$t a USING (vec_id) GROUP BY 1, 2),
+         |  FROM $trainSrc e JOIN asg$t a USING (vec_id) GROUP BY 1, 2),
          |cent$t AS (
          |  SELECT c.k, c.i,
          |    CASE WHEN s.n IS NULL THEN c.cn
@@ -716,9 +877,9 @@ object Similarity {
        |  SELECT vec_id, i-1 AS i, CAST(embedding[i] AS DOUBLE) AS xd,
        |    CAST(round(CAST(embedding[i] AS DOUBLE)*1e9) AS BIGINT) AS xn
        |  FROM (SELECT vec_id, embedding, unnest(range(1, ${Dim + 1})) AS i
-       |        FROM embeddings)),
+       |        FROM embeddings))$extra,
        |cent0 AS (
-       |  SELECT vec_id AS k, i, xn AS cn FROM exn WHERE vec_id < $LloydK),
+       |  SELECT vec_id AS k, i, xn AS cn FROM $trainSrc WHERE $seedWhere),
        |${(1 to LloydIters).map(step).mkString(",\n")}""".stripMargin
   }
 
@@ -726,7 +887,22 @@ object Similarity {
     * text shared by q143 (plan-composed form) and q150 (staged serving
     * form), which are bit-identical by construction. */
   private def ivfPqOracle: String =
-    s"""WITH $lloydCtes,
+    ivfPqOracleOn(lloydCtes, "vec_id < 16")
+
+  /** q151's oracle: the SAME unrolled pipeline, with training and the PQ
+    * codebook restricted to the base corpus. Encoding all vectors against
+    * the base codebook in one pass is definitionally equal to the staged
+    * base-encode + delta-append union the Spark side serves from. */
+  private def annIncOracle: String = ivfPqOracleOn(
+    lloydCtesOn("exnb", s"vec_id < $AnnIncSeedBound",
+      s""",
+         |exnb AS (
+         |  SELECT * FROM exn
+         |  WHERE vec_id % $AnnDeltaMod != $AnnDeltaRem)""".stripMargin),
+    s"vec_id < $AnnIncCbBound AND vec_id % $AnnDeltaMod != $AnnDeltaRem")
+
+  private def ivfPqOracleOn(lloyd: String, cbWhere: String): String =
+    s"""WITH $lloyd,
        |celldist AS (
        |  SELECT e.vec_id, c.k,
        |    CAST(sum(CAST(round((e.xd - c.cn/1e9)*(e.xd - c.cn/1e9)*1e9)
@@ -748,7 +924,7 @@ object Similarity {
        |    CAST(embedding[i] AS DOUBLE) AS xd
        |  FROM (SELECT vec_id, embedding, unnest(range(1, ${Dim + 1})) AS i
        |        FROM embeddings)),
-       |cb AS (SELECT vec_id AS k, m, im, xd AS c FROM ex WHERE vec_id < 16),
+       |cb AS (SELECT vec_id AS k, m, im, xd AS c FROM ex WHERE $cbWhere),
        |dist AS (
        |  SELECT e.vec_id, e.m, c.k,
        |    CAST(sum(CAST(round((e.xd - c.c)*(e.xd - c.c)*1e9) AS BIGINT))
@@ -1022,6 +1198,7 @@ object Similarity {
     // the staged form shares the composed pipeline's oracle verbatim,
     // exactly as q105 shares q63's
     "q150_staged_ann" -> ivfPqOracle,
+    "q151_ann_delta" -> annIncOracle,
     "q72_centroids" ->
       s"""SELECT label, CAST(i AS BIGINT) AS i,
          |  round(avg(CAST(embedding[i] AS DOUBLE))*1e6)/1e6 AS mean6,
