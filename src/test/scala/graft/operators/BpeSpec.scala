@@ -1,0 +1,52 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** q152 — the BPE merge step must be GREEDY LEFT-TO-RIGHT NON-OVERLAPPING
+  * (the tokenizer-training contract both engines must agree on; the
+  * oracle spells the same semantics positionally with window functions,
+  * so these are the cases where a wrong fold would diverge).
+  */
+class BpeSpec extends SparkSpec {
+
+  private def merge(syms: Seq[String], a: String, b: String): Seq[String] = {
+    import spark.implicits._
+    Seq(syms).toDF("syms")
+      .withColumn("ba", lit(a)).withColumn("bb", lit(b))
+      .withColumn("merged", expr(TextAnalysis.bpeMergeExpr))
+      .select("merged").as[Seq[String]].head()
+  }
+
+  test("greedy non-overlapping merge: the run-alternation cases") {
+    // odd run of an (x, x) pair: merge 1st+2nd, 3rd survives alone
+    assert(merge(Seq("a", "a", "a"), "a", "a") == Seq("aa", "a"))
+    // even run: two disjoint merges
+    assert(merge(Seq("a", "a", "a", "a"), "a", "a") == Seq("aa", "aa"))
+    // disjoint occurrences both merge
+    assert(merge(Seq("a", "b", "a", "b"), "a", "b") == Seq("ab", "ab"))
+    // the (b, a) pair on the same word: only the interior occurrence
+    assert(merge(Seq("a", "b", "a", "b"), "b", "a") == Seq("a", "ba", "b"))
+    // a merged symbol never chains into a second merge in the same pass
+    assert(merge(Seq("x", "y", "y"), "x", "y") == Seq("xy", "y"))
+    // absent pair: identity
+    assert(merge(Seq("a", "b"), "b", "b") == Seq("a", "b"))
+    // single symbol: identity
+    assert(merge(Seq("q"), "a", "b") == Seq("q"))
+  }
+
+  test("q152: merge table has one row per round, integer counts, rounds ordered") {
+    val rows = graft.SparkEntry.queries("q152_bpe_train")(spark, sf0001)
+      .collect()
+    assert(rows.length == TextAnalysis.BpeRounds)
+    assert(rows.map(_.getLong(0)).toSeq ==
+      (1 to TextAnalysis.BpeRounds).map(_.toLong))
+    // counts are corpus-weighted and monotone non-increasing is NOT
+    // guaranteed (a merged symbol can create a hotter pair), but every
+    // count is positive and every merged pair is two non-empty symbols
+    rows.foreach { r =>
+      assert(r.getLong(3) > 0)
+      assert(r.getString(1).nonEmpty && r.getString(2).nonEmpty)
+    }
+  }
+}
