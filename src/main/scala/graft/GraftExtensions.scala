@@ -52,6 +52,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("wav_fmt"),
       new ExpressionInfo(classOf[graft.functions.WavFmt].getName, "wav_fmt"),
       (exprs: Seq[Expression]) => graft.functions.WavFmt(exprs.head)))
+    e.injectFunction((FunctionIdentifier("wav_pcm"),
+      new ExpressionInfo(classOf[graft.functions.WavPcmStats].getName, "wav_pcm"),
+      (exprs: Seq[Expression]) => graft.functions.WavPcmStats(exprs.head)))
     // Spark's own runtime-filter bloom pair, exposed as SQL (see
     // graft.functions.BloomFunctions for why they aren't already)
     e.injectFunction((FunctionIdentifier("bloom_agg"),

@@ -49,6 +49,50 @@ object WavHeader {
       dataBytes < 0) return null
     InternalRow(channels, rate, bits, dataBytes / block)
   }
+
+  /** PCM sample statistics over the data chunk — the feature-extraction
+    * step past q146's header decode: the amplitude stream actually parsed
+    * from the payload bytes (8-bit WAV is UNSIGNED with midpoint 128, so
+    * amp = v - 128; 16-bit is signed little-endian), reduced to
+    * struct(n_samples, amp_min, amp_max, amp_sum, amp_sumsq) — count/
+    * min/max/sum/sum-of-squares are the 1BRC-style mergeable state, and
+    * sumsq stays exact in a BIGINT (≤ 2^30 per 16-bit sample). Null for
+    * anything wav_fmt would reject, and for PCM widths other than 8/16. */
+  def pcmStats(b: Array[Byte]): InternalRow = {
+    if (b == null || b.length < 12) return null
+    if (!tag(b, 0, "RIFF") || !tag(b, 8, "WAVE")) return null
+    var pos = 12
+    var bits = -1L; var dataPos = -1; var dataBytes = -1
+    while (pos + 8 <= b.length) {
+      val size = le32(b, pos + 4)
+      if (size < 0 || pos + 8 + size > b.length) return null
+      if (tag(b, pos, "fmt ") && size >= 16) {
+        if (le16(b, pos + 8) != 1L) return null // PCM only
+        bits = le16(b, pos + 22)
+      } else if (tag(b, pos, "data")) {
+        dataPos = pos + 8; dataBytes = size.toInt
+      }
+      pos += 8 + size.toInt + (size.toInt & 1) // chunks are word-aligned
+    }
+    if (dataPos < 0 || (bits != 8L && bits != 16L)) return null
+    val bytesPer = (bits / 8).toInt
+    val n = dataBytes / bytesPer
+    var i = 0
+    var mn = Long.MaxValue; var mx = Long.MinValue
+    var sum = 0L; var sumsq = 0L
+    while (i < n) {
+      val amp: Long =
+        if (bytesPer == 1) (b(dataPos + i) & 0xFF).toLong - 128L
+        else (((b(dataPos + 2 * i) & 0xFF) |
+          (b(dataPos + 2 * i + 1) << 8)).toShort).toLong
+      if (amp < mn) mn = amp
+      if (amp > mx) mx = amp
+      sum += amp; sumsq += amp * amp
+      i += 1
+    }
+    if (n == 0) InternalRow(0L, null, null, 0L, 0L)
+    else InternalRow(n.toLong, mn, mx, sum, sumsq)
+  }
 }
 
 /** wav_fmt(content) -> struct<channels, sample_rate, bits_per_sample,
@@ -76,8 +120,37 @@ case class WavFmt(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** wav_pcm(content) -> struct<n_samples, amp_min, amp_max, amp_sum,
+  * amp_sumsq: long>, null for non-PCM-WAV bytes (amp_min/amp_max null
+  * when the data chunk is empty). */
+case class WavPcmStats(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_samples", LongType), StructField("amp_min", LongType),
+    StructField("amp_max", LongType), StructField("amp_sum", LongType),
+    StructField("amp_sumsq", LongType)))
+  override def nullable: Boolean = true
+  override def prettyName: String = "wav_pcm"
+
+  override def nullSafeEval(v: Any): Any =
+    WavHeader.pcmStats(v.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, b => {
+      s"""
+         |${ev.value} = graft.functions.WavHeader.pcmStats($b);
+         |${ev.isNull} = (${ev.value} == null);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object WavFunctions {
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "wav_fmt", exprs => WavFmt(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "wav_pcm", exprs => WavPcmStats(exprs.head), "built-in")
+  }
 }

@@ -164,6 +164,30 @@ object Multimodal {
           col("h.bits_per_sample").as("bits_per_sample"),
           col("h.n_frames").as("n_frames"), col("n_bytes"))
         .orderBy("name")
+    }),
+
+    "q156_wav_pcm" -> ((s, d) => {
+      // PCM feature extraction — the step PAST header decode: wav_pcm
+      // walks to the data chunk and parses the actual amplitude stream
+      // (8-bit unsigned-midpoint-128 / 16-bit signed LE), reducing it
+      // in-expression to count/min/max/sum/sum-of-squares — the 1BRC
+      // mergeable state, exact BIGINTs (sumsq ≤ 2^30 per sample). The
+      // payload never leaves the scan as rows: one codegen expression
+      // turns each blob into a 5-field struct, so at 100 TB the shuffle
+      // carries ~40 bytes per asset, not the audio. Oracle = the
+      // generation manifest's expected stats, computed from the same
+      // sample formula the fixture writer used (ground truth by
+      // construction — the q144/q146 contract).
+      graft.functions.WavFunctions.register(s)
+      s.read.format("binaryFile")
+        .option("pathGlobFilter", "*.wav")
+        .load(graft.Fixtures.path("wav"))
+        .select(element_at(split(col("path"), "/"), -1).as("name"),
+          expr("wav_pcm(content)").as("p"))
+        .select(col("name"), col("p.n_samples").as("n_samples"),
+          col("p.amp_min").as("amp_min"), col("p.amp_max").as("amp_max"),
+          col("p.amp_sum").as("amp_sum"), col("p.amp_sumsq").as("amp_sumsq"))
+        .orderBy("name")
     })
   )
 
@@ -176,6 +200,14 @@ object Multimodal {
         |  CAST(bits_per_sample AS BIGINT) AS bits_per_sample,
         |  CAST(n_frames AS BIGINT) AS n_frames,
         |  CAST(n_bytes AS BIGINT) AS n_bytes
+        |FROM read_csv('${graft.Fixtures.path("wav")}/manifest.csv', header=true)
+        |ORDER BY name""".stripMargin,
+    "q156_wav_pcm" ->
+      s"""SELECT name, CAST(n_samples AS BIGINT) AS n_samples,
+        |  CAST(amp_min AS BIGINT) AS amp_min,
+        |  CAST(amp_max AS BIGINT) AS amp_max,
+        |  CAST(amp_sum AS BIGINT) AS amp_sum,
+        |  CAST(amp_sumsq AS BIGINT) AS amp_sumsq
         |FROM read_csv('${graft.Fixtures.path("wav")}/manifest.csv', header=true)
         |ORDER BY name""".stripMargin,
     "q144_png_ingest" ->

@@ -1037,7 +1037,46 @@ object Relational {
         element_at(col("embedding"), size(col("embedding"))).as("e_last"),
         r6(aggregate(col("embedding"), lit(0.0),
           (acc, x) => acc + x.cast("double") * x.cast("double"))).as("sq_norm"))
-        .orderBy("vec_id"))
+        .orderBy("vec_id")),
+
+    "q155_incremental_rollup" -> ((s, d) => {
+      // Incrementally-maintained aggregate table — the nightly-rollup
+      // shape, q78's staging discipline applied to AGGREGATION (and the
+      // batch ancestor of q95's streaming windows): per-(day, event_type)
+      // partial states over the CLOSED history (ts before the open day)
+      // are materialized once into a staged parquet rollup; each query
+      // then aggregates only the open day's delta — a literal timestamp
+      // predicate the scan pushes down, so history is never rescanned —
+      // and merges by RE-AGGREGATING the union of partial states.
+      // count/sum/min/max are mergeable, so merge == full recompute
+      // bit-exactly, which the oracle (a flat aggregate over ALL events)
+      // verifies on every run. Late-arriving history would land in its
+      // existing (day, type) group through the same union re-agg — no
+      // special case. Money is integer cents (the Tables contract), so
+      // partial sums merge exactly in any order. Per-query cost:
+      // O(delta) + O(|rollup|), not O(history); the stage invalidates
+      // with the corpus via Dedup.invalidateClusters.
+      val cut = lit(java.sql.Timestamp.valueOf("2024-01-30 00:00:00"))
+      def partial(ev: DataFrame) = ev
+        .select(to_date(col("ts")).as("day"), col("event_type"),
+          cents(col("value")).as("cents"))
+        .groupBy(col("day"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("total_cents"),
+          min(col("cents")).as("min_cents"), max(col("cents")).as("max_cents"))
+      val dir = graft.Staging.dirFor("rollup", d)
+      graft.Staging.once(dir) {
+        partial(events(s, d).filter(col("ts") < cut))
+          .write.mode("overwrite").parquet(dir)
+      }
+      partial(events(s, d).filter(col("ts") >= cut))
+        .unionByName(s.read.parquet(dir))
+        .groupBy(col("day"), col("event_type"))
+        .agg(sum(col("n_events")).as("n_events"),
+          sum(col("total_cents")).as("total_cents"),
+          min(col("min_cents")).as("min_cents"),
+          max(col("max_cents")).as("max_cents"))
+        .orderBy("day", "event_type")
+    })
   )
 
   // ---- oracles -------------------------------------------------------------
@@ -1458,6 +1497,16 @@ object Relational {
         |  embedding[len(embedding)] AS e_last,
         |  round(list_sum(list_transform(embedding,
         |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))*1e6)/1e6 AS sq_norm
-        |FROM embeddings ORDER BY vec_id""".stripMargin
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+    // the oracle recomputes the rollup FLAT over all events — equality
+    // proves the staged-base + delta merge reproduces the full aggregate
+    "q155_incremental_rollup" ->
+      """SELECT CAST(ts AS DATE) AS day, event_type,
+        |  count(*) AS n_events,
+        |  CAST(sum(cents) AS BIGINT) AS total_cents,
+        |  min(cents) AS min_cents, max(cents) AS max_cents
+        |FROM (SELECT ts, event_type,
+        |        CAST(round(value * 100) AS BIGINT) AS cents FROM events)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 }

@@ -31,6 +31,16 @@ object TextAnalysis {
     * never drift. */
   val PackBudget = 2048L
 
+  /** BM25 retrieval query set (q153): (query_id, term) pairs. ONE shared
+    * definition renders both the Spark literal frame and the oracle's
+    * VALUES list, so the two sides cannot drift. */
+  private val Bm25Queries: Seq[(Long, String)] = Seq(
+    0L -> "spark", 0L -> "join", 0L -> "fast",
+    1L -> "customer", 1L -> "order", 1L -> "line",
+    2L -> "vector", 2L -> "window")
+  private def bm25ValuesSql: String =
+    Bm25Queries.map { case (q, term) => s"($q, '$term')" }.mkString(", ")
+
   /** Token-budget batch packing over a (source, doc_id, n_tokens) frame:
     * batch = floor(exclusive-cumsum / budget) per `source` shard — each
     * shard packs independently in parallel (the 100 TB formulation of an
@@ -724,6 +734,100 @@ object TextAnalysis {
         .select(col("doc_id"), col("lang"), col("n_chars"), col("key"))
         .orderBy(col("key"), col("doc_id"))
         .limit(50)
+    }),
+
+    "q153_bm25" -> ((s, d) => {
+      // BM25 top-k sparse retrieval — the lexical half of hybrid search
+      // next to the ANN stack (q127/q143): score documents against a fixed
+      // query set with Robertson BM25 (k1=1.2, b=0.75). Distributed shape
+      // is the inverted-index join: the corpus collapses map-side to
+      // (doc, term, tf) postings; the tiny query table BROADCASTS onto the
+      // postings so only documents containing a query term ever leave the
+      // scan (posting-list candidates — work is O(matching postings),
+      // never O(corpus × queries)); df is computed only for query terms
+      // and broadcast back; N/avgdl ride a lazy 1-row crossJoin (the q85
+      // idiom). Per-term contributions are quantized to integer
+      // micro-units BEFORE the per-(query, doc) sum, so scores are exact
+      // BIGINTs in any aggregation order; the top-10 ranks on
+      // (score desc, doc_id) — fully deterministic. The one window
+      // partitions by query_id over posting-bounded candidates only.
+      import s.implicits._
+      val queries = Bm25Queries.toDF("query_id", "term")
+      val tf = t(s, d, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+        // postings feed dl, df AND the scoring join — one shuffle, reused
+        .transform(graft.CacheRegistry.cached)
+      val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+      val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot"))
+      val dfq = tf
+        .join(broadcast(queries.select(col("term")).distinct), "term")
+        .groupBy(col("term")).agg(count(lit(1)).as("df"))
+      // idf * tf-normalization, spelled with the oracle's exact
+      // parenthesization so both engines run the identical double ops
+      val avgdl = col("tot").cast("double") / col("n_docs")
+      val idf = log(lit(1.0) +
+        (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+      val tfn = (col("tf") * lit(2.2)) /
+        (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / avgdl))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("score_micro").desc, col("doc_id"))
+      tf.join(broadcast(queries), "term")
+        .join(broadcast(dfq), "term")
+        .join(dl, "doc_id").crossJoin(stats)
+        .withColumn("c", round(idf * tfn * lit(1e6)).cast("long"))
+        .groupBy(col("query_id"), col("doc_id"))
+        .agg(sum(col("c")).as("score_micro"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 10)
+        .select(col("query_id"), col("doc_id"), col("score_micro"), col("rk"))
+        .orderBy("query_id", "rk")
+    }),
+
+    "q154_bigram_lm" -> ((s, d) => {
+      // bigram-LM surprisal — q118's unigram scorer at n-gram order 2, one
+      // step toward the KenLM quality filter: score each document by the
+      // mean negative log-probability of its token TRANSITIONS under the
+      // corpus's own add-one-smoothed bigram model,
+      // p(w2|w1) = (c(w1,w2)+1) / (c(w1·)+V). A doc full of common words
+      // in an uncommon ORDER now scores high where q118 cannot see it.
+      // Distributed shape: adjacent pairs come from an in-row array
+      // transform (no positional self-join over the token stream), then
+      // collapse map-side to (doc, w1, w2, tf); the model join keys on
+      // the distinct doc-bigram pairs, never raw positions; the bigram
+      // model side is a shuffle join (web-scale bigram vocabs don't
+      // broadcast); context counts c(w1·) roll up from the bigram counts
+      // themselves. Per-transition surprisal is quantized to integer
+      // nanounits BEFORE the tf-weighted sum (exact BIGINT doc scores in
+      // any aggregation order); mean is integer division both engines.
+      // Docs with < 2 tokens have no transitions and drop out in both.
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .filter(size(col("toks")) >= 2)
+      val tfbg = docs
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(toks) - 1), " +
+            "i -> struct(toks[i - 1] AS w1, toks[i] AS w2))")).as("bg"))
+        .select(col("doc_id"), col("bg.w1"), col("bg.w2"))
+        .groupBy(col("doc_id"), col("w1"), col("w2"))
+        .agg(count(lit(1)).as("tf"))
+        // feeds the model counts AND the scoring probe — one shuffle
+        .transform(graft.CacheRegistry.cached)
+      val c2 = tfbg.groupBy(col("w1"), col("w2")).agg(sum(col("tf")).as("c2"))
+      val c1 = c2.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
+      val v = t(s, d, "documents")
+        .select(explode(split(col("text"), " ")).as("term"))
+        .agg(count_distinct(col("term")).as("v"))
+      tfbg.join(c2, Seq("w1", "w2")).join(c1, Seq("w1")).crossJoin(v)
+        .withColumn("lp_n",
+          round(log((col("c1") + col("v")) / (col("c2") + lit(1.0))) * 1e9)
+            .cast("long"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("tf")).as("n_bigrams"),
+          sum(col("tf") * col("lp_n")).as("surprisal_nano"))
+        .withColumn("mean_surprisal_nano",
+          expr("surprisal_nano div n_bigrams"))
+        .orderBy("doc_id")
     })
   )
 
@@ -1063,6 +1167,48 @@ object TextAnalysis {
          |    $scoreCols
          |    FROM (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents)))
          |ORDER BY doc_id""".stripMargin
-    }
+    },
+    "q153_bm25" ->
+      s"""WITH q(query_id, term) AS (VALUES $bm25ValuesSql),
+         |tokens AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM tokens GROUP BY 1, 2),
+         |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+         |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |                 CAST(sum(dl) AS BIGINT) AS tot FROM dl),
+         |df AS (SELECT term, count(*) AS df FROM tf
+         |       JOIN (SELECT DISTINCT term FROM q) USING (term) GROUP BY term),
+         |contrib AS (
+         |  SELECT query_id, doc_id,
+         |    CAST(round(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+         |      * ((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl
+         |          / (CAST(tot AS DOUBLE) / n_docs))))
+         |      * 1e6) AS BIGINT) AS c
+         |  FROM tf JOIN q USING (term) JOIN df USING (term)
+         |  JOIN dl USING (doc_id) CROSS JOIN stats),
+         |scored AS (SELECT query_id, doc_id, CAST(sum(c) AS BIGINT) AS score_micro
+         |           FROM contrib GROUP BY 1, 2),
+         |ranked AS (SELECT query_id, doc_id, score_micro,
+         |  CAST(row_number() OVER (PARTITION BY query_id
+         |    ORDER BY score_micro DESC, doc_id) AS BIGINT) AS rk FROM scored)
+         |SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, score_micro, rk
+         |FROM ranked WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin,
+    "q154_bigram_lm" ->
+      """WITH docs AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |bg AS (SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+        |       FROM docs, unnest(generate_series(1, len(toks) - 1)) AS t(i)
+        |       WHERE len(toks) >= 2),
+        |tfbg AS (SELECT doc_id, w1, w2, count(*) AS tf FROM bg GROUP BY 1, 2, 3),
+        |c2 AS (SELECT w1, w2, CAST(sum(tf) AS BIGINT) AS c2 FROM tfbg GROUP BY 1, 2),
+        |c1 AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1 FROM c2 GROUP BY 1),
+        |v AS (SELECT CAST(count(DISTINCT term) AS BIGINT) AS v FROM (
+        |  SELECT unnest(string_split(text, ' ')) AS term FROM documents)),
+        |lp AS (SELECT doc_id, tf,
+        |  CAST(round(ln((c1 + v) / (c2 + 1.0)) * 1e9) AS BIGINT) AS lp_n
+        |  FROM tfbg JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v)
+        |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
+        |  CAST(sum(tf * lp_n) AS BIGINT) AS surprisal_nano,
+        |  CAST(sum(tf * lp_n) // sum(tf) AS BIGINT) AS mean_surprisal_nano
+        |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
 }

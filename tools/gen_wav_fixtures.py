@@ -52,15 +52,33 @@ FIXTURES = [  # (name, sample_rate, channels, bits, n_frames, pre_chunks)
     ("wav_f.wav", 11025, 1, 8, 33, ((b"LIST", b"\x05" * 7),)),
 ]
 
+def pcm_stats(sr, ch, bits, nf):
+    """Expected PCM amplitude stats (q156's oracle), computed from the
+    SAME sample formula wav() writes — ground truth by construction.
+    8-bit WAV is unsigned with midpoint 128, so amp = v - 128; 16-bit is
+    signed."""
+    amps = []
+    for i in range(nf):
+        for c in range(ch):
+            if bits == 16:
+                amps.append(((i * 37 + c * 11) % 65536) - 32768)
+            else:
+                amps.append(((i * 37 + c * 11) % 256) - 128)
+    n = len(amps)
+    return (n, min(amps), max(amps), sum(amps), sum(a * a for a in amps))
+
 def main():
     os.makedirs(OUT, exist_ok=True)
     with open(os.path.join(OUT, "manifest.csv"), "w") as mf:
-        mf.write("name,channels,sample_rate,bits_per_sample,n_frames,n_bytes\n")
+        mf.write("name,channels,sample_rate,bits_per_sample,n_frames,n_bytes,"
+                 "n_samples,amp_min,amp_max,amp_sum,amp_sumsq\n")
         for name, sr, ch, bits, nf, pre in FIXTURES:
             data = wav(sr, ch, bits, nf, pre)
             with open(os.path.join(OUT, name), "wb") as f:
                 f.write(data)
-            mf.write(f"{name},{ch},{sr},{bits},{nf},{len(data)}\n")
+            n, mn, mx, s, sq = pcm_stats(sr, ch, bits, nf)
+            mf.write(f"{name},{ch},{sr},{bits},{nf},{len(data)},"
+                     f"{n},{mn},{mx},{s},{sq}\n")
             print(f"{name}: {sr}Hz x{ch} {bits}bit {nf}f {len(data)} bytes")
 
 if __name__ == "__main__":
