@@ -55,6 +55,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("wav_pcm"),
       new ExpressionInfo(classOf[graft.functions.WavPcmStats].getName, "wav_pcm"),
       (exprs: Seq[Expression]) => graft.functions.WavPcmStats(exprs.head)))
+    e.injectFunction((FunctionIdentifier("topk_rows"),
+      new ExpressionInfo(classOf[graft.functions.TopKRowsAgg].getName, "topk_rows"),
+      (exprs: Seq[Expression]) => graft.functions.TopKRowsAgg(exprs(0), exprs(1))))
     // Spark's own runtime-filter bloom pair, exposed as SQL (see
     // graft.functions.BloomFunctions for why they aren't already)
     e.injectFunction((FunctionIdentifier("bloom_agg"),

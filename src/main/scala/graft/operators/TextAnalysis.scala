@@ -41,6 +41,43 @@ object TextAnalysis {
   private def bm25ValuesSql: String =
     Bm25Queries.map { case (q, term) => s"($q, '$term')" }.mkString(", ")
 
+  /** One oracle text for q85 AND its bounded-state twin q157 (identical
+    * output by construction — see tfidfScored). */
+  private val TfidfOracleSql =
+    """WITH tokens AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM tokens GROUP BY 1, 2),
+      |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      |n AS (SELECT count(*) AS n FROM documents),
+      |scored AS (
+      |  SELECT doc_id, term, tf, df,
+      |    tf * (ln((n + 1.0) / (df + 1.0)) + 1.0) AS tfidf
+      |  FROM tf JOIN df USING (term) CROSS JOIN n),
+      |ranked AS (SELECT doc_id, term, tf, df, tfidf,
+      |  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS BIGINT) AS rn
+      |  FROM scored)
+      |SELECT doc_id, term, tf, df, round(tfidf*1e6)/1e6 AS tfidf6, rn
+      |FROM ranked WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin
+
+  /** (doc_id, term, tf, df, n_docs, tfidf) scored frame shared by q85
+    * (window rank) and q157 (bounded-state topk_rows) — ONE definition, so
+    * the two physical strategies can never drift. */
+  private def tfidfScored(s: SparkSession, d: String): DataFrame = {
+    val tokens = t(s, d, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+    val tf = tokens.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"))
+    // corpus size as a lazy 1-row crossJoin (broadcast NLJ), exactly like
+    // the oracle's CROSS JOIN n — a driver-side .count() here would be an
+    // eager full scan of `documents` before the real query even starts
+    val n = t(s, d, "documents").agg(count(lit(1)).as("n_docs"))
+    tf.join(df, "term").crossJoin(n)
+      .withColumn("tfidf",
+        col("tf") * (log((col("n_docs") + 1.0) / (col("df") + lit(1.0))) + 1.0))
+  }
+
   /** Token-budget batch packing over a (source, doc_id, n_tokens) frame:
     * batch = floor(exclusive-cumsum / budget) per `source` shard — each
     * shard packs independently in parallel (the 100 TB formulation of an
@@ -527,26 +564,40 @@ object TextAnalysis {
       // TF-IDF with smoothed idf = ln((N+1)/(df+1)) + 1; top-3 terms per
       // document. tf/df are exact integers; ties in tfidf (equal tf AND
       // equal df) break on the term string, so ranking is deterministic.
-      val tokens = t(s, d, "documents")
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
-      val tf = tokens.groupBy(col("doc_id"), col("term"))
-        .agg(count(lit(1)).as("tf"))
-      val df = tf.groupBy(col("term"))
-        .agg(count(lit(1)).as("df"))
-      // corpus size as a lazy 1-row crossJoin (broadcast NLJ), exactly like
-      // the oracle's CROSS JOIN n — a driver-side .count() here would be an
-      // eager full scan of `documents` before the real query even starts
-      val n = t(s, d, "documents").agg(count(lit(1)).as("n_docs"))
+      // This is the REFERENCE form (window rank); q157 reproduces it with
+      // an O(k)-state aggregate and shares the oracle verbatim.
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("doc_id"))
         .orderBy(col("tfidf").desc, col("term"))
-      tf.join(df, "term").crossJoin(n)
-        .withColumn("tfidf",
-          col("tf") * (log((col("n_docs") + 1.0) / (col("df") + lit(1.0))) + 1.0))
+      tfidfScored(s, d)
         .withColumn("rn", row_number().over(w).cast("long"))
         .filter(col("rn") <= 3)
         .select(col("doc_id"), col("term"), col("tf"), col("df"),
           (round(col("tfidf") * 1e6) / 1e6).as("tfidf6"), col("rn"))
+        .orderBy("doc_id", "rn")
+    }),
+
+    "q157_topk_agg" -> ((s, d) => {
+      // q85's top-3-per-doc via the topk_rows bounded-state aggregate —
+      // the q88/q108 same-oracle-different-physical-strategy move applied
+      // to the window-rank idiom. The window form materializes EVERY
+      // (doc, term) row of a partition in WindowExec's sort buffer; this
+      // form keeps exactly k=3 rows per group at all times and combines
+      // MAP-SIDE, so a hot group's rows collapse to k per input partition
+      // before the shuffle — the 100 TB answer to top-k per key when
+      // groups are huge or skewed. Identical output (same score, same
+      // tie-break, rank = array index + 1): shares q85's oracle VERBATIM,
+      // and the scored frame is ONE definition (tfidfScored).
+      graft.functions.TopKRowsAgg.register(s)
+      tfidfScored(s, d)
+        .groupBy(col("doc_id"))
+        .agg(expr("topk_rows(struct(tfidf, term, tf, df), 3)").as("top"))
+        .select(col("doc_id"),
+          posexplode(col("top")).as(Seq("i", "r")))
+        .select(col("doc_id"), col("r.term").as("term"), col("r.tf").as("tf"),
+          col("r.df").as("df"),
+          (round(col("r.tfidf") * 1e6) / 1e6).as("tfidf6"),
+          (col("i") + 1).cast("long").as("rn"))
         .orderBy("doc_id", "rn")
     }),
 
@@ -1095,21 +1146,9 @@ object TextAnalysis {
          |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
          |  FROM documents),
          |${packSql("toks")}""".stripMargin,
-    "q85_tfidf" ->
-      """WITH tokens AS (
-        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
-        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tokens GROUP BY 1, 2),
-        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
-        |n AS (SELECT count(*) AS n FROM documents),
-        |scored AS (
-        |  SELECT doc_id, term, tf, df,
-        |    tf * (ln((n + 1.0) / (df + 1.0)) + 1.0) AS tfidf
-        |  FROM tf JOIN df USING (term) CROSS JOIN n),
-        |ranked AS (SELECT doc_id, term, tf, df, tfidf,
-        |  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS BIGINT) AS rn
-        |  FROM scored)
-        |SELECT doc_id, term, tf, df, round(tfidf*1e6)/1e6 AS tfidf6, rn
-        |FROM ranked WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin,
+    "q85_tfidf" -> TfidfOracleSql,
+    // q157 = q85 under a different physical strategy; one oracle text
+    "q157_topk_agg" -> TfidfOracleSql,
     "q118_lm_surprisal" ->
       """WITH tokens AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),

@@ -187,6 +187,18 @@ class PipelineOpsSpec extends SparkSpec {
     assert(rows.map(_.getLong(3)).distinct.length > 1)
   }
 
+  test("q157: bounded-state top-k ≡ q85's window rank, with no WindowExec") {
+    val a = TextAnalysis.queries("q85_tfidf")(spark, sf0001).collect().toSeq
+    val q = TextAnalysis.queries("q157_topk_agg")(spark, sf0001)
+    assert(q.collect().toSeq == a,
+      "topk_rows must reproduce the window form bit-exactly")
+    // physical strategy: an O(k)-state ObjectHashAggregate, never a window
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"q157 planned a window:\n$plan")
+    assert(plan.contains("ObjectHashAggregate"),
+      s"topk_rows should execute as ObjectHashAggregate:\n$plan")
+  }
+
   test("q155: staged rollup == flat recompute; stage written once per corpus") {
     import graft.Staging
     val dir = Staging.dirFor("rollup", sf0001)
