@@ -31,6 +31,7 @@ object SparkEntry {
       sources.XmlStage.queries ++
       sources.PartitionedStage.queries ++
       sources.BucketedStage.queries ++
+      sources.CompactionStage.queries ++
       streaming.Streaming.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -50,5 +51,6 @@ object SparkEntry {
       sources.XmlStage.oracle ++
       sources.PartitionedStage.oracle ++
       sources.BucketedStage.oracle ++
+      sources.CompactionStage.oracle ++
       streaming.Streaming.oracle
 }
