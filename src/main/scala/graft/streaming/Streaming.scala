@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 import org.apache.spark.sql.types._
 import graft.Tables._
 
@@ -39,6 +39,76 @@ class RunningSpendProcessor
       SpendRun(key, r.event_id, s.n, s.cents)
     }
     st.update(s)
+    out.iterator
+  }
+}
+
+/** Typed rows for q159's timer-driven sessionizer. `ts` keeps its
+  * TimestampType so the event-time watermark metadata survives the typed
+  * conversion (dropping the watermark column would demote the stream to
+  * no-event-time and timers could never fire). */
+case class SessEvent(user_id: Long, ts: java.sql.Timestamp, ts_us: Long,
+    cts: Long)
+case class SessOut(user_id: Long, session_start_us: Long, n_events: Long,
+    total_cents: Long)
+
+/** Timer-driven sessionization (q159): the inactivity-timeout pattern on
+  * Spark 4's transformWithState TIMER API — the piece q126's ValueState
+  * demo doesn't touch. Events buffer in a ListState; every batch re-arms
+  * ONE event-time timer at (last buffered ts + gap); when the watermark
+  * passes it — i.e. the key has been silent for the whole gap — the
+  * buffered events split into sessions by the oracle's gap>30min rule and
+  * emit, and the state clears. Rows are emitted ONLY from
+  * handleExpiredTimer, never from handleInputRows: output is
+  * timeout-driven, exactly how a production session store evicts. State
+  * per key is O(open-session events) + one timer; both die at the
+  * timeout. Money is integer cents (exact in any order); session bounds
+  * sort the buffered (ts, cts) pairs — microsecond event times make the
+  * 30-minute boundary tie unobservable. */
+class SessionTimerProcessor(gapMs: Long)
+    extends StatefulProcessor[Long, SessEvent, SessOut] {
+  @transient private var buf: ListState[SessEvent] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    buf = getHandle.getListState("buf", Encoders.product[SessEvent],
+      TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[SessEvent],
+      tv: TimerValues): Iterator[SessOut] = {
+    rows.foreach(r => buf.appendValue(r))
+    // single active timer per key: silence = gap past the LAST activity
+    var lastUs = Long.MinValue
+    val it = buf.get()
+    while (it.hasNext) lastUs = math.max(lastUs, it.next().ts_us)
+    val timers = getHandle.listTimers()
+    while (timers.hasNext) getHandle.deleteTimer(timers.next())
+    getHandle.registerTimer(lastUs / 1000 + gapMs)
+    Iterator.empty
+  }
+
+  override def handleExpiredTimer(key: Long, tv: TimerValues,
+      info: ExpiredTimerInfo): Iterator[SessOut] = {
+    // watermark passed last activity + gap, so EVERY buffered event's
+    // session is closed (a newer event would have re-armed the timer)
+    val evs = {
+      val b = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      val it = buf.get()
+      while (it.hasNext) { val e = it.next(); b += ((e.ts_us, e.cts)) }
+      b.sortBy(_._1)
+    }
+    buf.clear()
+    if (evs.isEmpty) return Iterator.empty
+    val out = scala.collection.mutable.ArrayBuffer.empty[SessOut]
+    var start = evs.head._1; var prev = evs.head._1
+    var n = 0L; var cents = 0L
+    for ((ts, c) <- evs) {
+      if (ts - prev > gapMs * 1000) { // oracle rule: gap > 30 min closes
+        out += SessOut(key, start, n, cents)
+        start = ts; n = 0L; cents = 0L
+      }
+      n += 1; cents += c; prev = ts
+    }
+    out += SessOut(key, start, n, cents)
     out.iterator
   }
 }
@@ -85,6 +155,48 @@ object Streaming {
     val s2 = graft.Tables.sessionClone(spark)
     s2.conf.set("spark.sql.shuffle.partitions", n.toString)
     body(s2)
+  }
+
+  /** q159's staged stream input: one file of all real events, then two
+    * sentinel files with later event times. FileStreamSource orders files
+    * by modification time, so each write step's files are stamped with an
+    * explicitly increasing mtime — filesystem timestamp granularity (or
+    * three writes landing in one clock tick) must never reorder arrival,
+    * because a sentinel arriving FIRST would advance the watermark and
+    * drop every real event. */
+  private def sessStreamDir(s: SparkSession, d: String): String = {
+    val dir = graft.Staging.dirFor("sessstream", d)
+    graft.Staging.once(dir) {
+      import s.implicits._
+      def stampParts(mtime: Long, stamped: Set[String]): Set[String] = {
+        val dp = java.nio.file.Paths.get(dir)
+        val parts = java.nio.file.Files.list(dp).iterator()
+        var seen = stamped
+        while (parts.hasNext) {
+          val p = parts.next()
+          if (p.getFileName.toString.startsWith("part-") &&
+              !seen(p.getFileName.toString)) {
+            java.nio.file.Files.setLastModifiedTime(p,
+              java.nio.file.attribute.FileTime.fromMillis(mtime))
+            seen += p.getFileName.toString
+          }
+        }
+        seen
+      }
+      events(s, d)
+        .select(col("user_id"), col("ts"), cents(col("value")).as("cts"))
+        .coalesce(1).write.mode("overwrite").parquet(dir)
+      val t0 = System.currentTimeMillis() - 300000
+      var stamped = stampParts(t0, Set.empty)
+      Seq("2024-02-01 00:00:00", "2024-02-15 00:00:00").zipWithIndex
+        .foreach { case (t, i) =>
+          Seq((-1L, java.sql.Timestamp.valueOf(t), 0L))
+            .toDF("user_id", "ts", "cts")
+            .coalesce(1).write.mode("append").parquet(dir)
+          stamped = stampParts(t0 + 60000L * (i + 1), stamped)
+        }
+    }
+    dir
   }
 
   /** Resolve a memory-sink view into a standalone DataFrame and drop the
@@ -410,6 +522,48 @@ object Streaming {
         .orderBy("event_type")
     }),
 
+    "q159_stream_session_timers" -> ((s, d) => withStreamPartitions(s, 4) { sp =>
+      // the TIMER leg of the transformWithState surface (q126 covers
+      // typed state; q142 covers state reads): inactivity-timeout
+      // sessionization, output driven entirely by event-time timers.
+      // Harness: the staged stream input is (1) ALL real events as one
+      // file — a single first batch, so the 0-delay watermark can never
+      // drop a real event — then (2) two sentinel files (user -1, later
+      // event times), so the watermark advances past every key's
+      // last-activity+gap and every timer fires inside a DATA batch (no
+      // reliance on the no-data-batch heuristic). Sessions equal q96's
+      // batch session_window answer — one oracle text for both.
+      sp.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      import sp.implicits._
+      val dir = sessStreamDir(sp, d)
+      val name = s"graft_sess_${System.nanoTime()}"
+      val sch = StructType(Seq(StructField("user_id", LongType),
+        StructField("ts", TimestampType), StructField("cts", LongType)))
+      val q = sp.readStream.schema(sch).option("maxFilesPerTrigger", "1")
+        .parquet(dir)
+        .withWatermark("ts", "0 seconds")
+        // ts stays for the watermark; ts_us carries the EXACT microsecond
+        // value (Timestamp.getTime is millis — truncating through it
+        // shifted every session_start by its sub-millisecond part)
+        .select(col("user_id"), col("ts"), unix_micros(col("ts")).as("ts_us"),
+          col("cts"))
+        .as[SessEvent]
+        .groupByKey(_.user_id)
+        .transformWithState(new SessionTimerProcessor(30L * 60 * 1000),
+          TimeMode.EventTime(), OutputMode.Append())
+        .writeStream.outputMode("append")
+        .format("memory").queryName(name)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      drainMemorySink(sp, name)
+        .filter(col("user_id") >= 0)
+        .select(timestamp_micros(col("session_start_us")).as("session_start"),
+          col("user_id"), col("n_events"),
+          dollars(col("total_cents")).as("total"))
+        .orderBy("user_id", "session_start")
+    }),
+
     "q96_session_window" -> ((s, d) =>
       // session windows (30-min gap) per user over event time — Spark's
       // built-in session_window; stateful streaming analog in StreamingSpec
@@ -421,6 +575,27 @@ object Streaming {
           col("user_id"), col("n_events"), col("total"))
         .orderBy("user_id", "session_start"))
   )
+
+  /** One oracle text for q96 (batch session_window) AND q159 (its
+    * timer-driven streaming twin): gaps-and-islands — a new session
+    * starts when the gap > 30 minutes. */
+  private val SessionOracleSql =
+    """WITH marked AS (
+      |  SELECT user_id, ts, value,
+      |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |              > INTERVAL 30 MINUTE OR
+      |              lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+      |         THEN 1 ELSE 0 END AS is_new
+      |  FROM events),
+      |sessions AS (
+      |  SELECT user_id, ts, value,
+      |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM marked)
+      |SELECT min(ts) AS session_start, user_id, count(*) AS n_events,
+      |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS DOUBLE)/100.0 AS total
+      |FROM sessions GROUP BY user_id, sid
+      |ORDER BY user_id, session_start""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "q94_stream_onebrc" -> graft.onebrc.OneBrc.brcAggSql(
@@ -476,23 +651,9 @@ object Streaming {
       """SELECT event_type, count(*) AS n,
         |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS DOUBLE)/100.0 AS total
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
-    "q96_session_window" ->
-      // gaps-and-islands: a new session starts when the gap > 30 minutes
-      """WITH marked AS (
-        |  SELECT user_id, ts, value,
-        |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-        |              > INTERVAL 30 MINUTE OR
-        |              lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
-        |         THEN 1 ELSE 0 END AS is_new
-        |  FROM events),
-        |sessions AS (
-        |  SELECT user_id, ts, value,
-        |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
-        |  FROM marked)
-        |SELECT min(ts) AS session_start, user_id, count(*) AS n_events,
-        |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS DOUBLE)/100.0 AS total
-        |FROM sessions GROUP BY user_id, sid
-        |ORDER BY user_id, session_start""".stripMargin
+    "q96_session_window" -> SessionOracleSql,
+    // q159 = the same sessions, produced by timer-driven state eviction
+    "q159_stream_session_timers" -> SessionOracleSql
   )
+
 }

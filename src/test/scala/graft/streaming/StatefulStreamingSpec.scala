@@ -206,4 +206,16 @@ class StatefulStreamingSpec extends SparkSpec {
   }
 
   private def Tables_events() = graft.Tables.events(spark, sf0001)
+
+  test("q159: timer-driven sessions equal the batch session_window answer") {
+    val timers = Streaming.queries("q159_stream_session_timers")(spark, sf0001)
+      .collect().toSeq
+    val batch = Streaming.queries("q96_session_window")(spark, sf0001)
+      .collect().toSeq
+    assert(timers.nonEmpty)
+    assert(timers == batch,
+      s"timer sessions != session_window: ${timers.take(3)} vs ${batch.take(3)}")
+    // no sentinel leakage: every emitted key is a real user
+    assert(timers.forall(_.getLong(1) >= 0))
+  }
 }
