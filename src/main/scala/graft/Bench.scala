@@ -152,7 +152,8 @@ object Bench {
       "q126_transform_with_state", "q127_ann_rerank", "q128_pagerank",
       "q129_kmeans_train", "q143_ivf_pq_rerank", "q144_png_ingest",
       "q150_staged_ann", "q151_ann_delta", "q152_bpe_train",
-      "q153_bm25", "q154_bigram_lm", "q155_incremental_rollup")
+      "q153_bm25", "q154_bigram_lm", "q155_incremental_rollup",
+      "q157_topk_agg", "q158_compaction", "q159_stream_session_timers")
     val headSet = headline.toSet
     val shortJson =
       s"""{"metric":"total","value":$totalStr,"unit":"sec","n_queries":${results.size},$protoJson,"queries":${qJson(results.filter(r => headSet(r._1)))},"sf":"$sfDir"}"""
