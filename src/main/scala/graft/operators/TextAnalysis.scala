@@ -303,6 +303,30 @@ object TextAnalysis {
       .select(col("p.a").as("a"), col("p.b").as("b"), col("wn"))
       .groupBy(col("a"), col("b")).agg(sum(col("wn")).as("n"))
 
+  /** The BPE training loop, shared by q152 (emits the merge table) and
+    * q160 (emits the trained segmentation): per round, count pairs, take
+    * the best, apply it to the state. ONE definition — the chain frames
+    * are registry-cached, so the two queries share each round's compute
+    * in-session (plan-identical subtrees). Returns (final state after
+    * all rounds, merge table). */
+  private def bpeTrain(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    var state = graft.CacheRegistry.cached(bpeInitState(s, d))
+    var merges: DataFrame = null
+    for (r <- 1 to BpeRounds) {
+      val best = graft.CacheRegistry.cached(
+        bpePairCounts(state)
+          .orderBy(col("n").desc, col("a"), col("b")).limit(1))
+      val tagged = best.withColumn("round", lit(r.toLong))
+      merges = if (merges == null) tagged else merges.unionByName(tagged)
+      state = graft.CacheRegistry.cached(
+        state.crossJoin(broadcast(
+            best.select(col("a").as("ba"), col("b").as("bb"))))
+          .withColumn("syms", expr(bpeMergeExpr))
+          .select(col("word"), col("wn"), col("syms")))
+    }
+    (state, merges)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     "q152_bpe_train" -> ((s, d) => {
@@ -320,25 +344,28 @@ object TextAnalysis {
       // and the merge apply is an expression over each word's symbol
       // array — per-round cost is one aggregation + one projection over
       // the vocabulary, never a corpus rescan.
-      var state = graft.CacheRegistry.cached(bpeInitState(s, d))
-      var merges: DataFrame = null
-      for (r <- 1 to BpeRounds) {
-        val best = graft.CacheRegistry.cached(
-          bpePairCounts(state)
-            .orderBy(col("n").desc, col("a"), col("b")).limit(1))
-        val tagged = best.withColumn("round", lit(r.toLong))
-        merges = if (merges == null) tagged else merges.unionByName(tagged)
-        if (r < BpeRounds)
-          state = graft.CacheRegistry.cached(
-            state.crossJoin(broadcast(
-                best.select(col("a").as("ba"), col("b").as("bb"))))
-              .withColumn("syms", expr(bpeMergeExpr))
-              .select(col("word"), col("wn"), col("syms")))
-      }
-      merges
+      bpeTrain(s, d)._2
         .select(col("round"), col("a").as("lhs"), col("b").as("rhs"),
           col("n"))
         .orderBy("round")
+    }),
+
+    "q160_bpe_apply" -> ((s, d) => {
+      // The tokenizer INFERENCE step closing q152's training loop: the
+      // corpus vocabulary under the trained segmentation — every word
+      // with its symbol sequence after all merge rounds, i.e. what the
+      // tokenizer emits for the training corpus. (Classic encode on NEW
+      // text replays the merge table to fixpoint; on the training
+      // vocabulary the single in-order pass IS the trainer's end state —
+      // the oracle-checkable form.) Output carries the per-word token
+      // count and the '|'-joined tokens, so both segmentation and
+      // compression are hash-bound; chain frames are shared with q152
+      // via the registry (one training compute per session).
+      bpeTrain(s, d)._1
+        .select(col("word"), col("wn"),
+          size(col("syms")).cast("long").as("n_tokens"),
+          array_join(col("syms"), "|").as("tokens"))
+        .orderBy("word")
     }),
 
     "q36_bpe_pairs" -> ((s, d) =>
@@ -890,7 +917,18 @@ object TextAnalysis {
     * the position after each merge start. Equivalent to the Spark side's
     * left-to-right fold; BpeSpec pins the overlap cases on both. */
   private def bpeOracleSql: String = {
-    val round = (r: Int) => {
+    val unions = (1 to BpeRounds)
+      .map(r => s"SELECT CAST($r AS BIGINT) AS round, a AS lhs, b AS rhs, n FROM best$r")
+      .mkString("\n|UNION ALL ")
+    s"""WITH $bpeChainCtes
+       |$unions
+       |ORDER BY round""".stripMargin
+  }
+
+  /** One unrolled BPE round as CTE blocks (expand, best pair, eligibility,
+    * run grouping, merge, next state). */
+  private def bpeRoundCtes(r: Int): String = {
+    {
       val prev = s"state${r - 1}"
       s"""exp$r AS (
          |  SELECT word, wn, i, syms[i] AS s, syms[i+1] AS nxt
@@ -923,23 +961,33 @@ object TextAnalysis {
          |  FROM sel$r WHERE NOT consumed GROUP BY word, wn)"""
         .stripMargin
     }
-    val unions = (1 to BpeRounds)
-      .map(r => s"SELECT CAST($r AS BIGINT) AS round, a AS lhs, b AS rhs, n FROM best$r")
-      .mkString("\n|UNION ALL ")
-    s"""WITH state0 AS (
+  }
+
+  /** The shared CTE chain (state0 → state{BpeRounds}) both BPE oracles
+    * build on. */
+  private def bpeChainCtes: String = {
+    val round = bpeRoundCtes _
+    s"""state0 AS (
        |  SELECT word, CAST(count(*) AS BIGINT) AS wn,
        |    list_transform(range(1, length(word)+1),
        |      i -> substr(word, i, 1)) AS syms
        |  FROM (SELECT unnest(string_split(text, ' ')) AS word
        |        FROM documents)
        |  WHERE length(word) >= 2 GROUP BY word),
-       |${(1 to BpeRounds).map(round).mkString(",\n")}
-       |$unions
-       |ORDER BY round""".stripMargin
+       |${(1 to BpeRounds).map(round).mkString(",\n")}""".stripMargin
   }
+
+  /** q160's oracle: the same unrolled chain, final select from the
+    * end-state segmentation instead of the merge table. */
+  private def bpeApplyOracleSql: String =
+    s"""WITH $bpeChainCtes
+       |SELECT word, wn, CAST(len(syms) AS BIGINT) AS n_tokens,
+       |  array_to_string(syms, '|') AS tokens
+       |FROM state$BpeRounds ORDER BY word""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "q152_bpe_train" -> bpeOracleSql,
+    "q160_bpe_apply" -> bpeApplyOracleSql,
     "q36_bpe_pairs" ->
       s"""WITH $charPairsSql
          |SELECT pair, count(*) AS n FROM cpairs

@@ -49,4 +49,28 @@ class BpeSpec extends SparkSpec {
       assert(r.getString(1).nonEmpty && r.getString(2).nonEmpty)
     }
   }
+
+  test("q160: segmentation is lossless and consistent with the merge table") {
+    val seg = graft.SparkEntry.queries("q160_bpe_apply")(spark, sf0001)
+      .collect()
+    val merges = graft.SparkEntry.queries("q152_bpe_train")(spark, sf0001)
+      .collect().map(r => r.getString(1) + r.getString(2)).toSet
+    assert(seg.nonEmpty)
+    seg.foreach { r =>
+      val (word, n, toks) = (r.getString(0), r.getLong(2), r.getString(3))
+      val pieces = toks.split('|')
+      // lossless: concatenating the tokens reproduces the word exactly
+      assert(pieces.mkString == word, s"$word segmented to $toks")
+      assert(pieces.length.toLong == n)
+      // every multi-char token is a product of the learned merges: its
+      // final merge is one of the table's merged symbols
+      pieces.filter(_.length > 1).foreach { p =>
+        assert(merges(p) ||
+          merges.exists(m => p.contains(m)), s"token $p not from merges")
+      }
+    }
+    // the trained segmentation actually compresses: some word has fewer
+    // tokens than characters
+    assert(seg.exists(r => r.getLong(2) < r.getString(0).length))
+  }
 }
