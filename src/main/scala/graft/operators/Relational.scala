@@ -42,6 +42,16 @@ object Relational {
 
   /** One oracle serves both KMV formulations (q56 window, q57 native
     * aggregate): same md5-prefix hashes, same (k-1)/U estimator. */
+  /** Salt fan-out for q161's explicit skew-salted join. */
+  val SaltBuckets = 8
+
+  /** One oracle text for q11 (plain sort-merge join) AND q161 (the same
+    * join under explicit key salting — identical output by construction). */
+  private val JoinAggOracleSql =
+    """SELECT o_orderstatus, count(*) AS n_lines, sum(l_quantity) AS sum_qty
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   private val KmvOracleSql =
     s"""WITH du AS (SELECT DISTINCT l_returnflag, l_partkey FROM lineitem
        |            WHERE l_partkey IS NOT NULL),
@@ -101,6 +111,35 @@ object Relational {
     "q11_join_sortmerge" -> ((s, d) => {
       val li = t(s, d, "lineitem"); val o = t(s, d, "orders")
       li.hint("merge").join(o, li("l_orderkey") === o("o_orderkey"))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_lines"), sum(col("l_quantity")).as("sum_qty"))
+        .orderBy("o_orderstatus")
+    }),
+
+    "q161_salted_join" -> ((s, d) => {
+      // q11's join under EXPLICIT key salting — the manual skew defense
+      // for when AQE's skew-join split can't apply (it only splits
+      // sort-merge/shuffled-hash partitions at stage boundaries; a
+      // pathological single key inside an aggregation-fused stage, or a
+      // pre-AQE engine, needs the classic rewrite). Fact rows scatter
+      // their hot key across SaltBuckets sub-keys via a deterministic
+      // per-row salt; the dim side replicates ×SaltBuckets (an explode —
+      // at scale the replicated dim is still dim-sized × a small
+      // constant); the join matches on (key, salt), so no reducer ever
+      // owns more than 1/SaltBuckets of any key's rows. The salt is
+      // arithmetic on carried columns — no rand(), so the plan stays
+      // deterministic under retries (a rand() salt re-rolls on task
+      // retry and can DUPLICATE join rows). Output is identical to the
+      // unsalted join by construction: q161 shares q11's oracle
+      // verbatim; PlanSpec asserts the exchange actually partitions on
+      // (key, salt).
+      val li = t(s, d, "lineitem")
+        .withColumn("salt", pmod(col("l_linenumber"), lit(SaltBuckets)))
+      val o = t(s, d, "orders")
+        .withColumn("salt",
+          explode(lit((0 until SaltBuckets).toArray)))
+      li.hint("merge").join(o,
+          li("l_orderkey") === o("o_orderkey") && li("salt") === o("salt"))
         .groupBy(col("o_orderstatus"))
         .agg(count(lit(1)).as("n_lines"), sum(col("l_quantity")).as("sum_qty"))
         .orderBy("o_orderstatus")
@@ -1094,10 +1133,8 @@ object Relational {
          |JOIN nation ON c_nationkey = n_nationkey
          |JOIN region ON n_regionkey = r_regionkey
          |GROUP BY n_name, r_name ORDER BY revenue DESC, n_name""".stripMargin,
-    "q11_join_sortmerge" ->
-      """SELECT o_orderstatus, count(*) AS n_lines, sum(l_quantity) AS sum_qty
-        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q11_join_sortmerge" -> JoinAggOracleSql,
+    "q161_salted_join" -> JoinAggOracleSql,
     "q124_join_shufflehash" ->
       """SELECT o_orderpriority, count(*) AS n_lines,
         |  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS DOUBLE)/100.0 AS revenue

@@ -186,6 +186,22 @@ class PlanSpec extends SparkSpec {
       s"SCD2 must shuffle user_id exactly once:\n$p")
   }
 
+  test("q161: salted join partitions on (key, salt) and equals the unsalted join") {
+    val p = plan("q161_salted_join")
+    // the exchanges feeding the join must carry BOTH the key and the salt
+    // — a salt that fell out of the partitioning would rebuild the very
+    // hot partition the rewrite exists to break up
+    val parts = "hashpartitioning\\(([^)]*)\\)".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(parts.exists(c => c.contains("orderkey") && c.contains("salt")),
+      s"no exchange partitions on (key, salt):\n$p")
+    val salted = SparkEntry.queries("q161_salted_join")(spark, sf0001)
+      .collect().toSeq
+    val plain = SparkEntry.queries("q11_join_sortmerge")(spark, sf0001)
+      .collect().toSeq
+    assert(salted == plain, "salting changed the join result")
+  }
+
   test("q143: composed ANN plan has no cartesian and broadcasts codebooks") {
     val p = plan("q143_ivf_pq_rerank")
     assert(!p.contains("CartesianProduct"),
