@@ -116,6 +116,44 @@ object Relational {
         .orderBy("o_orderstatus")
     }),
 
+    "q162_peak_concurrency" -> ((s, d) => {
+      // Peak concurrent sessions per day — the sweep-line op (capacity
+      // planning's standard question) composed from proven pieces:
+      // sessions come from session_window (q96's semantics; window.end
+      // IS last event + gap), each session becomes (+1 at start, -1 at
+      // end) deltas, and the running open-session count is the q108
+      // TWO-PASS prefix sum — within-day running sums partition by day
+      // (bounded window buffers, never one global sort partition), the
+      // carry-in offset is a window over the tiny per-day net frame (one
+      // row per day). Delta order (t, delta) processes an end before a
+      // coincident start — deterministic in both engines; remaining ties
+      // carry equal addends, so the per-day MAX is order-invariant.
+      // Exact integers throughout.
+      val sess = events(s, d)
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("session_window.start").as("st"),
+          col("session_window.end").as("en"))
+      val deltas = sess.select(col("st").as("t"), lit(1L).as("delta"))
+        .unionByName(sess.select(col("en").as("t"), lit(-1L).as("delta")))
+        .withColumn("day", to_date(col("t")))
+      val wIn = Window.partitionBy(col("day"))
+        .orderBy(col("t"), col("delta"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wOff = Window.orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = deltas.groupBy(col("day"))
+        .agg(sum(col("delta")).as("net"))
+        .withColumn("off", coalesce(sum(col("net")).over(wOff), lit(0L)))
+        .select(col("day"), col("off"))
+      deltas
+        .withColumn("c_in", sum(col("delta")).over(wIn))
+        .join(offsets, "day")
+        .groupBy(col("day"))
+        .agg(max(col("c_in") + col("off")).as("peak"))
+        .orderBy("day")
+    }),
+
     "q161_salted_join" -> ((s, d) => {
       // q11's join under EXPLICIT key salting — the manual skew defense
       // for when AQE's skew-join split can't apply (it only splits
@@ -1135,6 +1173,32 @@ object Relational {
          |GROUP BY n_name, r_name ORDER BY revenue DESC, n_name""".stripMargin,
     "q11_join_sortmerge" -> JoinAggOracleSql,
     "q161_salted_join" -> JoinAggOracleSql,
+    // sessions by the q96 gaps-and-islands rule (st = min ts, en = last
+    // ts + gap, session_window's exact bounds), then a single global
+    // sweep — equivalent to the Spark side's two-pass prefix sum by
+    // construction (the q108 equivalence)
+    "q162_peak_concurrency" ->
+      """WITH marked AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |              > INTERVAL 30 MINUTE OR
+        |              lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM events),
+        |sess0 AS (
+        |  SELECT user_id, ts, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM marked),
+        |sess AS (SELECT min(ts) AS st, max(ts) + INTERVAL 30 MINUTE AS en
+        |         FROM sess0 GROUP BY user_id, sid),
+        |deltas AS (SELECT st AS t, 1 AS delta FROM sess
+        |           UNION ALL SELECT en AS t, -1 AS delta FROM sess),
+        |runs AS (SELECT CAST(t AS DATE) AS day,
+        |  sum(delta) OVER (ORDER BY t, delta
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+        |  FROM deltas)
+        |SELECT day, CAST(max(c) AS BIGINT) AS peak
+        |FROM runs GROUP BY 1 ORDER BY 1""".stripMargin,
     "q124_join_shufflehash" ->
       """SELECT o_orderpriority, count(*) AS n_lines,
         |  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS DOUBLE)/100.0 AS revenue

@@ -187,6 +187,38 @@ class PipelineOpsSpec extends SparkSpec {
     assert(rows.map(_.getLong(3)).distinct.length > 1)
   }
 
+  test("q162: per-day peaks match an independent in-memory sweep") {
+    val got = Relational.queries("q162_peak_concurrency")(spark, sf0001)
+      .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    // independent model: sessionize sequentially per user, sweep globally
+    val evs = graft.Tables.events(spark, sf0001)
+      .select(col("user_id"), col("ts")).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime * 1000 +
+        r.getTimestamp(1).getNanos / 1000 % 1000))
+    val gap = 30L * 60 * 1000 * 1000
+    val deltas = evs.groupBy(_._1).values.flatMap { u =>
+      val ts = u.map(_._2).sorted
+      val bounds = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      var st = ts.head; var prev = ts.head
+      for (t <- ts) {
+        if (t - prev > gap) { bounds += ((st, prev + gap)); st = t }
+        prev = t
+      }
+      bounds += ((st, prev + gap))
+      bounds.flatMap { case (s0, e0) => Seq((s0, 1L), (e0, -1L)) }
+    }.toSeq.sortBy(x => (x._1, x._2))
+    var c = 0L
+    val peaks = scala.collection.mutable.Map.empty[String, Long]
+    val fmt = new java.text.SimpleDateFormat("yyyy-MM-dd")
+    fmt.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
+    deltas.foreach { case (t, d) =>
+      c += d
+      val day = fmt.format(new java.util.Date(t / 1000))
+      peaks(day) = math.max(peaks.getOrElse(day, Long.MinValue), c)
+    }
+    assert(got == peaks.toMap, s"peaks diverge:\n got=$got\n exp=$peaks")
+  }
+
   test("q157: bounded-state top-k ≡ q85's window rank, with no WindowExec") {
     val a = TextAnalysis.queries("q85_tfidf")(spark, sf0001).collect().toSeq
     val q = TextAnalysis.queries("q157_topk_agg")(spark, sf0001)
