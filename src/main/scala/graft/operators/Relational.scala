@@ -116,6 +116,47 @@ object Relational {
         .orderBy("o_orderstatus")
     }),
 
+    "q163_data_quality" -> ((s, d) => {
+      // Data-contract gate — the expectations check a 100 TB ingest runs
+      // before admitting a batch (the Great-Expectations shape, as one
+      // declarative plan): every rule is a conditional counter inside ONE
+      // aggregate over ONE scan (map-side combined; adding a rule adds a
+      // column, not a pass), then the single result row unpivots to a
+      // (rule, n_checked, n_violations, pass) report via stack(). The
+      // uniqueness rule rides the same aggregate as a distinct count.
+      // On this clean corpus every rule passes — the CONTRACT is what's
+      // oracle-bound: DuckDB re-derives each counter independently, so a
+      // rule that silently stopped counting (or a generator change that
+      // violates the contract) flips the hash.
+      val ev = events(s, d)
+      val lo = lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00"))
+      val hi = lit(java.sql.Timestamp.valueOf("2024-02-01 00:00:00"))
+      def viol(c: Column) = sum(when(c, 1L).otherwise(0L))
+      val agg = ev.agg(
+        count(lit(1)).as("n"),
+        viol(col("event_id").isNull).as("v_id_null"),
+        (count(lit(1)) - count_distinct(col("event_id"))).as("v_id_dup"),
+        viol(col("ts").isNull || col("ts") < lo || col("ts") >= hi)
+          .as("v_ts_range"),
+        viol(col("user_id").isNull || col("user_id") < 0).as("v_user_neg"),
+        viol(!col("event_type").isin(
+          "click", "error", "purchase", "signup", "view")).as("v_type_domain"),
+        viol(col("value").isNull || col("value") <= 0 ||
+          col("value") >= 10000).as("v_value_range"),
+        viol(get_json_object(col("props"), "$.k").isNull).as("v_props_k"))
+      agg.selectExpr("n", """stack(7,
+          'event_id_not_null', v_id_null,
+          'event_id_unique', v_id_dup,
+          'event_type_in_domain', v_type_domain,
+          'props_k_present', v_props_k,
+          'ts_in_range', v_ts_range,
+          'user_id_nonnegative', v_user_neg,
+          'value_in_range', v_value_range) AS (rule, n_violations)""")
+        .select(col("rule"), col("n").as("n_checked"), col("n_violations"),
+          (col("n_violations") === 0L).as("pass"))
+        .orderBy("rule")
+    }),
+
     "q162_peak_concurrency" -> ((s, d) => {
       // Peak concurrent sessions per day — the sweep-line op (capacity
       // planning's standard question) composed from proven pieces:
@@ -1173,6 +1214,34 @@ object Relational {
          |GROUP BY n_name, r_name ORDER BY revenue DESC, n_name""".stripMargin,
     "q11_join_sortmerge" -> JoinAggOracleSql,
     "q161_salted_join" -> JoinAggOracleSql,
+    // each counter re-derived independently; one agg CTE + one row per rule
+    "q163_data_quality" ->
+      """WITH agg AS (
+        |  SELECT count(*) AS n,
+        |    CAST(sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_id_null,
+        |    CAST(count(*) - count(DISTINCT event_id) AS BIGINT) AS v_id_dup,
+        |    CAST(sum(CASE WHEN ts IS NULL OR ts < TIMESTAMP '2024-01-01 00:00:00'
+        |                    OR ts >= TIMESTAMP '2024-02-01 00:00:00'
+        |             THEN 1 ELSE 0 END) AS BIGINT) AS v_ts_range,
+        |    CAST(sum(CASE WHEN user_id IS NULL OR user_id < 0 THEN 1 ELSE 0 END) AS BIGINT) AS v_user_neg,
+        |    CAST(sum(CASE WHEN event_type NOT IN
+        |               ('click', 'error', 'purchase', 'signup', 'view')
+        |             THEN 1 ELSE 0 END) AS BIGINT) AS v_type_domain,
+        |    CAST(sum(CASE WHEN value IS NULL OR value <= 0 OR value >= 10000
+        |             THEN 1 ELSE 0 END) AS BIGINT) AS v_value_range,
+        |    CAST(sum(CASE WHEN json_extract_string(props, '$.k') IS NULL
+        |             THEN 1 ELSE 0 END) AS BIGINT) AS v_props_k
+        |  FROM events),
+        |rules AS (
+        |  SELECT 'event_id_not_null' AS rule, n, v_id_null AS n_violations FROM agg
+        |  UNION ALL SELECT 'event_id_unique', n, v_id_dup FROM agg
+        |  UNION ALL SELECT 'event_type_in_domain', n, v_type_domain FROM agg
+        |  UNION ALL SELECT 'props_k_present', n, v_props_k FROM agg
+        |  UNION ALL SELECT 'ts_in_range', n, v_ts_range FROM agg
+        |  UNION ALL SELECT 'user_id_nonnegative', n, v_user_neg FROM agg
+        |  UNION ALL SELECT 'value_in_range', n, v_value_range FROM agg)
+        |SELECT rule, n AS n_checked, n_violations, n_violations = 0 AS pass
+        |FROM rules ORDER BY rule""".stripMargin,
     // sessions by the q96 gaps-and-islands rule (st = min ts, en = last
     // ts + gap, session_window's exact bounds), then a single global
     // sweep — equivalent to the Spark side's two-pass prefix sum by

@@ -187,6 +187,46 @@ class PipelineOpsSpec extends SparkSpec {
     assert(rows.map(_.getLong(3)).distinct.length > 1)
   }
 
+  test("q163: planted violations are counted rule-exactly; one scan feeds all rules") {
+    import spark.implicits._
+    // engineered corpus: 4 clean rows + one violation per rule (the dup
+    // id row is itself clean on every other rule)
+    val ts0 = java.sql.Timestamp.valueOf("2024-01-10 12:00:00")
+    val bad = java.sql.Timestamp.valueOf("2025-06-01 00:00:00")
+    val rows = Seq(
+      (0L, ts0, 5L, "click", 10.0, """{"k": 1}"""),
+      (1L, ts0, 6L, "view", 20.0, """{"k": 2}"""),
+      (2L, ts0, 7L, "purchase", 30.0, """{"k": 3}"""),
+      (3L, ts0, 8L, "signup", 40.0, """{"k": 4}"""),
+      (3L, ts0, 9L, "error", 50.0, """{"k": 5}"""), // dup event_id
+      (4L, bad, 10L, "click", 60.0, """{"k": 6}"""), // ts out of range
+      (5L, ts0, -2L, "click", 70.0, """{"k": 7}"""), // negative user
+      (6L, ts0, 11L, "hover", 80.0, """{"k": 8}"""), // type out of domain
+      (7L, ts0, 12L, "click", -1.0, """{"k": 9}"""), // value out of range
+      (8L, ts0, 13L, "click", 90.0, """{"nope": 1}""")) // props missing k
+    val dir = tempDir("q163dq").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Relational.queries("q163_data_quality")(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    val n = rows.length.toLong
+    val expect = Map(
+      "event_id_not_null" -> ((n, 0L, true)),
+      "event_id_unique" -> ((n, 1L, false)),
+      "event_type_in_domain" -> ((n, 1L, false)),
+      "props_k_present" -> ((n, 1L, false)),
+      "ts_in_range" -> ((n, 1L, false)),
+      "user_id_nonnegative" -> ((n, 1L, false)),
+      "value_in_range" -> ((n, 1L, false)))
+    assert(got == expect, s"got $got")
+    // all rules ride one aggregate over one scan
+    val p = Relational.queries("q163_data_quality")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert("FileScan parquet".r.findAllIn(p).length == 1,
+      s"rules must share one scan:\n$p")
+  }
+
   test("q162: per-day peaks match an independent in-memory sweep") {
     val got = Relational.queries("q162_peak_concurrency")(spark, sf0001)
       .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
