@@ -515,6 +515,39 @@ object Relational {
         .orderBy("user_id")
     }),
 
+    "q164_cogroup" -> ((s, d) => {
+      // the typed COGROUP surface (the last KeyValueGroupedDataset leg
+      // next to q59's mapGroups and q126's transformWithState): two
+      // datasets shuffled on one key, each key's two iterators merged
+      // imperatively — per-key sequence alignment that a SQL join can
+      // only express as a quadratic theta-join per key. Here: purchases
+      // aligned to same-user clicks in the preceding 10 minutes, the
+      // q97 stream-join semantics as a batch cogroup — sort both sides
+      // per key once, then a sliding lower-bound pointer over the click
+      // list per purchase (each pointer only advances: O(p + c + out)
+      // per key, not O(p x c)). Emits exactly the join's rows: shares
+      // q97's oracle verbatim. Scale: ONE co-partitioned shuffle of both
+      // filtered streams; per-key memory is that user's clicks.
+      import s.implicits._
+      val ev = events(s, d)
+      def side(tp: String) = ev.filter(col("event_type") === tp)
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("us"))
+        .as[(Long, Long, Long)]
+        .groupByKey(_._1)
+      side("purchase").cogroup(side("click")) { (uid, ps, cs) =>
+        val cl = cs.toArray.sortBy(c => (c._3, c._2))
+        var lo = 0
+        ps.toArray.sortBy(p => (p._3, p._2)).iterator.flatMap { p =>
+          while (lo < cl.length && cl(lo)._3 < p._3 - 600000000L) lo += 1
+          cl.drop(lo).takeWhile(_._3 <= p._3)
+            .map(c => (uid, p._2, c._2, p._3 - c._3))
+        }
+      }
+        .toDF("user_id", "p_id", "c_id", "gap_us")
+        .orderBy("user_id", "p_id", "c_id")
+    }),
+
     "q23_rollup" -> ((s, d) =>
       t(s, d, "lineitem")
         .rollup(col("l_returnflag"), col("l_linestatus"))
@@ -1214,6 +1247,8 @@ object Relational {
          |GROUP BY n_name, r_name ORDER BY revenue DESC, n_name""".stripMargin,
     "q11_join_sortmerge" -> JoinAggOracleSql,
     "q161_salted_join" -> JoinAggOracleSql,
+    // the q97 alignment as a typed cogroup — one shared oracle text
+    "q164_cogroup" -> graft.streaming.Streaming.PurchaseClickOracleSql,
     // each counter re-derived independently; one agg CTE + one row per rule
     "q163_data_quality" ->
       """WITH agg AS (

@@ -597,6 +597,17 @@ object Streaming {
       |FROM sessions GROUP BY user_id, sid
       |ORDER BY user_id, session_start""".stripMargin
 
+  /** One oracle text for q97 (stream-stream join) AND q164 (the same
+    * time-bounded alignment as a typed batch cogroup). */
+  val PurchaseClickOracleSql: String =
+    """SELECT p.user_id, p.event_id AS p_id, c.event_id AS c_id,
+      |  epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      |  ON p.user_id = c.user_id
+      | AND c.ts >= p.ts - INTERVAL 10 MINUTE AND c.ts <= p.ts
+      |ORDER BY p.user_id, p_id, c_id""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "q94_stream_onebrc" -> graft.onebrc.OneBrc.brcAggSql(
       s"""SELECT station, measure FROM read_csv('${graft.Fixtures.path("measurements_golden.csv")}',
@@ -619,14 +630,7 @@ object Streaming {
         |    AS window_start, event_type, value
         |  FROM events)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
-    "q97_stream_stream_join" ->
-      """SELECT p.user_id, p.event_id AS p_id, c.event_id AS c_id,
-        |  epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
-        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-        |JOIN (SELECT * FROM events WHERE event_type = 'click') c
-        |  ON p.user_id = c.user_id
-        | AND c.ts >= p.ts - INTERVAL 10 MINUTE AND c.ts <= p.ts
-        |ORDER BY p.user_id, p_id, c_id""".stripMargin,
+    "q97_stream_stream_join" -> PurchaseClickOracleSql,
     "q98_stream_dedup" ->
       s"""SELECT DISTINCT ${graft.operators.Dedup.contentFpSql} AS fp
          |FROM documents ORDER BY fp""".stripMargin,

@@ -186,6 +186,15 @@ class PlanSpec extends SparkSpec {
       s"SCD2 must shuffle user_id exactly once:\n$p")
   }
 
+  test("q164: cogroup executes as CoGroup over co-partitioned sides, no join") {
+    val p = plan("q164_cogroup")
+    assert(p.contains("CoGroup"), s"expected CoGroupExec:\n$p")
+    assert(!p.contains("Join"), s"the alignment must not plan a join:\n$p")
+    // both sides shuffle on the SAME key expression — co-partitioned
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 2,
+      s"expected exactly the two co-partitioning exchanges:\n$p")
+  }
+
   test("q161: salted join partitions on (key, salt) and equals the unsalted join") {
     val p = plan("q161_salted_join")
     // the exchanges feeding the join must carry BOTH the key and the salt
