@@ -142,8 +142,8 @@ object Bench {
       "q11_join_sortmerge", "q17_range_join", "q20_tpch_q1",
       "q30_window_topk", "q39_merge_upsert", "q63_minhash_lsh",
       "q69_dedup_clusters", "q70_knn_brute", "q73_ivf_knn",
-      "q77_training_pipeline", "q78_delta_dedup", "q85_tfidf",
-      "q94_stream_onebrc", "q97_stream_stream_join", "q99_stream_delta_admit",
+      "q77_training_pipeline", "q78_delta_dedup",
+      "q97_stream_stream_join", "q99_stream_delta_admit",
       "q100_pq_ann", "q103_approx_percentile", "q104_delta_dedup_full",
       "q105_staged_dedup", "q107_stream_heavy_hitters",
       "q109_substring_spans", "q110_semantic_dedup", "q113_spans_rolling",
@@ -153,7 +153,9 @@ object Bench {
       "q129_kmeans_train", "q143_ivf_pq_rerank", "q144_png_ingest",
       "q150_staged_ann", "q151_ann_delta", "q152_bpe_train",
       "q153_bm25", "q154_bigram_lm", "q155_incremental_rollup",
-      "q157_topk_agg", "q158_compaction", "q159_stream_session_timers")
+      "q157_topk_agg", "q158_compaction", "q159_stream_session_timers",
+      "q160_bpe_apply", "q161_salted_join", "q162_peak_concurrency",
+      "q163_data_quality", "q164_cogroup")
     val headSet = headline.toSet
     val shortJson =
       s"""{"metric":"total","value":$totalStr,"unit":"sec","n_queries":${results.size},$protoJson,"queries":${qJson(results.filter(r => headSet(r._1)))},"sf":"$sfDir"}"""
