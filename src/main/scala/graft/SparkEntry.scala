@@ -32,6 +32,7 @@ object SparkEntry {
       sources.PartitionedStage.queries ++
       sources.BucketedStage.queries ++
       sources.CompactionStage.queries ++
+      sources.SchemaEvolutionStage.queries ++
       streaming.Streaming.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -52,5 +53,6 @@ object SparkEntry {
       sources.PartitionedStage.oracle ++
       sources.BucketedStage.oracle ++
       sources.CompactionStage.oracle ++
+      sources.SchemaEvolutionStage.oracle ++
       streaming.Streaming.oracle
 }

@@ -798,6 +798,51 @@ object Similarity {
       shortlistRerank(t(s, d, "embeddings"), approx)
     }),
 
+    "q165_rrf_fusion" -> ((s, d) => {
+      // Hybrid retrieval fusion — the step that joins the suite's two
+      // retrieval halves into the shape RAG / search stacks actually
+      // serve: q153's lexical BM25 ranking and a dense cosine ranking
+      // (q70's brute-kNN shape, query vector = the embedding with
+      // vec_id == query_id) fused with Reciprocal Rank Fusion
+      // (Cormack et al., 2009): score(d) = Σ_lists 1/(60 + rank_list(d)).
+      // Arithmetic parity: each contribution is the exact integer
+      // div(1e9, 60 + rk) — no doubles anywhere in the fusion, so the
+      // fused score is an exact BIGINT in any join/aggregation order and
+      // the final ordering (rrf desc, doc_id) is deterministic in both
+      // engines. Distributed shape: both legs end at 10 rows per query,
+      // so the fusion's full-outer join and final rank run on
+      // O(queries × k) rows — driver-free, broadcast-sized, while each
+      // leg keeps its own scale story (posting-bounded candidates /
+      // one broadcast-kNN corpus pass). A missing rank contributes 0 —
+      // the standard RRF treatment of a doc absent from one list.
+      VectorExpressions.register(s)
+      val lex = TextAnalysis.bm25Ranked(s, d)
+        .select(col("query_id"), col("doc_id"), col("rk").as("lex_rk"))
+      val e = t(s, d, "embeddings")
+      val qv = e.filter(col("vec_id").isin(TextAnalysis.bm25QueryIds: _*))
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      val wd = Window.partitionBy("query_id")
+        .orderBy(col("cos").desc, col("doc_id"))
+      val dense = broadcast(qv).crossJoin(e)
+        .where(col("vec_id") =!= col("query_id"))
+        .withColumn("cos", expr("cosine_sim(qe, embedding)"))
+        .withColumn("doc_id", col("vec_id"))
+        .withColumn("dense_rk", row_number().over(wd).cast("long"))
+        .filter(col("dense_rk") <= 10)
+        .select(col("query_id"), col("doc_id"), col("dense_rk"))
+      val wf = Window.partitionBy("query_id")
+        .orderBy(col("rrf").desc, col("doc_id"))
+      lex.join(dense, Seq("query_id", "doc_id"), "full_outer")
+        .withColumn("rrf",
+          coalesce(expr("1000000000L div (60 + lex_rk)"), lit(0L)) +
+            coalesce(expr("1000000000L div (60 + dense_rk)"), lit(0L)))
+        .withColumn("rk", row_number().over(wf).cast("long"))
+        .filter(col("rk") <= 10)
+        .select(col("query_id"), col("doc_id"), col("rrf"),
+          col("lex_rk"), col("dense_rk"), col("rk"))
+        .orderBy("query_id", "rk")
+    }),
+
     "q129_kmeans_train" -> ((s, d) => {
       // k-means codebook TRAINING — closes the loop the quantized-ANN
       // suite leaves open: q73/q100/q110 all take their codebook as an
@@ -1199,6 +1244,32 @@ object Similarity {
     // exactly as q105 shares q63's
     "q150_staged_ann" -> ivfPqOracle,
     "q151_ann_delta" -> annIncOracle,
+    "q165_rrf_fusion" ->
+      s"""WITH ${TextAnalysis.bm25CtesSql},
+         |lex AS (SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
+         |               rk AS lex_rk FROM ranked WHERE rk <= 10),
+         |eq AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+         |       WHERE vec_id IN (${TextAnalysis.bm25QueryIds.mkString(", ")})),
+         |dscored AS (
+         |  SELECT query_id, vec_id AS doc_id, ${cosSql("qe", "embedding")} AS cos
+         |  FROM eq CROSS JOIN embeddings WHERE vec_id != query_id),
+         |dranked AS (SELECT query_id, doc_id,
+         |  CAST(row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cos DESC, doc_id) AS BIGINT) AS dense_rk FROM dscored),
+         |dense AS (SELECT * FROM dranked WHERE dense_rk <= 10),
+         |fused AS (
+         |  SELECT COALESCE(l.query_id, dn.query_id) AS query_id,
+         |         COALESCE(l.doc_id, dn.doc_id) AS doc_id,
+         |         CAST(COALESCE(1000000000 // (60 + l.lex_rk), 0)
+         |            + COALESCE(1000000000 // (60 + dn.dense_rk), 0) AS BIGINT) AS rrf,
+         |         l.lex_rk, dn.dense_rk
+         |  FROM lex l FULL OUTER JOIN dense dn
+         |    ON l.query_id = dn.query_id AND l.doc_id = dn.doc_id),
+         |final AS (SELECT query_id, doc_id, rrf, lex_rk, dense_rk,
+         |  CAST(row_number() OVER (PARTITION BY query_id
+         |    ORDER BY rrf DESC, doc_id) AS BIGINT) AS rk FROM fused)
+         |SELECT query_id, doc_id, rrf, lex_rk, dense_rk, rk
+         |FROM final WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin,
     "q72_centroids" ->
       s"""SELECT label, CAST(i AS BIGINT) AS i,
          |  round(avg(CAST(embedding[i] AS DOUBLE))*1e6)/1e6 AS mean6,

@@ -41,6 +41,76 @@ object TextAnalysis {
   private def bm25ValuesSql: String =
     Bm25Queries.map { case (q, term) => s"($q, '$term')" }.mkString(", ")
 
+  /** Distinct BM25 query ids — q165's dense leg uses the embedding with
+    * vec_id == query_id as the query vector, so the hybrid fusion joins
+    * the two ranked lists on a shared (query_id, doc_id) key space. */
+  private[operators] def bm25QueryIds: Seq[Long] =
+    Bm25Queries.map(_._1).distinct
+
+  /** The q153 BM25 pipeline up to the per-query ranked list
+    * (query_id, doc_id, score_micro, rk<=10) — shared by q153 and the
+    * RRF fusion q165 so the lexical leg cannot drift between them.
+    * Distributed shape documented at the q153 use site. */
+  private[operators] def bm25Ranked(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val queries = Bm25Queries.toDF("query_id", "term")
+    val tf = t(s, d, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      // postings feed dl, df AND the scoring join — one shuffle, reused
+      .transform(graft.CacheRegistry.cached)
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot"))
+    val dfq = tf
+      .join(broadcast(queries.select(col("term")).distinct), "term")
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // idf * tf-normalization, spelled with the oracle's exact
+    // parenthesization so both engines run the identical double ops
+    val avgdl = col("tot").cast("double") / col("n_docs")
+    val idf = log(lit(1.0) +
+      (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val tfn = (col("tf") * lit(2.2)) /
+      (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / avgdl))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score_micro").desc, col("doc_id"))
+    tf.join(broadcast(queries), "term")
+      .join(broadcast(dfq), "term")
+      .join(dl, "doc_id").crossJoin(stats)
+      .withColumn("c", round(idf * tfn * lit(1e6)).cast("long"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("c")).as("score_micro"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 10)
+      .select(col("query_id"), col("doc_id"), col("score_micro"), col("rk"))
+  }
+
+  /** DuckDB CTE chain mirroring [[bm25Ranked]] (ends at `ranked`,
+    * unfiltered) — q153's oracle appends its final SELECT; q165's oracle
+    * appends the dense leg and the fusion. ONE text, zero drift. */
+  private[operators] def bm25CtesSql: String =
+    s"""q(query_id, term) AS (VALUES $bm25ValuesSql),
+       |tokens AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM tokens GROUP BY 1, 2),
+       |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+       |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |                 CAST(sum(dl) AS BIGINT) AS tot FROM dl),
+       |df AS (SELECT term, count(*) AS df FROM tf
+       |       JOIN (SELECT DISTINCT term FROM q) USING (term) GROUP BY term),
+       |contrib AS (
+       |  SELECT query_id, doc_id,
+       |    CAST(round(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+       |      * ((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl
+       |          / (CAST(tot AS DOUBLE) / n_docs))))
+       |      * 1e6) AS BIGINT) AS c
+       |  FROM tf JOIN q USING (term) JOIN df USING (term)
+       |  JOIN dl USING (doc_id) CROSS JOIN stats),
+       |scored AS (SELECT query_id, doc_id, CAST(sum(c) AS BIGINT) AS score_micro
+       |           FROM contrib GROUP BY 1, 2),
+       |ranked AS (SELECT query_id, doc_id, score_micro,
+       |  CAST(row_number() OVER (PARTITION BY query_id
+       |    ORDER BY score_micro DESC, doc_id) AS BIGINT) AS rk FROM scored)""".stripMargin
+
   /** One oracle text for q85 AND its bounded-state twin q157 (identical
     * output by construction — see tfidfScored). */
   private val TfidfOracleSql =
@@ -829,37 +899,8 @@ object TextAnalysis {
       // BIGINTs in any aggregation order; the top-10 ranks on
       // (score desc, doc_id) — fully deterministic. The one window
       // partitions by query_id over posting-bounded candidates only.
-      import s.implicits._
-      val queries = Bm25Queries.toDF("query_id", "term")
-      val tf = t(s, d, "documents")
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
-        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-        // postings feed dl, df AND the scoring join — one shuffle, reused
-        .transform(graft.CacheRegistry.cached)
-      val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
-      val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot"))
-      val dfq = tf
-        .join(broadcast(queries.select(col("term")).distinct), "term")
-        .groupBy(col("term")).agg(count(lit(1)).as("df"))
-      // idf * tf-normalization, spelled with the oracle's exact
-      // parenthesization so both engines run the identical double ops
-      val avgdl = col("tot").cast("double") / col("n_docs")
-      val idf = log(lit(1.0) +
-        (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
-      val tfn = (col("tf") * lit(2.2)) /
-        (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / avgdl))
-      val w = Window.partitionBy(col("query_id"))
-        .orderBy(col("score_micro").desc, col("doc_id"))
-      tf.join(broadcast(queries), "term")
-        .join(broadcast(dfq), "term")
-        .join(dl, "doc_id").crossJoin(stats)
-        .withColumn("c", round(idf * tfn * lit(1e6)).cast("long"))
-        .groupBy(col("query_id"), col("doc_id"))
-        .agg(sum(col("c")).as("score_micro"))
-        .withColumn("rk", row_number().over(w).cast("long"))
-        .filter(col("rk") <= 10)
-        .select(col("query_id"), col("doc_id"), col("score_micro"), col("rk"))
-        .orderBy("query_id", "rk")
+      // Pipeline body lives in bm25Ranked — shared with q165's fusion.
+      bm25Ranked(s, d).orderBy("query_id", "rk")
     }),
 
     "q154_bigram_lm" -> ((s, d) => {
@@ -1256,28 +1297,7 @@ object TextAnalysis {
          |ORDER BY doc_id""".stripMargin
     },
     "q153_bm25" ->
-      s"""WITH q(query_id, term) AS (VALUES $bm25ValuesSql),
-         |tokens AS (
-         |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
-         |tf AS (SELECT doc_id, term, count(*) AS tf FROM tokens GROUP BY 1, 2),
-         |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
-         |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
-         |                 CAST(sum(dl) AS BIGINT) AS tot FROM dl),
-         |df AS (SELECT term, count(*) AS df FROM tf
-         |       JOIN (SELECT DISTINCT term FROM q) USING (term) GROUP BY term),
-         |contrib AS (
-         |  SELECT query_id, doc_id,
-         |    CAST(round(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
-         |      * ((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl
-         |          / (CAST(tot AS DOUBLE) / n_docs))))
-         |      * 1e6) AS BIGINT) AS c
-         |  FROM tf JOIN q USING (term) JOIN df USING (term)
-         |  JOIN dl USING (doc_id) CROSS JOIN stats),
-         |scored AS (SELECT query_id, doc_id, CAST(sum(c) AS BIGINT) AS score_micro
-         |           FROM contrib GROUP BY 1, 2),
-         |ranked AS (SELECT query_id, doc_id, score_micro,
-         |  CAST(row_number() OVER (PARTITION BY query_id
-         |    ORDER BY score_micro DESC, doc_id) AS BIGINT) AS rk FROM scored)
+      s"""WITH $bm25CtesSql
          |SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, score_micro, rk
          |FROM ranked WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin,
     "q154_bigram_lm" ->

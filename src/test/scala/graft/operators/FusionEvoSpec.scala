@@ -1,0 +1,69 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Round-7 additions: RRF hybrid-retrieval fusion (q165) and the
+  * schema-evolution merged read (q166). Each test pins the semantic
+  * invariant the DuckDB oracle cannot see from hash equality alone.
+  */
+class FusionEvoSpec extends SparkSpec {
+
+  private def rrfOf(rk: Option[Long]): Long =
+    rk.map(r => 1000000000L / (60L + r)).getOrElse(0L)
+
+  test("q165: rrf is the exact integer RRF of the two leg ranks; ranks ordered") {
+    val rows = Similarity.queries("q165_rrf_fusion")(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    def optLong(r: org.apache.spark.sql.Row, i: Int): Option[Long] =
+      if (r.isNullAt(i)) None else Some(r.getLong(i))
+    rows.foreach { r =>
+      val (lex, dense) = (optLong(r, 3), optLong(r, 4))
+      // a fused row must come from at least one leg, and its score must BE
+      // the integer RRF recomputed from the leg ranks — never a float path
+      assert(lex.isDefined || dense.isDefined)
+      assert(r.getLong(2) == rrfOf(lex) + rrfOf(dense),
+        s"row $r: rrf != div-sum of leg ranks")
+      lex.foreach(v => assert(v >= 1 && v <= 10))
+      dense.foreach(v => assert(v >= 1 && v <= 10))
+    }
+    rows.groupBy(_.getLong(0)).foreach { case (qid, qrows) =>
+      assert(qrows.length <= 10)
+      val byRank = qrows.sortBy(_.getLong(5))
+      assert(byRank.map(_.getLong(5)).toSeq == (1L to byRank.length).toSeq,
+        s"query $qid: ranks not contiguous")
+      // (rrf desc, doc_id asc) ordering law
+      byRank.zip(byRank.tail).foreach { case (a, b) =>
+        assert(a.getLong(2) > b.getLong(2) ||
+          (a.getLong(2) == b.getLong(2) && a.getLong(1) < b.getLong(1)))
+      }
+    }
+    // the fusion is genuinely hybrid on this corpus: some kept docs are
+    // lexical-only and some dense-only (else the join degenerates)
+    assert(rows.exists(_.isNullAt(3)) && rows.exists(_.isNullAt(4)))
+  }
+
+  test("q166: merged schema is the 5-column superset; null-fill follows the batch rule") {
+    val merged = graft.sources.SchemaEvolutionStage.mergedRead(spark, sf0001)
+    assert(merged.columns.sorted.toSeq ==
+      Seq("doc_id", "lang", "n_chars", "source", "text"))
+    val docs = graft.Tables.t(spark, sf0001, "documents")
+    assert(merged.count() == docs.count())
+    // v1 files (even ids) predate source/n_chars: NULL-filled; v2 files
+    // (odd ids) dropped lang: NULL-filled — both directions of drift
+    assert(merged.filter(col("doc_id") % 2 === 0)
+      .filter(col("source").isNotNull || col("n_chars").isNotNull ||
+        col("lang").isNull).count() == 0)
+    assert(merged.filter(col("doc_id") % 2 === 1)
+      .filter(col("lang").isNotNull || col("source").isNull ||
+        col("n_chars").isNull).count() == 0)
+  }
+
+  test("q166: filters still push down to the merged scan") {
+    val plan = graft.sources.SchemaEvolutionStage.mergedRead(spark, sf0001)
+      .filter(col("n_chars") > 100)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(n_chars), GreaterThan(n_chars,100)]"),
+      s"expected n_chars pushdown in:\n$plan")
+  }
+}
