@@ -49,6 +49,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("png_ihdr"),
       new ExpressionInfo(classOf[graft.functions.PngIhdr].getName, "png_ihdr"),
       (exprs: Seq[Expression]) => graft.functions.PngIhdr(exprs.head)))
+    e.injectFunction((FunctionIdentifier("png_pixels"),
+      new ExpressionInfo(classOf[graft.functions.PngPixels].getName, "png_pixels"),
+      (exprs: Seq[Expression]) => graft.functions.PngPixels(exprs.head)))
     e.injectFunction((FunctionIdentifier("wav_fmt"),
       new ExpressionInfo(classOf[graft.functions.WavFmt].getName, "wav_fmt"),
       (exprs: Seq[Expression]) => graft.functions.WavFmt(exprs.head)))

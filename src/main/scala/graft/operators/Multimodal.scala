@@ -188,6 +188,33 @@ object Multimodal {
           col("p.amp_min").as("amp_min"), col("p.amp_max").as("amp_max"),
           col("p.amp_sum").as("amp_sum"), col("p.amp_sumsq").as("amp_sumsq"))
         .orderBy("name")
+    }),
+
+    "q167_png_pixels" -> ((s, d) => {
+      // image feature extraction past the header (q156's PNG twin): the
+      // png_pixels codegen expression walks the chunk list, concatenates
+      // the IDAT stream, zlib-INFLATES it (JDK Inflater — a real
+      // decompressor, not an imaging library), reverses the per-scanline
+      // filter (all five PNG filter types; img_g/img_h in the fixture
+      // set are WRITTEN with Sub/Up/Average/Paeth schedules so the
+      // unfilter paths can't silently regress to passthrough) and
+      // reduces the reconstructed channel samples in-expression to
+      // count/min/max/sum/sum-of-squares — exact BIGINTs, the 1BRC
+      // mergeable state. At 100 TB the decode runs inside the scan
+      // projection: ~40 bytes per image cross the shuffle, never the
+      // pixels. Oracle = pixels.csv, the generation manifest's expected
+      // stats computed from the same pixel formula the fixture writer
+      // used (ground truth by construction — the q144/q156 contract).
+      graft.functions.PngFunctions.register(s)
+      s.read.format("binaryFile")
+        .option("pathGlobFilter", "*.png")
+        .load(graft.Fixtures.path("png"))
+        .select(element_at(split(col("path"), "/"), -1).as("name"),
+          expr("png_pixels(content)").as("p"))
+        .select(col("name"), col("p.n_samples").as("n_samples"),
+          col("p.px_min").as("px_min"), col("p.px_max").as("px_max"),
+          col("p.px_sum").as("px_sum"), col("p.px_sumsq").as("px_sumsq"))
+        .orderBy("name")
     })
   )
 
@@ -209,6 +236,14 @@ object Multimodal {
         |  CAST(amp_sum AS BIGINT) AS amp_sum,
         |  CAST(amp_sumsq AS BIGINT) AS amp_sumsq
         |FROM read_csv('${graft.Fixtures.path("wav")}/manifest.csv', header=true)
+        |ORDER BY name""".stripMargin,
+    "q167_png_pixels" ->
+      s"""SELECT name, CAST(n_samples AS BIGINT) AS n_samples,
+        |  CAST(px_min AS BIGINT) AS px_min,
+        |  CAST(px_max AS BIGINT) AS px_max,
+        |  CAST(px_sum AS BIGINT) AS px_sum,
+        |  CAST(px_sumsq AS BIGINT) AS px_sumsq
+        |FROM read_csv('${graft.Fixtures.path("png")}/pixels.csv', header=true)
         |ORDER BY name""".stripMargin,
     "q144_png_ingest" ->
       s"""SELECT name, CAST(width AS BIGINT) AS width,

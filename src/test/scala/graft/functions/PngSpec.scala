@@ -41,4 +41,51 @@ class PngSpec extends SparkSpec {
     assert(row.getLong(0) == 64 && row.getLong(1) == 48 &&
       row.getLong(2) == 8 && row.getLong(3) == 2)
   }
+
+  test("q167: pixel decode matches javax.imageio — an INDEPENDENT decoder — on every fixture") {
+    import spark.implicits._
+    PngFunctions.register(spark)
+    // ImageIO ships in the JDK and implements PNG from the spec on its
+    // own: agreeing with it on every fixture (including the img_g/img_h
+    // filter schedules that exercise Sub/Up/Average/Paeth) certifies the
+    // inflate+unfilter, not just self-consistency with the generator.
+    val dir = new java.io.File(graft.Fixtures.path("png"))
+    val fixtures = dir.listFiles.filter(_.getName.endsWith(".png")).sortBy(_.getName)
+    assert(fixtures.length >= 8)
+    val expected = fixtures.map { f =>
+      val img = javax.imageio.ImageIO.read(f)
+      val hasAlpha = img.getColorModel.hasAlpha
+      var n = 0L; var mn = Long.MaxValue; var mx = Long.MinValue
+      var sum = 0L; var sumsq = 0L
+      for (y <- 0 until img.getHeight; x <- 0 until img.getWidth) {
+        val argb = img.getRGB(x, y)
+        val chans = Seq((argb >> 16) & 0xFF, (argb >> 8) & 0xFF, argb & 0xFF) ++
+          (if (hasAlpha) Seq((argb >> 24) & 0xFF) else Nil)
+        chans.foreach { v =>
+          val vl = v.toLong
+          if (vl < mn) mn = vl
+          if (vl > mx) mx = vl
+          sum += vl; sumsq += vl * vl; n += 1
+        }
+      }
+      (f.getName, n, mn, mx, sum, sumsq)
+    }
+    val got = graft.SparkEntry.queries("q167_png_pixels")(spark, sf0001)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(got.toSeq == expected.toSeq,
+      s"png_pixels != ImageIO:\n got=${got.toSeq}\n exp=${expected.toSeq}")
+
+    // truncated IDAT and oversize-claim chunks must decode to null
+    val whole = java.nio.file.Files
+      .readAllBytes(java.nio.file.Paths.get(graft.Fixtures.path("png/img_g.png")))
+    val junk = Seq(
+      whole.take(whole.length - 20), // IDAT cut mid-stream
+      whole.take(40) // header only
+    ).toDF("content")
+    val decoded = junk.select(expr("png_pixels(content)").as("p")).collect()
+    assert(decoded.forall(_.isNullAt(0)),
+      "malformed PNG bytes must decode to null")
+  }
 }
