@@ -47,21 +47,31 @@ object TextAnalysis {
   private[operators] def bm25QueryIds: Seq[Long] =
     Bm25Queries.map(_._1).distinct
 
-  /** The q153 BM25 pipeline up to the per-query ranked list
-    * (query_id, doc_id, score_micro, rk<=10) — shared by q153 and the
-    * RRF fusion q165 so the lexical leg cannot drift between them.
-    * Distributed shape documented at the q153 use site. */
-  private[operators] def bm25Ranked(s: SparkSession, d: String): DataFrame = {
+  /** Corpus postings (doc_id, term, tf) for the docs `pred` selects —
+    * the inverted-index build/admission frame. The predicate applies
+    * BEFORE the explode, so per-token work is proportional to the
+    * selected subset (q169's delta-admission contract). */
+  private[operators] def lexPostingsOn(s: SparkSession, d: String,
+      pred: Option[org.apache.spark.sql.Column]): DataFrame = {
+    val docs0 = t(s, d, "documents")
+    val docs = pred.map(docs0.filter).getOrElse(docs0)
+    docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+  }
+
+  /** BM25 scoring tail shared by q153 (postings derived in-plan), q168
+    * (postings read from the staged bucket-partitioned index) and q169
+    * (the incrementally-maintained index): given the postings source and
+    * the doc-length table, broadcast the query set onto the postings,
+    * compute df only for query terms, and rank the micro-unit-exact
+    * scores. ONE definition — the arithmetic cannot drift between the
+    * in-plan and index-served forms. */
+  private def bm25Serve(s: SparkSession, post: DataFrame,
+      dl: DataFrame): DataFrame = {
     import s.implicits._
     val queries = Bm25Queries.toDF("query_id", "term")
-    val tf = t(s, d, "documents")
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
-      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-      // postings feed dl, df AND the scoring join — one shuffle, reused
-      .transform(graft.CacheRegistry.cached)
-    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
     val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot"))
-    val dfq = tf
+    val dfq = post
       .join(broadcast(queries.select(col("term")).distinct), "term")
       .groupBy(col("term")).agg(count(lit(1)).as("df"))
     // idf * tf-normalization, spelled with the oracle's exact
@@ -73,7 +83,7 @@ object TextAnalysis {
       (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / avgdl))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score_micro").desc, col("doc_id"))
-    tf.join(broadcast(queries), "term")
+    post.join(broadcast(queries), "term")
       .join(broadcast(dfq), "term")
       .join(dl, "doc_id").crossJoin(stats)
       .withColumn("c", round(idf * tfn * lit(1e6)).cast("long"))
@@ -83,6 +93,104 @@ object TextAnalysis {
       .filter(col("rk") <= 10)
       .select(col("query_id"), col("doc_id"), col("score_micro"), col("rk"))
   }
+
+  /** The q153 BM25 pipeline up to the per-query ranked list
+    * (query_id, doc_id, score_micro, rk<=10) — shared by q153 and the
+    * RRF fusion q165 so the lexical leg cannot drift between them.
+    * Distributed shape documented at the q153 use site. */
+  private[operators] def bm25Ranked(s: SparkSession, d: String): DataFrame = {
+    val tf = lexPostingsOn(s, d, None)
+      // postings feed dl, df AND the scoring join — one shuffle, reused
+      .transform(graft.CacheRegistry.cached)
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    bm25Serve(s, tf, dl)
+  }
+
+  // ---- q168/q169: the inverted index as a STAGED artifact --------------
+
+  /** Number of term-hash buckets the staged postings partition by —
+    * serving prunes to the buckets of the query's terms, so a query
+    * touches ~|terms|/16 of the index files. Production sizes this to
+    * thousands; 16 keeps the fixture layout inspectable. */
+  val LexBuckets = 16
+
+  /** bucket = first md5 nibble of the term — Spark column form and the
+    * driver-side literal form (for plan-time partition pruning) of the
+    * SAME formula. */
+  private def lexBucketCol(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    conv(substring(md5(c), 1, 1), 16, 10).cast("int")
+  private[operators] def lexBucketOf(term: String): Int =
+    Integer.parseInt(java.security.MessageDigest.getInstance("MD5")
+      .digest(term.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString.substring(0, 1), 16)
+
+  def lexStageDir(d: String): String = graft.Staging.dirFor("lexidx", d)
+  def lexIncStageDir(d: String): String = graft.Staging.dirFor("lex-inc", d)
+
+  /** q169's delta split of the document corpus — doc_id ≡ 4 (mod 5) is
+    * the arriving batch (the q78/q151 convention applied to postings). */
+  val LexDeltaMod = 5
+  val LexDeltaRem = 4
+  def isBaseDoc: org.apache.spark.sql.Column =
+    (col("doc_id") % LexDeltaMod) =!= LexDeltaRem
+
+  /** Corpus-rewrite hook for the lexical index stages of `d` —
+    * Dedup.invalidateClusters routes here. Dropping the base key makes
+    * the next q169 rebuild OVERWRITE the stage (clearing appended delta
+    * files), so a forgotten index can never double-admit. */
+  def forgetLexStages(d: String): Unit = {
+    graft.Staging.forget(s"${lexStageDir(d)}@full")
+    graft.Staging.forget(s"${lexIncStageDir(d)}@base")
+    graft.Staging.forget(s"${lexIncStageDir(d)}@delta")
+  }
+
+  /** Write postings (bucket-partitioned) + doclen for the docs `pred`
+    * selects into `dir` with the given save mode — the shared body of
+    * the full build (q168), base build and delta admission (q169). */
+  private def lexWrite(s: SparkSession, d: String,
+      pred: Option[org.apache.spark.sql.Column], dir: String,
+      mode: String): Unit = {
+    val tf = lexPostingsOn(s, d, pred).transform(graft.CacheRegistry.cached)
+    tf.withColumn("bucket", lexBucketCol(col("term")))
+      .write.mode(mode).partitionBy("bucket").parquet(s"$dir/postings")
+    tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+      .write.mode(mode).parquet(s"$dir/doclen")
+  }
+
+  /** q168 step: materialize the full-corpus inverted index once. */
+  def lexBuild(s: SparkSession, d: String): Unit =
+    graft.Staging.once(s"${lexStageDir(d)}@full") {
+      lexWrite(s, d, None, lexStageDir(d), "overwrite")
+    }
+
+  /** q169 step 1: materialize the BASE index (overwrite on rebuild so an
+    * invalidated index can never double-admit its old delta files). */
+  def lexIncBuild(s: SparkSession, d: String): Unit =
+    graft.Staging.once(s"${lexIncStageDir(d)}@base") {
+      lexWrite(s, d, Some(isBaseDoc), lexIncStageDir(d), "overwrite")
+    }
+
+  /** q169 step 2: admit the DELTA — postings computed from the delta
+    * docs alone (filter below the explode), APPENDED into the matching
+    * bucket= partitions; doclen rows appended. No base-file rewrite. */
+  def lexIncAdmit(s: SparkSession, d: String): Unit =
+    graft.Staging.once(s"${lexIncStageDir(d)}@delta") {
+      lexWrite(s, d, Some(!isBaseDoc), lexIncStageDir(d), "append")
+    }
+
+  /** Serve BM25 from a staged index dir: static partition pruning to the
+    * query terms' buckets (a plan-time literal IN over the partition
+    * column — zero tasks on every other bucket), then the shared scoring
+    * tail. Exposed for the spec's pruning assertions. */
+  private[operators] def lexServePruned(s: SparkSession, dir: String): DataFrame = {
+    val qBuckets = Bm25Queries.map(_._2).distinct
+      .map(lexBucketOf).distinct.sorted
+    s.read.parquet(s"$dir/postings")
+      .filter(col("bucket").isin(qBuckets: _*))
+      .select(col("doc_id"), col("term"), col("tf"))
+  }
+  private def lexServe(s: SparkSession, dir: String): DataFrame =
+    bm25Serve(s, lexServePruned(s, dir), s.read.parquet(s"$dir/doclen"))
 
   /** DuckDB CTE chain mirroring [[bm25Ranked]] (ends at `ranked`,
     * unfiltered) — q153's oracle appends its final SELECT; q165's oracle
@@ -110,6 +218,14 @@ object TextAnalysis {
        |ranked AS (SELECT query_id, doc_id, score_micro,
        |  CAST(row_number() OVER (PARTITION BY query_id
        |    ORDER BY score_micro DESC, doc_id) AS BIGINT) AS rk FROM scored)""".stripMargin
+
+  /** q153's complete oracle text — also the oracle of the staged (q168)
+    * and incrementally-maintained (q169) index forms, which are
+    * bit-identical to the in-plan pipeline by construction. */
+  private def bm25FinalSql: String =
+    s"""WITH $bm25CtesSql
+       |SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, score_micro, rk
+       |FROM ranked WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin
 
   /** One oracle text for q85 AND its bounded-state twin q157 (identical
     * output by construction — see tfidfScored). */
@@ -903,6 +1019,43 @@ object TextAnalysis {
       bm25Ranked(s, d).orderBy("query_id", "rk")
     }),
 
+    "q168_staged_bm25" -> ((s, d) => {
+      // STAGED inverted-index serving — the q150 staging discipline
+      // applied to the lexical half: postings (doc, term, tf) and doc
+      // lengths materialized ONCE (single-flight Staging.once), postings
+      // parquet-partitioned by the term's md5-nibble bucket. A query
+      // computes its terms' buckets AT PLAN TIME (driver-side literals of
+      // the same formula), so the scan prunes to those bucket= dirs —
+      // zero tasks, zero bytes on the rest of the index. Scoring is
+      // bm25Serve, the SAME tail q153 runs in-plan, so the staged answer
+      // is bit-identical and shares q153's oracle verbatim (the
+      // q105-shares-q63 / q150-shares-q143 contract). At 100 TB this is
+      // how lexical retrieval actually deploys: the index is built once
+      // per corpus snapshot, queries pay O(matching buckets' postings),
+      // and df/avgdl come from the staged tables, never a corpus rescan.
+      lexBuild(s, d)
+      lexServe(s, lexStageDir(d)).orderBy("query_id", "rk")
+    }),
+
+    "q169_lex_delta" -> ((s, d) => {
+      // Incrementally-MAINTAINED inverted index — q151's admission
+      // discipline on the lexical side: the index is built from the BASE
+      // docs alone; when the delta batch (doc_id ≡ 4 mod 5) arrives, its
+      // postings are computed from the delta docs ONLY (the doc filter
+      // sits below the explode — admission work is delta-proportional)
+      // and APPENDED into the matching bucket= partitions, doclen rows
+      // appended beside them. No base-file rewrite, no re-tokenization
+      // of the already-indexed corpus. Serving then sees old+new from
+      // one bucket-pruned read and must equal the full-corpus q153
+      // answer exactly — BM25's global stats (df, N, avgdl) are
+      // RECOMPUTED from the staged tables at serve time, which is the
+      // part naive incremental search gets wrong (stale idf). Oracle =
+      // q153's verbatim.
+      lexIncBuild(s, d)
+      lexIncAdmit(s, d)
+      lexServe(s, lexIncStageDir(d)).orderBy("query_id", "rk")
+    }),
+
     "q154_bigram_lm" -> ((s, d) => {
       // bigram-LM surprisal — q118's unigram scorer at n-gram order 2, one
       // step toward the KenLM quality filter: score each document by the
@@ -1296,10 +1449,12 @@ object TextAnalysis {
          |    FROM (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents)))
          |ORDER BY doc_id""".stripMargin
     },
-    "q153_bm25" ->
-      s"""WITH $bm25CtesSql
-         |SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, score_micro, rk
-         |FROM ranked WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin,
+    "q153_bm25" -> bm25FinalSql,
+    // bit-identical by construction (same postings, same scoring tail) —
+    // the staged and incrementally-maintained index forms share q153's
+    // oracle verbatim, exactly as q150 shares q143's
+    "q168_staged_bm25" -> bm25FinalSql,
+    "q169_lex_delta" -> bm25FinalSql,
     "q154_bigram_lm" ->
       """WITH docs AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
         |bg AS (SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
