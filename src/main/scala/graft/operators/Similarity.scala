@@ -96,11 +96,15 @@ object Similarity {
       .filter(col("cos") >= CosThreshold)
   }
 
+  /** DuckDB mirror of CosineSimilarity's fused pass over `n`-dim lists
+    * (q170's late interaction runs it over 8-dim sub-vectors). */
+  private def cosSqlN(a: String, b: String, n: Int): String =
+    s"""(list_sum(list_transform(range(1, ${n + 1}), i -> CAST($a[i] AS DOUBLE)*CAST($b[i] AS DOUBLE))) /
+       |  (sqrt(list_sum(list_transform(range(1, ${n + 1}), i -> CAST($a[i] AS DOUBLE)*CAST($a[i] AS DOUBLE)))) *
+       |   sqrt(list_sum(list_transform(range(1, ${n + 1}), i -> CAST($b[i] AS DOUBLE)*CAST($b[i] AS DOUBLE))))))""".stripMargin
+
   private val cosSql = // DuckDB mirror of CosineSimilarity's fused pass
-    (a: String, b: String) =>
-      s"""(list_sum(list_transform(range(1, ${Dim + 1}), i -> CAST($a[i] AS DOUBLE)*CAST($b[i] AS DOUBLE))) /
-         |  (sqrt(list_sum(list_transform(range(1, ${Dim + 1}), i -> CAST($a[i] AS DOUBLE)*CAST($a[i] AS DOUBLE)))) *
-         |   sqrt(list_sum(list_transform(range(1, ${Dim + 1}), i -> CAST($b[i] AS DOUBLE)*CAST($b[i] AS DOUBLE))))))""".stripMargin
+    (a: String, b: String) => cosSqlN(a, b, Dim)
 
   /** Top-`probes` nearest-coarse-centroid cell assignment over the
     * broadcast `k`-seed codebook — the shared candidate generator of
@@ -843,6 +847,55 @@ object Similarity {
         .orderBy("query_id", "rk")
     }),
 
+    "q170_late_interaction" -> ((s, d) => {
+      // ColBERT-style late-interaction retrieval (Khattab & Zaharia,
+      // 2020) — the third retrieval paradigm next to single-vector ANN
+      // (q70/q143) and sparse BM25 (q153): query and document are BAGS
+      // of token vectors, scored sum_{q-token} max_{d-token} sim. The
+      // max-sim lets one query token match its best-aligned document
+      // token — phrase/term alignment single-vector cosine averages
+      // away. Token vectors here are the 8 8-dim sub-vector slices of
+      // each embedding (the q100 PQ sub-space split re-used as a token
+      // decomposition — deterministic, library-data-only). Shape: the
+      // 24-row query token set BROADCASTS onto one corpus scan; pairs
+      // for a (query, q-token, doc) group are generated inside one task,
+      // so BOTH aggregations (max over d-tokens, then sum over q-tokens)
+      // collapse map-side before any exchange — the shuffle carries
+      // O(queries × tokens) rows per doc, never the pair explosion. The
+      // per-(q-token, doc) max is quantized to integer nano-units AFTER
+      // the max (identical doubles both engines), so the late-
+      // interaction score is an exact BIGINT. At 100 TB this exact form
+      // runs over an ANN SHORTLIST (q143's serving tail), not the
+      // corpus; the operator shape — slice, broadcast, two-stage
+      // max/sum — is identical either way.
+      VectorExpressions.register(s)
+      val e = t(s, d, "embeddings")
+      def tokens(df: org.apache.spark.sql.DataFrame, idCol: String,
+          t: String, v: String) = df
+        .select(col("vec_id").as(idCol), explode(expr(
+          "transform(sequence(0, 7), t -> " +
+            s"named_struct('$t', CAST(t AS BIGINT), " +
+            s"'$v', slice(embedding, t * 8 + 1, 8)))")).as("x"))
+        .select(col(idCol), col(s"x.$t"), col(s"x.$v"))
+      val qt = tokens(e.filter(
+        col("vec_id").isin(TextAnalysis.bm25QueryIds: _*)), "query_id", "qt", "qv")
+      val dt = tokens(e, "doc_id", "dt", "dv")
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("li_nano").desc, col("doc_id"))
+      broadcast(qt).crossJoin(dt)
+        .where(col("doc_id") =!= col("query_id"))
+        .withColumn("cos", expr("cosine_sim(qv, dv)"))
+        .groupBy(col("query_id"), col("qt"), col("doc_id"))
+        .agg(max(col("cos")).as("mx"))
+        .withColumn("mxn", round(col("mx") * lit(1e9)).cast("long"))
+        .groupBy(col("query_id"), col("doc_id"))
+        .agg(sum(col("mxn")).as("li_nano"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 10)
+        .select(col("query_id"), col("doc_id"), col("li_nano"), col("rk"))
+        .orderBy("query_id", "rk")
+    }),
+
     "q129_kmeans_train" -> ((s, d) => {
       // k-means codebook TRAINING — closes the loop the quantized-ANN
       // suite leaves open: q73/q100/q110 all take their codebook as an
@@ -1270,6 +1323,28 @@ object Similarity {
          |    ORDER BY rrf DESC, doc_id) AS BIGINT) AS rk FROM fused)
          |SELECT query_id, doc_id, rrf, lex_rk, dense_rk, rk
          |FROM final WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin,
+    "q170_late_interaction" ->
+      s"""WITH qt AS (
+         |  SELECT vec_id AS query_id, CAST(t AS BIGINT) AS qt,
+         |    list_slice(embedding, t*8 + 1, t*8 + 8) AS qv
+         |  FROM embeddings, unnest(generate_series(0, 7)) AS tt(t)
+         |  WHERE vec_id IN (${TextAnalysis.bm25QueryIds.mkString(", ")})),
+         |dt AS (
+         |  SELECT vec_id AS doc_id, CAST(t AS BIGINT) AS dt,
+         |    list_slice(embedding, t*8 + 1, t*8 + 8) AS dv
+         |  FROM embeddings, unnest(generate_series(0, 7)) AS tt(t)),
+         |mx AS (
+         |  SELECT query_id, qt, doc_id,
+         |    CAST(round(max(${cosSqlN("qv", "dv", 8)}) * 1e9) AS BIGINT) AS mxn
+         |  FROM qt CROSS JOIN dt WHERE doc_id != query_id
+         |  GROUP BY 1, 2, 3),
+         |sc AS (SELECT query_id, doc_id, CAST(sum(mxn) AS BIGINT) AS li_nano
+         |       FROM mx GROUP BY 1, 2),
+         |ranked AS (SELECT query_id, doc_id, li_nano,
+         |  CAST(row_number() OVER (PARTITION BY query_id
+         |    ORDER BY li_nano DESC, doc_id) AS BIGINT) AS rk FROM sc)
+         |SELECT query_id, doc_id, li_nano, rk
+         |FROM ranked WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin,
     "q72_centroids" ->
       s"""SELECT label, CAST(i AS BIGINT) AS i,
          |  round(avg(CAST(embedding[i] AS DOUBLE))*1e6)/1e6 AS mean6,

@@ -59,6 +59,48 @@ class FusionEvoSpec extends SparkSpec {
         col("n_chars").isNull).count() == 0)
   }
 
+  test("q170: late-interaction scores equal an in-memory max-sim model bit-for-bit") {
+    val vecs = graft.Tables.t(spark, sf0001, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i).toDouble
+        nx += a(i).toDouble * a(i).toDouble
+        ny += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      val den = math.sqrt(nx) * math.sqrt(ny)
+      if (den == 0.0) 0.0 else dot / den
+    }
+    def toks(v: Array[Float]): Seq[Array[Float]] =
+      (0 until 8).map(t => v.slice(t * 8, t * 8 + 8))
+    def li(q: Long, d: Long): Long =
+      toks(vecs(q)).map { qv =>
+        math.round(toks(vecs(d)).map(dv => cos(qv, dv)).max * 1e9)
+      }.sum
+    val rows = Similarity.queries("q170_late_interaction")(spark, sf0001)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (q, d, score) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(score == li(q, d),
+        s"late-interaction score for ($q,$d): got $score, model ${li(q, d)}")
+      assert(score <= 8L * 1000000000L)
+    }
+    // the paradigm is genuinely different from single-vector cosine on
+    // this corpus: at least one query's top-10 SET differs from q70's
+    val single = Similarity.queries("q70_knn_brute")(spark, sf0001).collect()
+      .filter(r => r.getLong(0) < 3)
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val late = rows.groupBy(_.getLong(0)).view
+      .mapValues(_.map(_.getLong(1)).toSet).toMap
+    assert(late.keySet == single.keySet)
+    assert(late.exists { case (q, docs) => docs != single(q) },
+      "late interaction should re-rank at least one query differently")
+  }
+
   test("q166: filters still push down to the merged scan") {
     val plan = graft.sources.SchemaEvolutionStage.mergedRead(spark, sf0001)
       .filter(col("n_chars") > 100)
