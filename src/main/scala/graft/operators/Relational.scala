@@ -781,6 +781,54 @@ object Relational {
         .orderBy("custkey")
     }),
 
+    "q171_cdc_apply" -> ((s, d) => {
+      // Ordered CDC apply with DELETES — the piece q39's upsert merge
+      // leaves out, and the shape a Debezium/binlog consumer actually
+      // runs: a change batch holds MANY ops per key (upserts and
+      // deletes, ordered by (ts, event_id)), so application is
+      // (1) LOG COMPACTION — keep each key's last op, one bounded
+      // row_number window over the batch, the only shuffle of the
+      // change stream — then (2) one full-outer merge onto the base
+      // snapshot where a surviving 'U' overwrites-or-inserts and a
+      // surviving 'D' drops the row (deleting an absent key is a
+      // no-op; a synthetic row exercises that path, plus one synthetic
+      // insert key — all five outcomes live: base-passthrough, update,
+      // insert, delete, no-op delete). Everything is exact integer
+      // cents/micros; at 100 TB the window runs over the BATCH (small),
+      // the merge is the one fact-sized exchange, and AQE covers a hot
+      // key — the nightly CDC-into-lakehouse cost model.
+      import s.implicits._
+      val chg = events(s, d).select(
+          col("user_id").cast("long").as("key"),
+          unix_micros(col("ts")).as("us"),
+          col("event_id").cast("long").as("event_id"),
+          when(col("event_id") % 7 === 0, lit("D")).otherwise(lit("U"))
+            .as("op"),
+          cents(col("value")).as("v_cents"))
+        .unionByName(Seq(
+          (20000L, 1L, 9000001L, "U", Some(11100L)),
+          (30000L, 1L, 9000002L, "D", Option.empty[Long]))
+          .toDF("key", "us", "event_id", "op", "v_cents"))
+      val w = Window.partitionBy(col("key"))
+        .orderBy(col("us").desc, col("event_id").desc)
+      val last = chg.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("key"), col("op"), col("v_cents"),
+          col("event_id").as("last_event"))
+      val base = t(s, d, "customer").select(
+        col("c_custkey").cast("long").as("key"),
+        cents(col("c_acctbal")).as("base_cents"))
+      base.join(last, Seq("key"), "full_outer")
+        .filter(col("op").isNull || col("op") =!= "D")
+        .withColumn("src",
+          when(col("op").isNull, "base")
+            .when(col("base_cents").isNull, "insert")
+            .otherwise("update"))
+        .withColumn("cents", coalesce(col("v_cents"), col("base_cents")))
+        .select(col("key"), col("src"), col("cents"), col("last_event"))
+        .orderBy("key")
+    }),
+
     "q101_window_range" -> ((s, d) => {
       // RANGE-frame window — the frame form q31's ROWS running sum can't
       // express: a trailing 2-hour sum per user over EVENT TIME. RANGE
@@ -1340,6 +1388,35 @@ object Relational {
         |  ON a.user_id = b.user_id AND a.event_id < b.event_id
         | AND abs(epoch_us(b.ts) - epoch_us(a.ts)) <= 120000000
         |ORDER BY a.user_id, i, j""".stripMargin,
+    "q171_cdc_apply" ->
+      """WITH chg AS (
+        |  SELECT user_id AS key, epoch_us(ts) AS us, event_id,
+        |    CASE WHEN event_id % 7 = 0 THEN 'D' ELSE 'U' END AS op,
+        |    CAST(round(value*100) AS BIGINT) AS v_cents
+        |  FROM events
+        |  UNION ALL
+        |  SELECT key, us, event_id, op, v_cents FROM (VALUES
+        |    (20000, 1, 9000001, 'U', 11100),
+        |    (30000, 1, 9000002, 'D', NULL)) v(key, us, event_id, op, v_cents)),
+        |last AS (
+        |  SELECT key, op, v_cents, event_id AS last_event FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY key
+        |      ORDER BY us DESC, event_id DESC) AS rn FROM chg)
+        |  WHERE rn = 1),
+        |base AS (SELECT c_custkey AS key,
+        |  CAST(round(c_acctbal*100) AS BIGINT) AS base_cents FROM customer),
+        |m AS (
+        |  SELECT COALESCE(b.key, l.key) AS key, b.base_cents,
+        |    l.op, l.v_cents, l.last_event
+        |  FROM base b FULL OUTER JOIN last l ON b.key = l.key)
+        |SELECT key,
+        |  CASE WHEN op IS NULL THEN 'base'
+        |       WHEN base_cents IS NULL THEN 'insert'
+        |       ELSE 'update' END AS src,
+        |  COALESCE(v_cents, base_cents) AS cents,
+        |  CAST(last_event AS BIGINT) AS last_event
+        |FROM m WHERE op IS NULL OR op != 'D'
+        |ORDER BY key""".stripMargin,
     "q101_window_range" ->
       """SELECT user_id, event_id, us, trail_cents FROM (
         |  SELECT user_id, event_id, epoch_us(ts) AS us,

@@ -101,6 +101,40 @@ class FusionEvoSpec extends SparkSpec {
       "late interaction should re-rank at least one query differently")
   }
 
+  test("q171: CDC apply matches a sequential log-replay model; all outcomes live") {
+    val rows = Relational.queries("q171_cdc_apply")(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    // sequential replay: apply every change in (ts, event_id) order to a
+    // key->cents map seeded from the base snapshot — the semantics the
+    // distributed compact-then-merge plan must reproduce
+    val base = graft.Tables.t(spark, sf0001, "customer")
+      .select(col("c_custkey").cast("long"),
+        graft.Tables.cents(col("c_acctbal"))).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val changes = graft.Tables.events(spark, sf0001)
+      .select(col("user_id").cast("long"), unix_micros(col("ts")),
+        col("event_id").cast("long"), graft.Tables.cents(col("value")))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(t => (t._2, t._3)) ++
+      Seq((20000L, 1L, 9000001L, 11100L), (30000L, 1L, 9000002L, -1L))
+    var state = base
+    changes.foreach { case (key, _, eid, cents) =>
+      if (eid % 7 == 0 || eid == 9000002L) state -= key
+      else state += key -> cents
+    }
+    val got = rows.map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got == state,
+      s"final state diverges from sequential replay: " +
+        s"missing=${(state.keySet -- got.keySet).take(5)} " +
+        s"extra=${(got.keySet -- state.keySet).take(5)}")
+    val srcs = rows.map(_.getString(1)).toSet
+    assert(srcs == Set("base", "insert", "update"),
+      s"all three surviving outcomes must occur, got $srcs")
+    assert(got.get(20000L).contains(11100L), "synthetic insert must land")
+    assert(!got.contains(30000L), "delete of an absent key is a no-op")
+  }
+
   test("q166: filters still push down to the merged scan") {
     val plan = graft.sources.SchemaEvolutionStage.mergedRead(spark, sf0001)
       .filter(col("n_chars") > 100)
