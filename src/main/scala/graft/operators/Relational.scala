@@ -1283,6 +1283,46 @@ object Relational {
   private val revenueSql =
     "CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT))) AS DOUBLE)/1e4"
 
+  /** q171's oracle, parameterized for reuse: the streaming CDC sink
+    * (q172) applies the same change log WITHOUT q171's synthetic
+    * insert/no-op-delete rows, so it shares this text minus the VALUES
+    * block — one definition, the batch and streaming forms cannot
+    * drift. */
+  private[graft] def cdcApplyOracleSql(withSynthetics: Boolean): String = {
+    val syn = if (withSynthetics)
+      """
+        |  UNION ALL
+        |  SELECT key, us, event_id, op, v_cents FROM (VALUES
+        |    (20000, 1, 9000001, 'U', 11100),
+        |    (30000, 1, 9000002, 'D', NULL)) v(key, us, event_id, op, v_cents)"""
+        .stripMargin
+    else ""
+    s"""WITH chg AS (
+       |  SELECT user_id AS key, epoch_us(ts) AS us, event_id,
+       |    CASE WHEN event_id % 7 = 0 THEN 'D' ELSE 'U' END AS op,
+       |    CAST(round(value*100) AS BIGINT) AS v_cents
+       |  FROM events$syn),
+       |last AS (
+       |  SELECT key, op, v_cents, event_id AS last_event FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY key
+       |      ORDER BY us DESC, event_id DESC) AS rn FROM chg)
+       |  WHERE rn = 1),
+       |base AS (SELECT c_custkey AS key,
+       |  CAST(round(c_acctbal*100) AS BIGINT) AS base_cents FROM customer),
+       |m AS (
+       |  SELECT COALESCE(b.key, l.key) AS key, b.base_cents,
+       |    l.op, l.v_cents, l.last_event
+       |  FROM base b FULL OUTER JOIN last l ON b.key = l.key)
+       |SELECT key,
+       |  CASE WHEN op IS NULL THEN 'base'
+       |       WHEN base_cents IS NULL THEN 'insert'
+       |       ELSE 'update' END AS src,
+       |  COALESCE(v_cents, base_cents) AS cents,
+       |  CAST(last_event AS BIGINT) AS last_event
+       |FROM m WHERE op IS NULL OR op != 'D'
+       |ORDER BY key""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
     "q10_join_broadcast" ->
       s"""SELECT n_name, r_name, $revenueSql AS revenue,
@@ -1388,35 +1428,7 @@ object Relational {
         |  ON a.user_id = b.user_id AND a.event_id < b.event_id
         | AND abs(epoch_us(b.ts) - epoch_us(a.ts)) <= 120000000
         |ORDER BY a.user_id, i, j""".stripMargin,
-    "q171_cdc_apply" ->
-      """WITH chg AS (
-        |  SELECT user_id AS key, epoch_us(ts) AS us, event_id,
-        |    CASE WHEN event_id % 7 = 0 THEN 'D' ELSE 'U' END AS op,
-        |    CAST(round(value*100) AS BIGINT) AS v_cents
-        |  FROM events
-        |  UNION ALL
-        |  SELECT key, us, event_id, op, v_cents FROM (VALUES
-        |    (20000, 1, 9000001, 'U', 11100),
-        |    (30000, 1, 9000002, 'D', NULL)) v(key, us, event_id, op, v_cents)),
-        |last AS (
-        |  SELECT key, op, v_cents, event_id AS last_event FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY key
-        |      ORDER BY us DESC, event_id DESC) AS rn FROM chg)
-        |  WHERE rn = 1),
-        |base AS (SELECT c_custkey AS key,
-        |  CAST(round(c_acctbal*100) AS BIGINT) AS base_cents FROM customer),
-        |m AS (
-        |  SELECT COALESCE(b.key, l.key) AS key, b.base_cents,
-        |    l.op, l.v_cents, l.last_event
-        |  FROM base b FULL OUTER JOIN last l ON b.key = l.key)
-        |SELECT key,
-        |  CASE WHEN op IS NULL THEN 'base'
-        |       WHEN base_cents IS NULL THEN 'insert'
-        |       ELSE 'update' END AS src,
-        |  COALESCE(v_cents, base_cents) AS cents,
-        |  CAST(last_event AS BIGINT) AS last_event
-        |FROM m WHERE op IS NULL OR op != 'D'
-        |ORDER BY key""".stripMargin,
+    "q171_cdc_apply" -> cdcApplyOracleSql(withSynthetics = true),
     "q101_window_range" ->
       """SELECT user_id, event_id, us, trail_cents FROM (
         |  SELECT user_id, event_id, epoch_us(ts) AS us,

@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 import org.apache.spark.sql.types._
@@ -312,7 +313,153 @@ object Streaming {
     }
   }
 
+  // ---- q172: streaming CDC sink (foreachBatch, idempotent LWW merge) --
+
+  /** q172's staged change-log source: the q171 change stream split into
+    * 4 parquet files so the file stream delivers 4 real micro-batches
+    * (`maxFilesPerTrigger=1`). No mtime choreography needed — the sink's
+    * last-writer-wins merge keys on (us, event_id), so ANY file→batch
+    * assignment converges to the same state (the out-of-order-delivery
+    * guarantee a real CDC consumer needs). */
+  def cdcStreamDir(s: SparkSession, d: String): String = {
+    val dir = graft.Staging.dirFor("cdcstream", d)
+    graft.Staging.once(dir) {
+      events(s, d).select(
+          col("user_id").cast("long").as("key"),
+          unix_micros(col("ts")).as("us"),
+          col("event_id").cast("long").as("event_id"),
+          when(col("event_id") % 7 === 0, lit("D")).otherwise(lit("U"))
+            .as("op"),
+          cents(col("value")).as("v_cents"))
+        .repartition(4).write.mode("overwrite").parquet(dir)
+    }
+    dir
+  }
+
+  private val cdcSchema = StructType(Seq(
+    StructField("key", LongType), StructField("us", LongType),
+    StructField("event_id", LongType), StructField("op", StringType),
+    StructField("v_cents", LongType)))
+
+  /** Base snapshot as seed state rows — stamp (-1, -1) sorts below every
+    * real change, so the first touch of a key wins over its seed. */
+  private def cdcSeed(s: SparkSession, d: String): DataFrame =
+    t(s, d, "customer").select(
+      col("c_custkey").cast("long").as("key"),
+      lit(-1L).as("us"), lit(-1L).as("event_id"),
+      lit("U").as("op"), cents(col("c_acctbal")).as("v_cents"))
+
+  private val cdcLwwWindow = Window.partitionBy(col("key"))
+    .orderBy(col("us").desc, col("event_id").desc)
+
+  private def cdcCommittedIds(root: String): Seq[Long] =
+    Option(new java.io.File(root).listFiles).toSeq.flatten
+      .map(_.getName).collect {
+        case n if n.matches("v\\d+\\.committed") =>
+          n.stripPrefix("v").stripSuffix(".committed").toLong
+      }.sorted
+
+  /** The foreachBatch body — the IDEMPOTENT sink protocol every
+    * exactly-once Structured Streaming deployment implements by hand:
+    * output is versioned by `batchId`; a batch commits by writing
+    * `v<id>` from the latest committed predecessor + its own compacted
+    * changes, then dropping a commit marker. A RE-DELIVERED batch
+    * (restart replays the last un/half-committed id) sees its marker
+    * and no-ops — the at-least-once channel becomes exactly-once at
+    * the sink. Merge semantics are last-writer-wins on (us, event_id)
+    * with tombstones KEPT in state (a late-arriving older 'U' must
+    * lose to a stored 'D'; a newer 'U' resurrects) — convergent under
+    * any batch split or arrival order. Exposed for CdcSinkSpec's
+    * redelivery/restart probes. */
+  private[streaming] def applyCdcBatch(root: String, d: String)
+      (batch: DataFrame, batchId: Long): Unit = {
+    val marker = new java.io.File(s"$root/v$batchId.committed")
+    if (marker.isFile) return // re-delivery after restart: no-op
+    val s = batch.sparkSession
+    val prev = cdcCommittedIds(root).filter(_ < batchId).lastOption match {
+      case Some(i) => s.read.parquet(s"$root/v$i")
+      case None => cdcSeed(s, d)
+    }
+    val compacted = batch
+      .withColumn("rn", row_number().over(cdcLwwWindow))
+      .filter(col("rn") === 1).drop("rn")
+    prev.unionByName(compacted)
+      .withColumn("rn", row_number().over(cdcLwwWindow))
+      .filter(col("rn") === 1).drop("rn")
+      .write.mode("overwrite").parquet(s"$root/v$batchId")
+    marker.createNewFile()
+    ()
+  }
+
+  /** Final-state read of a CDC sink root: latest committed version,
+    * tombstones filtered AT SERVE TIME (they must stay in state for
+    * ordering), seed rows surfaced as base passthrough — the exact
+    * column contract of batch q171 (minus its synthetic rows). */
+  private[streaming] def serveCdcState(s: SparkSession, root: String,
+      d: String): DataFrame = {
+    val latest = cdcCommittedIds(root).last
+    val baseKeys = t(s, d, "customer")
+      .select(col("c_custkey").cast("long").as("key"),
+        lit(true).as("in_base"))
+    s.read.parquet(s"$root/v$latest")
+      .filter(col("op") =!= "D")
+      .join(broadcast(baseKeys), Seq("key"), "left")
+      .withColumn("src",
+        when(col("event_id") === -1L, "base")
+          .when(col("in_base").isNull, "insert")
+          .otherwise("update"))
+      .select(col("key"), col("src"), col("v_cents").as("cents"),
+        when(col("event_id") === -1L, lit(null).cast("long"))
+          .otherwise(col("event_id")).as("last_event"))
+      .orderBy("key")
+  }
+
+  /** Run the change-log stream to completion through the idempotent
+    * foreachBatch sink (fresh root+checkpoint: the dirs are wiped first
+    * so a rebuild after invalidation can never resume a stale
+    * checkpoint). Exposed for CdcSinkSpec's two-phase restart probe. */
+  private[streaming] def runCdcStream(sp: SparkSession, src: String,
+      root: String, ckpt: String, d: String, wipe: Boolean = true): Unit = {
+    if (wipe) Seq(root, ckpt).foreach { p =>
+      def del(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(del)); f.delete(); ()
+      }
+      del(new java.io.File(p))
+    }
+    val q = sp.readStream.schema(cdcSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(src)
+      .writeStream
+      .foreachBatch((b: DataFrame, id: Long) => applyCdcBatch(root, d)(b, id))
+      .option("checkpointLocation", ckpt)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "q172_stream_cdc_sink" -> ((s, d) => withStreamPartitions(s, 4) { sp =>
+      // q171's CDC apply AS A STREAM — the missing sink leg of the
+      // streaming story: foreachBatch + batchId-versioned output + a
+      // commit marker turn Structured Streaming's at-least-once
+      // re-delivery into an exactly-once sink (the protocol behind
+      // every "idempotent writes" production checklist item). The
+      // change log arrives as 4 micro-batches; each batch log-compacts
+      // itself (one bounded window) and LWW-merges onto the prior
+      // committed state; tombstones persist in state so out-of-order
+      // delivery converges. The final state must equal batch q171 on
+      // the same log — one oracle text, parameterized (no synthetic
+      // rows on the streaming side). The 100 TB contract: state
+      // versions are bounded by retention-compaction in production;
+      // the per-batch cost is O(batch + state), and a driver crash at
+      // ANY point resumes without double-applying a change.
+      val src = cdcStreamDir(sp, d)
+      val root = graft.Staging.dirFor("cdcsink", d)
+      graft.Staging.once(s"$root@run") {
+        runCdcStream(sp, src, root, s"$root-ckpt", d)
+      }
+      serveCdcState(sp, root, d)
+    }),
 
     "q94_stream_onebrc" -> ((s, _) => withStreamPartitions(s, 4) { sp =>
       // the flagship workload AS A STREAM: readStream over the 1BRC text
@@ -635,6 +782,10 @@ object Streaming {
       s"""SELECT DISTINCT ${graft.operators.Dedup.contentFpSql} AS fp
          |FROM documents ORDER BY fp""".stripMargin,
     "q99_stream_delta_admit" -> graft.operators.Dedup.deltaAdmitOracleSql,
+    // the batch q171 oracle minus its synthetic rows — one parameterized
+    // text, so the batch and streaming CDC forms cannot drift
+    "q172_stream_cdc_sink" ->
+      graft.operators.Relational.cdcApplyOracleSql(withSynthetics = false),
     // shared with q106: the streamed sketch must satisfy the same contract
     "q107_stream_heavy_hitters" ->
       graft.operators.TextAnalysis.HeavyHittersOracleSql,
