@@ -596,6 +596,41 @@ object Relational {
           r4(element_at(col("ps"), 3)).as("p75"))
         .orderBy("l_returnflag")),
 
+    "q173_mad_outliers" -> ((s, d) => {
+      // Robust outlier gate — median/MAD instead of mean/stddev, the
+      // anomaly filter that survives the anomalies themselves (one
+      // pathological value drags a z-score's mean and inflates its
+      // stddev; the breakdown point of the median is 50%). All
+      // comparisons are EXACT-INTEGER: medians of cents are .5-grained,
+      // so 2×median and 4×MAD are integers, and the gate |x−med|>3·MAD
+      // is evaluated as 2·dev2 > 3·mad4 with dev2 = |2x−med2| — no
+      // float thresholds, identical verdicts in any engine or partition
+      // order. Shape: two grouped exact-percentile passes over the
+      // cached cents frame with KB-sized per-type frames broadcast back,
+      // then one counting pass. Exact percentile is unbounded-state per
+      // group (the q26 caveat); at 100 TB the same gate runs on q103's
+      // approx_percentile sketch, certified within 1% by that query's
+      // in-plan contract.
+      val ev = events(s, d)
+        .select(col("event_type"), cents(col("value")).as("v"))
+        // feeds the median agg, the deviation frame and the gate
+        .transform(graft.CacheRegistry.cached)
+      val med = ev.groupBy(col("event_type")).agg(
+        round(expr("percentile(v, 0.5)") * 2).cast("long").as("med2"))
+      val dev = ev.join(broadcast(med), "event_type")
+        .withColumn("dev2", abs(lit(2) * col("v") - col("med2")))
+      val mad = dev.groupBy(col("event_type")).agg(
+        round(expr("percentile(dev2, 0.5)") * 2).cast("long").as("mad4"))
+      dev.join(broadcast(mad), "event_type")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          max(col("med2")).as("med2"),
+          max(col("mad4")).as("mad4"),
+          sum(when(lit(2) * col("dev2") > lit(3) * col("mad4"), 1L)
+            .otherwise(0L)).as("n_outliers"))
+        .orderBy("event_type")
+    }),
+
     "q103_approx_percentile" -> ((s, d) =>
       // The 100 TB twin of q26: approx_percentile (Greenwald-Khanna-style
       // quantile sketch — bounded memory per group, mergeable partials)
@@ -1625,6 +1660,23 @@ object Relational {
         |  round(quantile_cont(l_extendedprice, 0.75)*1e4)/1e4 AS p75,
         |  TRUE AS within_tol
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q173_mad_outliers" ->
+      """WITH ev AS (SELECT event_type,
+        |  CAST(round(value*100) AS BIGINT) AS v FROM events),
+        |med AS (SELECT event_type,
+        |  CAST(round(2*quantile_cont(v, 0.5)) AS BIGINT) AS med2
+        |  FROM ev GROUP BY 1),
+        |dev AS (SELECT e.event_type, med2, abs(2*v - med2) AS dev2
+        |        FROM ev e JOIN med USING (event_type)),
+        |mad AS (SELECT event_type,
+        |  CAST(round(2*quantile_cont(dev2, 0.5)) AS BIGINT) AS mad4
+        |  FROM dev GROUP BY 1)
+        |SELECT event_type, count(*) AS n, max(med2) AS med2,
+        |  max(mad4) AS mad4,
+        |  CAST(sum(CASE WHEN 2*dev2 > 3*mad4 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_outliers
+        |FROM dev JOIN mad USING (event_type)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     // rel_err_ok is computed from Spark's real DataSketches HLL union;
     // the oracle asserts it (the q22 bounded-error contract)
     "q139_hll_sketch_shards" ->

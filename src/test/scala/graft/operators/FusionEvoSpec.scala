@@ -135,6 +135,31 @@ class FusionEvoSpec extends SparkSpec {
     assert(!got.contains(30000L), "delete of an absent key is a no-op")
   }
 
+  test("q173: median/MAD gate equals a brute sequential model; robust to the outliers it flags") {
+    val vals = graft.Tables.events(spark, sf0001)
+      .select(col("event_type"), graft.Tables.cents(col("value")))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toVector).toMap
+    def med2(xs: Vector[Long]): Long =
+      if (xs.length % 2 == 1) 2 * xs(xs.length / 2)
+      else xs(xs.length / 2 - 1) + xs(xs.length / 2)
+    val rows = Relational.queries("q173_mad_outliers")(spark, sf0001).collect()
+    assert(rows.map(_.getString(0)).toSet == vals.keySet)
+    rows.foreach { r =>
+      val xs = vals(r.getString(0))
+      val m2 = med2(xs)
+      assert(r.getLong(2) == m2, s"${r.getString(0)}: med2")
+      val dev2s = xs.map(x => math.abs(2 * x - m2)).sorted
+      val m4 = med2(dev2s)
+      assert(r.getLong(3) == m4, s"${r.getString(0)}: mad4")
+      assert(r.getLong(1) == xs.length)
+      assert(r.getLong(4) == dev2s.count(d2 => 2 * d2 > 3 * m4),
+        s"${r.getString(0)}: outlier count")
+      // gate is live but not degenerate on this data
+      assert(r.getLong(4) > 0 && r.getLong(4) < xs.length / 2)
+    }
+  }
+
   test("q166: filters still push down to the merged scan") {
     val plan = graft.sources.SchemaEvolutionStage.mergedRead(spark, sf0001)
       .filter(col("n_chars") > 100)
