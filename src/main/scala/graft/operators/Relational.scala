@@ -311,6 +311,33 @@ object Relational {
         .orderBy("user_id", "p_id")
     }),
 
+    "q174_asof_exec" -> ((s, d) => {
+      // q16's as-of join served by a CUSTOM PHYSICAL OPERATOR — the full
+      // plan-level customization ladder (logical AsOfJoinNode → planner
+      // AsOfJoinStrategy → AsOfJoinExec), where q16 composes the same
+      // semantics from union+window. The exec asks Catalyst for hash
+      // co-partitioning + (key, ts) in-partition sort and then runs a
+      // streaming two-pointer merge: O(1) state per partition (ONE held
+      // right row), no window buffer holding both sides — see
+      // graft/plans/AsOfJoin.scala for the scale argument. Same click
+      // pre-dedup, same output columns, SAME ORACLE TEXT as q16: the
+      // composed and custom-operator forms pin each other bit-for-bit.
+      graft.plans.AsOfJoin.install(s)
+      val ev = events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("event_id")).as("c_id"))
+        .select(col("user_id"), unix_micros(col("ts")).as("r_us"),
+          col("c_id"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), unix_micros(col("ts")).as("l_us"),
+          col("event_id").as("p_id"))
+      graft.plans.AsOfJoin.asof(purchases, clicks, "user_id", "l_us", "r_us")
+        .select(col("user_id"), col("p_id"), col("c_id"),
+          (col("l_us") - col("r_us")).as("gap_us"))
+        .orderBy("user_id", "p_id")
+    }),
+
     // ---- aggregations ------------------------------------------------------
 
     "q20_tpch_q1" -> ((s, d) => {
@@ -1318,6 +1345,19 @@ object Relational {
   private val revenueSql =
     "CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT))) AS DOUBLE)/1e4"
 
+  /** One as-of oracle (DuckDB's native ASOF LEFT JOIN) for both the
+    * composed q16 and the custom-operator q174 — they must be
+    * bit-identical by construction. */
+  private val asofOracleSql: String =
+    """SELECT l.user_id, l.event_id AS p_id, r.event_id AS c_id,
+      |  epoch_us(l.ts) - epoch_us(r.ts) AS gap_us
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+      |ASOF LEFT JOIN (
+      |  SELECT user_id, ts, max(event_id) AS event_id
+      |  FROM events WHERE event_type = 'click' GROUP BY 1, 2) r
+      |  ON l.user_id = r.user_id AND r.ts <= l.ts
+      |ORDER BY l.user_id, p_id""".stripMargin
+
   /** q171's oracle, parameterized for reuse: the streaming CDC sink
     * (q172) applies the same change log WITHOUT q171's synthetic
     * insert/no-op-delete rows, so it shares this text minus the VALUES
@@ -1447,15 +1487,11 @@ object Relational {
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q15_join_cross" ->
       "SELECT r_name, n_name FROM region CROSS JOIN nation ORDER BY r_name, n_name",
-    "q16_asof_join" ->
-      """SELECT l.user_id, l.event_id AS p_id, r.event_id AS c_id,
-        |  epoch_us(l.ts) - epoch_us(r.ts) AS gap_us
-        |FROM (SELECT * FROM events WHERE event_type = 'purchase') l
-        |ASOF LEFT JOIN (
-        |  SELECT user_id, ts, max(event_id) AS event_id
-        |  FROM events WHERE event_type = 'click' GROUP BY 1, 2) r
-        |  ON l.user_id = r.user_id AND r.ts <= l.ts
-        |ORDER BY l.user_id, p_id""".stripMargin,
+    "q16_asof_join" -> asofOracleSql,
+    // the custom-operator form emits exactly q16's rows — one oracle
+    // text pins the composed (union+window) and AsOfJoinExec plans to
+    // each other
+    "q174_asof_exec" -> asofOracleSql,
     "q17_range_join" ->
       """SELECT a.user_id, a.event_id AS i, b.event_id AS j,
         |  epoch_us(b.ts) - epoch_us(a.ts) AS dt_us
