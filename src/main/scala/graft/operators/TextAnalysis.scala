@@ -1019,6 +1019,38 @@ object TextAnalysis {
       bm25Ranked(s, d).orderBy("query_id", "rk")
     }),
 
+    "q175_gini" -> ((s, d) => {
+      // Vocabulary concentration per language — the Gini coefficient of
+      // the token-frequency distribution, the corpus-diagnostics number
+      // next to q81's head frequencies and q82's per-doc quality: a
+      // boilerplate-flooded crawl shows near-1 concentration, a diverse
+      // corpus sits low. Exact-integer throughout via the rank form of
+      // the Gini numerator, sum((2*rank - n - 1) * freq) over the
+      // frequency-ASC-sorted vocabulary: within a tie block every
+      // ordering gives the same sum (equal freqs), so the number is
+      // deterministic under any tie-break and any partitioning; the
+      // ratio is reported in integer basis points by integer division.
+      // Shape: one token-collapse shuffle, one per-lang window over the
+      // VOCABULARY (not the token stream), KB-sized per-lang stats
+      // broadcast back.
+      val tf = t(s, d, "documents")
+        .select(col("lang"), explode(split(col("text"), " ")).as("term"))
+        .groupBy(col("lang"), col("term")).agg(count(lit(1)).as("f"))
+      val stats = tf.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_terms"), sum(col("f")).as("total_tf"))
+      val w = Window.partitionBy(col("lang")).orderBy(col("f"), col("term"))
+      tf.withColumn("rn", row_number().over(w).cast("long"))
+        .join(broadcast(stats), "lang")
+        .groupBy(col("lang"))
+        .agg(max(col("n_terms")).as("n_terms"),
+          max(col("total_tf")).as("total_tf"),
+          sum((lit(2) * col("rn") - col("n_terms") - 1) * col("f"))
+            .as("gini_num"))
+        .withColumn("gini_bp",
+          expr("10000 * gini_num div (n_terms * total_tf)"))
+        .orderBy("lang")
+    }),
+
     "q168_staged_bm25" -> ((s, d) => {
       // STAGED inverted-index serving — the q150 staging discipline
       // applied to the lexical half: postings (doc, term, tf) and doc
@@ -1449,6 +1481,22 @@ object TextAnalysis {
          |    FROM (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents)))
          |ORDER BY doc_id""".stripMargin
     },
+    "q175_gini" ->
+      """WITH tf AS (
+        |  SELECT lang, term, count(*) AS f FROM (
+        |    SELECT lang, unnest(string_split(text, ' ')) AS term
+        |    FROM documents) GROUP BY 1, 2),
+        |st AS (SELECT lang, count(*) AS n_terms,
+        |       CAST(sum(f) AS BIGINT) AS total_tf FROM tf GROUP BY 1),
+        |r AS (SELECT lang, f, CAST(row_number() OVER (
+        |  PARTITION BY lang ORDER BY f, term) AS BIGINT) AS rn FROM tf),
+        |g AS (
+        |  SELECT r.lang, max(n_terms) AS n_terms, max(total_tf) AS total_tf,
+        |    CAST(sum((2*rn - n_terms - 1) * f) AS BIGINT) AS gini_num
+        |  FROM r JOIN st ON r.lang = st.lang GROUP BY 1)
+        |SELECT lang, n_terms, total_tf, gini_num,
+        |  10000 * gini_num // (n_terms * total_tf) AS gini_bp
+        |FROM g ORDER BY lang""".stripMargin,
     "q153_bm25" -> bm25FinalSql,
     // bit-identical by construction (same postings, same scoring tail) —
     // the staged and incrementally-maintained index forms share q153's

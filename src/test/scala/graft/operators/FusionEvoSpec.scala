@@ -160,6 +160,30 @@ class FusionEvoSpec extends SparkSpec {
     }
   }
 
+  test("q175: Gini equals the brute sorted-rank formula; bounds hold") {
+    val tf = graft.Tables.t(spark, sf0001, "documents")
+      .select(col("lang"), explode(split(col("text"), " ")).as("term"))
+      .groupBy("lang", "term").count().collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val rows = TextAnalysis.queries("q175_gini")(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val lang = r.getString(0)
+      val fs = tf.filter(_._1 == lang).map(_._3).sorted
+      val n = fs.length.toLong
+      val tot = fs.sum
+      val num = fs.zipWithIndex.map { case (f, i) =>
+        (2L * (i + 1) - n - 1) * f
+      }.sum
+      assert(r.getLong(1) == n && r.getLong(2) == tot)
+      assert(r.getLong(3) == num, s"$lang: gini_num")
+      val bp = r.getLong(4)
+      assert(bp == 10000L * num / (n * tot))
+      // a real mixed-frequency vocabulary: strictly inside (0, 1)
+      assert(bp > 0 && bp < 10000, s"$lang: bp=$bp")
+    }
+  }
+
   test("q166: filters still push down to the merged scan") {
     val plan = graft.sources.SchemaEvolutionStage.mergedRead(spark, sf0001)
       .filter(col("n_chars") > 100)
