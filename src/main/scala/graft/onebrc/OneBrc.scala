@@ -303,7 +303,25 @@ object OneBrc {
     // the oracle gate: fused line-split+parse scan -> integer-tenths agg
     "q19_scan_dsv2" -> ((s, _) =>
       brcAggTenths(readMeasurementsV2(
-        s, graft.Fixtures.path("measurements_golden.csv"))))
+        s, graft.Fixtures.path("measurements_golden.csv")))),
+    // the connector's WRITE half (BrcTable#newWriteBuilder): golden
+    // measurements round-trip THROUGH the brc sink — V2 scan → V2 write
+    // (`station;d.d` lines re-serialized by digit arithmetic) → V2 scan
+    // of the written files → the same aggregate. Oracle reads the
+    // ORIGINAL csv, so equality binds serialize→commit→list→parse
+    // end-to-end (the q121/q158 roundtrip contract applied to the
+    // custom format). Overwrite arrives as DSV2 truncate; files are
+    // task-unique so retries never clobber.
+    "q176_brc_sink" -> ((s, _) => {
+      val src = graft.Fixtures.path("measurements_golden.csv")
+      val dir = graft.Staging.dirFor("brcsink", src)
+      graft.Staging.once(dir) {
+        readMeasurementsV2(s, src)
+          .write.format("graft.sources.BrcDataSource")
+          .mode("overwrite").option("path", dir).save()
+      }
+      brcAggTenths(readMeasurementsV2(s, dir))
+    })
   )
 
   private val meanSql =
@@ -359,6 +377,10 @@ object OneBrc {
     // identical answer contract: the V2 connector's integer-tenths path
     // must reproduce the generic CSV scan bit-for-bit on 1-dp data
     "q19_scan_dsv2" -> brcAggSql(
+      s"""SELECT station, measure FROM read_csv('${graft.Fixtures.path("measurements_golden.csv")}',
+        |  delim=';', header=false, columns={'station':'VARCHAR','measure':'DOUBLE'})""".stripMargin),
+    // oracle reads the ORIGINAL csv — equality binds the sink roundtrip
+    "q176_brc_sink" -> brcAggSql(
       s"""SELECT station, measure FROM read_csv('${graft.Fixtures.path("measurements_golden.csv")}',
         |  delim=';', header=false, columns={'station':'VARCHAR','measure':'DOUBLE'})""".stripMargin),
     "q09_onebrc_lines" ->

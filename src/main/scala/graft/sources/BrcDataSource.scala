@@ -71,11 +71,48 @@ object BrcDataSource {
 }
 
 class BrcTable(paths: Seq[String], splitBytes: Long)
-  extends Table with SupportsRead {
+  extends Table with SupportsRead
+  with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = s"brc(${paths.mkString(",")})"
   override def schema(): StructType = BrcDataSource.schema
   override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE).asJava
+
+  /** The WRITE half of the connector (q176): rows (station, t-tenths)
+    * serialize back to `station;d?dd.d` lines — the same wire format the
+    * scan parses, so write→read round-trips bit-exactly. Each task
+    * streams its partition through one buffered output (no row
+    * materialization beyond the line bytes); files are task-unique
+    * (partitionId-taskId), so retries/speculation never clobber, commit
+    * is a no-op and abort best-effort deletes. Overwrite mode arrives as
+    * SupportsTruncate — existing data files are cleared once,
+    * driver-side, before the factory ships. */
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    require(paths.length == 1,
+      s"brc sink writes to exactly one directory, got $paths")
+    require(info.schema().map(f => (f.name, f.dataType)) ==
+      BrcDataSource.schema.map(f => (f.name, f.dataType)),
+      s"brc sink requires schema (station STRING, t LONG), got ${info.schema()}")
+    val sconf = new org.apache.spark.util.SerializableConfiguration(
+      org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf())
+    new org.apache.spark.sql.connector.write.WriteBuilder
+      with org.apache.spark.sql.connector.write.SupportsTruncate {
+      private var doTruncate = false
+      override def truncate()
+          : org.apache.spark.sql.connector.write.WriteBuilder = {
+        doTruncate = true; this
+      }
+      override def build(): org.apache.spark.sql.connector.write.Write =
+        new org.apache.spark.sql.connector.write.Write {
+          override def toBatch
+              : org.apache.spark.sql.connector.write.BatchWrite =
+            new BrcBatchWrite(paths.head, doTruncate, sconf)
+        }
+    }
+  }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     // capture the BUILDING session's Hadoop conf (spark.hadoop.* creds,
@@ -91,6 +128,86 @@ class BrcTable(paths: Seq[String], splitBytes: Long)
       override def build(): Scan = new BrcScanV2(paths, splitBytes, pruned, sconf)
     }
   }
+}
+
+case class BrcCommitMessage(path: String)
+  extends org.apache.spark.sql.connector.write.WriterCommitMessage
+
+class BrcBatchWrite(dir: String, truncate: Boolean,
+    sconf: org.apache.spark.util.SerializableConfiguration)
+  extends org.apache.spark.sql.connector.write.BatchWrite {
+
+  override def createBatchWriterFactory(
+      info: org.apache.spark.sql.connector.write.PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.DataWriterFactory = {
+    // driver-side, once per job: prepare the target dir
+    val p = new Path(dir)
+    val fs = p.getFileSystem(sconf.value)
+    if (truncate && fs.exists(p))
+      fs.listStatus(p).filterNot(s => s.getPath.getName.startsWith("_") ||
+        s.getPath.getName.startsWith(".")).foreach(s =>
+        fs.delete(s.getPath, false))
+    fs.mkdirs(p)
+    BrcWriterFactory(dir, sconf)
+  }
+  override def commit(
+      messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage])
+      : Unit = {} // task files are final already
+  override def abort(
+      messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage])
+      : Unit = {
+    val fs = new Path(dir).getFileSystem(sconf.value)
+    messages.collect { case BrcCommitMessage(p) =>
+      fs.delete(new Path(p), false)
+    }
+    ()
+  }
+}
+
+case class BrcWriterFactory(dir: String,
+    sconf: org.apache.spark.util.SerializableConfiguration)
+  extends org.apache.spark.sql.connector.write.DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long)
+      : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
+    new BrcDataWriter(s"$dir/part-$partitionId-$taskId.brc", sconf)
+}
+
+/** Serializes (station UTF8String, t tenths) to `station;d?dd.d\n` —
+  * digit arithmetic, no String/format allocation per row. */
+class BrcDataWriter(path: String,
+    sconf: org.apache.spark.util.SerializableConfiguration)
+  extends org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
+
+  private val p = new Path(path)
+  private val out = new java.io.BufferedOutputStream(
+    p.getFileSystem(sconf.value).create(p, true), 1 << 20)
+
+  override def write(row: InternalRow): Unit = {
+    out.write(row.getUTF8String(0).getBytes)
+    out.write(';')
+    var t = row.getLong(1)
+    if (t < 0) { out.write('-'); t = -t }
+    val ip = t / 10
+    if (ip > 999) // the read side's honest 1-3-digit domain, enforced
+      throw new IllegalArgumentException(
+        s"brc sink: |t| = $t tenths exceeds the 1BRC 999.9 domain")
+    if (ip >= 100) out.write('0' + (ip / 100).toInt)
+    if (ip >= 10) out.write('0' + (ip / 10 % 10).toInt)
+    out.write('0' + (ip % 10).toInt)
+    out.write('.')
+    out.write('0' + (t % 10).toInt)
+    out.write('\n')
+  }
+  override def commit()
+      : org.apache.spark.sql.connector.write.WriterCommitMessage = {
+    out.close(); BrcCommitMessage(path)
+  }
+  override def abort(): Unit = {
+    out.close()
+    p.getFileSystem(sconf.value).delete(p, false)
+    ()
+  }
+  override def close(): Unit = {}
 }
 
 class BrcScanV2(paths: Seq[String], splitBytes: Long, pruned: StructType,

@@ -1,0 +1,53 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** q176: the brc connector's write half — row-exact roundtrip, overwrite
+  * truncation, append accumulation, and the serializer's domain guard.
+  */
+class BrcSinkSpec extends SparkSpec {
+
+  private def golden = graft.onebrc.OneBrc.readMeasurementsV2(
+    spark, graft.Fixtures.path("measurements_golden.csv"))
+
+  private def writeTo(dir: String, mode: String): Unit =
+    golden.write.format("graft.sources.BrcDataSource")
+      .mode(mode).option("path", dir).save()
+
+  test("q176: V2 write → V2 read round-trips every row exactly") {
+    val dir = tempDir("brc-sink").toString
+    writeTo(dir, "overwrite")
+    val back = spark.read.format("graft.sources.BrcDataSource").load(dir)
+    // full multiset equality of (station, t) — stronger than the agg
+    val a = golden.groupBy("station", "t").count()
+    val b = back.groupBy("station", "t").count()
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+      "written lines must parse back to the identical row multiset")
+    assert(back.count() == golden.count())
+  }
+
+  test("q176: overwrite truncates, append accumulates") {
+    val dir = tempDir("brc-sink-modes").toString
+    writeTo(dir, "overwrite")
+    val n = golden.count()
+    writeTo(dir, "overwrite")
+    assert(spark.read.format("graft.sources.BrcDataSource").load(dir)
+      .count() == n, "overwrite must clear prior files")
+    writeTo(dir, "append")
+    assert(spark.read.format("graft.sources.BrcDataSource").load(dir)
+      .count() == 2 * n, "append must keep prior files")
+  }
+
+  test("q176: serializer hard-errors outside the 1BRC 999.9 domain") {
+    import spark.implicits._
+    val dir = tempDir("brc-sink-domain").toString
+    val bad = Seq(("X", 10000L)).toDF("station", "t")
+    val e = intercept[org.apache.spark.SparkException] {
+      bad.write.format("graft.sources.BrcDataSource")
+        .mode("overwrite").option("path", dir).save()
+    }
+    assert(e.getMessage.contains("999.9 domain") ||
+      Option(e.getCause).exists(_.getMessage.contains("999.9 domain")))
+  }
+}
