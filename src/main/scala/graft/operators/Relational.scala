@@ -787,6 +787,38 @@ object Relational {
         .orderBy("user_id", "i", "j")
     }),
 
+    "q177_range_rule" -> ((s, d) => {
+      // q17's range join written the way a USER writes it — the naive
+      // theta-join `abs(us_j - us_i) <= 120s` — and made scalable by the
+      // library's own optimizer rule instead of hand-binning:
+      // RangeJoinRule (graft/plans/RangeJoinRule.scala, also injected
+      // via GraftExtensions) rewrites the O(n·m) nested-loop condition
+      // into the banded equi-join q17 spells manually, preserving
+      // multiplicity, and is installed here at runtime through
+      // `experimental.extraOptimizations` so it reaches sessions built
+      // without the extensions conf. Same answer as q17 — one shared
+      // oracle — and the spec-level proof (RangeJoinRuleSpec) gains an
+      // oracle-gated production use. This is the declarative-first
+      // contract at the plan level: users state the predicate, the
+      // library supplies the 100 TB-safe physical shape.
+      if (!s.experimental.extraOptimizations.contains(graft.plans.RangeJoinRule))
+        s.experimental.extraOptimizations =
+          s.experimental.extraOptimizations :+ graft.plans.RangeJoinRule
+      val binW = 120L
+      val ev = events(s, d).select(col("user_id"),
+        col("event_id"), unix_micros(col("ts")).as("us"))
+      val a = ev.select(col("user_id"), col("event_id").as("i"),
+        col("us").as("us_i"))
+      val b = ev.select(col("user_id").as("user_id_b"),
+        col("event_id").as("j"), col("us").as("us_j"))
+      a.join(b, col("user_id") === col("user_id_b") &&
+          col("i") < col("j") &&
+          abs(col("us_j") - col("us_i")) <= lit(binW * 1000000L))
+        .select(col("user_id"), col("i"), col("j"),
+          (col("us_j") - col("us_i")).as("dt_us"))
+        .orderBy("user_id", "i", "j")
+    }),
+
     "q34_salted_agg" -> ((s, d) => {
       // Two-phase salted aggregation — the skew-mitigation shape for a
       // heavy-hitter grouping key: phase 1 aggregates (key, salt) so a hot
@@ -1345,6 +1377,16 @@ object Relational {
   private val revenueSql =
     "CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT))) AS DOUBLE)/1e4"
 
+  /** One range-join oracle for the hand-binned q17 and the
+    * RangeJoinRule-rewritten naive q177 — identical by construction. */
+  private val rangeJoinOracleSql: String =
+    """SELECT a.user_id, a.event_id AS i, b.event_id AS j,
+      |  epoch_us(b.ts) - epoch_us(a.ts) AS dt_us
+      |FROM events a JOIN events b
+      |  ON a.user_id = b.user_id AND a.event_id < b.event_id
+      | AND abs(epoch_us(b.ts) - epoch_us(a.ts)) <= 120000000
+      |ORDER BY a.user_id, i, j""".stripMargin
+
   /** One as-of oracle (DuckDB's native ASOF LEFT JOIN) for both the
     * composed q16 and the custom-operator q174 — they must be
     * bit-identical by construction. */
@@ -1492,13 +1534,10 @@ object Relational {
     // text pins the composed (union+window) and AsOfJoinExec plans to
     // each other
     "q174_asof_exec" -> asofOracleSql,
-    "q17_range_join" ->
-      """SELECT a.user_id, a.event_id AS i, b.event_id AS j,
-        |  epoch_us(b.ts) - epoch_us(a.ts) AS dt_us
-        |FROM events a JOIN events b
-        |  ON a.user_id = b.user_id AND a.event_id < b.event_id
-        | AND abs(epoch_us(b.ts) - epoch_us(a.ts)) <= 120000000
-        |ORDER BY a.user_id, i, j""".stripMargin,
+    "q17_range_join" -> rangeJoinOracleSql,
+    // the rule-rewritten naive form emits exactly q17's rows — one
+    // oracle text pins the hand-binned and rule-banded plans together
+    "q177_range_rule" -> rangeJoinOracleSql,
     "q171_cdc_apply" -> cdcApplyOracleSql(withSynthetics = true),
     "q101_window_range" ->
       """SELECT user_id, event_id, us, trail_cents FROM (

@@ -88,4 +88,20 @@ class RangeJoinRuleSpec extends AnyFunSuite {
       assert(df.collect().map(_.toString).sorted.toSeq == manual)
     } finally restoreShared()
   }
+
+  test("q177: the runtime-installed rule bands the production query — no nested loop") {
+    val s = graft.SparkSpec.session
+    val df = graft.SparkEntry.queries("q177_range_rule")(
+      s, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_bin"),
+      s"RangeJoinRule must have banded the naive join:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"the rewritten plan must not nested-loop:\n$plan")
+    val got = df.collect().map(_.toString).toSeq
+    val manual = graft.SparkEntry.queries("q17_range_join")(
+      s, "/root/testdata/sf0.001").collect().map(_.toString).toSeq
+    assert(got == manual, "rule-banded and hand-banded answers must match")
+  }
 }
