@@ -464,6 +464,78 @@ object Relational {
         .orderBy("l_returnflag")
     }),
 
+    "q178_kmv_setops" -> ((s, d) => {
+      // SKETCH SET OPERATIONS — the reason mergeable sketches exist at
+      // 100 TB: audience-overlap questions ("how many users both click
+      // AND purchase?") answered from per-segment KMV sketches WITHOUT
+      // re-scanning the raw pairs. q56's deterministic md5 KMV makes the
+      // estimates themselves oracle-exact (DuckDB reproduces every hash
+      // bit): for each unordered event-type pair, K(A∪B) = the k
+      // smallest of the two sketches' union (a k-min sketch is closed
+      // under union — that IS its merge), Jaccard ≈ |{x ∈ K(A∪B): x ∈
+      // K(A) ∧ x ∈ K(B)}| / m (m = |K(A∪B)| ≤ k), intersection ≈
+      // J × est(|A∪B|). Exact counts ride along, so the output exposes
+      // estimate AND truth per pair. All sketch frames are k-rows-per-
+      // type — the pair algebra runs on KB-sized inputs however large
+      // the raw corpus; groups thinner than k fall back to exact counts
+      // by the same rule in both engines.
+      val k = 64
+      val du = events(s, d)
+        .select(col("event_type"), col("user_id")).distinct()
+        .withColumn("hx", substring(md5(col("user_id").cast("string")), 1, 12))
+        .transform(graft.CacheRegistry.cached)
+      val w = Window.partitionBy(col("event_type")).orderBy(col("hx"))
+      val sk = du.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= k).select(col("event_type"), col("hx"))
+        .transform(graft.CacheRegistry.cached)
+      val types = sk.select(col("event_type")).distinct()
+      val pairs = types.select(col("event_type").as("ta"))
+        .crossJoin(types.select(col("event_type").as("tb")))
+        .filter(col("ta") < col("tb"))
+      // union sketch: k smallest of K(A) ∪ K(B) per pair
+      val cand = pairs.join(sk,
+          col("event_type") === col("ta") || col("event_type") === col("tb"))
+        .select(col("ta"), col("tb"), col("hx")).distinct()
+      val wu = Window.partitionBy(col("ta"), col("tb")).orderBy(col("hx"))
+      val uSk = cand.withColumn("ru", row_number().over(wu))
+        .filter(col("ru") <= k)
+      val inA = sk.select(col("event_type").as("ta"), col("hx"),
+        lit(true).as("in_a"))
+      val inB = sk.select(col("event_type").as("tb"), col("hx"),
+        lit(true).as("in_b"))
+      val est = uSk
+        .join(inA, Seq("ta", "hx"), "left").join(inB, Seq("tb", "hx"), "left")
+        .groupBy(col("ta"), col("tb"))
+        .agg(count(lit(1)).as("m"),
+          sum(when(col("in_a") && col("in_b"), 1L).otherwise(0L))
+            .as("matches"),
+          max(when(col("ru") === k,
+            expr(s"CAST(${hexVal12("instr")} AS BIGINT)"))).as("h"))
+      // exact truth per pair from the distinct (type, user) frame
+      val exact = du.select(col("event_type").as("ta"), col("user_id"))
+        .join(du.select(col("event_type").as("tb"), col("user_id")), "user_id")
+        .filter(col("ta") < col("tb"))
+        .groupBy(col("ta"), col("tb"))
+        .agg(count(lit(1)).as("exact_inter"))
+      val sizes = du.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      est.join(exact, Seq("ta", "tb"))
+        .join(sizes.select(col("event_type").as("ta"), col("n").as("na")), "ta")
+        .join(sizes.select(col("event_type").as("tb"), col("n").as("nb")), "tb")
+        .withColumn("exact_union", col("na") + col("nb") - col("exact_inter"))
+        .withColumn("union_est",
+          coalesce(lit(k - 1.0) / (col("h").cast("double") / lit(math.pow(2, 48))),
+            col("exact_union").cast("double")))
+        .withColumn("jaccard_bp",
+          expr("10000 * matches div m"))
+        .withColumn("inter_est",
+          round((col("matches").cast("double") / col("m")) * col("union_est"))
+            .cast("long"))
+        .select(col("ta"), col("tb"), col("exact_inter"), col("exact_union"),
+          r6(col("union_est")).as("union_est6"), col("jaccard_bp"),
+          col("inter_est"))
+        .orderBy("ta", "tb")
+    }),
+
     "q58_secondary_sort" -> ((s, d) => {
       // the unbounded-group production form of q59: repartition on
       // user_id + sortWithinPartitions(user_id, ts) makes Spark's SHUFFLE
@@ -1735,6 +1807,52 @@ object Relational {
         |  round(quantile_cont(l_extendedprice, 0.75)*1e4)/1e4 AS p75,
         |  TRUE AS within_tol
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q178_kmv_setops" ->
+      s"""WITH du AS (SELECT DISTINCT event_type, user_id FROM events),
+         |duh AS (SELECT event_type, user_id,
+         |  substr(md5(CAST(user_id AS VARCHAR)), 1, 12) AS hx FROM du),
+         |sk AS (SELECT event_type, hx FROM (
+         |  SELECT event_type, hx, row_number() OVER (
+         |    PARTITION BY event_type ORDER BY hx) AS rn FROM duh)
+         |  WHERE rn <= 64),
+         |types AS (SELECT DISTINCT event_type FROM sk),
+         |pairs AS (SELECT a.event_type AS ta, b.event_type AS tb
+         |  FROM types a CROSS JOIN types b WHERE a.event_type < b.event_type),
+         |cand AS (SELECT DISTINCT ta, tb, hx
+         |  FROM pairs JOIN sk ON sk.event_type = ta OR sk.event_type = tb),
+         |usk AS (SELECT ta, tb, hx,
+         |  CAST(${hexVal12("strpos")} AS BIGINT) AS hv,
+         |  row_number() OVER (
+         |  PARTITION BY ta, tb ORDER BY hx) AS ru FROM cand),
+         |est AS (
+         |  SELECT u.ta, u.tb, count(*) AS m,
+         |    CAST(sum(CASE WHEN a.hx IS NOT NULL AND b.hx IS NOT NULL
+         |             THEN 1 ELSE 0 END) AS BIGINT) AS matches,
+         |    max(CASE WHEN ru = 64 THEN hv END) AS h
+         |  FROM usk u
+         |  LEFT JOIN sk a ON a.event_type = u.ta AND a.hx = u.hx
+         |  LEFT JOIN sk b ON b.event_type = u.tb AND b.hx = u.hx
+         |  WHERE ru <= 64 GROUP BY 1, 2),
+         |ex AS (SELECT a.event_type AS ta, b.event_type AS tb,
+         |  count(*) AS exact_inter
+         |  FROM du a JOIN du b
+         |    ON a.user_id = b.user_id AND a.event_type < b.event_type
+         |  GROUP BY 1, 2),
+         |sz AS (SELECT event_type, count(*) AS n FROM du GROUP BY 1),
+         |j AS (
+         |  SELECT est.ta, est.tb, exact_inter,
+         |    za.n + zb.n - exact_inter AS exact_union, m, matches, h
+         |  FROM est JOIN ex ON est.ta = ex.ta AND est.tb = ex.tb
+         |  JOIN sz za ON za.event_type = est.ta
+         |  JOIN sz zb ON zb.event_type = est.tb)
+         |SELECT ta, tb, exact_inter, exact_union,
+         |  round(COALESCE(63.0 / (h / 281474976710656.0),
+         |    CAST(exact_union AS DOUBLE)) * 1e6) / 1e6 AS union_est6,
+         |  10000 * matches // m AS jaccard_bp,
+         |  CAST(round((CAST(matches AS DOUBLE) / m)
+         |    * COALESCE(63.0 / (h / 281474976710656.0),
+         |        CAST(exact_union AS DOUBLE))) AS BIGINT) AS inter_est
+         |FROM j ORDER BY ta, tb""".stripMargin,
     "q173_mad_outliers" ->
       """WITH ev AS (SELECT event_type,
         |  CAST(round(value*100) AS BIGINT) AS v FROM events),

@@ -184,6 +184,25 @@ class FusionEvoSpec extends SparkSpec {
     }
   }
 
+  test("q178: sketch set-op estimates track exact truth within KMV error") {
+    val rows = Relational.queries("q178_kmv_setops")(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (exInter, exUnion) = (r.getLong(2), r.getLong(3))
+      val (unionEst, jacBp, interEst) =
+        (r.getDouble(4), r.getLong(5), r.getLong(6))
+      assert(exInter <= exUnion)
+      assert(jacBp >= 0 && jacBp <= 10000)
+      // KMV with k=64 has ~1/sqrt(62) ≈ 12.7% std error on the union;
+      // 4 sigma covers the estimate without making the test vacuous.
+      // (thin groups fall back to exact and pass trivially by the rule)
+      assert(math.abs(unionEst - exUnion) <= math.max(4, 0.5 * exUnion),
+        s"${r.getString(0)}/${r.getString(1)}: union est $unionEst vs $exUnion")
+      assert(math.abs(interEst - exInter) <= math.max(6, 0.6 * exInter),
+        s"${r.getString(0)}/${r.getString(1)}: inter est $interEst vs $exInter")
+    }
+  }
+
   test("q166: filters still push down to the merged scan") {
     val plan = graft.sources.SchemaEvolutionStage.mergedRead(spark, sf0001)
       .filter(col("n_chars") > 100)
