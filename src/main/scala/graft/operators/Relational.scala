@@ -891,6 +891,54 @@ object Relational {
         .orderBy("user_id", "i", "j")
     }),
 
+    "q179_negative_funnel" -> ((s, d) => {
+      // Sequence analytics with a NEGATIVE condition — the
+      // MATCH_RECOGNIZE shape q135's positive funnel can't express:
+      // click → purchase within 24 h with NO error event in between.
+      // "Between" is defined on the deterministic per-user total order
+      // (ts, side, event_id) with click < error < purchase on ts ties —
+      // pinned identically in the oracle. ONE union-window pass does
+      // everything (the q16 idiom extended): a running error count and
+      // the carried last-click (id, ts, error-count-at-click) ride the
+      // same frame, so errors-between = cum_err(purchase) −
+      // cum_err(matched click) with zero joins and zero re-scans. At
+      // 100 TB this is one shuffle on user_id and a sort — the same
+      // cost as the plain funnel, however many negative conditions ride
+      // along (each is one more carried column, not another pass).
+      val ev = events(s, d)
+        .filter(col("event_type").isin("click", "error", "purchase"))
+        .select(col("user_id"), unix_micros(col("ts")).as("us"),
+          col("event_id"),
+          when(col("event_type") === "click", 0)
+            .when(col("event_type") === "error", 1).otherwise(2).as("side"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("us"), col("side"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val c = ev
+        .withColumn("cum_err",
+          sum(when(col("side") === 1, 1L).otherwise(0L)).over(w))
+        .withColumn("m_c",
+          last(when(col("side") === 0, col("event_id")), ignoreNulls = true)
+            .over(w))
+        .withColumn("m_us",
+          last(when(col("side") === 0, col("us")), ignoreNulls = true)
+            .over(w))
+      val c2 = c.withColumn("m_cum",
+        last(when(col("side") === 0, col("cum_err")), ignoreNulls = true)
+          .over(w))
+      c2.filter(col("side") === 2)
+        .withColumn("matched", col("m_c").isNotNull &&
+          col("us") - col("m_us") <= 86400000000L)
+        .withColumn("n_err_between",
+          when(col("matched"), col("cum_err") - col("m_cum")))
+        .select(col("user_id"), col("event_id").as("p_id"),
+          when(col("matched"), col("m_c")).as("c_id"),
+          when(col("matched"), col("us") - col("m_us")).as("gap_us"),
+          col("n_err_between"),
+          (col("matched") && col("n_err_between") === 0).as("converted"))
+        .orderBy("user_id", "p_id")
+    }),
+
     "q34_salted_agg" -> ((s, d) => {
       // Two-phase salted aggregation — the skew-mitigation shape for a
       // heavy-hitter grouping key: phase 1 aggregates (key, salt) so a hot
@@ -1807,6 +1855,40 @@ object Relational {
         |  round(quantile_cont(l_extendedprice, 0.75)*1e4)/1e4 AS p75,
         |  TRUE AS within_tol
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q179_negative_funnel" ->
+      """WITH ev AS (
+        |  SELECT user_id, epoch_us(ts) AS us, event_id,
+        |    CASE event_type WHEN 'click' THEN 0
+        |         WHEN 'error' THEN 1 ELSE 2 END AS side
+        |  FROM events
+        |  WHERE event_type IN ('click', 'error', 'purchase')),
+        |c AS (
+        |  SELECT *,
+        |    CAST(sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) OVER w AS BIGINT)
+        |      AS cum_err,
+        |    last_value(CASE WHEN side = 0 THEN event_id END IGNORE NULLS)
+        |      OVER w AS m_c,
+        |    last_value(CASE WHEN side = 0 THEN us END IGNORE NULLS)
+        |      OVER w AS m_us
+        |  FROM ev
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY us, side, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |c2 AS (
+        |  SELECT *,
+        |    last_value(CASE WHEN side = 0 THEN cum_err END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY us, side, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS m_cum
+        |  FROM c),
+        |p AS (
+        |  SELECT user_id, event_id AS p_id, m_c, us, m_us, cum_err, m_cum,
+        |    (m_c IS NOT NULL AND us - m_us <= 86400000000) AS matched
+        |  FROM c2 WHERE side = 2)
+        |SELECT user_id, p_id,
+        |  CASE WHEN matched THEN m_c END AS c_id,
+        |  CASE WHEN matched THEN us - m_us END AS gap_us,
+        |  CASE WHEN matched THEN cum_err - m_cum END AS n_err_between,
+        |  COALESCE(matched AND cum_err - m_cum = 0, FALSE) AS converted
+        |FROM p ORDER BY user_id, p_id""".stripMargin,
     "q178_kmv_setops" ->
       s"""WITH du AS (SELECT DISTINCT event_type, user_id FROM events),
          |duh AS (SELECT event_type, user_id,

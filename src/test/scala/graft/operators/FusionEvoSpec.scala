@@ -203,6 +203,50 @@ class FusionEvoSpec extends SparkSpec {
     }
   }
 
+  test("q179: negative funnel equals a sequential replay; both outcomes occur") {
+    val evs = graft.Tables.events(spark, sf0001)
+      .filter(col("event_type").isin("click", "error", "purchase"))
+      .select(col("user_id"), unix_micros(col("ts")), col("event_id"),
+        col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    def side(t: String) = t match {
+      case "click" => 0; case "error" => 1; case _ => 2
+    }
+    val expected = evs.groupBy(_._1).toSeq.flatMap { case (u, rows) =>
+      val ordered = rows.toSeq.sortBy(r => (r._2, side(r._4), r._3))
+      var lastClick: Option[(Long, Long, Long)] = None // (id, us, errsSoFar)
+      var errs = 0L
+      ordered.flatMap { case (_, us, id, t) =>
+        t match {
+          case "click" => lastClick = Some((id, us, errs)); None
+          case "error" => errs += 1; None
+          case _ =>
+            val m = lastClick.filter(c => us - c._2 <= 86400000000L)
+            Some((u, id) -> m.map(c => (c._1, us - c._2, errs - c._3)))
+        }
+      }
+    }.toMap
+    val rows = Relational.queries("q179_negative_funnel")(spark, sf0001)
+      .collect()
+    assert(rows.length == expected.size)
+    rows.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      val exp = expected(key)
+      exp match {
+        case None =>
+          assert(r.isNullAt(2) && !r.getBoolean(5), s"$key: expected no match")
+        case Some((cId, gap, nErr)) =>
+          assert(r.getLong(2) == cId && r.getLong(3) == gap &&
+            r.getLong(4) == nErr, s"$key: match fields")
+          assert(r.getBoolean(5) == (nErr == 0L), s"$key: converted flag")
+      }
+    }
+    val conv = rows.count(_.getBoolean(5))
+    val blocked = rows.count(r => !r.isNullAt(4) && r.getLong(4) > 0)
+    assert(conv > 0 && blocked > 0,
+      s"corpus must exercise both outcomes: conv=$conv blocked=$blocked")
+  }
+
   test("q166: filters still push down to the merged scan") {
     val plan = graft.sources.SchemaEvolutionStage.mergedRead(spark, sf0001)
       .filter(col("n_chars") > 100)
