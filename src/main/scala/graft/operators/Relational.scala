@@ -939,6 +939,68 @@ object Relational {
         .orderBy("user_id", "p_id")
     }),
 
+    "q180_twap" -> ((s, d) => {
+      // Time-WEIGHTED average — the metric a plain mean gets wrong on
+      // irregular samples (a value that held for a week must not weigh
+      // the same as one that held a second): per user, each event's
+      // value holds until the next event; TWAP = Σ v·dur / Σ dur over
+      // the observed span. Exact-integer: durations in ms (micro div
+      // 1000 — truncation identical in both engines on positives),
+      // numerator cents·ms BIGINTs (≤ ~1e16 on this domain), reported
+      // as integer milli-cents by integer division; the denominator is
+      // Σ dur — the same quantity the numerator weights — so the ratio
+      // is self-consistent under the ms truncation. One window (lead)
+      // + one aggregation on the same user_id partitioning. Ties on ts
+      // order by event_id and contribute zero duration — deterministic.
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("us"), col("event_id"))
+      events(s, d)
+        .select(col("user_id"), unix_micros(col("ts")).as("us"),
+          col("event_id"), cents(col("value")).as("v"))
+        .withColumn("nxt", lead(col("us"), 1).over(w))
+        .withColumn("dur_ms",
+          when(col("nxt").isNotNull, expr("(nxt - us) div 1000"))
+            .otherwise(0L))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("dur_ms")).as("span_ms"),
+          sum(col("v") * col("dur_ms")).as("twap_num"))
+        .filter(col("span_ms") > 0)
+        .withColumn("twap_millicents",
+          expr("1000 * twap_num div span_ms"))
+        .orderBy("user_id")
+    }),
+
+    "q181_observe" -> ((s, d) => {
+      // The Observation / CollectMetrics API — in-flight data-quality
+      // accounting collected DURING a job, the zero-extra-pass
+      // alternative to q163's standalone contract scan: `observe`
+      // attaches named aggregates to the plan and the listener delivers
+      // them when the action completes, so a production pipeline gets
+      // row counts / null counts / sums for free on the job it already
+      // runs. Here the observed job is a count over the scan; the query
+      // then emits the OBSERVED metrics themselves as the result, and
+      // the oracle recomputes each from the raw table — proving the
+      // in-flight numbers equal ground truth. (In this harness the
+      // observation rides its own action; in production it rides the
+      // job you were running anyway — that is the whole point.)
+      import s.implicits._
+      val obs = org.apache.spark.sql.Observation()
+      t(s, d, "lineitem")
+        .observe(obs,
+          count(lit(1)).as("n_rows"),
+          sum(cents(col("l_extendedprice"))).as("price_cents"),
+          count(when(col("l_returnflag").isNull, 1)).as("null_flags"),
+          max(col("l_orderkey")).as("max_order"))
+        .foreach(_ => ()) // the action the metrics ride
+      val m = obs.get
+      Seq((m("n_rows").asInstanceOf[Long],
+        m("price_cents").asInstanceOf[Long],
+        m("null_flags").asInstanceOf[Long],
+        m("max_order").asInstanceOf[Long]))
+        .toDF("n_rows", "price_cents", "null_flags", "max_order")
+    }),
+
     "q34_salted_agg" -> ((s, d) => {
       // Two-phase salted aggregation — the skew-mitigation shape for a
       // heavy-hitter grouping key: phase 1 aggregates (key, salt) so a hot
@@ -1855,6 +1917,32 @@ object Relational {
         |  round(quantile_cont(l_extendedprice, 0.75)*1e4)/1e4 AS p75,
         |  TRUE AS within_tol
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q180_twap" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS us, event_id,
+        |    CAST(round(value*100) AS BIGINT) AS v
+        |  FROM events),
+        |l AS (
+        |  SELECT user_id, v,
+        |    COALESCE((lead(us) OVER (PARTITION BY user_id
+        |      ORDER BY us, event_id) - us) // 1000, 0) AS dur_ms
+        |  FROM e),
+        |g AS (
+        |  SELECT user_id, count(*) AS n_events,
+        |    CAST(sum(dur_ms) AS BIGINT) AS span_ms,
+        |    CAST(sum(v * dur_ms) AS BIGINT) AS twap_num
+        |  FROM l GROUP BY 1)
+        |SELECT user_id, n_events, span_ms, twap_num,
+        |  1000 * twap_num // span_ms AS twap_millicents
+        |FROM g WHERE span_ms > 0 ORDER BY user_id""".stripMargin,
+    "q181_observe" ->
+      """SELECT count(*) AS n_rows,
+        |  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT)
+        |    AS price_cents,
+        |  CAST(sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS null_flags,
+        |  max(l_orderkey) AS max_order
+        |FROM lineitem""".stripMargin,
     "q179_negative_funnel" ->
       """WITH ev AS (
         |  SELECT user_id, epoch_us(ts) AS us, event_id,

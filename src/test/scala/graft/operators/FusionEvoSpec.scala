@@ -247,6 +247,31 @@ class FusionEvoSpec extends SparkSpec {
       s"corpus must exercise both outcomes: conv=$conv blocked=$blocked")
   }
 
+  test("q180: TWAP equals a brute per-user segment walk; bounded by min/max") {
+    val evs = graft.Tables.events(spark, sf0001)
+      .select(col("user_id"), unix_micros(col("ts")), col("event_id"),
+        graft.Tables.cents(col("value"))).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val rows = Relational.queries("q180_twap")(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val u = r.getLong(0)
+      val seq = evs.filter(_._1 == u).sortBy(e => (e._2, e._3))
+      val durs = seq.zip(seq.tail).map { case (a, b) =>
+        (a._4, (b._2 - a._2) / 1000)
+      }
+      val span = durs.map(_._2).sum
+      val num = durs.map { case (v, d) => v * d }.sum
+      assert(r.getLong(1) == seq.length)
+      assert(r.getLong(2) == span, s"user $u: span")
+      assert(r.getLong(3) == num, s"user $u: numerator")
+      assert(r.getLong(4) == 1000 * num / span)
+      // TWAP lies within the user's value range (weighted-mean law)
+      val (mn, mx) = (seq.map(_._4).min, seq.map(_._4).max)
+      assert(r.getLong(4) >= 1000 * mn - 1000 && r.getLong(4) <= 1000 * mx + 1000)
+    }
+  }
+
   test("q166: filters still push down to the merged scan") {
     val plan = graft.sources.SchemaEvolutionStage.mergedRead(spark, sf0001)
       .filter(col("n_chars") > 100)
