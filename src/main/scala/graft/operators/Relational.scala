@@ -939,6 +939,46 @@ object Relational {
         .orderBy("user_id", "p_id")
     }),
 
+    "q182_argmax" -> ((s, d) => {
+      // max_by/min_by (SQL:2023 ANY_VALUE-family argmax) — "which order
+      // had the highest price per flag", answered in the SAME aggregate
+      // pass as the max itself instead of the rank-window + filter
+      // detour (one partial-aggregating shuffle, no per-group sort, no
+      // second scan). Ties are the classic argmax trap — engines pick
+      // arbitrarily — so the ordering key is made UNIQUE by packing
+      // (price_cents, orderkey, linenumber) into one BIGINT: the
+      // argmax is then total-order-determined and hash-exact in any
+      // engine and any partitioning.
+      val pc = cents(col("l_extendedprice"))
+      t(s, d, "lineitem")
+        .withColumn("ord", pc * lit(1000000000L) +
+          col("l_orderkey") * lit(1000L) + col("l_linenumber"))
+        .groupBy(col("l_returnflag"))
+        .agg(expr("max_by(l_orderkey, ord)").as("max_order"),
+          expr("min_by(l_orderkey, ord)").as("min_order"),
+          max(pc).as("max_pc"), min(pc).as("min_pc"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
+    }),
+
+    "q183_regex_extract" -> ((s, d) => {
+      // regexp_extract_all → explode — the log/text mining workhorse
+      // (pull every code/url/token matching a pattern out of freeform
+      // text, then aggregate): per-doc match VECTORS flatten to a
+      // (term, n_docs, total_hits) table in one scan + one collapse.
+      // Both engines run leftmost non-overlapping matching (Java regex
+      // here, RE2 in the oracle) — identical on this anchored ASCII
+      // class pattern; the match LISTS themselves are compared via the
+      // exploded rows, which also keeps the shuffle narrow.
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          explode(expr("regexp_extract_all(text, '[a-z]+er', 0)")).as("term"))
+        .groupBy(col("term"))
+        .agg(count_distinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("total_hits"))
+        .orderBy("term")
+    }),
+
     "q180_twap" -> ((s, d) => {
       // Time-WEIGHTED average — the metric a plain mean gets wrong on
       // irregular samples (a value that held for a week must not weigh
@@ -1917,6 +1957,27 @@ object Relational {
         |  round(quantile_cont(l_extendedprice, 0.75)*1e4)/1e4 AS p75,
         |  TRUE AS within_tol
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q182_argmax" ->
+      """WITH l AS (
+        |  SELECT l_returnflag, l_orderkey,
+        |    CAST(round(l_extendedprice*100) AS BIGINT) AS pc,
+        |    CAST(round(l_extendedprice*100) AS BIGINT) * 1000000000
+        |      + l_orderkey * 1000 + l_linenumber AS ord
+        |  FROM lineitem)
+        |SELECT l_returnflag,
+        |  arg_max(l_orderkey, ord) AS max_order,
+        |  arg_min(l_orderkey, ord) AS min_order,
+        |  CAST(max(pc) AS BIGINT) AS max_pc,
+        |  CAST(min(pc) AS BIGINT) AS min_pc,
+        |  count(*) AS n
+        |FROM l GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q183_regex_extract" ->
+      """SELECT term, count(DISTINCT doc_id) AS n_docs,
+        |  count(*) AS total_hits
+        |FROM (SELECT doc_id,
+        |        unnest(regexp_extract_all(text, '[a-z]+er')) AS term
+        |      FROM documents)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q180_twap" ->
       """WITH e AS (
         |  SELECT user_id, epoch_us(ts) AS us, event_id,
