@@ -939,6 +939,30 @@ object Relational {
         .orderBy("user_id", "p_id")
     }),
 
+    "q184_calendar_edges" -> ((s, d) =>
+      // Calendar EDGE arithmetic — the date-function family where
+      // engines classically drift and a pipeline silently shifts a
+      // day: add_months month-end CLAMPING (Jan 31 + 1m = Feb 28/29 —
+      // pinned against DuckDB's interval addition, which clamps by the
+      // same rule), a 13-month hop across a year boundary, backward
+      // clamping, and the ISO week family (weekofyear + YEAROFWEEK,
+      // where the first days of January can belong to the PREVIOUS iso
+      // year — the classic year-boundary reporting bug). Day-of-week is
+      // emitted on DuckDB's Sunday=0 convention (Spark's dayofweek − 1)
+      // — convention drift made explicit instead of latent. Pure
+      // per-row projection: scan-bound at any scale.
+      t(s, d, "orders").select(
+        col("o_orderkey"),
+        col("o_orderdate").cast("date").as("d0"),
+        add_months(col("o_orderdate"), 1).as("plus1m"),
+        add_months(col("o_orderdate"), 13).as("plus13m"),
+        add_months(col("o_orderdate"), -1).as("minus1m"),
+        (dayofweek(col("o_orderdate")) - 1).cast("long").as("dow_sun0"),
+        weekofyear(col("o_orderdate")).cast("long").as("iso_week"),
+        expr("extract(YEAROFWEEK FROM o_orderdate)").cast("long")
+          .as("iso_year"))
+        .orderBy("o_orderkey")),
+
     "q182_argmax" -> ((s, d) => {
       // max_by/min_by (SQL:2023 ANY_VALUE-family argmax) — "which order
       // had the highest price per flag", answered in the SAME aggregate
@@ -1957,6 +1981,15 @@ object Relational {
         |  round(quantile_cont(l_extendedprice, 0.75)*1e4)/1e4 AS p75,
         |  TRUE AS within_tol
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q184_calendar_edges" ->
+      """SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d0,
+        |  CAST(o_orderdate + INTERVAL 1 MONTH AS DATE) AS plus1m,
+        |  CAST(o_orderdate + INTERVAL 13 MONTH AS DATE) AS plus13m,
+        |  CAST(o_orderdate - INTERVAL 1 MONTH AS DATE) AS minus1m,
+        |  CAST(dayofweek(o_orderdate) AS BIGINT) AS dow_sun0,
+        |  CAST(weekofyear(o_orderdate) AS BIGINT) AS iso_week,
+        |  CAST(isoyear(o_orderdate) AS BIGINT) AS iso_year
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
     "q182_argmax" ->
       """WITH l AS (
         |  SELECT l_returnflag, l_orderkey,

@@ -272,6 +272,17 @@ class FusionEvoSpec extends SparkSpec {
     }
   }
 
+  test("q184: the calendar edges are live — clamping and cross-iso-year rows exist") {
+    val df = Relational.queries("q184_calendar_edges")(spark, sf0001)
+    // month-end clamping actually fires on this data
+    assert(df.filter(dayofmonth(col("plus1m")) =!= dayofmonth(col("d0")))
+      .count() > 0, "no clamped add_months row — edge untested")
+    // some January days belong to the previous ISO year (or a December
+    // day to the next) — the year-boundary trap is exercised
+    assert(df.filter(col("iso_year") =!= year(col("d0"))).count() > 0,
+      "no iso-year/civil-year divergence — edge untested")
+  }
+
   test("q166: filters still push down to the merged scan") {
     val plan = graft.sources.SchemaEvolutionStage.mergedRead(spark, sf0001)
       .filter(col("n_chars") > 100)
