@@ -939,6 +939,58 @@ object Relational {
         .orderBy("user_id", "p_id")
     }),
 
+    "q185_sql_pivot" -> ((s, d) => {
+      // SQL-syntax PIVOT → UNPIVOT roundtrip — the clause forms of
+      // q27/q28's DataFrame pivot/unpivot (Spark 4 parses both): wide
+      // per-status cent sums, immediately unpivoted back to long form
+      // INSIDE one SQL text, so the roundtrip law (pivot∘unpivot =
+      // group-by with label columns) is what the oracle checks. UNPIVOT
+      // excludes NULL cells by default, which exactly mirrors the
+      // group-by producing only populated combinations — the default
+      // made load-bearing rather than latent. DuckDB's PIVOT dialect
+      // differs, so the oracle is the CASE-aggregation spelling (the
+      // one portable PIVOT there is).
+      t(s, d, "lineitem").createOrReplaceTempView("lineitem")
+      s.sql("""
+        |SELECT l_returnflag, status, cents FROM (
+        |  SELECT * FROM (
+        |    SELECT l_returnflag, l_linestatus,
+        |      CAST(round(l_extendedprice*100) AS BIGINT) AS pc
+        |    FROM lineitem)
+        |  PIVOT (sum(pc) FOR l_linestatus IN ('O' AS o_status, 'F' AS f_status))
+        |) UNPIVOT (cents FOR status IN (o_status, f_status))
+        |ORDER BY l_returnflag, status""".stripMargin)
+    }),
+
+    "q186_map_funcs" -> ((s, d) => {
+      // MAP-typed column surface — the one complex type q54's array and
+      // q55/q133's JSON/VARIANT work doesn't touch: per-user event-type
+      // histograms built as real MapType values (map_from_entries over a
+      // sorted entry list — maps have no defined order, so construction
+      // is canonicalized), transformed per-entry (transform_values),
+      // predicate-filtered (map_filter), then EXPLODED back to rows for
+      // the oracle — map semantics are verified through the roundtrip
+      // because a map literal itself has no cross-engine canonical
+      // form. Lookups after the explode (element_at, map_contains_key)
+      // prove key-addressing, not just iteration.
+      val counts = events(s, d)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      counts.groupBy(col("user_id"))
+        .agg(map_from_entries(
+          array_sort(collect_list(struct(col("event_type"), col("n")))))
+          .as("m"))
+        .withColumn("m2", expr("transform_values(m, (k, v) -> v * 2)"))
+        .withColumn("mf", expr("map_filter(m, (k, v) -> v >= 3)"))
+        .withColumn("n_types", size(col("m")).cast("long"))
+        .select(col("user_id"), col("n_types"), col("m2"), col("mf"),
+          explode(col("m")).as(Seq("event_type", "n")))
+        .withColumn("n2", element_at(col("m2"), col("event_type")))
+        .withColumn("kept", expr("map_contains_key(mf, event_type)"))
+        .drop("m2", "mf")
+        .orderBy("user_id", "event_type")
+    }),
+
     "q184_calendar_edges" -> ((s, d) =>
       // Calendar EDGE arithmetic — the date-function family where
       // engines classically drift and a pipeline silently shifts a
@@ -1981,6 +2033,31 @@ object Relational {
         |  round(quantile_cont(l_extendedprice, 0.75)*1e4)/1e4 AS p75,
         |  TRUE AS within_tol
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q185_sql_pivot" ->
+      """SELECT l_returnflag, status, cents FROM (
+        |  SELECT l_returnflag, 'o_status' AS status,
+        |    CAST(sum(CASE WHEN l_linestatus = 'O'
+        |      THEN CAST(round(l_extendedprice*100) AS BIGINT) END)
+        |      AS BIGINT) AS cents
+        |  FROM lineitem GROUP BY 1
+        |  UNION ALL
+        |  SELECT l_returnflag, 'f_status' AS status,
+        |    CAST(sum(CASE WHEN l_linestatus = 'F'
+        |      THEN CAST(round(l_extendedprice*100) AS BIGINT) END)
+        |      AS BIGINT) AS cents
+        |  FROM lineitem GROUP BY 1)
+        |WHERE cents IS NOT NULL
+        |ORDER BY l_returnflag, status""".stripMargin,
+    "q186_map_funcs" ->
+      """WITH c AS (
+        |  SELECT user_id, event_type, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |t AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_types
+        |      FROM c GROUP BY 1)
+        |SELECT c.user_id, n_types, event_type, n, n * 2 AS n2,
+        |  n >= 3 AS kept
+        |FROM c JOIN t ON c.user_id = t.user_id
+        |ORDER BY c.user_id, event_type""".stripMargin,
     "q184_calendar_edges" ->
       """SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d0,
         |  CAST(o_orderdate + INTERVAL 1 MONTH AS DATE) AS plus1m,
