@@ -939,6 +939,69 @@ object Relational {
         .orderBy("user_id", "p_id")
     }),
 
+    "q187_markov_transitions" -> ((s, d) => {
+      // Behavioral transition matrix — the first-order Markov model of
+      // user navigation (q154's bigram LM applied to EVENT streams):
+      // per-user sequences ordered by (ts, event_id), adjacent pairs
+      // via ONE lag window, transition counts and row-stochastic
+      // probabilities in integer basis points (10000·n div row_total —
+      // exact in any engine). The matrix is |types|² rows however large
+      // the event log: one user-partitioned window + two KB-sized
+      // aggregations; the heavy shuffle is the same user_id exchange
+      // every sequence op in the suite shares.
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("us"), col("event_id"))
+      val tr = events(s, d)
+        .select(col("user_id"), unix_micros(col("ts")).as("us"),
+          col("event_id"), col("event_type"))
+        .withColumn("prev", lag(col("event_type"), 1).over(w))
+        .filter(col("prev").isNotNull)
+        .groupBy(col("prev").as("from_type"),
+          col("event_type").as("to_type"))
+        .agg(count(lit(1)).as("n"))
+      val rt = tr.groupBy(col("from_type"))
+        .agg(sum(col("n")).as("row_total"))
+      tr.join(broadcast(rt), "from_type")
+        .withColumn("p_bp", expr("10000 * n div row_total"))
+        .select(col("from_type"), col("to_type"), col("n"),
+          col("row_total"), col("p_bp"))
+        .orderBy("from_type", "to_type")
+    }),
+
+    "q188_chi2" -> ((s, d) => {
+      // Chi-square independence test — is event TYPE independent of
+      // DAY-OF-WEEK? The A/B-analysis primitive next to q140's
+      // regression: contingency counts O, expected E = R·C/T, statistic
+      // Σ (O−E)²/E spelled as (O·T − R·C)²/(R·C·T) so the numerator is
+      // an exact BIGINT product (no subtraction of rounded doubles);
+      // each CELL's contribution is quantized to nano-units before the
+      // sum, so the statistic is an exact BIGINT in any aggregation
+      // order. dof = (rows−1)(cols−1) rides along. All frames after the
+      // one count pass are |types|×7 — driver-free but trivially sized.
+      // (BIGINT squares bound the domain to O·T < ~3e9; at web scale
+      // the same formula runs in DECIMAL(38) — the q140 idiom.)
+      val cells = events(s, d)
+        .select(col("event_type"),
+          (dayofweek(col("ts")) - 1).cast("long").as("dow"))
+        .groupBy(col("event_type"), col("dow"))
+        .agg(count(lit(1)).as("o"))
+        .transform(graft.CacheRegistry.cached)
+      val rows = cells.groupBy(col("event_type")).agg(sum(col("o")).as("r"))
+      val colsC = cells.groupBy(col("dow")).agg(sum(col("o")).as("c"))
+      val tot = cells.agg(sum(col("o")).as("t"),
+        count_distinct(col("event_type")).as("nr"),
+        count_distinct(col("dow")).as("nc"))
+      cells.join(broadcast(rows), "event_type")
+        .join(broadcast(colsC), "dow").crossJoin(broadcast(tot))
+        .withColumn("num", (col("o") * col("t") - col("r") * col("c")))
+        .withColumn("cell_nano",
+          round(lit(1e9) * (col("num") * col("num")).cast("double") /
+            (col("r") * col("c") * col("t")).cast("double")).cast("long"))
+        .agg(sum(col("cell_nano")).as("chi2_nano"),
+          max(col("t")).as("n"),
+          max((col("nr") - 1) * (col("nc") - 1)).as("dof"))
+    }),
+
     "q185_sql_pivot" -> ((s, d) => {
       // SQL-syntax PIVOT → UNPIVOT roundtrip — the clause forms of
       // q27/q28's DataFrame pivot/unpivot (Spark 4 parses both): wide
@@ -2033,6 +2096,40 @@ object Relational {
         |  round(quantile_cont(l_extendedprice, 0.75)*1e4)/1e4 AS p75,
         |  TRUE AS within_tol
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q187_markov_transitions" ->
+      """WITH s AS (
+        |  SELECT user_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) AS prev
+        |  FROM events),
+        |tr AS (SELECT prev AS from_type, event_type AS to_type,
+        |       count(*) AS n FROM s WHERE prev IS NOT NULL GROUP BY 1, 2),
+        |rt AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS row_total
+        |       FROM tr GROUP BY 1)
+        |SELECT from_type, to_type, n, row_total,
+        |  10000 * n // row_total AS p_bp
+        |FROM tr JOIN rt USING (from_type)
+        |ORDER BY from_type, to_type""".stripMargin,
+    "q188_chi2" ->
+      """WITH cells AS (
+        |  SELECT event_type, CAST(dayofweek(ts) AS BIGINT) AS dow,
+        |    count(*) AS o
+        |  FROM events GROUP BY 1, 2),
+        |r AS (SELECT event_type, CAST(sum(o) AS BIGINT) AS r
+        |      FROM cells GROUP BY 1),
+        |c AS (SELECT dow, CAST(sum(o) AS BIGINT) AS c FROM cells GROUP BY 1),
+        |t AS (SELECT CAST(sum(o) AS BIGINT) AS t,
+        |        CAST(count(DISTINCT event_type) AS BIGINT) AS nr,
+        |        CAST(count(DISTINCT dow) AS BIGINT) AS nc FROM cells),
+        |k AS (
+        |  SELECT CAST(round(1e9 * CAST((o*t - r.r*c.c) * (o*t - r.r*c.c)
+        |      AS DOUBLE) / CAST(r.r * c.c * t AS DOUBLE)) AS BIGINT)
+        |    AS cell_nano, t, nr, nc
+        |  FROM cells JOIN r USING (event_type) JOIN c USING (dow)
+        |  CROSS JOIN t)
+        |SELECT CAST(sum(cell_nano) AS BIGINT) AS chi2_nano,
+        |  max(t) AS n, max((nr - 1) * (nc - 1)) AS dof
+        |FROM k""".stripMargin,
     "q185_sql_pivot" ->
       """SELECT l_returnflag, status, cents FROM (
         |  SELECT l_returnflag, 'o_status' AS status,

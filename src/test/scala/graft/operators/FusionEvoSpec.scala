@@ -283,6 +283,24 @@ class FusionEvoSpec extends SparkSpec {
       "no iso-year/civil-year divergence — edge untested")
   }
 
+  test("q187/q188: transition rows are row-stochastic; chi2 well-formed") {
+    val tr = Relational.queries("q187_markov_transitions")(spark, sf0001)
+      .collect()
+    assert(tr.nonEmpty)
+    tr.groupBy(_.getString(0)).foreach { case (from, rows) =>
+      val total = rows.head.getLong(3)
+      assert(rows.map(_.getLong(2)).sum == total,
+        s"$from: counts must partition the row total")
+      rows.foreach(r => assert(r.getLong(4) >= 0 && r.getLong(4) <= 10000))
+    }
+    val chi = Relational.queries("q188_chi2")(spark, sf0001).collect()
+    assert(chi.length == 1)
+    val (chi2, n, dof) = (chi(0).getLong(0), chi(0).getLong(1),
+      chi(0).getLong(2))
+    assert(chi2 >= 0 && dof > 0)
+    assert(n == graft.Tables.events(spark, sf0001).count())
+  }
+
   test("q166: filters still push down to the merged scan") {
     val plan = graft.sources.SchemaEvolutionStage.mergedRead(spark, sf0001)
       .filter(col("n_chars") > 100)
