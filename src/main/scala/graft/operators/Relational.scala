@@ -939,6 +939,76 @@ object Relational {
         .orderBy("user_id", "p_id")
     }),
 
+    "q189_ntile" -> ((s, d) => {
+      // ntile decile bucketing — the window-function form of quantile
+      // binning (vs q123's percentile-cutoff form): deciles over an
+      // explicitly UNIQUE ordering (price, orderkey, linenumber), since
+      // ntile on a tied order is engine-arbitrary — same tie discipline
+      // as q182. ntile's remainder rule (first buckets get the extra
+      // row) is part of what the hash gate pins cross-engine. Output is
+      // the per-(flag, decile) profile: count + exact cent bounds.
+      val w = Window.partitionBy(col("l_returnflag"))
+        .orderBy(col("pc"), col("l_orderkey"), col("l_linenumber"))
+      t(s, d, "lineitem")
+        .withColumn("pc", cents(col("l_extendedprice")))
+        .withColumn("decile", ntile(10).over(w).cast("long"))
+        .groupBy(col("l_returnflag"), col("decile"))
+        .agg(count(lit(1)).as("n"), min(col("pc")).as("min_pc"),
+          max(col("pc")).as("max_pc"))
+        .orderBy("l_returnflag", "decile")
+    }),
+
+    "q190_edit_distance" -> ((s, d) => {
+      // Levenshtein edit distance — the fuzzy-match primitive the
+      // shingle/minhash family doesn't cover (char-level typo
+      // similarity): each document's 24-char prefix against its
+      // language's anchor document (min doc_id) — one broadcast join +
+      // one scan, never the n² pair matrix (the anchor pattern is how
+      // edit-distance dedup actually deploys: candidates come from
+      // blocking, the exact distance is the verifier). Similarity in
+      // basis points: 10000·(L−dist) div L with L = the longer length.
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), col("lang"),
+          substring(col("text"), 1, 24).as("pfx"))
+        .transform(graft.CacheRegistry.cached)
+      val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      val anchor = docs.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("lang"), col("doc_id").as("anchor_id"),
+          col("pfx").as("anchor_pfx"))
+      docs.join(broadcast(anchor), "lang")
+        .filter(col("doc_id") =!= col("anchor_id"))
+        .withColumn("dist",
+          levenshtein(col("pfx"), col("anchor_pfx")).cast("long"))
+        .withColumn("len", greatest(length(col("pfx")),
+          length(col("anchor_pfx"))).cast("long"))
+        .withColumn("sim_bp", expr("10000 * (len - dist) div len"))
+        .select(col("lang"), col("doc_id"), col("anchor_id"),
+          col("dist"), col("sim_bp"))
+        .orderBy("lang", "doc_id")
+    }),
+
+    "q191_bit_bool_aggs" -> ((s, d) => {
+      // Bitwise + boolean aggregate families (SQL:2023 BIT_AND/OR/XOR,
+      // BOOL_AND/BOOL_OR) — permission-mask intersection, feature-flag
+      // union, every/any predicates, all map-side-combinable (each is
+      // associative+commutative, so partials merge in any order —
+      // cluster-layout-independent by construction). Masks derive from
+      // the event id (id % 256) so the oracle reproduces every bit.
+      events(s, d)
+        .select(col("user_id"), col("event_type"),
+          (col("event_id") % 256).as("mask"),
+          cents(col("value")).as("v"))
+        .groupBy(col("event_type"))
+        .agg(expr("bit_and(mask)").as("mask_and"),
+          expr("bit_or(mask)").as("mask_or"),
+          expr("bit_xor(mask)").as("mask_xor"),
+          expr("bool_and(v > 100)").as("all_over_1"),
+          expr("bool_or(v > 4000000)").as("any_over_40k"),
+          count(lit(1)).as("n"))
+        .orderBy("event_type")
+    }),
+
     "q187_markov_transitions" -> ((s, d) => {
       // Behavioral transition matrix — the first-order Markov model of
       // user navigation (q154's bigram LM applied to EVENT streams):
@@ -2096,6 +2166,46 @@ object Relational {
         |  round(quantile_cont(l_extendedprice, 0.75)*1e4)/1e4 AS p75,
         |  TRUE AS within_tol
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q189_ntile" ->
+      """WITH l AS (
+        |  SELECT l_returnflag,
+        |    CAST(round(l_extendedprice*100) AS BIGINT) AS pc,
+        |    CAST(ntile(10) OVER (PARTITION BY l_returnflag
+        |      ORDER BY round(l_extendedprice*100), l_orderkey, l_linenumber)
+        |      AS BIGINT) AS decile
+        |  FROM lineitem)
+        |SELECT l_returnflag, decile, count(*) AS n,
+        |  CAST(min(pc) AS BIGINT) AS min_pc,
+        |  CAST(max(pc) AS BIGINT) AS max_pc
+        |FROM l GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q190_edit_distance" ->
+      """WITH docs AS (
+        |  SELECT doc_id, lang, substr(text, 1, 24) AS pfx FROM documents),
+        |anchor AS (
+        |  SELECT lang, doc_id AS anchor_id, pfx AS anchor_pfx FROM (
+        |    SELECT lang, doc_id, pfx, row_number() OVER (
+        |      PARTITION BY lang ORDER BY doc_id) AS rn FROM docs)
+        |  WHERE rn = 1),
+        |j AS (
+        |  SELECT d.lang, d.doc_id, anchor_id,
+        |    CAST(levenshtein(d.pfx, anchor_pfx) AS BIGINT) AS dist,
+        |    CAST(greatest(length(d.pfx), length(anchor_pfx)) AS BIGINT)
+        |      AS len
+        |  FROM docs d JOIN anchor a ON d.lang = a.lang
+        |  WHERE d.doc_id != anchor_id)
+        |SELECT lang, doc_id, anchor_id, dist,
+        |  10000 * (len - dist) // len AS sim_bp
+        |FROM j ORDER BY lang, doc_id""".stripMargin,
+    "q191_bit_bool_aggs" ->
+      """SELECT event_type,
+        |  CAST(bit_and(event_id % 256) AS BIGINT) AS mask_and,
+        |  CAST(bit_or(event_id % 256) AS BIGINT) AS mask_or,
+        |  CAST(bit_xor(event_id % 256) AS BIGINT) AS mask_xor,
+        |  bool_and(CAST(round(value*100) AS BIGINT) > 100) AS all_over_1,
+        |  bool_or(CAST(round(value*100) AS BIGINT) > 4000000)
+        |    AS any_over_40k,
+        |  count(*) AS n
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "q187_markov_transitions" ->
       """WITH s AS (
         |  SELECT user_id, event_type,
