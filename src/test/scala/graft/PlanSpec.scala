@@ -278,4 +278,32 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange hashpartitioning"),
       s"frame sampling must not hash-shuffle:\n$p")
   }
+
+  test("q165: fusion plan — both legs broadcast their query sides, no cartesian") {
+    val p = plan("q165_rrf_fusion")
+    assert(!p.contains("CartesianProduct"),
+      s"fusion must not plan a cartesian:\n$p")
+    // the dense leg's query vectors and the BM25 leg's query table both
+    // arrive as broadcasts — the corpus sides never shuffle toward them
+    assert("BroadcastExchange".r.findAllIn(p).length >= 2,
+      s"both retrieval legs should broadcast their small sides:\n$p")
+  }
+
+  test("q170: late interaction — query tokens broadcast, aggregations partial-before-exchange") {
+    val p = plan("q170_late_interaction")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"the 24-row query-token side must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"no unbroadcast cartesian over the corpus:\n$p")
+    // two-stage max/sum: partial aggregates appear before their exchanges
+    assert("partial_max|partial\\s|HashAggregate".r.findAllIn(p).nonEmpty)
+  }
+
+  test("q190: anchor side broadcasts — edit distance is one corpus pass") {
+    val p = plan("q190_edit_distance")
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastHashJoin"),
+      s"per-language anchors must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the anchor join must not shuffle the corpus:\n$p")
+  }
 }
