@@ -1019,6 +1019,44 @@ object TextAnalysis {
       bm25Ranked(s, d).orderBy("query_id", "rk")
     }),
 
+    "q192_chat_contract" -> ((s, d) => {
+      // Chat-template CONTRACT validation — the SFT-data gate every
+      // instruction-tuning pipeline runs before training: conversations
+      // must parse, roles must strictly alternate user/assistant, and
+      // the structural stats (turn count, closing role) feed the
+      // dataset card. Here each document is deterministically rendered
+      // as a JSON conversation (8-token turns, alternating roles),
+      // serialized with to_json, and — the real operator under test —
+      // PARSED BACK with from_json(ARRAY<STRUCT>) and validated with a
+      // higher-order forall over the turn array. Every 97th document
+      // gets a PLANTED role-case corruption in its JSON text, so the
+      // validator's false path is exercised and the oracle (which
+      // derives expected structure arithmetically from the token count,
+      // independent of any JSON machinery) proves the parse-validate
+      // chain detects exactly the planted rows. Per-row projection —
+      // scan-bound at any scale, no UDFs.
+      val conv =
+        "transform(sequence(0, CAST((size(toks) + 7) div 8 AS INT) - 1), " +
+          "i -> named_struct(" +
+          "'role', CASE WHEN i % 2 = 0 THEN 'user' ELSE 'assistant' END, " +
+          "'content', array_join(slice(toks, i * 8 + 1, 8), ' ')))"
+      t(s, d, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .withColumn("js", to_json(expr(conv)))
+        .withColumn("js", when(col("doc_id") % 97 === 0,
+          regexp_replace(col("js"), "\"role\":\"user\"", "\"role\":\"USER\""))
+          .otherwise(col("js")))
+        .withColumn("parsed",
+          expr("from_json(js, 'array<struct<role:string,content:string>>')"))
+        .select(col("doc_id"),
+          size(col("parsed")).cast("long").as("n_turns"),
+          expr("forall(sequence(0, size(parsed) - 1), " +
+            "i -> parsed[i].role = CASE WHEN i % 2 = 0 " +
+            "THEN 'user' ELSE 'assistant' END)").as("valid_roles"),
+          expr("parsed[size(parsed) - 1].role").as("last_role"))
+        .orderBy("doc_id")
+    }),
+
     "q175_gini" -> ((s, d) => {
       // Vocabulary concentration per language — the Gini coefficient of
       // the token-frequency distribution, the corpus-diagnostics number
@@ -1481,6 +1519,16 @@ object TextAnalysis {
          |    FROM (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents)))
          |ORDER BY doc_id""".stripMargin
     },
+    "q192_chat_contract" ->
+      """WITH dt AS (
+        |  SELECT doc_id, len(string_split(text, ' ')) AS n FROM documents),
+        |t AS (SELECT doc_id, CAST((n + 7) // 8 AS BIGINT) AS nt FROM dt)
+        |SELECT doc_id, nt AS n_turns,
+        |  doc_id % 97 != 0 AS valid_roles,
+        |  CASE WHEN (nt - 1) % 2 = 0 THEN
+        |    (CASE WHEN doc_id % 97 = 0 THEN 'USER' ELSE 'user' END)
+        |  ELSE 'assistant' END AS last_role
+        |FROM t ORDER BY doc_id""".stripMargin,
     "q175_gini" ->
       """WITH tf AS (
         |  SELECT lang, term, count(*) AS f FROM (
