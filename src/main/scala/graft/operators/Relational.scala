@@ -939,6 +939,34 @@ object Relational {
         .orderBy("user_id", "p_id")
     }),
 
+    "q194_zscore" -> ((s, d) => {
+      // Group-wise z-score standardization — the feature-engineering
+      // staple before any ML consumer. The cross-engine trap is the
+      // VARIANCE: built-in stddev aggregates accumulate doubles in
+      // partition order, so the last ulp differs between cluster
+      // layouts and engines. Here the moments are EXACT BIGINTs
+      // (n, Σv, Σv² over cents — associative integer sums), and the
+      // sample variance (n·Σv² − S²)/(n·(n−1)) plus the per-row
+      // z = (v − μ)/σ run the identical double ops from those exact
+      // integers in both engines — deterministic to the bit, quantized
+      // to micro-units. Stats broadcast back onto one scan.
+      val stats = events(s, d)
+        .select(col("event_type"), cents(col("value")).as("v"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"),
+          sum(col("v") * col("v")).as("svv"))
+      events(s, d)
+        .select(col("event_id"), col("event_type"),
+          cents(col("value")).as("v"))
+        .join(broadcast(stats), "event_type")
+        .withColumn("z_micro", round(lit(1e6) *
+          (col("v").cast("double") - col("sv").cast("double") / col("n")) /
+          sqrt((col("n") * col("svv") - col("sv") * col("sv")).cast("double") /
+            (col("n") * (col("n") - 1)).cast("double"))).cast("long"))
+        .select(col("event_id"), col("event_type"), col("v"), col("z_micro"))
+        .orderBy("event_id")
+    }),
+
     "q189_ntile" -> ((s, d) => {
       // ntile decile bucketing — the window-function form of quantile
       // binning (vs q123's percentile-cutoff form): deciles over an
@@ -2166,6 +2194,19 @@ object Relational {
         |  round(quantile_cont(l_extendedprice, 0.75)*1e4)/1e4 AS p75,
         |  TRUE AS within_tol
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q194_zscore" ->
+      """WITH e AS (SELECT event_id, event_type,
+        |  CAST(round(value*100) AS BIGINT) AS v FROM events),
+        |st AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(v) AS BIGINT) AS sv,
+        |  CAST(sum(v*v) AS BIGINT) AS svv FROM e GROUP BY 1)
+        |SELECT event_id, e.event_type, v,
+        |  CAST(round(1e6 *
+        |    (CAST(v AS DOUBLE) - CAST(sv AS DOUBLE) / n) /
+        |    sqrt(CAST(n * svv - sv * sv AS DOUBLE)
+        |      / CAST(n * (n - 1) AS DOUBLE))) AS BIGINT) AS z_micro
+        |FROM e JOIN st ON e.event_type = st.event_type
+        |ORDER BY event_id""".stripMargin,
     "q189_ntile" ->
       """WITH l AS (
         |  SELECT l_returnflag,
