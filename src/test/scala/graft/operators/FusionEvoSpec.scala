@@ -301,6 +301,19 @@ class FusionEvoSpec extends SparkSpec {
     assert(n == graft.Tables.events(spark, sf0001).count())
   }
 
+  test("q194: z-scores are standardized — near-zero mean, unit-scale spread per group") {
+    val rows = Relational.queries("q194_zscore")(spark, sf0001).collect()
+      .map(r => (r.getString(1), r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (t, rs) =>
+      val zs = rs.map(_._2.toDouble / 1e6)
+      val mean = zs.sum / zs.length
+      assert(math.abs(mean) < 0.01, s"$t: standardized mean must be ~0, got $mean")
+      val varc = zs.map(z => (z - mean) * (z - mean)).sum / (zs.length - 1)
+      assert(math.abs(varc - 1.0) < 0.05, s"$t: variance must be ~1, got $varc")
+    }
+  }
+
   test("q166: filters still push down to the merged scan") {
     val plan = graft.sources.SchemaEvolutionStage.mergedRead(spark, sf0001)
       .filter(col("n_chars") > 100)
