@@ -939,6 +939,46 @@ object Relational {
         .orderBy("user_id", "p_id")
     }),
 
+    "q195_quantile_normalize" -> ((s, d) => {
+      // Quantile normalization — the batch-effect correction that maps
+      // every group's distribution onto the GLOBAL one (microarray
+      // lineage, now the feature-alignment tool for mixing
+      // heterogeneous sources): a row at within-group rank r of m maps
+      // to the global value at the proportionally-scaled rank
+      // 1 + (r−1)·(N−1) div (m−1) — pure integer arithmetic, so the
+      // rank mapping is exact and engine-independent; ties get unique
+      // ranks via the (v, event_id) total order (the q182 discipline).
+      // Shape: one window per side (group ranks over the full table,
+      // global ranks over the same rows) and ONE equi-join on the
+      // computed global rank — no per-row quantile interpolation, no
+      // crossJoin. The global sort is the inherent cost (it defines
+      // the target distribution); at 100 TB the standard move is the
+      // same mapping against an approx-quantile PROFILE (q103's
+      // certified sketch) instead of exact global ranks.
+      val ev = events(s, d)
+        .select(col("event_id"), col("event_type"),
+          cents(col("value")).as("v"))
+        .transform(graft.CacheRegistry.cached)
+      val wg = Window.partitionBy(col("event_type"))
+        .orderBy(col("v"), col("event_id"))
+      val wa = Window.orderBy(col("v"), col("event_id"))
+      val total = ev.agg(count(lit(1)).as("nn")) // lazy 1-row frame (q85 idiom)
+      val ranked = ev
+        .withColumn("r", row_number().over(wg).cast("long"))
+        .withColumn("m", count(lit(1)).over(
+          Window.partitionBy(col("event_type"))).cast("long"))
+        .crossJoin(broadcast(total))
+        .withColumn("gidx",
+          expr("1 + (r - 1) * (nn - 1) div (m - 1)"))
+      val globalRanks = ev
+        .withColumn("gr", row_number().over(wa).cast("long"))
+        .select(col("gr").as("gidx"), col("v").as("v_norm"))
+      ranked.join(globalRanks, "gidx")
+        .select(col("event_id"), col("event_type"), col("v"),
+          col("r"), col("v_norm"))
+        .orderBy("event_id")
+    }),
+
     "q194_zscore" -> ((s, d) => {
       // Group-wise z-score standardization — the feature-engineering
       // staple before any ML consumer. The cross-engine trap is the
@@ -2194,6 +2234,25 @@ object Relational {
         |  round(quantile_cont(l_extendedprice, 0.75)*1e4)/1e4 AS p75,
         |  TRUE AS within_tol
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q195_quantile_normalize" ->
+      """WITH e AS (SELECT event_id, event_type,
+        |  CAST(round(value*100) AS BIGINT) AS v FROM events),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM e),
+        |rk AS (
+        |  SELECT event_id, event_type, v,
+        |    CAST(row_number() OVER (PARTITION BY event_type
+        |      ORDER BY v, event_id) AS BIGINT) AS r,
+        |    CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS m
+        |  FROM e),
+        |gx AS (SELECT rk.*, 1 + (r - 1) * (nn - 1) // (m - 1) AS gidx
+        |       FROM rk CROSS JOIN t),
+        |gr AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY v, event_id) AS BIGINT)
+        |    AS gidx, v AS v_norm
+        |  FROM e)
+        |SELECT event_id, event_type, v, r, v_norm
+        |FROM gx JOIN gr USING (gidx)
+        |ORDER BY event_id""".stripMargin,
     "q194_zscore" ->
       """WITH e AS (SELECT event_id, event_type,
         |  CAST(round(value*100) AS BIGINT) AS v FROM events),

@@ -314,6 +314,22 @@ class FusionEvoSpec extends SparkSpec {
     }
   }
 
+  test("q195: normalization maps group extremes to global extremes, monotone in rank") {
+    val rows = Relational.queries("q195_quantile_normalize")(spark, sf0001)
+      .collect().map(r => (r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(rows.nonEmpty)
+    val (gMin, gMax) = (rows.map(_._2).min, rows.map(_._2).max)
+    rows.groupBy(_._1).foreach { case (t, rs) =>
+      val byRank = rs.sortBy(_._3)
+      assert(byRank.head._4 == gMin, s"$t: rank 1 must map to the global min")
+      assert(byRank.last._4 == gMax, s"$t: rank m must map to the global max")
+      byRank.zip(byRank.tail).foreach { case (a, b) =>
+        assert(a._4 <= b._4, s"$t: v_norm must be monotone in group rank")
+      }
+    }
+  }
+
   test("q166: filters still push down to the merged scan") {
     val plan = graft.sources.SchemaEvolutionStage.mergedRead(spark, sf0001)
       .filter(col("n_chars") > 100)
