@@ -939,6 +939,24 @@ object Relational {
         .orderBy("user_id", "p_id")
     }),
 
+    "q196_width_bucket" -> ((s, d) => {
+      // Equi-width histogram via width_bucket — the profiling
+      // complement of q189's equi-DEPTH deciles: fixed [0, 50000)-cent
+      // bins over integer cents (exact bin edges — a double-width bin
+      // on raw floats puts edge values in different bins per engine),
+      // out-of-range rows landing in the documented overflow bucket.
+      // One map-side-combined aggregation; the histogram is
+      // O(bins × groups) rows however large the input.
+      events(s, d)
+        .select(col("event_type"), cents(col("value")).as("v"))
+        .withColumn("bucket",
+          expr("width_bucket(v, 0, 50000, 20)").cast("long"))
+        .groupBy(col("event_type"), col("bucket"))
+        .agg(count(lit(1)).as("n"), min(col("v")).as("min_v"),
+          max(col("v")).as("max_v"))
+        .orderBy("event_type", "bucket")
+    }),
+
     "q195_quantile_normalize" -> ((s, d) => {
       // Quantile normalization — the batch-effect correction that maps
       // every group's distribution onto the GLOBAL one (microarray
@@ -2234,6 +2252,18 @@ object Relational {
         |  round(quantile_cont(l_extendedprice, 0.75)*1e4)/1e4 AS p75,
         |  TRUE AS within_tol
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    // DuckDB has no width_bucket — the oracle spells its exact integer
+    // semantics (floor((v-lo)/width)+1, 0 below, nbuckets+1 above)
+    "q196_width_bucket" ->
+      """WITH e AS (SELECT event_type,
+        |  CAST(round(value*100) AS BIGINT) AS v FROM events)
+        |SELECT event_type,
+        |  CAST(CASE WHEN v < 0 THEN 0 WHEN v >= 50000 THEN 21
+        |       ELSE 1 + v // 2500 END AS BIGINT) AS bucket,
+        |  count(*) AS n,
+        |  CAST(min(v) AS BIGINT) AS min_v,
+        |  CAST(max(v) AS BIGINT) AS max_v
+        |FROM e GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q195_quantile_normalize" ->
       """WITH e AS (SELECT event_id, event_type,
         |  CAST(round(value*100) AS BIGINT) AS v FROM events),
