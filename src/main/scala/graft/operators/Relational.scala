@@ -939,6 +939,31 @@ object Relational {
         .orderBy("user_id", "p_id")
     }),
 
+    "q197_rolling_wau" -> ((s, d) => {
+      // Rolling 7-day distinct users (WAU per day) — the windowed
+      // DISTINCT no engine's window frames express (COUNT(DISTINCT)
+      // OVER is unsupported for a reason: distinct state can't merge
+      // incrementally across frame slides). The scalable spelling:
+      // dedup to (day, user) first — the corpus-sized shuffle happens
+      // ONCE, on pairs already collapsed — then each pair CONTRIBUTES
+      // to the 7 target days whose trailing window covers it (a
+      // bounded 7× explode of the small deduped frame), and a plain
+      // count-distinct per target day finishes. Work is O(active
+      // pairs × window), never O(days × corpus rescans); emitted days
+      // are restricted to observed ones via a semi-join.
+      val du = events(s, d)
+        .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+        .transform(graft.CacheRegistry.cached)
+      val days = du.select(col("day")).distinct()
+      du.withColumn("target",
+          explode(expr("sequence(day, date_add(day, 6))")))
+        .join(days.withColumnRenamed("day", "target"), Seq("target"),
+          "left_semi")
+        .groupBy(col("target").as("day"))
+        .agg(countDistinct(col("user_id")).as("wau"))
+        .orderBy("day")
+    }),
+
     "q196_width_bucket" -> ((s, d) => {
       // Equi-width histogram via width_bucket — the profiling
       // complement of q189's equi-DEPTH deciles: fixed [0, 50000)-cent
@@ -2252,6 +2277,15 @@ object Relational {
         |  round(quantile_cont(l_extendedprice, 0.75)*1e4)/1e4 AS p75,
         |  TRUE AS within_tol
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q197_rolling_wau" ->
+      """WITH du AS (
+        |  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+        |days AS (SELECT DISTINCT day FROM du),
+        |c AS (
+        |  SELECT d.day AS day, du.user_id
+        |  FROM du JOIN days d ON d.day BETWEEN du.day AND du.day + 6)
+        |SELECT day, count(DISTINCT user_id) AS wau
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
     // DuckDB has no width_bucket — the oracle spells its exact integer
     // semantics (floor((v-lo)/width)+1, 0 below, nbuckets+1 above)
     "q196_width_bucket" ->
