@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.catalyst.plans.logical._
+
+/** Suite-wide scale guard (round-7 verdict #2): no query may rank/window
+  * the corpus through an empty-`partitionBy` Window — Spark plans that as
+  * ONE WindowExec task holding the entire input, the single-partition
+  * scale killer (it spills rather than fails locally, which is why only
+  * a plan assert catches it before production does).
+  *
+  * An empty partitionSpec is legitimate only over a frame that is already
+  * provably SMALL — the q108/q195 two-pass idiom: per-shard counts
+  * (an Aggregate) reduced to O(#shards) rows, then a prefix-sum window
+  * over that tiny frame. So the rule: every path from an
+  * empty-partitionSpec Window down to a leaf must cross an Aggregate (or
+  * end in driver-side data — LocalRelation / OneRowRelation / small
+  * Range) before touching a table scan. This is a heuristic (an
+  * Aggregate grouped by a high-cardinality key would slip through), but
+  * it catches the shape that actually shipped in q195 pre-fix and any
+  * recurrence of it.
+  */
+class PlanGuardSpec extends SparkSpec {
+
+  private def bounded(p: LogicalPlan): Boolean = p match {
+    case _: Aggregate => true
+    case _: LocalRelation => true
+    case _: OneRowRelation => true
+    case r: Range => r.numElements <= BigInt(100000)
+    case _: LeafNode => false
+    case u => u.children.forall(bounded)
+  }
+
+  test("no empty-partitionBy window over a corpus-sized frame, all queries") {
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val df =
+          try fn(spark, sf0001)
+          catch { case e: Throwable => fail(s"$name failed to build: $e") }
+        df.queryExecution.optimizedPlan.collectWithSubqueries {
+          case w: Window if w.partitionSpec.isEmpty && !bounded(w.child) =>
+            s"$name: empty-partitionBy Window over unbounded input:\n" +
+              w.treeString.linesIterator.take(12).mkString("\n")
+        }
+    }
+    assert(offenders.isEmpty, offenders.mkString("\n\n"))
+  }
+
+  test("guard fires on the pre-fix q195 shape (negative control)") {
+    import org.apache.spark.sql.expressions.{Window => W}
+    import org.apache.spark.sql.functions._
+    val bad = Tables.events(spark, sf0001)
+      .withColumn("gr", row_number().over(
+        W.orderBy(col("value"), col("event_id"))))
+    val hits = bad.queryExecution.optimizedPlan.collectWithSubqueries {
+      case w: Window if w.partitionSpec.isEmpty && !bounded(w.child) => w
+    }
+    assert(hits.nonEmpty,
+      "the guard must flag a global row_number over a raw scan")
+  }
+}

@@ -104,4 +104,51 @@ class RangeJoinRuleSpec extends AnyFunSuite {
       s, "/root/testdata/sf0.001").collect().map(_.toString).toSeq
     assert(got == manual, "rule-banded and hand-banded answers must match")
   }
+
+  private def generateCount(
+      df: org.apache.spark.sql.DataFrame): Int =
+    df.queryExecution.optimizedPlan.collect {
+      case g: org.apache.spark.sql.catalyst.plans.logical.Generate => g
+    }.size
+
+  test("q177 leaves the shared session's optimizer untouched (round-7 #1)") {
+    val s = graft.SparkSpec.session
+    val before = s.experimental.extraOptimizations
+    graft.SparkEntry.queries("q177_range_rule")(s, sfDir).collect()
+    assert(s.experimental.extraOptimizations == before,
+      "q177 must install RangeJoinRule on its own session clone, " +
+        "never the caller's session")
+    assert(!s.experimental.extraOptimizations.contains(
+      graft.plans.RangeJoinRule))
+  }
+
+  test("q17 after q177, same session: exactly one explode/bin layer") {
+    // the round-7 regression: once q177 had run, q17's hand-binned join
+    // was banded a SECOND time by the leaked rule. Both fixes pin here —
+    // the session-clone install AND the structural fixpoint guard.
+    val s = graft.SparkSpec.session
+    val e177 = graft.SparkEntry.queries("q177_range_rule")(s, sfDir)
+    val q17 = graft.SparkEntry.queries("q17_range_join")(s, sfDir)
+    assert(generateCount(q17) == 1,
+      s"q17 must keep its single hand-binned explode after q177 ran:\n" +
+        q17.queryExecution.optimizedPlan)
+    assert(q17.collect().map(_.toString).toSeq ==
+      e177.collect().map(_.toString).toSeq)
+  }
+
+  test("structural guard: rule on a hand-binned plan is a no-op") {
+    // even with the rule installed GLOBALLY (extensions session), the
+    // hand-binned q17 shape must not be re-banded: the guard recognizes
+    // the {b-1, b, b+1} Generate + bin equi-conjunct structurally, not
+    // by the rule's own column names.
+    val ruled = freshSession(withRule = true)
+    try {
+      val q17 = graft.SparkEntry.queries("q17_range_join")(ruled, sfDir)
+      assert(generateCount(q17) == 1,
+        s"rule-carrying session re-banded the hand-binned join:\n" +
+          q17.queryExecution.optimizedPlan)
+    } finally restoreShared()
+  }
+
+  private val sfDir = "/root/testdata/sf0.001"
 }
