@@ -43,6 +43,17 @@ object Staging {
     scala.collection.concurrent.TrieMap.empty[String, Object]
 
   private def marker(key: String) = new java.io.File(key + ".staged")
+  private def preManifest(key: String) = new java.io.File(key + ".pre")
+
+  /** Data directory a key describes, by the suite-wide key convention
+    * `<dir>` or `<dir>@step` — used to detect a STALE marker (marker
+    * present, staged files gone, e.g. a storage wipe that spared the
+    * tiny marker): serving such a stage would fail every read, so
+    * [[once]] drops the marker and rebuilds instead. */
+  private def dataPath(key: String) = new java.io.File(key.split('@').head)
+
+  private def hasData(f: java.io.File): Boolean =
+    f.isFile || (f.isDirectory && Option(f.listFiles).exists(_.nonEmpty))
 
   /** Stage directory for (`ns`, corpus `d`) — keyed by the md5 of the
     * CANONICAL absolute corpus path, so distinct corpora can never share
@@ -63,6 +74,8 @@ object Staging {
   def once(key: String)(write: => Unit): Unit =
     locks.getOrElseUpdate(key, new Object).synchronized {
       if (!written.contains(key)) {
+        // stale marker (data lost after a completed stage): rebuild
+        if (marker(key).isFile && !hasData(dataPath(key))) forget(key)
         if (!marker(key).isFile) {
           write
           val m = marker(key)
@@ -73,12 +86,67 @@ object Staging {
       }
     }
 
+  /** [[once]] for a step that APPENDS into directories that already hold
+    * committed files (delta admission: ANN codes, lexical postings).
+    * Plain [[once]] is NOT crash-safe for appends: a writer dying between
+    * the append and the marker leaves the dead attempt's part files in
+    * place, indistinguishable from base files, and the retry appends a
+    * second copy — silent double-admission. Protocol: before the first
+    * append, snapshot the names of every pre-existing file under `dirs`
+    * into a `<key>.pre` manifest (temp-file + atomic rename); a retry
+    * that finds the manifest without the marker deletes every file NOT in
+    * the snapshot (the dead attempt's output) before re-running `write`.
+    * The manifest is removed only after the marker is durable, so every
+    * crash point — before the manifest, mid-append, after the append,
+    * after the marker — replays to exactly-once admission. */
+  def onceAppend(key: String, dirs: Seq[String])(write: => Unit): Unit =
+    locks.getOrElseUpdate(key, new Object).synchronized {
+      if (!written.contains(key)) {
+        if (marker(key).isFile) {
+          preManifest(key).delete() // leftover from a crash post-marker
+        } else {
+          val pre = preManifest(key)
+          Option(pre.getParentFile).foreach(_.mkdirs())
+          if (pre.isFile) {
+            // dead attempt detected: roll back its files, keep the snapshot
+            val keep = java.nio.file.Files.readAllLines(pre.toPath)
+              .toArray.map(_.toString).toSet
+            listFilesUnder(dirs).filterNot(f => keep(f.getPath))
+              .foreach(_.delete())
+          } else {
+            val tmp = new java.io.File(key + ".pre.tmp")
+            java.nio.file.Files.writeString(tmp.toPath,
+              listFilesUnder(dirs).map(_.getPath).mkString("\n"))
+            java.nio.file.Files.move(tmp.toPath, pre.toPath,
+              java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          }
+          write
+          val m = marker(key)
+          Option(m.getParentFile).foreach(_.mkdirs())
+          m.createNewFile()
+          pre.delete()
+        }
+        written(key) = true
+      }
+    }
+
+  private def listFilesUnder(dirs: Seq[String]): Seq[java.io.File] = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) Option(f.listFiles).toSeq.flatten.flatMap(walk)
+      else Seq(f)
+    dirs.map(new java.io.File(_)).filter(_.exists).flatMap(walk)
+  }
+
   /** Forget a stage so the next [[once]] re-writes it — the in-session
     * corpus-rewrite hook (Dedup.invalidateClusters routes here). Drops
     * the durable marker too, so invalidation survives into the next JVM. */
   def forget(key: String): Unit = {
-    written.remove(key); marker(key).delete(); ()
+    written.remove(key); marker(key).delete(); preManifest(key).delete(); ()
   }
+
+  /** Spec probe: the file list [[onceAppend]] would snapshot for `dirs`. */
+  private[graft] def listFilesForTest(dirs: Seq[String]): Seq[String] =
+    listFilesUnder(dirs).map(_.getPath)
 
   /** Spec probe: has `key` been staged in this JVM? */
   def isStaged(key: String): Boolean = written.contains(key)

@@ -420,10 +420,13 @@ object Similarity {
 
   /** q151 step 2: admit the DELTA — assign to the existing trained cells,
     * encode with the existing codebook, APPEND into the matching cell=
-    * partitions. No retrain, no rewrite of base files. */
+    * partitions. No retrain, no rewrite of base files. `onceAppend`, not
+    * `once`: an append step needs the pre-append manifest so a writer
+    * crash between append and marker rolls back instead of double-
+    * admitting on retry (StageCrashSpec). */
   def annIncAdmit(s: SparkSession, d: String): Unit = {
     val stage = annIncStageDir(d)
-    graft.Staging.once(s"$stage/codes@delta") {
+    graft.Staging.onceAppend(s"$stage/codes@delta", Seq(s"$stage/codes")) {
       annIncCodesWithCells(s, d, !isBaseVec)
         .write.mode("append").partitionBy("cell")
         .parquet(s"$stage/codes")

@@ -172,9 +172,12 @@ object TextAnalysis {
 
   /** q169 step 2: admit the DELTA — postings computed from the delta
     * docs alone (filter below the explode), APPENDED into the matching
-    * bucket= partitions; doclen rows appended. No base-file rewrite. */
+    * bucket= partitions; doclen rows appended. No base-file rewrite.
+    * `onceAppend`: crash-safe exactly-once admission via the pre-append
+    * manifest (see Staging.onceAppend; StageCrashSpec pins it). */
   def lexIncAdmit(s: SparkSession, d: String): Unit =
-    graft.Staging.once(s"${lexIncStageDir(d)}@delta") {
+    graft.Staging.onceAppend(s"${lexIncStageDir(d)}@delta",
+      Seq(s"${lexIncStageDir(d)}/postings", s"${lexIncStageDir(d)}/doclen")) {
       lexWrite(s, d, Some(!isBaseDoc), lexIncStageDir(d), "append")
     }
 

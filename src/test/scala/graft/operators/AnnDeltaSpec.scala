@@ -105,15 +105,23 @@ class AnnDeltaSpec extends SparkSpec {
     val key = graft.Staging.dirFor("spec-durable", sf0001) + "/x"
     graft.Staging.forget(key)
     var builds = 0
-    graft.Staging.once(key) { builds += 1 }
-    graft.Staging.once(key) { builds += 1 }
+    // the write must leave data at the key path, like every real stage —
+    // a marker with no data behind it is treated as STALE and rebuilt
+    // (StageCrashSpec pins that path)
+    def build(): Unit = graft.Staging.once(key) {
+      builds += 1
+      val f = new java.io.File(key)
+      f.getParentFile.mkdirs()
+      java.nio.file.Files.writeString(f.toPath, "data")
+    }
+    build(); build()
     assert(builds == 1, "single-flight within a JVM")
     graft.Staging.dropMemoForTest(key)
-    graft.Staging.once(key) { builds += 1 }
+    build()
     assert(builds == 1,
       "the on-disk marker must carry 'already staged' across JVMs")
     graft.Staging.forget(key)
-    graft.Staging.once(key) { builds += 1 }
+    build()
     assert(builds == 2, "forget must force a rebuild")
   }
 }
