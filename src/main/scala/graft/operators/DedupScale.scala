@@ -266,6 +266,55 @@ object DedupScale {
       require(r1 >= 0.70 && r2 >= 0.90,
         s"near-identical pairs must rendezvous: probe1=$r1 probe2=$r2")
     }
+
+    // q198's URL/domain gate at full scale, against pure-arithmetic
+    // ground truth: ~n/3 canonical URL groups (3 surface forms each),
+    // every 50th group on ONE heavy domain (thousands of keepers, far
+    // over the cap), the rest spread across 60k .org domains. Expected
+    // kept count is recomputed WITHOUT URLs (sum of min(keepers, cap)
+    // per domain over the group-id range), and the output must show
+    // zero over-cap domains, the heavy domain cut to exactly the cap,
+    // and only group-min keepers surviving.
+    timed("url_domain_gate") {
+      val docs = spark.range(n).select(col("id").as("doc_id"))
+        .withColumn("g", expr("doc_id div 3"))
+        .withColumn("dom", expr("CASE WHEN g % 50 = 0 THEN 'heavy.com' " +
+          "ELSE 'site' || CAST(g % 60000 AS STRING) || '.org' END"))
+        .withColumn("f", expr("doc_id % 3"))
+        .withColumn("url", expr(
+          """CASE f
+            |  WHEN 0 THEN 'https://' || dom || '/p/' || g ||
+            |              '?id=' || (g % 97)
+            |  WHEN 1 THEN 'http://www.' || upper(dom) || ':80/p/' || g ||
+            |              '/?id=' || (g % 97) || '&utm_source=x'
+            |  ELSE 'https://' || dom || '/p/' || g ||
+            |       '?utm_a=1&id=' || (g % 97) || '#frag'
+            |END""".stripMargin))
+      val out = graft.CacheRegistry.cached(
+        Dedup.urlDedupCapped(spark, docs.select(col("doc_id"), col("url"))))
+      val kept = out.count()
+      val nGroups = (n + 2) / 3
+      val expected = spark.range(nGroups)
+        .select(expr("CASE WHEN id % 50 = 0 THEN 'heavy.com' " +
+          "ELSE 'site' || CAST(id % 60000 AS STRING) || '.org' END").as("dom"))
+        .groupBy(col("dom")).count()
+        .select(sum(least(col("count"), lit(Dedup.DomainCap.toLong))))
+        .head().getLong(0)
+      val overCap = out.groupBy(col("domain")).count()
+        .filter(col("count") > Dedup.DomainCap).count()
+      val heavy = out.filter(col("domain") === "heavy.com").count()
+      val badKeeper = out.filter(col("doc_id") % 3 =!= 0).count()
+      println(s"""{"check":"url_domain_cap","n_docs":$n,"kept":$kept,""" +
+        s""""expected":$expected,"heavy_kept":$heavy,""" +
+        s""""over_cap_domains":$overCap,"bad_keepers":$badKeeper}""")
+      require(kept == expected,
+        s"kept $kept != expected $expected (per-domain min(keepers, cap))")
+      require(overCap == 0L, s"$overCap domains exceed the cap")
+      require(heavy == Dedup.DomainCap.toLong,
+        s"heavy domain must be cut to exactly the cap, got $heavy")
+      require(badKeeper == 0L,
+        "every survivor must be its group's min doc_id")
+    }
     spark.stop()
   }
 }
