@@ -20,6 +20,10 @@ object PngHeader {
   private val Sig = Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A)
     .map(_.toByte)
 
+  /** Decoded-scanline allocation cap (256 MiB ≈ a 9k×9k RGBA frame):
+    * dims past this are treated as malformed, not allocated. */
+  private val MaxDecodedBytes = 256L * 1024 * 1024
+
   private def be32(b: Array[Byte], o: Int): Long =
     ((b(o) & 0xFFL) << 24) | ((b(o + 1) & 0xFFL) << 16) |
       ((b(o + 2) & 0xFFL) << 8) | (b(o + 3) & 0xFFL)
@@ -84,8 +88,16 @@ object PngHeader {
       pos += 12 + size.toInt // length + tag + payload + crc
     }
     if (idat.size() == 0) return null
-    val stride = width * nchan
-    val expected = height * (1 + stride)
+    // size the scanline buffer in LONG first: a hostile IHDR with large
+    // 32-bit dims would overflow an Int product (negative allocation or
+    // a wrong-but-positive size) — and even a valid product must clear a
+    // sanity cap before we allocate multi-GB for what claims to be an
+    // image (decode-to-null, never decode-to-OOM)
+    val strideL = width.toLong * nchan
+    val expectedL = height.toLong * (1L + strideL)
+    if (expectedL <= 0L || expectedL > MaxDecodedBytes) return null
+    val stride = strideL.toInt
+    val expected = expectedL.toInt
     val raw = new Array[Byte](expected)
     val inf = new java.util.zip.Inflater()
     try {
@@ -93,7 +105,10 @@ object PngHeader {
       var off = 0
       while (off < expected && !inf.finished()) {
         val n = inf.inflate(raw, off, expected - off)
-        if (n == 0 && inf.needsInput()) return null // truncated stream
+        // zero progress while unfinished = truncated input, a
+        // preset-dictionary stream (needsDictionary — inflate would
+        // return 0 forever), or a stall: all decode to null
+        if (n == 0 && !inf.finished()) return null
         off += n
       }
       if (off != expected) return null

@@ -1298,18 +1298,25 @@ object Relational {
       // detour (one partial-aggregating shuffle, no per-group sort, no
       // second scan). Ties are the classic argmax trap — engines pick
       // arbitrarily — so the ordering key is made UNIQUE by packing
-      // (price_cents, orderkey, linenumber) into one BIGINT: the
-      // argmax is then total-order-determined and hash-exact in any
-      // engine and any partitioning.
+      // (price_cents, orderkey, linenumber) into one BIGINT. The pack
+      // is a total order only while orderkey*1000 + linenumber < 1e9
+      // (orderkey < ~1e6; widening the pc slot instead would overflow
+      // BIGINT at pc ~ 1e7), so the bound is ASSERTED in-query: the
+      // oracle-hash-matched `pack_ok` flips false the moment a larger
+      // SF bleeds the orderkey term into the pc slot — a loud gate
+      // failure instead of silently engine-arbitrary ties (the q22/q103
+      // contract-column idiom; at web scale the pack becomes a STRUCT
+      // ordering key or a DECIMAL(38) pack — the q140 idiom).
       val pc = cents(col("l_extendedprice"))
       t(s, d, "lineitem")
-        .withColumn("ord", pc * lit(1000000000L) +
-          col("l_orderkey") * lit(1000L) + col("l_linenumber"))
+        .withColumn("tail", col("l_orderkey") * lit(1000L) + col("l_linenumber"))
+        .withColumn("ord", pc * lit(1000000000L) + col("tail"))
         .groupBy(col("l_returnflag"))
         .agg(expr("max_by(l_orderkey, ord)").as("max_order"),
           expr("min_by(l_orderkey, ord)").as("min_order"),
           max(pc).as("max_pc"), min(pc).as("min_pc"),
-          count(lit(1)).as("n"))
+          count(lit(1)).as("n"),
+          (max(col("tail")) < lit(1000000000L)).as("pack_ok"))
         .orderBy("l_returnflag")
     }),
 
@@ -2474,6 +2481,7 @@ object Relational {
       """WITH l AS (
         |  SELECT l_returnflag, l_orderkey,
         |    CAST(round(l_extendedprice*100) AS BIGINT) AS pc,
+        |    l_orderkey * 1000 + l_linenumber AS tail,
         |    CAST(round(l_extendedprice*100) AS BIGINT) * 1000000000
         |      + l_orderkey * 1000 + l_linenumber AS ord
         |  FROM lineitem)
@@ -2482,7 +2490,8 @@ object Relational {
         |  arg_min(l_orderkey, ord) AS min_order,
         |  CAST(max(pc) AS BIGINT) AS max_pc,
         |  CAST(min(pc) AS BIGINT) AS min_pc,
-        |  count(*) AS n
+        |  count(*) AS n,
+        |  max(tail) < 1000000000 AS pack_ok
         |FROM l GROUP BY 1 ORDER BY 1""".stripMargin,
     "q183_regex_extract" ->
       """SELECT term, count(DISTINCT doc_id) AS n_docs,

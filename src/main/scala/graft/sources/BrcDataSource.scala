@@ -144,9 +144,11 @@ class BrcBatchWrite(dir: String, truncate: Boolean,
     val p = new Path(dir)
     val fs = p.getFileSystem(sconf.value)
     if (truncate && fs.exists(p))
-      fs.listStatus(p).filterNot(s => s.getPath.getName.startsWith("_") ||
-        s.getPath.getName.startsWith(".")).foreach(s =>
-        fs.delete(s.getPath, false))
+      fs.listStatus(p).filter(s =>
+        !(s.getPath.getName.startsWith("_") ||
+          s.getPath.getName.startsWith(".")) ||
+          s.getPath.getName.endsWith(".inprogress")) // crashed-writer orphans
+        .foreach(s => fs.delete(s.getPath, false))
     fs.mkdirs(p)
     BrcWriterFactory(dir, sconf)
   }
@@ -179,8 +181,19 @@ class BrcDataWriter(path: String,
   extends org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
 
   private val p = new Path(path)
+  // COMMIT PROTOCOL: bytes go to a dot-prefixed staging name and the
+  // task COMMIT renames it to the final name (an atomic same-dir rename
+  // on posix/HDFS). Readers — this connector and every built-in file
+  // source — skip hidden names, so a writer that dies mid-write (its
+  // abort() never runs: executor loss) leaves only an invisible orphan,
+  // never a partial file that a later read silently unions with the
+  // retry's output. Double-commit of one partition is excluded by
+  // Spark's output commit coordinator (BatchWrite.useCommitCoordinator
+  // defaults true); truncate-mode job setup sweeps old orphans.
+  private val fs = p.getFileSystem(sconf.value)
+  private val staging = new Path(p.getParent, s".${p.getName}.inprogress")
   private val out = new java.io.BufferedOutputStream(
-    p.getFileSystem(sconf.value).create(p, true), 1 << 20)
+    fs.create(staging, true), 1 << 20)
 
   override def write(row: InternalRow): Unit = {
     out.write(row.getUTF8String(0).getBytes)
@@ -200,11 +213,15 @@ class BrcDataWriter(path: String,
   }
   override def commit()
       : org.apache.spark.sql.connector.write.WriterCommitMessage = {
-    out.close(); BrcCommitMessage(path)
+    out.close()
+    if (!fs.rename(staging, p))
+      throw new java.io.IOException(
+        s"brc sink: failed to publish $staging as $p")
+    BrcCommitMessage(path)
   }
   override def abort(): Unit = {
     out.close()
-    p.getFileSystem(sconf.value).delete(p, false)
+    fs.delete(staging, false)
     ()
   }
   override def close(): Unit = {}

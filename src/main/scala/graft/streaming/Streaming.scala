@@ -669,17 +669,39 @@ object Streaming {
         .orderBy("event_type")
     }),
 
-    "q159_stream_session_timers" -> ((s, d) => withStreamPartitions(s, 4) { sp =>
-      // the TIMER leg of the transformWithState surface (q126 covers
-      // typed state; q142 covers state reads): inactivity-timeout
-      // sessionization, output driven entirely by event-time timers.
-      // Harness: the staged stream input is (1) ALL real events as one
-      // file — a single first batch, so the 0-delay watermark can never
-      // drop a real event — then (2) two sentinel files (user -1, later
-      // event times), so the watermark advances past every key's
-      // last-activity+gap and every timer fires inside a DATA batch (no
-      // reliance on the no-data-batch heuristic). Sessions equal q96's
-      // batch session_window answer — one oracle text for both.
+    "q159_stream_session_timers" -> ((s, d) =>
+      sessionTimersWithProgress(s, d)._1),
+
+    "q96_session_window" -> ((s, d) =>
+      // session windows (30-min gap) per user over event time — Spark's
+      // built-in session_window; stateful streaming analog in StreamingSpec
+      events(s, d)
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          dollars(sum(cents(col("value")))).as("total"))
+        .select(col("session_window.start").as("session_start"),
+          col("user_id"), col("n_events"), col("total"))
+        .orderBy("user_id", "session_start"))
+  )
+
+  /** q159's body, also returning the per-micro-batch progress objects so
+    * the cost claim ("the ~1 s/micro-batch streaming floor × a minimal
+    * 3-batch harness, not plan work") is MEASURED, not asserted —
+    * `graft.streaming.StreamProbe` prints the split; the README bench
+    * note carries the numbers. The harness is already minimal: batch 1
+    * ingests all real events (0-delay watermark can never drop one),
+    * batch 2's sentinel advances the watermark past every key's
+    * last-activity+gap, batch 3's sentinel is the DATA batch in which
+    * every timer deterministically fires (watermarks take effect one
+    * batch late, and relying on the no-data-batch heuristic would make
+    * firing timing heuristic-dependent) — the TIMER leg of the
+    * transformWithState surface (q126 covers typed state; q142 covers
+    * state reads): inactivity-timeout sessionization, output driven
+    * entirely by event-time timers. Sessions equal q96's batch
+    * session_window answer — one oracle text for both. */
+  private[streaming] def sessionTimersWithProgress(s: SparkSession, d: String)
+      : (DataFrame, Seq[org.apache.spark.sql.streaming.StreamingQueryProgress]) =
+    withStreamPartitions(s, 4) { sp =>
       sp.conf.set("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       import sp.implicits._
@@ -703,25 +725,14 @@ object Streaming {
         .format("memory").queryName(name)
         .start()
       try q.processAllAvailable() finally q.stop()
-      drainMemorySink(sp, name)
+      val out = drainMemorySink(sp, name)
         .filter(col("user_id") >= 0)
         .select(timestamp_micros(col("session_start_us")).as("session_start"),
           col("user_id"), col("n_events"),
           dollars(col("total_cents")).as("total"))
         .orderBy("user_id", "session_start")
-    }),
-
-    "q96_session_window" -> ((s, d) =>
-      // session windows (30-min gap) per user over event time — Spark's
-      // built-in session_window; stateful streaming analog in StreamingSpec
-      events(s, d)
-        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
-        .agg(count(lit(1)).as("n_events"),
-          dollars(sum(cents(col("value")))).as("total"))
-        .select(col("session_window.start").as("session_start"),
-          col("user_id"), col("n_events"), col("total"))
-        .orderBy("user_id", "session_start"))
-  )
+      (out, q.recentProgress.toSeq)
+    }
 
   /** One oracle text for q96 (batch session_window) AND q159 (its
     * timer-driven streaming twin): gaps-and-islands — a new session

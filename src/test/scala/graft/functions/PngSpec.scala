@@ -42,6 +42,33 @@ class PngSpec extends SparkSpec {
       row.getLong(2) == 8 && row.getLong(3) == 2)
   }
 
+  test("q167: hostile IHDR dims decode to null — no overflow, no huge alloc") {
+    // a syntactically valid PNG skeleton whose IHDR claims giant
+    // dimensions: height*(1+width*nchan) overflows Int (the pre-fix
+    // NegativeArraySizeException path) or demands a multi-GB buffer —
+    // both must decode to null like any other malformed input
+    def be32(v: Long): Array[Byte] = Array(
+      (v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+    def fakePng(w: Long, h: Long): Array[Byte] = {
+      val sig = Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A)
+        .map(_.toByte)
+      val ihdr = be32(13) ++ "IHDR".getBytes ++ be32(w) ++ be32(h) ++
+        Array[Byte](8, 2, 0, 0, 0) ++ be32(0) // depth8, RGB, crc ignored
+      val idat = be32(4) ++ "IDAT".getBytes ++
+        Array(0x78, 0x9c, 3, 0).map(_.toByte) ++ be32(0)
+      val iend = be32(0) ++ "IEND".getBytes ++ be32(0)
+      sig ++ ihdr ++ idat ++ iend
+    }
+    for ((w, h) <- Seq((70000L, 70000L), (0x7FFFFFFFL, 3L),
+        (50000L, 50000L), (1L, 0x80000000L))) {
+      assert(PngHeader.pixelStats(fakePng(w, h)) == null,
+        s"hostile dims ${w}x$h must decode to null")
+    }
+    // a zlib stream that inflates to ZERO bytes against a nonzero
+    // expectation must return null (stall guard), not loop forever
+    assert(PngHeader.pixelStats(fakePng(2, 2)) == null)
+  }
+
   test("q167: pixel decode matches javax.imageio — an INDEPENDENT decoder — on every fixture") {
     import spark.implicits._
     PngFunctions.register(spark)

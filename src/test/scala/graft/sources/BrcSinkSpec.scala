@@ -39,6 +39,28 @@ class BrcSinkSpec extends SparkSpec {
       .count() == 2 * n, "append must keep prior files")
   }
 
+  test("q176: crashed-writer orphans are invisible to reads, swept on overwrite") {
+    // the commit protocol: tasks stream into a dot-prefixed
+    // `.*.inprogress` staging name and PUBLISH via rename at task
+    // commit — so an executor dying mid-write (abort never runs) leaves
+    // only a hidden orphan. Simulate one and prove (a) reads skip it,
+    // (b) a truncate-mode write sweeps it.
+    val dir = tempDir("brc-sink-crash").toString
+    writeTo(dir, "overwrite")
+    val n = golden.count()
+    val orphan = new java.io.File(dir, ".part-9-999.brc.inprogress")
+    java.nio.file.Files.writeString(orphan.toPath,
+      "Halfwr") // a torn line, no terminator — poison if ever read
+    assert(spark.read.format("graft.sources.BrcDataSource").load(dir)
+      .count() == n, "hidden in-progress files must never be read")
+    val csvBack = spark.read.schema("station STRING, temp STRING")
+      .option("sep", ";").csv(dir)
+    assert(csvBack.count() == n,
+      "built-in sources must skip the orphan too (hidden-file rule)")
+    writeTo(dir, "overwrite")
+    assert(!orphan.exists, "truncate-mode job setup must sweep orphans")
+  }
+
   test("q176: serializer hard-errors outside the 1BRC 999.9 domain") {
     import spark.implicits._
     val dir = tempDir("brc-sink-domain").toString
