@@ -55,7 +55,16 @@ object PngHeader {
     * (color types 2/6), non-interlaced — null for anything else or any
     * malformed byte (bad CRC length walk, short inflate, bad filter
     * tag), never garbage. */
-  def pixelStats(b: Array[Byte]): InternalRow = {
+  /** Decoded 8-bit RGB(A) scanline stream: samples reconstructed IN
+    * PLACE in `raw` (index y*(1+width*nchan) keeps the filter tag, the
+    * unfiltered samples follow it) — shared by [[pixelStats]] and
+    * [[ahash64]]. */
+  private[functions] final class Decoded(
+      val width: Int, val height: Int, val nchan: Int, val raw: Array[Byte])
+
+  /** Chunk walk + zlib inflate + in-place unfilter; null for any
+    * malformed input (the decode-to-null contract both consumers share). */
+  private def decodeUnfiltered(b: Array[Byte]): Decoded = {
     if (b == null || b.length < 33) return null
     val h = ihdr(b)
     if (h == null) return null
@@ -115,11 +124,9 @@ object PngHeader {
     } catch {
       case _: java.util.zip.DataFormatException => return null
     } finally inf.end()
-    // unfilter scanline-by-scanline; bpp = nchan for 8-bit samples
+    // unfilter scanline-by-scanline IN PLACE; bpp = nchan for 8-bit
     val cur = new Array[Int](stride)
     val prior = new Array[Int](stride)
-    var n = 0L; var mn = Long.MaxValue; var mx = Long.MinValue
-    var sum = 0L; var sumsq = 0L
     var y = 0
     while (y < height) {
       val base = y * (1 + stride)
@@ -145,16 +152,80 @@ object PngHeader {
         }
         val v = (x + pred) & 0xFF
         cur(i) = v
-        val vl = v.toLong
-        if (vl < mn) mn = vl
-        if (vl > mx) mx = vl
-        sum += vl; sumsq += vl * vl; n += 1
+        raw(base + 1 + i) = v.toByte
         i += 1
       }
       System.arraycopy(cur, 0, prior, 0, stride)
       y += 1
     }
+    new Decoded(width, height, nchan, raw)
+  }
+
+  def pixelStats(b: Array[Byte]): InternalRow = {
+    val dec = decodeUnfiltered(b)
+    if (dec == null) return null
+    val stride = dec.width * dec.nchan
+    var n = 0L; var mn = Long.MaxValue; var mx = Long.MinValue
+    var sum = 0L; var sumsq = 0L
+    var y = 0
+    while (y < dec.height) {
+      val base = y * (1 + stride) + 1
+      var i = 0
+      while (i < stride) {
+        val vl = (dec.raw(base + i) & 0xFF).toLong
+        if (vl < mn) mn = vl
+        if (vl > mx) mx = vl
+        sum += vl; sumsq += vl * vl; n += 1
+        i += 1
+      }
+      y += 1
+    }
     InternalRow(n, mn, mx, sum, sumsq)
+  }
+
+  /** 64-bit average-hash (q200): integer luma (299R+587G+114B)/1000 per
+    * pixel, box-averaged into an 8×8 grid (cell of pixel (x,y) is
+    * (y·8 div h, x·8 div w) — exact integer geometry, no resampling
+    * library), bit k = gy·8+gx set iff the cell average exceeds the
+    * integer mean of the 64 cell averages. Every step is integer
+    * division, so the committed fixture generator reproduces the hash
+    * bit-for-bit — ground truth by construction, the q144/q167
+    * contract. Null below 8×8 (a grid cell would be empty) or for any
+    * malformed input. Alpha is ignored: perceptual identity lives in
+    * the color channels. */
+  def ahash64(b: Array[Byte]): java.lang.Long = {
+    val dec = decodeUnfiltered(b)
+    if (dec == null || dec.width < 8 || dec.height < 8) return null
+    val w = dec.width; val h = dec.height; val nc = dec.nchan
+    val stride = w * nc
+    val csum = new Array[Long](64)
+    val ccnt = new Array[Long](64)
+    var y = 0
+    while (y < h) {
+      val base = y * (1 + stride) + 1
+      val gy = y * 8 / h
+      var x = 0
+      while (x < w) {
+        val o = base + x * nc
+        val r = dec.raw(o) & 0xFF
+        val g = dec.raw(o + 1) & 0xFF
+        val bl = dec.raw(o + 2) & 0xFF
+        val c = (gy << 3) | (x * 8 / w)
+        csum(c) += (299 * r + 587 * g + 114 * bl) / 1000
+        ccnt(c) += 1
+        x += 1
+      }
+      y += 1
+    }
+    val avg = new Array[Long](64)
+    var mean = 0L
+    var c = 0
+    while (c < 64) { avg(c) = csum(c) / ccnt(c); mean += avg(c); c += 1 }
+    mean /= 64
+    var hh = 0L
+    c = 0
+    while (c < 64) { if (avg(c) > mean) hh |= 1L << c; c += 1 }
+    java.lang.Long.valueOf(hh)
   }
 }
 
@@ -208,11 +279,36 @@ case class PngPixels(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** png_ahash(content) -> 64-bit perceptual average-hash (long), null for
+  * malformed bytes or images below the 8×8 grid. */
+case class PngAhash(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "png_ahash"
+
+  override def nullSafeEval(v: Any): Any =
+    PngHeader.ahash64(v.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, b => {
+      s"""
+         |java.lang.Long ah = graft.functions.PngHeader.ahash64($b);
+         |${ev.isNull} = (ah == null);
+         |if (!${ev.isNull}) ${ev.value} = ah.longValue();
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object PngFunctions {
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "png_ihdr", exprs => PngIhdr(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "png_pixels", exprs => PngPixels(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "png_ahash", exprs => PngAhash(exprs.head), "built-in")
   }
 }

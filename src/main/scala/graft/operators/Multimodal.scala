@@ -118,6 +118,48 @@ object Multimodal {
         .orderBy("asset_id")
     }),
 
+    "q200_image_dedup" -> ((s, d) => {
+      // Perceptual image dedup — the multimodal twin of q68's SimHash
+      // text dedup, on REAL pixels: png_ahash decodes each committed
+      // PNG (chunk walk → inflate → unfilter, shared with q167) and
+      // reduces it to a 64-bit average-hash (integer luma → 8×8 box
+      // grid → above-mean bits), so near-identical images (re-encodes,
+      // small edits, brightness touch-ups on a region) land within a
+      // few bits. Candidate generation is the q68 banding: 4×16-bit
+      // band keys equi-join — any pair within hamming ≤ 3 shares an
+      // untouched band by pigeonhole, so recall is GUARANTEED, and at
+      // corpus scale the join meets only same-band pairs, never all
+      // pairs. The oracle reads ahash.csv — the fixture generator's
+      // own hashes, computed with the same integer formula (ground
+      // truth by construction) — and does the all-pairs form DuckDB
+      // can afford at fixture size; banded and all-pairs answers are
+      // provably equal at this threshold, which is exactly the
+      // contract the banding claims. Payload bytes never shuffle: 8
+      // bytes of hash per image cross the exchange.
+      graft.functions.PngFunctions.register(s)
+      val hashed = s.read.format("binaryFile")
+        .option("pathGlobFilter", "*.png")
+        .load(graft.Fixtures.path("png_dedup"))
+        .select(element_at(split(col("path"), "/"), -1).as("name"),
+          expr("png_ahash(content)").as("h"))
+        .transform(graft.CacheRegistry.cached)
+      val banded = hashed.select(col("name"), col("h"),
+        explode(expr("array(0, 1, 2, 3)")).as("band"))
+        .withColumn("key",
+          expr("shiftrightunsigned(h, CAST(band * 16 AS INT)) & 65535"))
+      val a = banded.select(col("name").as("a"), col("h").as("ha"),
+        col("band"), col("key"))
+      val b = banded.select(col("name").as("b"), col("h").as("hb"),
+        col("band"), col("key"))
+      a.join(b, Seq("band", "key"))
+        .where(col("a") < col("b"))
+        .select(col("a"), col("b"),
+          expr("CAST(bit_count(ha ^ hb) AS BIGINT)").as("hamming"))
+        .distinct() // a pair can share several bands
+        .where(col("hamming") <= 3)
+        .orderBy("a", "b")
+    }),
+
     "q144_png_ingest" -> ((s, d) => {
       // REAL-bytes multimodal ingest — closes the "metadata-only" gap of
       // q90–q93: Spark's public binaryFile source reads the committed PNG
@@ -221,6 +263,16 @@ object Multimodal {
   val oracle: Map[String, String] = Map(
     // the generation manifest IS the oracle (see q144's scaladoc); CASTs
     // pin every numeric to BIGINT for type parity with the Spark side
+    "q200_image_dedup" ->
+      s"""WITH h AS (
+         |  SELECT name, CAST(ahash AS BIGINT) AS h
+         |  FROM read_csv('${graft.Fixtures.path("png_dedup")}/ahash.csv',
+         |                header=true))
+         |SELECT a.name AS a, b.name AS b,
+         |  CAST(bit_count(xor(a.h, b.h)) AS BIGINT) AS hamming
+         |FROM h a JOIN h b ON a.name < b.name
+         |WHERE bit_count(xor(a.h, b.h)) <= 3
+         |ORDER BY a, b""".stripMargin,
     "q146_wav_ingest" ->
       s"""SELECT name, CAST(channels AS BIGINT) AS channels,
         |  CAST(sample_rate AS BIGINT) AS sample_rate,

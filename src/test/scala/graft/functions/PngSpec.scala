@@ -69,6 +69,34 @@ class PngSpec extends SparkSpec {
     assert(PngHeader.pixelStats(fakePng(2, 2)) == null)
   }
 
+  test("q200: ahash matches the generator manifest bit-for-bit; planted structure holds") {
+    val dir = graft.Fixtures.path("png_dedup")
+    val manifest = scala.io.Source.fromFile(s"$dir/ahash.csv").getLines()
+      .drop(1).map { l =>
+        val f = l.split(","); f(0) -> f(1).toLong
+      }.toMap
+    val got = manifest.keys.map { n =>
+      val bytes = java.nio.file.Files
+        .readAllBytes(java.nio.file.Paths.get(s"$dir/$n"))
+      n -> PngHeader.ahash64(bytes)
+    }.toMap
+    manifest.foreach { case (n, expected) =>
+      assert(got(n) != null && got(n).longValue == expected,
+        s"$n: scala ahash ${got(n)} != generator $expected")
+    }
+    // planted clusters sit within the banding guarantee, strangers far out
+    def ham(a: String, b: String) =
+      java.lang.Long.bitCount(manifest(a) ^ manifest(b))
+    assert(ham("dup_a0.png", "dup_a1.png") <= 3)
+    assert(ham("dup_b0.png", "dup_b1.png") <= 3)
+    assert(ham("dup_a0.png", "dup_b0.png") >= 10)
+    assert(ham("solo_c.png", "solo_d.png") >= 10)
+    // below the 8x8 grid → null, not a degenerate hash
+    val tiny = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+      graft.Fixtures.path("png") + "/img_a.png")) // 3x2
+    assert(PngHeader.ahash64(tiny) == null)
+  }
+
   test("q167: pixel decode matches javax.imageio — an INDEPENDENT decoder — on every fixture") {
     import spark.implicits._
     PngFunctions.register(spark)
