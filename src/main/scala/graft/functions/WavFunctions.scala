@@ -58,7 +58,10 @@ object WavHeader {
     * min/max/sum/sum-of-squares are the 1BRC-style mergeable state, and
     * sumsq stays exact in a BIGINT (≤ 2^30 per 16-bit sample). Null for
     * anything wav_fmt would reject, and for PCM widths other than 8/16. */
-  def pcmStats(b: Array[Byte]): InternalRow = {
+  /** (bytesPerSample, dataPos, nSamples) of the PCM data chunk, or null
+    * for anything malformed — the shared walk of [[pcmStats]] and
+    * [[fingerprint64]]. */
+  private def pcmData(b: Array[Byte]): Array[Int] = {
     if (b == null || b.length < 12) return null
     if (!tag(b, 0, "RIFF") || !tag(b, 8, "WAVE")) return null
     var pos = 12
@@ -76,15 +79,24 @@ object WavHeader {
     }
     if (dataPos < 0 || (bits != 8L && bits != 16L)) return null
     val bytesPer = (bits / 8).toInt
-    val n = dataBytes / bytesPer
+    Array(bytesPer, dataPos, dataBytes / bytesPer)
+  }
+
+  private def ampAt(b: Array[Byte], bytesPer: Int, dataPos: Int,
+      i: Int): Long =
+    if (bytesPer == 1) (b(dataPos + i) & 0xFF).toLong - 128L
+    else (((b(dataPos + 2 * i) & 0xFF) |
+      (b(dataPos + 2 * i + 1) << 8)).toShort).toLong
+
+  def pcmStats(b: Array[Byte]): InternalRow = {
+    val d = pcmData(b)
+    if (d == null) return null
+    val bytesPer = d(0); val dataPos = d(1); val n = d(2)
     var i = 0
     var mn = Long.MaxValue; var mx = Long.MinValue
     var sum = 0L; var sumsq = 0L
     while (i < n) {
-      val amp: Long =
-        if (bytesPer == 1) (b(dataPos + i) & 0xFF).toLong - 128L
-        else (((b(dataPos + 2 * i) & 0xFF) |
-          (b(dataPos + 2 * i + 1) << 8)).toShort).toLong
+      val amp = ampAt(b, bytesPer, dataPos, i)
       if (amp < mn) mn = amp
       if (amp > mx) mx = amp
       sum += amp; sumsq += amp * amp
@@ -92,6 +104,43 @@ object WavHeader {
     }
     if (n == 0) InternalRow(0L, null, null, 0L, 0L)
     else InternalRow(n.toLong, mn, mx, sum, sumsq)
+  }
+
+  /** 64-bit audio fingerprint (q201) — png_ahash's above-mean trick on
+    * the LOUDNESS ENVELOPE: the amplitude stream cut into 64 equal
+    * windows (window w covers samples [w·n div 64, (w+1)·n div 64)),
+    * per-window mean |amplitude| by integer division, bit w set iff the
+    * window mean exceeds the integer mean of the 64 window means.
+    * Additive noise and re-encodes barely move window means, so
+    * perceptual near-dups land within a few bits while unrelated
+    * material sits ~32 away; the envelope-relative compare also shrugs
+    * off uniform gain changes. Pure integer arithmetic — the committed
+    * fixture generator reproduces the hash bit-for-bit. Null for
+    * anything [[pcmStats]] rejects or under 64 samples (empty window). */
+  def fingerprint64(b: Array[Byte]): java.lang.Long = {
+    val d = pcmData(b)
+    if (d == null) return null
+    val bytesPer = d(0); val dataPos = d(1); val n = d(2)
+    if (n < 64) return null
+    val wsum = new Array[Long](64)
+    val wcnt = new Array[Long](64)
+    var i = 0
+    while (i < n) {
+      val amp = ampAt(b, bytesPer, dataPos, i)
+      val w = (i.toLong * 64L / n).toInt
+      wsum(w) += math.abs(amp)
+      wcnt(w) += 1
+      i += 1
+    }
+    val avg = new Array[Long](64)
+    var mean = 0L
+    var w = 0
+    while (w < 64) { avg(w) = wsum(w) / wcnt(w); mean += avg(w); w += 1 }
+    mean /= 64
+    var hh = 0L
+    w = 0
+    while (w < 64) { if (avg(w) > mean) hh |= 1L << w; w += 1 }
+    java.lang.Long.valueOf(hh)
   }
 }
 
@@ -146,11 +195,36 @@ case class WavPcmStats(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** wav_fingerprint(content) -> 64-bit loudness-envelope fingerprint
+  * (long), null for non-PCM-WAV bytes or under 64 samples. */
+case class WavFingerprint(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "wav_fingerprint"
+
+  override def nullSafeEval(v: Any): Any =
+    WavHeader.fingerprint64(v.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, b => {
+      s"""
+         |java.lang.Long wf = graft.functions.WavHeader.fingerprint64($b);
+         |${ev.isNull} = (wf == null);
+         |if (!${ev.isNull}) ${ev.value} = wf.longValue();
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object WavFunctions {
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "wav_fmt", exprs => WavFmt(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "wav_pcm", exprs => WavPcmStats(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "wav_fingerprint", exprs => WavFingerprint(exprs.head), "built-in")
   }
 }

@@ -160,6 +160,40 @@ object Multimodal {
         .orderBy("a", "b")
     }),
 
+    "q201_audio_dedup" -> ((s, d) => {
+      // q200's perceptual dedup on the AUDIO axis: wav_fingerprint
+      // parses real PCM bytes (shared chunk walk with q156) into a
+      // 64-bit loudness-envelope hash — 64 equal sample windows, mean
+      // |amplitude| per window, above-global-mean bits — so additive
+      // noise and uniform gain changes (a re-mastered copy) land
+      // bits-identical while unrelated clips sit ~32 away (the fixture
+      // generator asserts the planted structure). Candidates via the
+      // same 4×16-bit banding, recall guaranteed for hamming ≤ 3 by
+      // pigeonhole; 8 bytes per clip cross the shuffle, never audio.
+      graft.functions.WavFunctions.register(s)
+      val hashed = s.read.format("binaryFile")
+        .option("pathGlobFilter", "*.wav")
+        .load(graft.Fixtures.path("wav_dedup"))
+        .select(element_at(split(col("path"), "/"), -1).as("name"),
+          expr("wav_fingerprint(content)").as("h"))
+        .transform(graft.CacheRegistry.cached)
+      val banded = hashed.select(col("name"), col("h"),
+        explode(expr("array(0, 1, 2, 3)")).as("band"))
+        .withColumn("key",
+          expr("shiftrightunsigned(h, CAST(band * 16 AS INT)) & 65535"))
+      val a = banded.select(col("name").as("a"), col("h").as("ha"),
+        col("band"), col("key"))
+      val b = banded.select(col("name").as("b"), col("h").as("hb"),
+        col("band"), col("key"))
+      a.join(b, Seq("band", "key"))
+        .where(col("a") < col("b"))
+        .select(col("a"), col("b"),
+          expr("CAST(bit_count(ha ^ hb) AS BIGINT)").as("hamming"))
+        .distinct()
+        .where(col("hamming") <= 3)
+        .orderBy("a", "b")
+    }),
+
     "q144_png_ingest" -> ((s, d) => {
       // REAL-bytes multimodal ingest — closes the "metadata-only" gap of
       // q90–q93: Spark's public binaryFile source reads the committed PNG
@@ -267,6 +301,16 @@ object Multimodal {
       s"""WITH h AS (
          |  SELECT name, CAST(ahash AS BIGINT) AS h
          |  FROM read_csv('${graft.Fixtures.path("png_dedup")}/ahash.csv',
+         |                header=true))
+         |SELECT a.name AS a, b.name AS b,
+         |  CAST(bit_count(xor(a.h, b.h)) AS BIGINT) AS hamming
+         |FROM h a JOIN h b ON a.name < b.name
+         |WHERE bit_count(xor(a.h, b.h)) <= 3
+         |ORDER BY a, b""".stripMargin,
+    "q201_audio_dedup" ->
+      s"""WITH h AS (
+         |  SELECT name, CAST(fingerprint AS BIGINT) AS h
+         |  FROM read_csv('${graft.Fixtures.path("wav_dedup")}/fingerprint.csv',
          |                header=true))
          |SELECT a.name AS a, b.name AS b,
          |  CAST(bit_count(xor(a.h, b.h)) AS BIGINT) AS hamming

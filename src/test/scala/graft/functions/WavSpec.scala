@@ -40,6 +40,32 @@ class WavSpec extends SparkSpec {
     assert(decoded.forall(_.isNullAt(0)), "non-WAV bytes must decode to null")
   }
 
+  test("q201: fingerprint matches the generator manifest; planted structure holds") {
+    val dir = graft.Fixtures.path("wav_dedup")
+    val manifest = scala.io.Source.fromFile(s"$dir/fingerprint.csv")
+      .getLines().drop(1).map { l =>
+        val f = l.split(","); f(0) -> f(1).toLong
+      }.toMap
+    manifest.foreach { case (n, expected) =>
+      val bytes = java.nio.file.Files
+        .readAllBytes(java.nio.file.Paths.get(s"$dir/$n"))
+      val got = WavHeader.fingerprint64(bytes)
+      assert(got != null && got.longValue == expected,
+        s"$n: scala fingerprint $got != generator $expected")
+    }
+    def ham(a: String, b: String) =
+      java.lang.Long.bitCount(manifest(a) ^ manifest(b))
+    // the gain-changed re-master is bits-identical (envelope-relative)
+    assert(ham("dup_a0.wav", "dup_a2.wav") == 0)
+    assert(ham("dup_a0.wav", "dup_a1.wav") <= 3)
+    assert(ham("dup_b0.wav", "dup_b1.wav") <= 3)
+    assert(ham("dup_a0.wav", "dup_b0.wav") >= 10)
+    // under 64 samples → null (an empty fingerprint window)
+    val tiny = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+      graft.Fixtures.path("wav") + "/wav_f.wav")) // 33 frames
+    assert(WavHeader.fingerprint64(tiny) == null)
+  }
+
   test("q156: pcm stats match a brute-force decode of the fixture bytes") {
     import spark.implicits._
     WavFunctions.register(spark)
