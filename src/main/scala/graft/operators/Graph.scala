@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.Tables.t
+import graft.Tables.{events, t}
 
 /** Iterative graph dataflow (PageRank) — the fixed-point computation
   * pattern the reference category has no answer for and a training-data
@@ -41,7 +41,79 @@ object Graph {
   val Base = 1000000000000L // total rank mass, 1e-12 units
   val TopK = 20
 
+  /** q203: hot-bucket cap on the co-occurrence projection — a bucket of
+    * m users contributes m²/2 edges, so one hot (type, hour) would
+    * dominate the pair space (the shingle-DfCap discipline applied to
+    * graph building). Not binding at test SFs (hourly buckets run
+    * ~15-25 users); the contract is what matters at 100 TB. */
+  val TriBucketCap = 40L
+
+  /** q203: deterministic edge-sampling rate 1/32 — DOULION's estimator:
+    * count triangles on a p-sampled edge set, scale by 1/p³. Sampling by
+    * salted md5 of the edge (the q75/q76 idiom), never rand(): the
+    * sampled set — and therefore the ESTIMATE itself — is identical
+    * across engines, runs and cluster layouts, which is what lets a
+    * sampling-based estimate be oracle-hash-exact. */
+  val TriSampleDenom = 32 // keep edge iff first 2 md5 hex chars < '08'
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "q203_triangles" -> ((s, d) => {
+      // Triangle counting — the graph-structure metric next to q128's
+      // ranking (clustering/transitivity of the user co-occurrence
+      // graph), with all three of the technique's scale moves executed:
+      // (1) the PROJECTION (users sharing a (event_type, hour) bucket)
+      // caps hot buckets before generating pairs — quadratic blowup is
+      // bounded by TriBucketCap²/2 per bucket; (2) DOULION edge
+      // sampling by content hash (deterministic ⇒ exact oracle on the
+      // estimate, layout-independent on a cluster); (3) DEGREE
+      // ORIENTATION — each sampled edge points low→high (degree, id),
+      // turning the graph into a DAG where every triangle appears as
+      // exactly one (u→v, v→w, u→w) triple and wedge generation is
+      // bounded by Σ d_out² = O(E^1.5), the classic bound — never the
+      // naive all-wedges join a hub node would explode. One output row:
+      // exact sampled count + the 1/p³-scaled estimate, all BIGINTs.
+      val ev = events(s, d)
+        .select(col("user_id"), col("event_type"),
+          date_trunc("hour", col("ts")).as("h"))
+        .distinct()
+      val buckets = ev.groupBy(col("event_type"), col("h"))
+        .agg(count(lit(1)).as("m"))
+        .where(col("m") <= TriBucketCap)
+      val members = ev.join(buckets.select(col("event_type"), col("h")),
+        Seq("event_type", "h"))
+      val pairs = members.as("x")
+        .join(members.as("y"), Seq("event_type", "h"))
+        .where(col("x.user_id") < col("y.user_id"))
+        .select(col("x.user_id").as("a"), col("y.user_id").as("b"))
+        .distinct()
+      val sampled = graft.CacheRegistry.cached(pairs.where(
+        substring(md5(concat(lit("tri_"), col("a"), lit("_"), col("b"))),
+          1, 2) < lit("08")))
+      val deg = sampled.select(col("a").as("node"))
+        .union(sampled.select(col("b").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+      val withDeg = sampled
+        .join(deg.select(col("node").as("a"), col("deg").as("da")), "a")
+        .join(deg.select(col("node").as("b"), col("deg").as("db")), "b")
+      val or = graft.CacheRegistry.cached(withDeg.select(
+        when(col("da") < col("db") ||
+            (col("da") === col("db") && col("a") < col("b")),
+          struct(col("a").as("src"), col("b").as("dst")))
+          .otherwise(struct(col("b").as("src"), col("a").as("dst")))
+          .as("e")).select(col("e.src").as("src"), col("e.dst").as("dst")))
+      val tri = or.select(col("src").as("u"), col("dst").as("v"))
+        .join(or.select(col("src").as("v"), col("dst").as("w")), "v")
+        .join(or.select(col("src").as("u"), col("dst").as("w")),
+          Seq("u", "w"))
+      val p3 = TriSampleDenom.toLong * TriSampleDenom * TriSampleDenom
+      sampled.agg(count(lit(1)).as("n_sampled_edges"))
+        .crossJoin(pairs.agg(count(lit(1)).as("n_edges")))
+        .crossJoin(tri.agg(count(lit(1)).as("n_triangles_sampled")))
+        .select(col("n_edges"), col("n_sampled_edges"),
+          col("n_triangles_sampled"),
+          (col("n_triangles_sampled") * p3).as("est_triangles"))
+    }),
 
     "q128_pagerank" -> ((s, d) => {
       val li = t(s, d, "lineitem")
@@ -100,6 +172,48 @@ object Graph {
     * discipline as q140's oracle: every computed output column carries an
     * explicit CAST to the Spark-side type. */
   val oracle: Map[String, String] = Map(
+    "q203_triangles" ->
+      s"""WITH ev AS (
+         |  SELECT DISTINCT user_id, event_type, date_trunc('hour', ts) AS h
+         |  FROM events),
+         |buckets AS (
+         |  SELECT event_type, h FROM (
+         |    SELECT event_type, h, count(*) AS m FROM ev GROUP BY 1, 2)
+         |  WHERE m <= $TriBucketCap),
+         |members AS (SELECT ev.* FROM ev JOIN buckets USING (event_type, h)),
+         |pairs AS (
+         |  SELECT DISTINCT x.user_id AS a, y.user_id AS b
+         |  FROM members x JOIN members y USING (event_type, h)
+         |  WHERE x.user_id < y.user_id),
+         |sampled AS (
+         |  SELECT a, b FROM pairs
+         |  WHERE substr(md5('tri_' || CAST(a AS VARCHAR) || '_'
+         |    || CAST(b AS VARCHAR)), 1, 2) < '08'),
+         |deg AS (
+         |  SELECT node, count(*) AS deg FROM (
+         |    SELECT a AS node FROM sampled
+         |    UNION ALL SELECT b FROM sampled) GROUP BY 1),
+         |orient AS (
+         |  SELECT CASE WHEN da < db OR (da = db AND a < b)
+         |           THEN a ELSE b END AS src,
+         |         CASE WHEN da < db OR (da = db AND a < b)
+         |           THEN b ELSE a END AS dst
+         |  FROM (SELECT s.a, s.b, d1.deg AS da, d2.deg AS db
+         |        FROM sampled s
+         |        JOIN deg d1 ON s.a = d1.node
+         |        JOIN deg d2 ON s.b = d2.node)),
+         |tri AS (
+         |  SELECT count(*) AS n FROM orient e1
+         |  JOIN orient e2 ON e1.dst = e2.src
+         |  JOIN orient e3 ON e3.src = e1.src AND e3.dst = e2.dst)
+         |SELECT
+         |  CAST((SELECT count(*) FROM pairs) AS BIGINT) AS n_edges,
+         |  CAST((SELECT count(*) FROM sampled) AS BIGINT)
+         |    AS n_sampled_edges,
+         |  CAST(tri.n AS BIGINT) AS n_triangles_sampled,
+         |  CAST(tri.n * ${TriSampleDenom.toLong * TriSampleDenom *
+            TriSampleDenom} AS BIGINT) AS est_triangles
+         |FROM tri""".stripMargin,
     "q128_pagerank" -> {
       val step = (i: Int, prev: String) =>
         s"""s$i AS (
