@@ -140,22 +140,26 @@ object Bench {
     val headline = Seq(
       "q01_onebrc_events", "q03_onebrc_tenths", "q06_generator",
       "q11_join_sortmerge", "q17_range_join", "q20_tpch_q1",
-      "q30_window_topk", "q39_merge_upsert", "q63_minhash_lsh",
-      "q69_dedup_clusters", "q70_knn_brute", "q73_ivf_knn",
+      "q30_window_topk", "q63_minhash_lsh",
+      "q69_dedup_clusters", "q70_knn_brute",
       "q77_training_pipeline", "q78_delta_dedup",
       "q97_stream_stream_join", "q99_stream_delta_admit",
-      "q100_pq_ann", "q103_approx_percentile", "q104_delta_dedup_full",
+      "q103_approx_percentile", "q104_delta_dedup_full",
       "q105_staged_dedup", "q107_stream_heavy_hitters",
       "q109_substring_spans", "q110_semantic_dedup", "q113_spans_rolling",
-      "q115_semantic_multiprobe", "q118_lm_surprisal", "q120_cluster_split",
+      "q115_semantic_multiprobe", "q120_cluster_split",
       "q122_stream_sliding", "q125_sql_recursive",
       "q126_transform_with_state", "q127_ann_rerank", "q128_pagerank",
-      "q129_kmeans_train", "q143_ivf_pq_rerank", "q144_png_ingest",
+      "q143_ivf_pq_rerank", "q144_png_ingest",
       "q150_staged_ann", "q151_ann_delta", "q152_bpe_train",
       "q153_bm25", "q154_bigram_lm", "q155_incremental_rollup",
-      "q157_topk_agg", "q158_compaction", "q159_stream_session_timers",
-      "q160_bpe_apply", "q161_salted_join", "q162_peak_concurrency",
-      "q163_data_quality", "q164_cogroup")
+      "q157_topk_agg", "q159_stream_session_timers",
+      "q160_bpe_apply", "q161_salted_join", "q164_cogroup",
+      // round-8 additions: URL/line/image/audio dedup, blocklist,
+      // triangles (q177 stays off the line; its plan twin q17 is on)
+      "q195_quantile_normalize", "q198_url_dedup", "q199_line_dedup",
+      "q200_image_dedup", "q201_audio_dedup", "q202_blocklist",
+      "q203_triangles")
     val headSet = headline.toSet
     val shortJson =
       s"""{"metric":"total","value":$totalStr,"unit":"sec","n_queries":${results.size},$protoJson,"queries":${qJson(results.filter(r => headSet(r._1)))},"sf":"$sfDir"}"""

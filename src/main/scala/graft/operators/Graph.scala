@@ -82,14 +82,16 @@ object Graph {
         .where(col("m") <= TriBucketCap)
       val members = ev.join(buckets.select(col("event_type"), col("h")),
         Seq("event_type", "h"))
-      val pairs = members.as("x")
+      // cached at the PAIRS level: both the edge count and the sampled
+      // subset read it, and the sample is a cheap filter over the cache
+      val pairs = graft.CacheRegistry.cached(members.as("x")
         .join(members.as("y"), Seq("event_type", "h"))
         .where(col("x.user_id") < col("y.user_id"))
         .select(col("x.user_id").as("a"), col("y.user_id").as("b"))
-        .distinct()
-      val sampled = graft.CacheRegistry.cached(pairs.where(
+        .distinct())
+      val sampled = pairs.where(
         substring(md5(concat(lit("tri_"), col("a"), lit("_"), col("b"))),
-          1, 2) < lit("08")))
+          1, 2) < lit("08"))
       val deg = sampled.select(col("a").as("node"))
         .union(sampled.select(col("b").as("node")))
         .groupBy(col("node")).agg(count(lit(1)).as("deg"))
