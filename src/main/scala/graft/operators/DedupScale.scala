@@ -267,6 +267,39 @@ object DedupScale {
         s"near-identical pairs must rendezvous: probe1=$r1 probe2=$r2")
     }
 
+    // q199's global line dedup at full scale, against pure-arithmetic
+    // ground truth: docs are 50 tokens = 5 ten-token lines; a planted
+    // dup (id ≡ 7 mod 100) shares lines 1-4 with its predecessor
+    // (identical token stream) while line 5 stays unique (its tokens
+    // 41-45 differ per doc; only the constant zz tail is shared, and a
+    // full 10-token line never collides across unrelated docs at this
+    // vocab). So keep-first must leave every dup doc EXACTLY 1 line,
+    // its predecessor and everyone else all 5 — total kept lines
+    // 5n − 4·planted, every doc surviving.
+    timed("line_dedup_gate") {
+      val out = graft.CacheRegistry.cached(
+        Dedup.lineDedup(spark.read.parquet(s"$corpusDir/documents.parquet")))
+      val docs = out.count()
+      val keptLines = out.agg(sum(col("n_lines_kept"))).head().getLong(0)
+      val planted = (0L until n).count(i => i % DupMod == DupRem && i > 0)
+      val dupWrong = out
+        .filter((col("doc_id") % DupMod === DupRem) && col("doc_id") > 0 &&
+          col("n_lines_kept") =!= 1)
+        .count()
+      val restWrong = out
+        .filter(!(col("doc_id") % DupMod === DupRem && col("doc_id") > 0) &&
+          col("n_lines_kept") =!= 5)
+        .count()
+      println(s"""{"check":"line_dedup","n_docs":$docs,""" +
+        s""""kept_lines":$keptLines,"planted":$planted,""" +
+        s""""dup_wrong":$dupWrong,"rest_wrong":$restWrong}""")
+      require(docs == n, s"every doc must keep at least one line: $docs")
+      require(keptLines == 5 * n - 4 * planted,
+        s"kept lines $keptLines != ${5 * n - 4 * planted}")
+      require(dupWrong == 0L && restWrong == 0L,
+        s"per-doc kept-line counts off: dup=$dupWrong rest=$restWrong")
+    }
+
     // q198's URL/domain gate at full scale, against pure-arithmetic
     // ground truth: ~n/3 canonical URL groups (3 surface forms each),
     // every 50th group on ONE heavy domain (thousands of keepers, far
