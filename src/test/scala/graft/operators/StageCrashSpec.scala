@@ -109,6 +109,32 @@ class StageCrashSpec extends SparkSpec {
       "postings and doclen must come back exactly-once after the crash")
   }
 
+  test("concurrent once() callers single-flight: one build, all observe it") {
+    val dir = graft.Staging.dirFor("spec-race", mkCorpus("race"))
+    val key = s"$dir/stage"
+    val builds = new java.util.concurrent.atomic.AtomicInteger(0)
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    val threads = (1 to 8).map { _ =>
+      new Thread(() => try {
+        graft.Staging.once(key) {
+          builds.incrementAndGet()
+          Thread.sleep(50) // widen the race window
+          val f = new java.io.File(key)
+          f.getParentFile.mkdirs()
+          java.nio.file.Files.writeString(f.toPath, "data")
+        }
+        // after once() returns, the stage must be visible to this caller
+        if (!new java.io.File(key).isFile)
+          throw new AssertionError("once() returned before data visible")
+      } catch { case t: Throwable => errors.add(t) })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join())
+    assert(errors.isEmpty, s"racing callers failed: ${errors.peek()}")
+    assert(builds.get() == 1,
+      s"8 racing callers must produce exactly one build, got ${builds.get()}")
+  }
+
   test("stale marker: marker without data rebuilds instead of serving") {
     val dir = graft.Staging.dirFor("spec-stale", mkCorpus("stale"))
     var builds = 0
