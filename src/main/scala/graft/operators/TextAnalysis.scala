@@ -516,6 +516,40 @@ object TextAnalysis {
     (state, merges)
   }
 
+  /** q204's synthesized page around a `text` column (the q65
+    * injected-input discipline) — shared with the q205 pipeline. */
+  private[operators] def htmlPage: org.apache.spark.sql.Column = concat(
+    lit("<html><head><title>"),
+    concat_ws(" ", slice(split(col("text"), " "), 1, 3)),
+    lit("</title></head><body><p class=\"lead\">"),
+    col("text"),
+    lit(" &amp; more &lt;tags&gt; here</p>"),
+    lit("<script>var x = 1; if (x &lt; 2) { x++; }</script>"),
+    lit("<div>tail &quot;quoted&quot; text</div></body></html>"))
+
+  /** q204's extraction over [[htmlPage]]: drop script/style CONTENT
+    * (two explicit patterns, not a </\1> backreference — DuckDB's RE2
+    * has no backreferences and would silently match nothing), strip
+    * remaining tags to spaces, decode the five core entities (&amp;
+    * LAST, or double-decoding corrupts), collapse whitespace. */
+  private[operators] def htmlCleanText: org.apache.spark.sql.Column = {
+    val noScript = regexp_replace(regexp_replace(htmlPage,
+      "(?s)<script[^>]*>.*?</script>", " "),
+      "(?s)<style[^>]*>.*?</style>", " ")
+    val unTagged = regexp_replace(noScript, "<[^>]+>", " ")
+    val decoded = org.apache.spark.sql.functions.replace(
+      org.apache.spark.sql.functions.replace(
+        org.apache.spark.sql.functions.replace(
+          org.apache.spark.sql.functions.replace(
+            org.apache.spark.sql.functions.replace(unTagged,
+              lit("&lt;"), lit("<")),
+            lit("&gt;"), lit(">")),
+          lit("&quot;"), lit("\"")),
+        lit("&#39;"), lit("'")),
+      lit("&amp;"), lit("&"))
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     "q204_html_extract" -> ((s, d) => {
@@ -535,37 +569,12 @@ object TextAnalysis {
       // shuffle before the final tiny projection; the full extracted
       // text is compared by md5 + length so corpus-sized strings never
       // hit the result set.
-      val page = concat(
-        lit("<html><head><title>"),
-        concat_ws(" ", slice(split(col("text"), " "), 1, 3)),
-        lit("</title></head><body><p class=\"lead\">"),
-        col("text"),
-        lit(" &amp; more &lt;tags&gt; here</p>"),
-        lit("<script>var x = 1; if (x &lt; 2) { x++; }</script>"),
-        lit("<div>tail &quot;quoted&quot; text</div></body></html>"))
-      // two explicit patterns, not a </\1> backreference: DuckDB's RE2
-      // has no backreferences (it would silently match nothing there)
-      val noScript = regexp_replace(regexp_replace(page,
-        "(?s)<script[^>]*>.*?</script>", " "),
-        "(?s)<style[^>]*>.*?</style>", " ")
-      val unTagged = regexp_replace(noScript, "<[^>]+>", " ")
-      val decoded = org.apache.spark.sql.functions.replace(
-        org.apache.spark.sql.functions.replace(
-          org.apache.spark.sql.functions.replace(
-            org.apache.spark.sql.functions.replace(
-              org.apache.spark.sql.functions.replace(unTagged,
-                lit("&lt;"), lit("<")),
-              lit("&gt;"), lit(">")),
-            lit("&quot;"), lit("\"")),
-          lit("&#39;"), lit("'")),
-        lit("&amp;"), lit("&"))
-      val cleanText = trim(regexp_replace(decoded, "\\s+", " "))
       t(s, d, "documents")
         .select(col("doc_id"),
-          regexp_extract(page, "<title>([^<]*)</title>", 1).as("title"),
-          length(cleanText).cast("long").as("n_chars"),
-          md5(cleanText).as("text_md5"),
-          substring(cleanText, 1, 40).as("head40"))
+          regexp_extract(htmlPage, "<title>([^<]*)</title>", 1).as("title"),
+          length(htmlCleanText).cast("long").as("n_chars"),
+          md5(htmlCleanText).as("text_md5"),
+          substring(htmlCleanText, 1, 40).as("head40"))
         .orderBy("doc_id")
     }),
 
@@ -1303,36 +1312,46 @@ object TextAnalysis {
        |  array_to_string(syms, '|') AS tokens
        |FROM state$BpeRounds ORDER BY word""".stripMargin
 
+  /** DuckDB spelling of [[htmlPage]] — an expression over `text`.
+    * `||` sits at line ENDS: a continuation line starting with `||`
+    * would be re-mangled by the EMBEDDING oracle's stripMargin (it
+    * treats the first `|` as the margin). */
+  private[operators] val htmlPageSql: String =
+    """'<html><head><title>' ||
+      |    array_to_string(string_split(text, ' ')[1:3], ' ') ||
+      |    '</title></head><body><p class="lead">' || text ||
+      |    ' &amp; more &lt;tags&gt; here</p>' ||
+      |    '<script>var x = 1; if (x &lt; 2) { x++; }</script>' ||
+      |    '<div>tail &quot;quoted&quot; text</div></body></html>'"""
+      .stripMargin
+
+  /** DuckDB spelling of [[htmlCleanText]] — an expression over `html`. */
+  private[operators] val htmlCleanSql: String =
+    """trim(regexp_replace(
+      |      replace(replace(replace(replace(replace(
+      |        regexp_replace(
+      |          regexp_replace(
+      |            regexp_replace(html,
+      |              '(?s)<script[^>]*>.*?</script>', ' ', 'g'),
+      |            '(?s)<style[^>]*>.*?</style>', ' ', 'g'),
+      |          '<[^>]+>', ' ', 'g'),
+      |        '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+      |        '&#39;', ''''), '&amp;', '&'),
+      |      '\s+', ' ', 'g'))""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "q204_html_extract" ->
-      """WITH page AS (
-        |  SELECT doc_id,
-        |    '<html><head><title>'
-        |    || array_to_string(string_split(text, ' ')[1:3], ' ')
-        |    || '</title></head><body><p class="lead">' || text
-        |    || ' &amp; more &lt;tags&gt; here</p>'
-        |    || '<script>var x = 1; if (x &lt; 2) { x++; }</script>'
-        |    || '<div>tail &quot;quoted&quot; text</div></body></html>'
-        |      AS html
-        |  FROM documents),
-        |clean AS (
-        |  SELECT doc_id,
-        |    regexp_extract(html, '<title>([^<]*)</title>', 1) AS title,
-        |    trim(regexp_replace(
-        |      replace(replace(replace(replace(replace(
-        |        regexp_replace(
-        |          regexp_replace(
-        |            regexp_replace(html,
-        |              '(?s)<script[^>]*>.*?</script>', ' ', 'g'),
-        |            '(?s)<style[^>]*>.*?</style>', ' ', 'g'),
-        |          '<[^>]+>', ' ', 'g'),
-        |        '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
-        |        '&#39;', ''''), '&amp;', '&'),
-        |      '\s+', ' ', 'g')) AS t
-        |  FROM page)
-        |SELECT doc_id, title, CAST(length(t) AS BIGINT) AS n_chars,
-        |  md5(t) AS text_md5, substr(t, 1, 40) AS head40
-        |FROM clean ORDER BY doc_id""".stripMargin,
+      s"""WITH page AS (
+         |  SELECT doc_id, $htmlPageSql AS html
+         |  FROM documents),
+         |clean AS (
+         |  SELECT doc_id,
+         |    regexp_extract(html, '<title>([^<]*)</title>', 1) AS title,
+         |    $htmlCleanSql AS t
+         |  FROM page)
+         |SELECT doc_id, title, CAST(length(t) AS BIGINT) AS n_chars,
+         |  md5(t) AS text_md5, substr(t, 1, 40) AS head40
+         |FROM clean ORDER BY doc_id""".stripMargin,
     "q152_bpe_train" -> bpeOracleSql,
     "q160_bpe_apply" -> bpeApplyOracleSql,
     "q36_bpe_pairs" ->
