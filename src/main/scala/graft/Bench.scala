@@ -159,7 +159,7 @@ object Bench {
       // triangles (q177 stays off the line; its plan twin q17 is on)
       "q195_quantile_normalize", "q198_url_dedup", "q199_line_dedup",
       "q200_image_dedup", "q201_audio_dedup", "q202_blocklist",
-      "q203_triangles")
+      "q203_triangles", "q204_html_extract", "q205_crawl_pipeline")
     val headSet = headline.toSet
     val shortJson =
       s"""{"metric":"total","value":$totalStr,"unit":"sec","n_queries":${results.size},$protoJson,"queries":${qJson(results.filter(r => headSet(r._1)))},"sf":"$sfDir"}"""
