@@ -194,6 +194,38 @@ object Multimodal {
         .orderBy("a", "b")
     }),
 
+    "q206_video_ingest" -> ((s, d) => {
+      // The VIDEO leg of the real-bytes multimodal family (image q144,
+      // audio q146): avi_hdr walks the RIFF/AVI chunk list — never a
+      // fixed offset; fixtures plant JUNK before hdrl and padding
+      // before avih — and decodes microseconds-per-frame, total
+      // frames, width, height from actual header bytes. On top sits
+      // the brief's FRAME-SAMPLE step as real Spark plumbing: a
+      // uniform 8-sample plan per clip (stride = max(1, frames div
+      // 8)), exploded to (sample_idx, ts_ms) rows with exact integer
+      // timestamps — the schema/partitioning a production extractor
+      // hands its (stubbed-here) codec call, per the SURVEY multimodal
+      // stance. Payloads never shuffle; ~40 bytes of plan per sample.
+      graft.functions.AviFunctions.register(s)
+      s.read.format("binaryFile")
+        .option("pathGlobFilter", "*.avi")
+        .load(graft.Fixtures.path("avi"))
+        .select(element_at(split(col("path"), "/"), -1).as("name"),
+          expr("avi_hdr(content)").as("h"))
+        .select(col("name"), col("h.us_per_frame").as("us_per_frame"),
+          col("h.total_frames").as("total_frames"),
+          col("h.width").as("width"), col("h.height").as("height"))
+        .withColumn("stride",
+          greatest(lit(1L), expr("total_frames div 8")))
+        .select(col("name"), col("us_per_frame"), col("total_frames"),
+          col("width"), col("height"),
+          explode(expr("transform(" +
+            "sequence(0, (total_frames - 1) div stride), " +
+            "i -> i * stride)")).as("sample_idx"))
+        .withColumn("ts_ms", expr("sample_idx * us_per_frame div 1000"))
+        .orderBy("name", "sample_idx")
+    }),
+
     "q144_png_ingest" -> ((s, d) => {
       // REAL-bytes multimodal ingest — closes the "metadata-only" gap of
       // q90–q93: Spark's public binaryFile source reads the committed PNG
@@ -297,6 +329,25 @@ object Multimodal {
   val oracle: Map[String, String] = Map(
     // the generation manifest IS the oracle (see q144's scaladoc); CASTs
     // pin every numeric to BIGINT for type parity with the Spark side
+    "q206_video_ingest" ->
+      s"""WITH m AS (
+         |  SELECT name, CAST(us_per_frame AS BIGINT) AS us_per_frame,
+         |    CAST(total_frames AS BIGINT) AS total_frames,
+         |    CAST(width AS BIGINT) AS width,
+         |    CAST(height AS BIGINT) AS height
+         |  FROM read_csv('${graft.Fixtures.path("avi")}/manifest.csv',
+         |                header=true)),
+         |st AS (
+         |  SELECT *, greatest(1, total_frames // 8) AS stride FROM m)
+         |SELECT name, us_per_frame, total_frames, width, height,
+         |  sample_idx, sample_idx * us_per_frame // 1000 AS ts_ms
+         |FROM (
+         |  SELECT name, us_per_frame, total_frames, width, height,
+         |    CAST(unnest(list_transform(
+         |      range(0, (total_frames - 1) // stride + 1),
+         |      i -> i * stride)) AS BIGINT) AS sample_idx
+         |  FROM st)
+         |ORDER BY name, sample_idx""".stripMargin,
     "q200_image_dedup" ->
       s"""WITH h AS (
          |  SELECT name, CAST(ahash AS BIGINT) AS h
