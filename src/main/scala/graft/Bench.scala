@@ -159,7 +159,8 @@ object Bench {
       // triangles (q177 stays off the line; its plan twin q17 is on)
       "q195_quantile_normalize", "q198_url_dedup", "q199_line_dedup",
       "q200_image_dedup", "q201_audio_dedup", "q202_blocklist",
-      "q203_triangles", "q204_html_extract", "q205_crawl_pipeline")
+      "q203_triangles", "q204_html_extract", "q205_crawl_pipeline",
+      "q206_video_ingest")
     val headSet = headline.toSet
     val shortJson =
       s"""{"metric":"total","value":$totalStr,"unit":"sec","n_queries":${results.size},$protoJson,"queries":${qJson(results.filter(r => headSet(r._1)))},"sf":"$sfDir"}"""
