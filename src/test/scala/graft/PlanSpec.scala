@@ -306,4 +306,32 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"),
       s"the anchor join must not shuffle the corpus:\n$p")
   }
+
+  test("q198: hot canonical URLs and hot domains collapse BEFORE the exchange") {
+    val p = plan("q198_url_dedup")
+    // duplicate canonical URLs partial-aggregate map-side (a viral URL
+    // with millions of copies sends one partial per input partition,
+    // not millions of rows), and the per-domain cap is the bounded-state
+    // ObjectHashAggregate (topk_rows), also partial-before-exchange
+    assert("HashAggregate".r.findAllIn(p).length >= 2,
+      s"canonical-URL dedup must be a partial+final pair:\n$p")
+    assert("ObjectHashAggregate".r.findAllIn(p).length >= 2,
+      s"the domain cap must run topk_rows partial-before-exchange:\n$p")
+    assert(!p.contains("Window"),
+      s"no per-domain window may hold a domain's keepers:\n$p")
+  }
+
+  test("q199: a hot line collapses map-side; rule table of q202 broadcasts") {
+    val p = plan("q199_line_dedup")
+    // f1 (first-doc per line fingerprint) is min-aggregated: a
+    // boilerplate line in millions of docs collapses to one partial per
+    // input partition before the fp shuffle
+    assert("HashAggregate".r.findAllIn(p).length >= 2,
+      s"first-occurrence must partial-aggregate before the exchange:\n$p")
+    val p2 = plan("q202_blocklist")
+    assert(p2.contains("BroadcastHashJoin"),
+      s"the blocklist rule table must broadcast:\n$p2")
+    assert(!p2.contains("SortMergeJoin"),
+      s"the suffix join must never shuffle the corpus:\n$p2")
+  }
 }
