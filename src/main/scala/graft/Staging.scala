@@ -69,15 +69,34 @@ object Staging {
 
   /** Run `write` the first time `key` is staged — in this JVM (memo) or,
     * under a durable root, EVER (marker file); no-op after (memoized,
-    * single-flight per key). `key` is usually the staged dir itself; a
-    * multi-step stage writing one dir uses distinct keys per step. */
+    * single-flight per key).
+    *
+    * KEY CONTRACT: `key` must be `<dir>` or `<dir>@step`, where `<dir>`
+    * is the directory (or file) `write` leaves its data at — the
+    * stale-marker check (marker present, data gone ⇒ rebuild) derives
+    * the data path from the key by this convention. A key whose write
+    * lands data elsewhere would look permanently stale and rebuild on
+    * every new JVM; [[once]] fails loudly on that instead (post-write
+    * assert). A stage whose data genuinely lives elsewhere passes the
+    * path explicitly via the two-arg overload. */
   def once(key: String)(write: => Unit): Unit =
+    once(key, dataPath(key).getPath)(write)
+
+  /** [[once]] with the staged-data location given explicitly (for keys
+    * that don't follow the `<dir>`/`<dir>@step` convention). */
+  def once(key: String, dataDir: String)(write: => Unit): Unit =
     locks.getOrElseUpdate(key, new Object).synchronized {
       if (!written.contains(key)) {
         // stale marker (data lost after a completed stage): rebuild
-        if (marker(key).isFile && !hasData(dataPath(key))) forget(key)
+        if (marker(key).isFile && !hasData(new java.io.File(dataDir)))
+          forget(key)
         if (!marker(key).isFile) {
           write
+          if (!hasData(new java.io.File(dataDir)))
+            throw new IllegalStateException(
+              s"Staging.once('$key'): write left no data at '$dataDir'. " +
+                "Keys must be <dir> or <dir>@step pointing at the staged " +
+                "data, or pass the data path via once(key, dataDir).")
           val m = marker(key)
           Option(m.getParentFile).foreach(_.mkdirs())
           m.createNewFile()

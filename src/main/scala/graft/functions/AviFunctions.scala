@@ -51,7 +51,10 @@ object AviHeader {
             val frames = le32(b, o + 16)
             val w = le32(b, o + 32)
             val h = le32(b, o + 36)
-            if (us <= 0 || frames < 0 || w <= 0 || h <= 0) return null
+            // frames == 0 rejected too: a zero-frame header would make
+            // downstream sequence(0, total_frames - 1) step backwards
+            // and emit bogus sample rows; malformed ⇒ null, like the rest.
+            if (us <= 0 || frames <= 0 || w <= 0 || h <= 0) return null
             return InternalRow(us, frames, w, h)
           }
           ip += 8 + isize.toInt + (isize.toInt & 1) // word-aligned

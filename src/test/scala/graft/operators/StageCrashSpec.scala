@@ -155,4 +155,26 @@ class StageCrashSpec extends SparkSpec {
       "a marker pointing at no data must be treated as stale → rebuild")
     assert(new java.io.File(dir, "part-0.parquet").isFile)
   }
+
+  test("non-conforming once() key fails loudly instead of rebuilding forever") {
+    val dir = graft.Staging.dirFor("spec-nonconf", mkCorpus("nonconf"))
+    val key = s"$dir/declared"
+    val elsewhere = s"$dir/actual"
+    // write lands data at a path the key does NOT name: the derived-path
+    // stale check would see "no data" on every new JVM and rebuild forever;
+    // once() must reject the key instead of staging it quietly
+    val ex = intercept[IllegalStateException] {
+      graft.Staging.once(key) {
+        val f = new java.io.File(elsewhere)
+        f.getParentFile.mkdirs()
+        java.nio.file.Files.writeString(f.toPath, "data")
+      }
+    }
+    assert(ex.getMessage.contains(key))
+    // the explicit-path overload is the conforming escape hatch
+    var builds = 0
+    graft.Staging.once(key, elsewhere) { builds += 1 }
+    graft.Staging.once(key, elsewhere) { builds += 1 }
+    assert(builds == 1, "explicit-path overload must stage exactly once")
+  }
 }
