@@ -226,6 +226,64 @@ object Multimodal {
         .orderBy("name", "sample_idx")
     }),
 
+    "q207_video_dedup" -> ((s, d) => {
+      // Video-level perceptual dedup — closes the multimodal dedup triad
+      // (image q200, audio q201, video here): avi_sample_ahash consumes
+      // q206's uniform-8 frame-sample plan INSIDE the scan projection —
+      // one pass over the blob hashes only the planned frames' real luma
+      // bytes (16x16 `00db` grids in LIST(movi)) with the shared q200
+      // aHash formula — so a clip becomes a SEQUENCE of (sample_idx,
+      // 64-bit hash) and payloads never shuffle (~16 bytes/sample).
+      // Clip-level matching extends the q200/q201 banding contract to
+      // sequences: candidates share a 16-bit band ON THE SAME sampled
+      // frame (recall guaranteed for per-frame hamming <= 3 by
+      // pigeonhole), verified per frame by exact hamming, then two clips
+      // are near-dups when >= 3/4 of their aligned samples match — a
+      // re-encode (same frames, few bits moved) matches 8/8, unrelated
+      // clips match 0 (fixture generator asserts both). The oracle does
+      // the all-pairs form over sample_hash.csv (the generator's own
+      // hashes, ground truth by construction); banded and all-pairs
+      // answers are provably equal at this threshold — exactly the
+      // claim the banding makes at corpus scale, where the join meets
+      // only same-(frame, band) pairs, never all clip pairs.
+      graft.functions.AviFunctions.register(s)
+      val hashed = s.read.format("binaryFile")
+        .option("pathGlobFilter", "*.avi")
+        .load(graft.Fixtures.path("avi_dedup"))
+        .select(element_at(split(col("path"), "/"), -1).as("name"),
+          explode(expr("avi_sample_ahash(content)")).as("f"))
+        .select(col("name"), col("f.sample_idx").as("sample_idx"),
+          col("f.h").as("h"))
+        .transform(graft.CacheRegistry.cached)
+      val nSamples = hashed.groupBy(col("name"))
+        .agg(count(lit(1)).as("n"))
+      val banded = hashed.select(col("name"), col("sample_idx"), col("h"),
+        explode(expr("array(0, 1, 2, 3)")).as("band"))
+        .withColumn("key",
+          expr("shiftrightunsigned(h, CAST(band * 16 AS INT)) & 65535"))
+      val a = banded.select(col("name").as("a"), col("sample_idx"),
+        col("h").as("ha"), col("band"), col("key"))
+      val b = banded.select(col("name").as("b"), col("sample_idx"),
+        col("h").as("hb"), col("band"), col("key"))
+      val matchedFrames = a.join(b, Seq("sample_idx", "band", "key"))
+        .where(col("a") < col("b"))
+        .select(col("a"), col("b"), col("sample_idx"),
+          expr("CAST(bit_count(ha ^ hb) AS BIGINT)").as("hamming"))
+        .distinct() // a (pair, frame) can share several bands
+        .where(col("hamming") <= 3)
+      matchedFrames.groupBy(col("a"), col("b"))
+        .agg(count(lit(1)).as("matched_samples"))
+        .join(nSamples.withColumnRenamed("name", "a")
+          .withColumnRenamed("n", "na"), Seq("a"))
+        .join(nSamples.withColumnRenamed("name", "b")
+          .withColumnRenamed("n", "nb"), Seq("b"))
+        .withColumn("n_samples", greatest(col("na"), col("nb")))
+        .where(col("matched_samples") * 4 >= col("n_samples") * 3)
+        .select(col("a"), col("b"), col("matched_samples"),
+          col("n_samples"))
+        .orderBy("a", "b")
+    }),
+
     "q144_png_ingest" -> ((s, d) => {
       // REAL-bytes multimodal ingest — closes the "metadata-only" gap of
       // q90–q93: Spark's public binaryFile source reads the committed PNG
@@ -357,6 +415,27 @@ object Multimodal {
          |  CAST(bit_count(xor(a.h, b.h)) AS BIGINT) AS hamming
          |FROM h a JOIN h b ON a.name < b.name
          |WHERE bit_count(xor(a.h, b.h)) <= 3
+         |ORDER BY a, b""".stripMargin,
+    "q207_video_dedup" ->
+      s"""WITH h AS (
+         |  SELECT name, CAST(sample_idx AS BIGINT) AS sample_idx,
+         |    CAST(ahash AS BIGINT) AS h
+         |  FROM read_csv('${graft.Fixtures.path("avi_dedup")}/sample_hash.csv',
+         |                header=true)),
+         |n AS (SELECT name, count(*) AS n FROM h GROUP BY name),
+         |m AS (
+         |  SELECT a.name AS a, b.name AS b,
+         |    CAST(count(*) AS BIGINT) AS matched_samples
+         |  FROM h a JOIN h b
+         |    ON a.name < b.name AND a.sample_idx = b.sample_idx
+         |    AND bit_count(xor(a.h, b.h)) <= 3
+         |  GROUP BY 1, 2)
+         |SELECT m.a, m.b, m.matched_samples,
+         |  CAST(greatest(na.n, nb.n) AS BIGINT) AS n_samples
+         |FROM m
+         |JOIN n na ON na.name = m.a
+         |JOIN n nb ON nb.name = m.b
+         |WHERE m.matched_samples * 4 >= greatest(na.n, nb.n) * 3
          |ORDER BY a, b""".stripMargin,
     "q201_audio_dedup" ->
       s"""WITH h AS (

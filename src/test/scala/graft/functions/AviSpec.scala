@@ -33,4 +33,58 @@ class AviSpec extends SparkSpec {
       assert(AviHeader.hdr(junk) == null,
         s"malformed bytes must decode to null (${junk.length} bytes)")
   }
+
+  test("q207: sampled frame hashes match the generator manifest bit-for-bit") {
+    val dir = graft.Fixtures.path("avi_dedup")
+    // (name, sample_idx) -> ahash, from the generator's own formula
+    val manifest = scala.io.Source.fromFile(s"$dir/sample_hash.csv")
+      .getLines().drop(1).map { l =>
+        val f = l.split(",")
+        (f(0), f(1).toLong) -> f(2).toLong
+      }.toMap
+    val names = manifest.keys.map(_._1).toSet
+    assert(names.size == 7)
+    names.foreach { n =>
+      val arr = AviFrames.sampleAhash(java.nio.file.Files
+        .readAllBytes(java.nio.file.Paths.get(s"$dir/$n")))
+      assert(arr != null, s"$n must decode")
+      val got = (0 until arr.numElements()).map { i =>
+        val r = arr.getStruct(i, 2)
+        (r.getLong(0), r.getLong(1))
+      }.toMap
+      val expected = manifest.collect { case ((`n`, s), h) => s -> h }
+      assert(got == expected, s"$n: scala sample hashes != generator")
+    }
+    // planted structure: re-encode matches on EVERY aligned sample,
+    // unrelated clips on none (the q207 fraction threshold's two ends)
+    def ham(a: String, b: String, s: Long) =
+      java.lang.Long.bitCount(manifest((a, s)) ^ manifest((b, s)))
+    val samples = (0L until 8L).map(_ * 3) // 24 frames, stride 3
+    assert(samples.forall(s => ham("clip_a0.avi", "clip_a1.avi", s) <= 3))
+    assert(samples.forall(s => ham("clip_b0.avi", "clip_b1.avi", s) <= 3))
+    assert(samples.forall(s => ham("clip_a0.avi", "clip_b0.avi", s) > 3))
+    assert(samples.forall(s => ham("clip_a0.avi", "solo_c.avi", s) > 3))
+    // malformed: a frame payload that is not w*h bytes, and a header
+    // whose total_frames disagrees with the movi chunk count → null
+    val good = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/clip_a0.avi"))
+    val truncatedFrame = good.clone()
+    // shrink the first 00db chunk's declared size by 1 → not w*h
+    val movi = {
+      var i = 12
+      var at = -1
+      while (at < 0 && i + 8 <= truncatedFrame.length) {
+        if (truncatedFrame(i) == '0' && truncatedFrame(i + 1) == '0' &&
+            truncatedFrame(i + 2) == 'd' && truncatedFrame(i + 3) == 'b')
+          at = i
+        i += 1
+      }
+      at
+    }
+    assert(movi > 0)
+    truncatedFrame(movi + 4) = (truncatedFrame(movi + 4) - 1).toByte
+    assert(AviFrames.sampleAhash(truncatedFrame) == null,
+      "frame payload != w*h must decode to null")
+    assert(AviFrames.sampleAhash("not a video".getBytes) == null)
+  }
 }
