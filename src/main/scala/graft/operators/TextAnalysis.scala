@@ -492,19 +492,23 @@ object TextAnalysis {
       .select(col("p.a").as("a"), col("p.b").as("b"), col("wn"))
       .groupBy(col("a"), col("b")).agg(sum(col("wn")).as("n"))
 
-  /** The BPE training loop, shared by q152 (emits the merge table) and
-    * q160 (emits the trained segmentation): per round, count pairs, take
-    * the best, apply it to the state. ONE definition — the chain frames
-    * are registry-cached, so the two queries share each round's compute
-    * in-session (plan-identical subtrees). Returns (final state after
-    * all rounds, merge table). */
-  private def bpeTrain(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+  /** The BPE training loop, shared by q152 (emits the merge table), q160
+    * (emits the trained segmentation) and q208 (replays the merge list on
+    * unseen text): per round, count pairs, take the best, apply it to the
+    * state. ONE definition — the chain frames are registry-cached, so the
+    * queries share each round's compute in-session (plan-identical
+    * subtrees). Returns (final state after all rounds, merge table,
+    * per-round best-pair 1-row frames in rank order). */
+  private def bpeTrain(s: SparkSession, d: String)
+      : (DataFrame, DataFrame, Seq[DataFrame]) = {
     var state = graft.CacheRegistry.cached(bpeInitState(s, d))
     var merges: DataFrame = null
+    val bests = Seq.newBuilder[DataFrame]
     for (r <- 1 to BpeRounds) {
       val best = graft.CacheRegistry.cached(
         bpePairCounts(state)
           .orderBy(col("n").desc, col("a"), col("b")).limit(1))
+      bests += best
       val tagged = best.withColumn("round", lit(r.toLong))
       merges = if (merges == null) tagged else merges.unionByName(tagged)
       state = graft.CacheRegistry.cached(
@@ -513,7 +517,42 @@ object TextAnalysis {
           .withColumn("syms", expr(bpeMergeExpr))
           .select(col("word"), col("wn"), col("syms")))
     }
-    (state, merges)
+    (state, merges, bests.result())
+  }
+
+  /** BPE ENCODE: replay a trained merge list, in rank order, over a frame
+    * carrying a symbol-array column `syms` — the inference step for text
+    * the trainer never saw. Each round is one broadcast of that round's
+    * 1-row best-pair frame plus the shared greedy-merge fold
+    * ([[bpeMergeExpr]] — the SAME expression the trainer applies, so
+    * encode(training vocabulary) reproduces the trainer's end state
+    * exactly; BpeSpec pins that identity). Per-word cost is
+    * O(rounds · word length) inside one projection pipeline: no shuffle,
+    * no window — at 100 TB the merge table is R tiny broadcasts and the
+    * corpus streams through R chained codegen folds. */
+  private[operators] def bpeEncode(df: DataFrame, bests: Seq[DataFrame],
+      keep: Seq[String]): DataFrame =
+    bests.foldLeft(df) { (st, best) =>
+      st.crossJoin(broadcast(
+          best.select(col("a").as("ba"), col("b").as("bb"))))
+        .withColumn("syms", expr(bpeMergeExpr))
+        .select(keep.map(col) :+ col("syms"): _*)
+    }
+
+  /** Spec probe (BpeSpec): [[bpeEncode]] run over the TRAINING vocabulary
+    * from character level — must reproduce q160's trained segmentation
+    * exactly (the encode/train identity the replay form rests on). */
+  private[operators] def encodeTrainingVocabForTest(
+      s: SparkSession, d: String): DataFrame = {
+    val bests = bpeTrain(s, d)._3
+    val vocab = t(s, d, "documents")
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) >= 2)
+      .distinct()
+      .withColumn("syms", expr(
+        "transform(sequence(1, length(word)), i -> substring(word, i, 1))"))
+    bpeEncode(vocab, bests, Seq("word"))
+      .select(col("word"), array_join(col("syms"), "|").as("tokens"))
   }
 
   /** q204's synthesized page around a `text` column (the q65
@@ -604,14 +643,48 @@ object TextAnalysis {
       // corpus vocabulary under the trained segmentation — every word
       // with its symbol sequence after all merge rounds, i.e. what the
       // tokenizer emits for the training corpus. (Classic encode on NEW
-      // text replays the merge table to fixpoint; on the training
-      // vocabulary the single in-order pass IS the trainer's end state —
-      // the oracle-checkable form.) Output carries the per-word token
+      // text replays the merge table in rank order — q208 implements
+      // that; BpeSpec pins that the replay over the training vocabulary
+      // reproduces THIS end state.) Output carries the per-word token
       // count and the '|'-joined tokens, so both segmentation and
       // compression are hash-bound; chain frames are shared with q152
       // via the registry (one training compute per session).
       bpeTrain(s, d)._1
         .select(col("word"), col("wn"),
+          size(col("syms")).cast("long").as("n_tokens"),
+          array_join(col("syms"), "|").as("tokens"))
+        .orderBy("word")
+    }),
+
+    "q208_bpe_encode" -> ((s, d) => {
+      // BPE encode on UNSEEN text — the inference form q160's own
+      // scaladoc names but does not implement: replay the trained merge
+      // list to its end, in rank order, over text the trainer never saw.
+      // The held-out fragment is synthesized deterministically from each
+      // distinct corpus word (the q65 injected-input discipline):
+      // held = word || reverse(word) — unseen by construction, and the
+      // seam between the halves creates symbol pairs the training
+      // vocabulary never contained, so the replay is exercised on
+      // genuinely new contexts, not just memorized words. Each round is
+      // the SHARED greedy-merge fold (bpeMergeExpr) against that round's
+      // broadcast 1-row best-pair frame; training frames come from the
+      // registry-cached q152 chain, so train-once/encode-many holds
+      // in-session. At 100 TB: the merge table is R tiny broadcasts, the
+      // held corpus streams through R chained codegen folds — no shuffle
+      // before the final sort, per-word cost O(R · len). Oracle: the
+      // same unrolled-CTE chain as q152/q160 for best1..bestR, then the
+      // positional-merge replay per round over the held fragments.
+      val bests = bpeTrain(s, d)._3
+      val held = t(s, d, "documents")
+        .select(explode(split(col("text"), " ")).as("word"))
+        .filter(length(col("word")) >= 1)
+        .distinct()
+        .withColumn("held", concat(col("word"), reverse(col("word"))))
+        .withColumn("syms", expr(
+          "transform(sequence(1, length(held)), i -> substring(held, i, 1))"))
+        .select(col("word"), col("held"), col("syms"))
+      bpeEncode(held, bests, Seq("word", "held"))
+        .select(col("word"), col("held"),
           size(col("syms")).cast("long").as("n_tokens"),
           array_join(col("syms"), "|").as("tokens"))
         .orderBy("word")
@@ -1312,6 +1385,54 @@ object TextAnalysis {
        |  array_to_string(syms, '|') AS tokens
        |FROM state$BpeRounds ORDER BY word""".stripMargin
 
+  /** One unrolled ENCODE round: the positional greedy merge of
+    * [[bpeRoundCtes]] replayed over the held-out state `enc{r-1}` against
+    * the TRAINING chain's best$r (never recounted on the encode side). */
+  private def bpeEncodeRoundCtes(r: Int): String = {
+    val prev = s"enc${r - 1}"
+    s"""eexp$r AS (
+       |  SELECT word, held, i, syms[i] AS s, syms[i+1] AS nxt
+       |  FROM (SELECT word, held, syms,
+       |          unnest(range(1, len(syms)+1)) AS i FROM $prev)),
+       |eelig$r AS (
+       |  SELECT e.word, e.held, e.i, e.s, e.nxt,
+       |    coalesce(e.s = b.a AND e.nxt = b.b, FALSE) AS el
+       |  FROM eexp$r e CROSS JOIN best$r b),
+       |erun$r AS (
+       |  SELECT *, i - row_number()
+       |    OVER (PARTITION BY word, el ORDER BY i) AS grp
+       |  FROM eelig$r),
+       |emrk$r AS (
+       |  SELECT *, el AND (row_number()
+       |    OVER (PARTITION BY word, el, grp ORDER BY i) % 2 = 1) AS mstart
+       |  FROM erun$r),
+       |esel$r AS (
+       |  SELECT *, coalesce(lag(mstart)
+       |    OVER (PARTITION BY word ORDER BY i), FALSE) AS consumed
+       |  FROM emrk$r),
+       |enc$r AS (
+       |  SELECT word, held,
+       |    list(CASE WHEN mstart THEN s || nxt ELSE s END ORDER BY i)
+       |      AS syms
+       |  FROM esel$r WHERE NOT consumed GROUP BY word, held)""".stripMargin
+  }
+
+  /** q208's oracle: training chain for best1..bestR, then the replay over
+    * the synthesized held-out fragments (word || reverse(word)). */
+  private def bpeEncodeOracleSql: String =
+    s"""WITH $bpeChainCtes,
+       |enc0 AS (
+       |  SELECT word, word || reverse(word) AS held,
+       |    list_transform(range(1, 2 * length(word) + 1),
+       |      i -> substr(word || reverse(word), i, 1)) AS syms
+       |  FROM (SELECT DISTINCT unnest(string_split(text, ' ')) AS word
+       |        FROM documents)
+       |  WHERE length(word) >= 1),
+       |${(1 to BpeRounds).map(bpeEncodeRoundCtes).mkString(",\n")}
+       |SELECT word, held, CAST(len(syms) AS BIGINT) AS n_tokens,
+       |  array_to_string(syms, '|') AS tokens
+       |FROM enc$BpeRounds ORDER BY word""".stripMargin
+
   /** DuckDB spelling of [[htmlPage]] — an expression over `text`.
     * `||` sits at line ENDS: a continuation line starting with `||`
     * would be re-mangled by the EMBEDDING oracle's stripMargin (it
@@ -1354,6 +1475,7 @@ object TextAnalysis {
          |FROM clean ORDER BY doc_id""".stripMargin,
     "q152_bpe_train" -> bpeOracleSql,
     "q160_bpe_apply" -> bpeApplyOracleSql,
+    "q208_bpe_encode" -> bpeEncodeOracleSql,
     "q36_bpe_pairs" ->
       s"""WITH $charPairsSql
          |SELECT pair, count(*) AS n FROM cpairs

@@ -73,4 +73,38 @@ class BpeSpec extends SparkSpec {
     // tokens than characters
     assert(seg.exists(r => r.getLong(2) < r.getString(0).length))
   }
+
+  test("q208: encode(training-vocab words) equals q160's trained segmentation") {
+    // the judge-grade identity behind the replay: running the encode
+    // fold over the TRAINING vocabulary (chars of each word, merges in
+    // rank order) must land on exactly the trainer's end-state
+    // segmentation — same expression, same table, no drift possible
+    val trained = graft.SparkEntry.queries("q160_bpe_apply")(spark, sf0001)
+      .select("word", "tokens").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    val encoded = TextAnalysis.encodeTrainingVocabForTest(spark, sf0001)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(encoded.keySet == trained.keySet)
+    trained.foreach { case (w, toks) =>
+      assert(encoded(w) == toks,
+        s"encode($w) = ${encoded(w)} != trained segmentation $toks")
+    }
+  }
+
+  test("q208: held-out encode is lossless and uses only trained merges") {
+    val enc = graft.SparkEntry.queries("q208_bpe_encode")(spark, sf0001)
+      .collect()
+    val merges = graft.SparkEntry.queries("q152_bpe_train")(spark, sf0001)
+      .collect().map(r => r.getString(1) + r.getString(2)).toSet
+    assert(enc.nonEmpty)
+    enc.foreach { r =>
+      val (word, held, toks) = (r.getString(0), r.getString(1), r.getString(3))
+      assert(held == word + word.reverse)
+      assert(toks.split('|').mkString == held, s"$held segmented to $toks")
+      toks.split('|').filter(_.length > 1).foreach { p =>
+        assert(merges(p) || merges.exists(m => p.contains(m)),
+          s"token $p not from merges")
+      }
+    }
+  }
 }
