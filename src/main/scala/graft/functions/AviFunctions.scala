@@ -134,8 +134,11 @@ object AviFrames {
           val isize = le32(b, ip + 4)
           if (isize < 0 || ip + 8 + isize > end) return null
           if (tag(b, ip, "00db") || tag(b, ip, "00dc")) {
+            // EVERY frame chunk must be a raw w*h luma grid, sampled or
+            // not — a malformed unsampled frame is still a malformed file
+            // (the Scaladoc's "payload not w*h bytes ⇒ null" contract).
+            if (isize != w.toLong * h) return null
             if (frameIdx % stride == 0 && frameIdx / stride < nSamples) {
-              if (isize != w.toLong * h) return null // not a raw luma grid
               val hash = ahashLuma(b, ip + 8, w, h)
               out(got) = InternalRow(frameIdx, hash)
               got += 1

@@ -675,6 +675,12 @@ object TextAnalysis {
       // same unrolled-CTE chain as q152/q160 for best1..bestR, then the
       // positional-merge replay per round over the held fragments.
       val bests = bpeTrain(s, d)._3
+      // PARITY NOTE: reverse() here is ASCII-safe only — Spark reverses
+      // code points while DuckDB reverses grapheme clusters, so the two
+      // sides agree exactly because the documents corpus is pure ASCII
+      // (combining characters would silently break the oracle hash; if
+      // the corpus ever gains non-ASCII text, swap the held synthesis
+      // for a code-point-explicit form on both sides).
       val held = t(s, d, "documents")
         .select(explode(split(col("text"), " ")).as("word"))
         .filter(length(col("word")) >= 1)

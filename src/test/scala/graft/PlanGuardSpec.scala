@@ -21,8 +21,21 @@ import org.apache.spark.sql.catalyst.plans.logical._
   */
 class PlanGuardSpec extends SparkSpec {
 
+  /** Grouping keys an Aggregate may use and still count as "small" under
+    * a global window (round-8 verdict #4 / round-9 #2: "any Aggregate is
+    * small" let a groupBy(doc_id) corpus collapse slip through). The
+    * allowlist is the suite's actual tiny dimensions:
+    *  - `day`  — q148's per-day net frame (O(#days) rows);
+    *  - `shard` — the q108/q195 value-range shard-counts frame (~21
+    *    shards at any SF by construction: fixed value domain / width).
+    * A global aggregate (no grouping keys) is one row — always fine. */
+  private val tinyDims = Set("day", "shard")
+
   private def bounded(p: LogicalPlan): Boolean = p match {
-    case _: Aggregate => true
+    case a: Aggregate =>
+      a.groupingExpressions.isEmpty ||
+        a.groupingExpressions.forall(_.references.forall(r =>
+          tinyDims.contains(r.name)))
     case _: LocalRelation => true
     case _: OneRowRelation => true
     case r: Range => r.numElements <= BigInt(100000)
@@ -74,5 +87,39 @@ class PlanGuardSpec extends SparkSpec {
     }
     assert(hits.nonEmpty,
       "the guard must flag a global row_number over a raw scan")
+  }
+
+  test("guard fires on a global window over a high-cardinality aggregate " +
+      "(negative control for the tiny-dim allowlist)") {
+    // the shape the old "any Aggregate is small" rule waved through: a
+    // groupBy(doc_id).count() is corpus-sized, and a global window over
+    // it still collapses to ONE WindowExec task
+    import org.apache.spark.sql.expressions.{Window => W}
+    import org.apache.spark.sql.functions._
+    val bad = Tables.t(spark, sf0001, "documents")
+      .groupBy(col("doc_id")).count()
+      .withColumn("r", row_number().over(W.orderBy(col("count"), col("doc_id"))))
+    val hits = bad.queryExecution.optimizedPlan.collectWithSubqueries {
+      case w: Window if w.partitionSpec.isEmpty && !bounded(w.child) => w
+    }
+    assert(hits.nonEmpty,
+      "the guard must flag a global window over groupBy(doc_id)")
+  }
+
+  test("allowlisted tiny-dim aggregate still passes (positive control)") {
+    // the q108/q195/q148 two-pass idiom must stay legal: a prefix-sum
+    // window over a per-shard counts frame
+    import org.apache.spark.sql.expressions.{Window => W}
+    import org.apache.spark.sql.functions._
+    val ok = Tables.events(spark, sf0001)
+      .withColumn("shard", expr("cast(value as bigint) div 2500"))
+      .groupBy(col("shard")).count()
+      .withColumn("off", sum(col("count")).over(W.orderBy(col("shard"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)))
+    val hits = ok.queryExecution.optimizedPlan.collectWithSubqueries {
+      case w: Window if w.partitionSpec.isEmpty && !bounded(w.child) => w
+    }
+    assert(hits.isEmpty,
+      "a global window over the tiny shard-counts frame is the legal idiom")
   }
 }

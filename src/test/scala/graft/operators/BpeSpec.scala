@@ -10,6 +10,25 @@ import org.apache.spark.sql.functions._
   */
 class BpeSpec extends SparkSpec {
 
+  /** The derivable-symbol closure of a rank-ordered merge list: single
+    * characters are axioms; each merge (a, b) adds a+b iff BOTH parts
+    * are already derivable (they always are for a faithfully learned
+    * table — asserted, so a corrupt table fails here, not silently).
+    * Any multi-char token outside this set cannot be produced by a
+    * faithful replay — strictly tighter than the old substring check,
+    * which let a replay that glued wrong symbols around a real merge
+    * pass. */
+  private def derivableSymbols(chars: Set[String],
+      mergesInRankOrder: Seq[(String, String)]): Set[String] = {
+    val syms = scala.collection.mutable.Set[String]() ++= chars
+    mergesInRankOrder.foreach { case (a, b) =>
+      assert(syms(a) && syms(b),
+        s"merge ($a, $b) has an underivable part — corrupt merge table")
+      syms += (a + b)
+    }
+    syms.toSet
+  }
+
   private def merge(syms: Seq[String], a: String, b: String): Seq[String] = {
     import spark.implicits._
     Seq(syms).toDF("syms")
@@ -53,20 +72,22 @@ class BpeSpec extends SparkSpec {
   test("q160: segmentation is lossless and consistent with the merge table") {
     val seg = graft.SparkEntry.queries("q160_bpe_apply")(spark, sf0001)
       .collect()
-    val merges = graft.SparkEntry.queries("q152_bpe_train")(spark, sf0001)
-      .collect().map(r => r.getString(1) + r.getString(2)).toSet
+    val mergeList = graft.SparkEntry.queries("q152_bpe_train")(spark, sf0001)
+      .collect().map(r => r.getString(1) -> r.getString(2)).toSeq
     assert(seg.nonEmpty)
+    // every multi-char token must be in the derivable-symbol closure of
+    // the rank-ordered merge table (chars ⊕ merges) — membership, not
+    // substring containment
+    val symbols = derivableSymbols(
+      seg.flatMap(_.getString(0).map(_.toString)).toSet, mergeList)
     seg.foreach { r =>
       val (word, n, toks) = (r.getString(0), r.getLong(2), r.getString(3))
       val pieces = toks.split('|')
       // lossless: concatenating the tokens reproduces the word exactly
       assert(pieces.mkString == word, s"$word segmented to $toks")
       assert(pieces.length.toLong == n)
-      // every multi-char token is a product of the learned merges: its
-      // final merge is one of the table's merged symbols
       pieces.filter(_.length > 1).foreach { p =>
-        assert(merges(p) ||
-          merges.exists(m => p.contains(m)), s"token $p not from merges")
+        assert(symbols(p), s"token $p not derivable from the merge table")
       }
     }
     // the trained segmentation actually compresses: some word has fewer
@@ -94,16 +115,17 @@ class BpeSpec extends SparkSpec {
   test("q208: held-out encode is lossless and uses only trained merges") {
     val enc = graft.SparkEntry.queries("q208_bpe_encode")(spark, sf0001)
       .collect()
-    val merges = graft.SparkEntry.queries("q152_bpe_train")(spark, sf0001)
-      .collect().map(r => r.getString(1) + r.getString(2)).toSet
+    val mergeList = graft.SparkEntry.queries("q152_bpe_train")(spark, sf0001)
+      .collect().map(r => r.getString(1) -> r.getString(2)).toSeq
     assert(enc.nonEmpty)
+    val symbols = derivableSymbols(
+      enc.flatMap(_.getString(1).map(_.toString)).toSet, mergeList)
     enc.foreach { r =>
       val (word, held, toks) = (r.getString(0), r.getString(1), r.getString(3))
       assert(held == word + word.reverse)
       assert(toks.split('|').mkString == held, s"$held segmented to $toks")
       toks.split('|').filter(_.length > 1).foreach { p =>
-        assert(merges(p) || merges.exists(m => p.contains(m)),
-          s"token $p not from merges")
+        assert(symbols(p), s"token $p not derivable from the merge table")
       }
     }
   }
