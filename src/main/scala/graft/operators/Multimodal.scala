@@ -284,6 +284,39 @@ object Multimodal {
         .orderBy("a", "b")
     }),
 
+    "q209_pdf_extract" -> ((s, d) => {
+      // PDF text extraction — the last major crawl modality of the
+      // real-bytes family (HTML q204, PNG q144/q167/q200, WAV
+      // q146/q156/q201, AVI q206/q207): pdf_text walks every
+      // `<< .. >> stream .. endstream` object in file order, inflates
+      // /FlateDecode payloads with the q167 JDK-Inflater discipline,
+      // skips /Image XObjects, and tokenizes BT..ET text objects —
+      // `(..) Tj` / `[..] TJ` show strings (kern numbers ignored),
+      // Td/TD/T* line moves to '\n', full §7.3.4.2 literal-string
+      // escape decode. Malformed anywhere ⇒ the whole file decodes to
+      // null and is DROPped (doc_broken.pdf is planted truncated
+      // mid-stream to keep that path exercised in-query; PdfSpec pins
+      // its null). Oracle = the generator's manifest, declared-text
+      // ground truth INDEPENDENTLY re-validated by the generator's own
+      // standalone mini-parser (tools/gen_pdf_fixtures.py), so builder,
+      // Python parser and this decoder must all agree. At 100 TB the
+      // decode runs inside the scan projection: ~100 bytes of
+      // counts/digest per document cross the shuffle, never the PDF.
+      graft.functions.PdfFunctions.register(s)
+      s.read.format("binaryFile")
+        .option("pathGlobFilter", "*.pdf")
+        .load(graft.Fixtures.path("pdf"))
+        .select(element_at(split(col("path"), "/"), -1).as("name"),
+          expr("pdf_text(content)").as("p"))
+        .where(col("p").isNotNull) // DROPMALFORMED: doc_broken.pdf
+        .select(col("name"), col("p.n_streams").as("n_streams"),
+          col("p.n_text_blocks").as("n_text_blocks"),
+          length(col("p.text")).cast("long").as("n_chars"),
+          md5(col("p.text")).as("text_md5"),
+          substring(col("p.text"), 1, 40).as("head40"))
+        .orderBy("name")
+    }),
+
     "q144_png_ingest" -> ((s, d) => {
       // REAL-bytes multimodal ingest — closes the "metadata-only" gap of
       // q90–q93: Spark's public binaryFile source reads the committed PNG
@@ -470,6 +503,16 @@ object Multimodal {
         |  CAST(px_sum AS BIGINT) AS px_sum,
         |  CAST(px_sumsq AS BIGINT) AS px_sumsq
         |FROM read_csv('${graft.Fixtures.path("png")}/pixels.csv', header=true)
+        |ORDER BY name""".stripMargin,
+    "q209_pdf_extract" ->
+      // coalesce(head40, ''): DuckDB's read_csv yields NULL for the
+      // empty field doc_imgonly.pdf writes; Spark's substring('') is ''
+      s"""SELECT name, CAST(n_streams AS BIGINT) AS n_streams,
+        |  CAST(n_text_blocks AS BIGINT) AS n_text_blocks,
+        |  CAST(n_chars AS BIGINT) AS n_chars, text_md5,
+        |  coalesce(head40, '') AS head40
+        |FROM read_csv('${graft.Fixtures.path("pdf")}/manifest.csv',
+        |              header=true)
         |ORDER BY name""".stripMargin,
     "q144_png_ingest" ->
       s"""SELECT name, CAST(width AS BIGINT) AS width,
