@@ -154,6 +154,52 @@ object AviFrames {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
+  /** EVERY frame's hash for q210's order-free (trim/shift-robust) leg:
+    * array of 64-bit aHashes in frame order, or null for malformed
+    * bytes — the same walk and validation as [[sampleAhash]] with the
+    * sample plan replaced by rate-1 hashing. At fixture scale every
+    * frame is hashed; a production ingest sets a FIXED temporal rate
+    * (e.g. 1 hash/second), which — unlike q206's proportional stride —
+    * keeps the hash SET stable under trimming, the property q210's
+    * set-Jaccard matching rests on. ~8 bytes/frame cross the shuffle,
+    * never payloads. */
+  def allAhash(b: Array[Byte]): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    if (b == null || b.length < 12) return null
+    if (!tag(b, 0, "RIFF") || !tag(b, 8, "AVI ")) return null
+    val hdr = AviHeader.hdr(b)
+    if (hdr == null) return null
+    val frames = hdr.getLong(1)
+    val w = hdr.getLong(2).toInt
+    val h = hdr.getLong(3).toInt
+    if (w <= 0 || h <= 0 || w.toLong * h > (1L << 24)) return null
+    if (frames > (1L << 20)) return null // allocation sanity cap
+    val out = new Array[Any](frames.toInt)
+    var pos = 12
+    var frameIdx = 0L
+    while (pos + 8 <= b.length) {
+      val size = le32(b, pos + 4)
+      if (size < 0 || pos + 8 + size > b.length) return null
+      if (tag(b, pos, "LIST") && size >= 4 && tag(b, pos + 8, "movi")) {
+        var ip = pos + 12
+        val end = pos + 8 + size.toInt
+        while (ip + 8 <= end) {
+          val isize = le32(b, ip + 4)
+          if (isize < 0 || ip + 8 + isize > end) return null
+          if (tag(b, ip, "00db") || tag(b, ip, "00dc")) {
+            if (isize != w.toLong * h) return null
+            if (frameIdx >= frames) return null // more frames than header
+            out(frameIdx.toInt) = ahashLuma(b, ip + 8, w, h)
+            frameIdx += 1
+          }
+          ip += 8 + isize.toInt + (isize.toInt & 1)
+        }
+      }
+      pos += 8 + size.toInt + (size.toInt & 1)
+    }
+    if (frameIdx != frames) return null // header lied
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** q200's integer aHash on a w*h single-channel luma grid at `off`. */
   private def ahashLuma(b: Array[Byte], off: Int, w: Int, h: Int): Long = {
     val csum = new Array[Long](64)
@@ -210,11 +256,35 @@ case class AviSampleAhash(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** avi_frame_ahashes(content) -> array<long>, one 64-bit aHash per frame
+  * in frame order; null for malformed bytes (see [[AviFrames.allAhash]]). */
+case class AviFrameAhashes(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "avi_frame_ahashes"
+
+  override def nullSafeEval(v: Any): Any =
+    AviFrames.allAhash(v.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, b => {
+      s"""
+         |${ev.value} = graft.functions.AviFrames.allAhash($b);
+         |${ev.isNull} = (${ev.value} == null);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object AviFunctions {
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "avi_hdr", exprs => AviHdr(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "avi_sample_ahash", exprs => AviSampleAhash(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "avi_frame_ahashes", exprs => AviFrameAhashes(exprs.head), "built-in")
   }
 }

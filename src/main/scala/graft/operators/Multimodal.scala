@@ -284,6 +284,68 @@ object Multimodal {
         .orderBy("a", "b")
     }),
 
+    "q210_video_trim_dedup" -> ((s, d) => {
+      // Temporal-offset-ROBUST video matching — closes q207's documented
+      // design limit (alignment by sample ordinal ⇒ a trimmed/shifted
+      // re-upload, the most common video dup in a real crawl, never
+      // matches): the q63 MinHash discipline applied to each clip's
+      // frame-hash SET. avi_frame_ahashes hashes EVERY frame inside the
+      // scan projection (a production ingest uses a fixed temporal rate —
+      // fixed, not q206-proportional, exactly so the set survives
+      // trimming); the distinct 64-bit hashes are the set elements, 16
+      // md5-slice minhashes (4 digests × 4 slices — q63's formula
+      // verbatim) band into 4×4 LSH buckets, candidates equi-join on
+      // (band, key), and the exact set-Jaccard verifies candidates with
+      // an integer-exact threshold (c·10 ≥ union·7). The trim pair sits
+      // at 20/24 = 0.833; re-encode pairs (q207's leg — exact hash
+      // VALUES differ wherever a bit moved) max out at 0.5 and
+      // cross-base pairs at an incidental single collision — margins
+      // the fixture generator ASSERTS, along with the banded recall of
+      // the planted trim pair under this exact minhash formula. Oracle =
+      // the same sigs→bands→cand→verify chain in DuckDB over
+      // frame_hash.csv (the generator's own hashes). At corpus scale:
+      // ~8 bytes/frame cross the shuffle, candidates only from shared
+      // band buckets, exact verify only on candidates — never all clip
+      // pairs, never payloads.
+      graft.functions.AviFunctions.register(s)
+      val el = s.read.format("binaryFile")
+        .option("pathGlobFilter", "*.avi")
+        .load(graft.Fixtures.path("avi_dedup"))
+        .select(element_at(split(col("path"), "/"), -1).as("name"),
+          explode(expr("avi_frame_ahashes(content)")).as("h"))
+        .select(col("name"), col("h").cast("string").as("s"))
+        .distinct()
+        .transform(graft.CacheRegistry.cached)
+      // q63's split-digest signatures: 4 md5 calls, 4 8-hex slices each
+      val sigAggs = (for (m <- 0 until 4; p <- 0 until 4) yield
+        min(substring(md5(concat(lit(s"${m}_"), col("s"))), p * 8 + 1, 8))
+          .as(s"m${m * 4 + p}")) :+ count(lit(1)).as("n")
+      val sigs = el.groupBy(col("name")).agg(sigAggs.head, sigAggs.tail: _*)
+      val bandKeys = (0 until 4).map(b =>
+        concat_ws("|", (0 until 4).map(p => col(s"m${b * 4 + p}")): _*))
+      val ex = sigs.withColumn("bands", array(bandKeys: _*))
+        .select(col("name"), col("n"),
+          posexplode(col("bands")).as(Seq("band", "key")))
+      val cand = ex.select(col("band"), col("key"), col("name").as("a"),
+          col("n").as("na"))
+        .join(ex.select(col("band"), col("key"), col("name").as("b"),
+          col("n").as("nb")), Seq("band", "key"))
+        .where(col("a") < col("b"))
+        .select(col("a"), col("b"), col("na"), col("nb")).distinct()
+      val ea = el.select(col("name").as("a"), col("s"))
+      val eb = el.select(col("name").as("b"), col("s"))
+      ea.join(eb, "s").where(col("a") < col("b"))
+        .join(cand, Seq("a", "b"), "left_semi")
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("c"))
+        .join(cand, Seq("a", "b"))
+        .where(col("c") * 10 >= (col("na") + col("nb") - col("c")) * 7)
+        .select(col("a"), col("b"), col("c").as("common_frames"),
+          col("na"), col("nb"),
+          (col("c").cast("double") / (col("na") + col("nb") - col("c")))
+            .as("jac"))
+        .orderBy("a", "b")
+    }),
+
     "q209_pdf_extract" -> ((s, d) => {
       // PDF text extraction — the last major crawl modality of the
       // real-bytes family (HTML q204, PNG q144/q167/q200, WAV
@@ -504,6 +566,36 @@ object Multimodal {
         |  CAST(px_sumsq AS BIGINT) AS px_sumsq
         |FROM read_csv('${graft.Fixtures.path("png")}/pixels.csv', header=true)
         |ORDER BY name""".stripMargin,
+    "q210_video_trim_dedup" -> {
+      val sigsSql = (for (m <- 0 until 4; p <- 0 until 4) yield
+        s"min(substr(md5('${m}_' || s), ${p * 8 + 1}, 8)) AS m${m * 4 + p}")
+        .mkString(", ")
+      val bandBranches = (0 until 4).map { b =>
+        val key = (0 until 4).map(p => s"m${b * 4 + p}").mkString(" || '|' || ")
+        s"  SELECT name, n, $b AS band, $key AS key FROM sigs"
+      }.mkString("\n  UNION ALL\n")
+      s"""WITH el AS (
+         |  SELECT DISTINCT name, CAST(ahash AS VARCHAR) AS s
+         |  FROM read_csv('${graft.Fixtures.path("avi_dedup")}/frame_hash.csv',
+         |                header=true)),
+         |sigs AS (SELECT name, $sigsSql, count(*) AS n FROM el GROUP BY name),
+         |bands AS (
+         |$bandBranches),
+         |cand AS (
+         |  SELECT DISTINCT a.name AS a, b.name AS b, a.n AS na, b.n AS nb
+         |  FROM bands a JOIN bands b USING (band, key)
+         |  WHERE a.name < b.name),
+         |common AS (
+         |  SELECT a.name AS a, b.name AS b, count(*) AS c
+         |  FROM el a JOIN el b USING (s) WHERE a.name < b.name
+         |  GROUP BY 1, 2)
+         |SELECT a, b, CAST(c AS BIGINT) AS common_frames,
+         |  CAST(na AS BIGINT) AS na, CAST(nb AS BIGINT) AS nb,
+         |  CAST(c AS DOUBLE) / (na + nb - c) AS jac
+         |FROM common JOIN cand USING (a, b)
+         |WHERE c * 10 >= (na + nb - c) * 7
+         |ORDER BY a, b""".stripMargin
+    },
     "q209_pdf_extract" ->
       // coalesce(head40, ''): DuckDB's read_csv yields NULL for the
       // empty field doc_imgonly.pdf writes; Spark's substring('') is ''

@@ -43,7 +43,7 @@ class AviSpec extends SparkSpec {
         (f(0), f(1).toLong) -> f(2).toLong
       }.toMap
     val names = manifest.keys.map(_._1).toSet
-    assert(names.size == 7)
+    assert(names.size == 8)
     names.foreach { n =>
       val arr = AviFrames.sampleAhash(java.nio.file.Files
         .readAllBytes(java.nio.file.Paths.get(s"$dir/$n")))
@@ -86,5 +86,49 @@ class AviSpec extends SparkSpec {
     assert(AviFrames.sampleAhash(truncatedFrame) == null,
       "frame payload != w*h must decode to null")
     assert(AviFrames.sampleAhash("not a video".getBytes) == null)
+  }
+
+  test("q210: full frame hashes match the generator manifest bit-for-bit") {
+    val dir = graft.Fixtures.path("avi_dedup")
+    val manifest = scala.io.Source.fromFile(s"$dir/frame_hash.csv")
+      .getLines().drop(1).map { l =>
+        val f = l.split(",")
+        (f(0), f(1).toInt) -> f(2).toLong
+      }.toMap
+    val names = manifest.keys.map(_._1).toSet
+    assert(names.size == 8 && names.contains("clip_a3_trim.avi"))
+    names.foreach { n =>
+      val arr = AviFrames.allAhash(java.nio.file.Files
+        .readAllBytes(java.nio.file.Paths.get(s"$dir/$n")))
+      assert(arr != null, s"$n must decode")
+      val got = (0 until arr.numElements()).map(i => i -> arr.getLong(i)).toMap
+      val expected = manifest.collect { case ((`n`, t), h) => t -> h }
+      assert(got == expected, s"$n: scala frame hashes != generator")
+    }
+    assert(AviFrames.allAhash("not a video".getBytes) == null)
+  }
+
+  test("q207/q210 cross-certification: aligned leg misses the trim, " +
+      "order-free leg catches exactly it") {
+    // the complementarity the round-9 verdict asked for, pinned at query
+    // level on the shared fixture dir: q207 (ordinal alignment) returns
+    // exactly the four planted re-encode pairs and can never see the
+    // trimmed re-upload; q210 (frame-hash-set MinHash) returns exactly
+    // the trim pair — together they cover both dup families
+    val aligned = graft.SparkEntry.queries("q207_video_dedup")(spark, sf0001)
+      .select("a", "b").collect().map(r => (r.getString(0), r.getString(1)))
+      .toSet
+    assert(aligned == Set(
+      ("clip_a0.avi", "clip_a1.avi"), ("clip_a0.avi", "clip_a2.avi"),
+      ("clip_a1.avi", "clip_a2.avi"), ("clip_b0.avi", "clip_b1.avi")),
+      s"q207 pairs drifted: $aligned")
+    val orderFree = graft.SparkEntry.queries("q210_video_trim_dedup")(
+      spark, sf0001).collect()
+    assert(orderFree.length == 1)
+    val r = orderFree.head
+    assert((r.getString(0), r.getString(1)) ==
+      (("clip_a0.avi", "clip_a3_trim.avi")))
+    assert(r.getLong(2) == 20L && r.getLong(3) == 24L && r.getLong(4) == 20L,
+      "trim pair must share exactly the 20 surviving frames")
   }
 }

@@ -21,6 +21,10 @@ The set plants two near-dup clusters and unrelated singletons:
   clip_b0 / clip_b1           — second base, one-cell re-encode
   solo_c / solo_d             — unrelated bases (solo_d also has a
       different frame count, so its sample plan differs too)
+  clip_a3_trim                — clip_a0 with the first 4 frames CUT
+      (bit-identical remaining frames) — the common trimmed re-upload.
+      q207's ordinal alignment structurally MISSES it (asserted); the
+      q210 order-free frame-hash-set leg catches it (asserted).
 The generator ASSERTS the planted structure in hash space: within a
 cluster EVERY aligned sampled frame is hamming <= 3 (so the clip-level
 matched fraction is 8/8); across clusters FEWER than 3/4 of aligned
@@ -28,10 +32,22 @@ samples are within 3 (in fact none are <= 3 — asserted), so the q207
 threshold (matched*4 >= n_samples*3) separates exactly the planted
 pairs. Fixtures can therefore never drift from the query's banding +
 fraction guarantees.
+
+Round-10 additions for q210 (temporal-offset-robust matching):
+frame_hash.csv records EVERY frame's average-hash (the fixed-rate
+ingest pass — rate = every frame at fixture scale), and the generator
+asserts the q210 contract end-to-end: the trim pair's exact
+frame-hash-set Jaccard clears the 0.5 threshold, every other pair —
+including the re-encodes, whose exact hash VALUES all differ — stays at
+Jaccard 0 (no shared hash at all), AND the deterministic q63-style
+MinHash banding (16 md5-slice hashes, 4 bands of 4, string min) puts
+the trim pair in a shared band bucket so the banded candidate join
+provably recalls it.
 """
-import os, struct
+import hashlib, os, struct
 
 OUT = os.path.join(os.path.dirname(__file__), "..", "fixtures", "avi_dedup")
+TRIM_JACCARD = 0.7  # q210 threshold (keep in sync with Multimodal)
 W = H = 16
 US_PER_FRAME = 33333
 
@@ -122,6 +138,8 @@ def main():
         "clip_b1.avi": [brighten_cell(f, 0, 7, 90) for f in b],
         "solo_c.avi": [base_frame(2, t) for t in range(24)],
         "solo_d.avi": [base_frame(3, t) for t in range(40)],
+        # trimmed re-upload of A: first 4 frames cut, rest bit-identical
+        "clip_a3_trim.avi": a[4:],
     }
     names = sorted(clips)
     hashes = {}  # name -> {sample_idx: hash}
@@ -135,6 +153,7 @@ def main():
         for i in range(len(cl)):
             for j in range(i + 1, len(cl)):
                 planted.add(tuple(sorted((cl[i], cl[j]))))
+    trim_pair = tuple(sorted(("clip_a0.avi", "clip_a3_trim.avi")))
     for i in range(len(names)):
         for j in range(i + 1, len(names)):
             pa, pb = names[i], names[j]
@@ -147,10 +166,60 @@ def main():
                 assert len(close) == len(aligned) == n_samples, \
                     f"planted pair ({pa},{pb}) drifted: " \
                     f"{len(close)}/{len(aligned)}/{n_samples}"
+            elif "clip_a3_trim.avi" in (pa, pb):
+                # the trim's ordinal misalignment: q207's >= 3/4 aligned
+                # criterion must FAIL for every pair involving it — the
+                # design limit q210 exists to close
+                assert len(close) * 4 < n_samples * 3, \
+                    f"trim pair ({pa},{pb}) unexpectedly aligns: " \
+                    f"{len(close)}/{n_samples}"
             else:
                 assert len(close) == 0, \
                     f"unrelated pair ({pa},{pb}) collides on {len(close)} " \
                     f"sampled frames"
+
+    # ---- q210 planted structure: exact frame-hash SETS (order-free) ----
+    full = {n: [ahash(f) for f in frames] for n, frames in clips.items()}
+    sets = {n: set(map(str, hs)) for n, hs in
+            ((n, [signed64(h) for h in hs]) for n, hs in full.items())}
+    for i in range(len(names)):
+        for j in range(i + 1, len(names)):
+            pa, pb = names[i], names[j]
+            inter = len(sets[pa] & sets[pb])
+            union = len(sets[pa] | sets[pb])
+            jac = inter / union
+            if (pa, pb) == trim_pair:
+                assert jac >= TRIM_JACCARD, \
+                    f"trim pair Jaccard {jac:.3f} below threshold"
+            else:
+                # a re-encode changes SOME frames' exact hash value (a
+                # brightened cell doesn't always cross the mean), so
+                # same-base pairs sit at partial overlap — (a1,a2)
+                # measures 0.500, the worst case — and cross-base pairs
+                # at most an incidental single collision (~0.02): both
+                # asserted at least 0.2 BELOW the 0.7 threshold, so the
+                # separation has real margin on both sides (trim pair
+                # is at 0.833). Re-encodes are q207's aligned leg.
+                assert inter * 2 <= union, \
+                    f"({pa},{pb}) Jaccard {jac:.3f} too close to threshold"
+
+    # deterministic q63-style MinHash banding (16 md5-slice hashes as
+    # 8-hex-char strings, 4 bands of 4, lexicographic string min) must
+    # put the trim pair in at least one shared band bucket — the banded
+    # candidate join's recall of the one planted pair is PROVEN here,
+    # not hoped for (keep the formula in sync with Multimodal/q63)
+    def band_keys(elements):
+        sig = [min(hashlib.md5(f"{m}_{s}".encode()).hexdigest()[p*8:p*8+8]
+                   for s in elements)
+               for m in range(4) for p in range(4)]
+        return ["|".join(sig[b * 4 + p] for p in range(4)) for b in range(4)]
+    shared_bands = [b for b in range(4)
+                    if band_keys(sets[trim_pair[0]])[b]
+                    == band_keys(sets[trim_pair[1]])[b]]
+    assert shared_bands, "trim pair shares no MinHash band bucket"
+    print("trim pair shares band(s)", shared_bands,
+          f"set-jaccard {len(sets[trim_pair[0]] & sets[trim_pair[1]])}"
+          f"/{len(sets[trim_pair[0]] | sets[trim_pair[1]])}")
 
     for n, frames in clips.items():
         with open(os.path.join(OUT, n), "wb") as f:
@@ -160,6 +229,11 @@ def main():
         for n in names:
             for s in sorted(hashes[n]):
                 f.write(f"{n},{s},{signed64(hashes[n][s])}\n")
+    with open(os.path.join(OUT, "frame_hash.csv"), "w") as f:
+        f.write("name,frame_idx,ahash\n")
+        for n in names:
+            for t, h in enumerate(full[n]):
+                f.write(f"{n},{t},{signed64(h)}\n")
     for n in names:
         print(n, len(clips[n]), "frames,",
               len(hashes[n]), "samples,",
