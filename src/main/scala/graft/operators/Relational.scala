@@ -1320,6 +1320,34 @@ object Relational {
         .orderBy("l_returnflag")
     }),
 
+    "q211_argmax_struct" -> ((s, d) => {
+      // q182's WEB-SCALE twin (the form its own scaladoc names): the
+      // same argmax in the same single aggregate pass, but the ordering
+      // key is a STRUCT — lexicographic (pc, tail), compared field by
+      // field in both engines — instead of the BIGINT pack
+      // pc·1e9 + tail. The struct order equals the pack order wherever
+      // the pack is valid (tail < 1e9) but has NO overflow bound, so it
+      // survives web-scale orderkeys where q182's pack_ok gate fails
+      // loudly. ArgmaxTwinSpec cross-certifies the two queries equal on
+      // their shared columns at fixture SFs — the didactic pair: pack
+      // when the domain provably fits, struct when it doesn't. DuckDB
+      // has no struct arg_max, so the oracle carries the payload INSIDE
+      // max(struct_pack(pc, tail, ok)) — same lexicographic order,
+      // payload extracted after (tail is unique, so the carried ok is
+      // exactly the argmax). Still one partial-aggregating shuffle, no
+      // per-group sort, no second scan.
+      val pc = cents(col("l_extendedprice"))
+      t(s, d, "lineitem")
+        .withColumn("pc", pc)
+        .withColumn("tail", col("l_orderkey") * lit(1000L) + col("l_linenumber"))
+        .groupBy(col("l_returnflag"))
+        .agg(expr("max_by(l_orderkey, struct(pc, tail))").as("max_order"),
+          expr("min_by(l_orderkey, struct(pc, tail))").as("min_order"),
+          max(col("pc")).as("max_pc"), min(col("pc")).as("min_pc"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
+    }),
+
     "q183_regex_extract" -> ((s, d) => {
       // regexp_extract_all → explode — the log/text mining workhorse
       // (pull every code/url/token matching a pattern out of freeform
@@ -2492,6 +2520,21 @@ object Relational {
         |  CAST(min(pc) AS BIGINT) AS min_pc,
         |  count(*) AS n,
         |  max(tail) < 1000000000 AS pack_ok
+        |FROM l GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q211_argmax_struct" ->
+      """WITH l AS (
+        |  SELECT l_returnflag, l_orderkey,
+        |    CAST(round(l_extendedprice*100) AS BIGINT) AS pc,
+        |    l_orderkey * 1000 + l_linenumber AS tail
+        |  FROM lineitem)
+        |SELECT l_returnflag,
+        |  CAST(max(struct_pack(pc := pc, tail := tail, ok := l_orderkey)).ok
+        |    AS BIGINT) AS max_order,
+        |  CAST(min(struct_pack(pc := pc, tail := tail, ok := l_orderkey)).ok
+        |    AS BIGINT) AS min_order,
+        |  CAST(max(pc) AS BIGINT) AS max_pc,
+        |  CAST(min(pc) AS BIGINT) AS min_pc,
+        |  count(*) AS n
         |FROM l GROUP BY 1 ORDER BY 1""".stripMargin,
     "q183_regex_extract" ->
       """SELECT term, count(DISTINCT doc_id) AS n_docs,
