@@ -81,6 +81,48 @@ object Bench {
             e: org.apache.spark.scheduler.SparkListenerBlockUpdated): Unit =
           if (!e.blockUpdatedInfo.storageLevel.isValid) drops.incrementAndGet()
       })
+    // --- streaming per-batch telemetry (round-8 verdict #8): every
+    // micro-batch's (rows, triggerExecution, addBatch) lands in the bench
+    // artifact, so per-batch cost questions (q159's batch-0 state ingest
+    // vs the fixed floor of batches 1..n) are answered by BENCH_r{N}.json
+    // instead of a manual probe session. Captured on the CORE listener
+    // bus (onOtherEvent), not a StreamingQueryManager listener: the
+    // streaming queries run on session CLONES (withStreamPartitions),
+    // and each clone's manager bus filters to its own runIds — the core
+    // bus sees them all. -----------------------------------------------
+    final case class BatchTele(runId: String, batchId: Long, rows: Long,
+        triggerMs: Long, addBatchMs: Long)
+    val streamBuf =
+      new java.util.concurrent.ConcurrentLinkedQueue[BatchTele]
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onOtherEvent(
+            e: org.apache.spark.scheduler.SparkListenerEvent): Unit = e match {
+          case p: org.apache.spark.sql.streaming
+              .StreamingQueryListener.QueryProgressEvent =>
+            val pr = p.progress
+            def dur(k: String): Long = {
+              val v = pr.durationMs.get(k)
+              if (v == null) -1L else v.longValue()
+            }
+            streamBuf.add(BatchTele(pr.runId.toString.take(8), pr.batchId,
+              pr.numInputRows, dur("triggerExecution"), dur("addBatch")))
+            ()
+          case _ => ()
+        }
+      })
+    // listener delivery is async: wait until the buffer stops growing
+    // (two stable 50 ms polls, 2 s cap) before snapshotting a query's events
+    def drainStreamBus(): Unit = {
+      var last = -1
+      var same = 0
+      var waited = 0
+      while (same < 2 && waited < 2000) {
+        Thread.sleep(50); waited += 50
+        val c = streamBuf.size
+        if (c == last) same += 1 else { same = 0; last = c }
+      }
+    }
 
     def run(name: String): Long = {
       val t0 = System.nanoTime()
@@ -98,23 +140,43 @@ object Bench {
     }
 
     // interleaved protocol: warmup, then timed reps, per query — the
-    // timed window opens immediately after the query's own warmup
+    // timed window opens immediately after the query's own warmup.
+    // Streaming telemetry snapshots the LAST rep only (batch structure
+    // is identical across reps; one rep's worth keeps the artifact flat).
     val timed = names.map { n =>
       run(n) // warmup (untimed)
       val (jit0, gc0, drop0) = (jitMs, gcMs, drops.get())
-      val best = (1 to reps).map(_ => run(n)).min
+      val times = (1 to reps).map { r =>
+        if (r == reps) { drainStreamBus(); streamBuf.clear() }
+        run(n)
+      }
+      val best = times.min
+      val batches =
+        if (streamBuf.isEmpty) Nil
+        else {
+          drainStreamBus()
+          import scala.jdk.CollectionConverters._
+          streamBuf.asScala.toList.sortBy(b => (b.runId, b.batchId))
+        }
+      streamBuf.clear()
       val diag = Seq(
         "jit_ms" -> (jitMs - jit0), "gc_ms" -> (gcMs - gc0),
         "drops" -> (drops.get() - drop0),
         "storage_mb" -> storageMb, "codecache_mb" -> codeCacheMb)
-      (n, best, diag)
+      (n, best, diag, batches)
     }
-    val results = timed.map { case (n, v, _) => (n, v) }
+    val streamJson = timed.collect { case (n, _, _, batches) if batches.nonEmpty =>
+      "\"" + n + "\":[" + batches.map(b =>
+        s"""{"run":"${b.runId}","batch":${b.batchId},"rows":${b.rows},""" +
+          s""""trigger_ms":${b.triggerMs},"addbatch_ms":${b.addBatchMs}}""")
+        .mkString(",") + "]"
+    }.mkString("{", ",", "}")
+    val results = timed.map { case (n, v, _, _) => (n, v) }
     def fmt(v: Long): String =
       if (v < 0) "-1" else BigDecimal(v / 1e9).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     def qJson(rs: Seq[(String, Long)]): String =
       rs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
-    val diagJson = timed.map { case (n, _, diag) =>
+    val diagJson = timed.map { case (n, _, diag, _) =>
       "\"" + n + "\":" + diag.map { case (k, v) => "\"" + k + "\":" + v }
         .mkString("{", ",", "}")
     }.mkString("{", ",", "}")
@@ -124,7 +186,7 @@ object Bench {
       (if (profiling) ""","profiling":true""" else "")
     // Full per-query map (all queries, 3-decimal seconds) + diag → file.
     val fullJson =
-      s"""{"metric":"total","value":$totalStr,"unit":"sec",$protoJson,"queries":${qJson(results)},"diag":$diagJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$totalStr,"unit":"sec",$protoJson,"queries":${qJson(results)},"diag":$diagJson,"stream":$streamJson,"sf":"$sfDir"}"""
     // The driver captures only the LAST 2000 CHARS of stdout and parses the
     // last line as JSON (BENCH_r01/r02 both lost the result: r01 to sbt's
     // trailing "[success]" line, r02 to the full 75-query line being 2291
@@ -161,7 +223,18 @@ object Bench {
       "q200_image_dedup", "q201_audio_dedup", "q202_blocklist",
       "q203_triangles", "q204_html_extract", "q205_crawl_pipeline",
       "q206_video_ingest")
-    val headSet = headline.toSet
+    // Newest additions are DERIVED, not hand-edited (round-9 verdict #6:
+    // q207/q208 shipped without headline rows because the list above was
+    // the only mechanism): every suite query whose numeric id exceeds the
+    // curated list's maximum joins the headline automatically, so a new
+    // round's queries appear in BENCH_r{N}.json's stdout line by
+    // construction. Promote them into the curated list (or prune) when a
+    // later round needs the stdout budget back.
+    val qNum = "q(\\d+)".r
+    def num(n: String): Int =
+      qNum.findFirstMatchIn(n).map(_.group(1).toInt).getOrElse(-1)
+    val maxCurated = headline.map(num).max
+    val headSet = headline.toSet ++ names.filter(num(_) > maxCurated)
     val shortJson =
       s"""{"metric":"total","value":$totalStr,"unit":"sec","n_queries":${results.size},$protoJson,"queries":${qJson(results.filter(r => headSet(r._1)))},"sf":"$sfDir"}"""
     // file first: if the guard below ever trips (e.g. an unusually long
