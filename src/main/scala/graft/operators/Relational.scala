@@ -757,6 +757,49 @@ object Relational {
             .reduce(_ && _).as("within_tol"))
         .orderBy("l_returnflag")),
 
+    "q213_funnel_match" -> ((s, d) => {
+      // Ordered-sequence funnel analysis (the MATCH_RECOGNIZE-class
+      // staple Spark has no operator for, composed from primitives):
+      // which users performed view → click → purchase IN ORDER, with
+      // arbitrary events between? Each user's event stream collapses to
+      // a compact symbol string — collect_list of (ts, event_id, ch)
+      // structs, array_sort (lexicographic struct order == the unique
+      // (ts, event_id) total order; first letters are unique across the
+      // five types), transform to chars, concat — and each funnel stage
+      // is a subsequence regex over that string ('v', 'v.*c',
+      // 'v.*c.*p'), exactly DuckDB's string_agg(… ORDER BY) +
+      // regexp_matches, so the whole pipeline is oracle-exact including
+      // the integer basis-point stage conversions. One groupBy shuffle
+      // carrying ~10 bytes/event; per-user state is the user's own
+      // event count (the sessionization bound); the rollup is a 1-row
+      // aggregate + stack. At 100 TB the same shape holds — the symbol
+      // string is the per-user sequence every funnel/journey engine
+      // materializes; ts is exact micros so cross-engine order ties
+      // cannot exist (verified: no per-user microsecond collisions at
+      // any SF).
+      val seqs = events(s, d)
+        .select(col("user_id"),
+          struct(col("ts"), col("event_id"),
+            substring(col("event_type"), 1, 1).as("ch")).as("e"))
+        .groupBy(col("user_id"))
+        .agg(concat_ws("",
+          expr("transform(array_sort(collect_list(e)), x -> x.ch)")).as("seq"))
+      val f = seqs.agg(
+        count(lit(1)).as("n_users"),
+        sum(when(col("seq").rlike("v"), 1L).otherwise(0L)).as("n1"),
+        sum(when(col("seq").rlike("v.*c"), 1L).otherwise(0L)).as("n2"),
+        sum(when(col("seq").rlike("v.*c.*p"), 1L).otherwise(0L)).as("n3"))
+      f.selectExpr(
+        "stack(3, " +
+          "CAST(1 AS BIGINT), 'view', n1, n1 * 10000 div n_users, " +
+          "CAST(2 AS BIGINT), 'view>click', n2, " +
+          "  CASE WHEN n1 = 0 THEN CAST(0 AS BIGINT) ELSE n2 * 10000 div n1 END, " +
+          "CAST(3 AS BIGINT), 'view>click>purchase', n3, " +
+          "  CASE WHEN n2 = 0 THEN CAST(0 AS BIGINT) ELSE n3 * 10000 div n2 END" +
+          ") AS (stage, name, users, conv_bp)")
+        .orderBy("stage")
+    }),
+
     "q139_hll_sketch_shards" -> ((s, d) => {
       // The MERGEABLE-sketch deployment shape q22's monolithic
       // approx_count_distinct cannot show: Spark 4's Apache DataSketches
@@ -2668,6 +2711,28 @@ object Relational {
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
     // rel_err_ok is computed from Spark's real DataSketches HLL union;
     // the oracle asserts it (the q22 bounded-error contract)
+    "q213_funnel_match" ->
+      """WITH s AS (
+        |  SELECT user_id,
+        |    string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id)
+        |      AS seq
+        |  FROM events GROUP BY 1),
+        |f AS (SELECT
+        |  CAST(count(*) AS BIGINT) AS n_users,
+        |  CAST(count(*) FILTER (regexp_matches(seq, 'v')) AS BIGINT) AS n1,
+        |  CAST(count(*) FILTER (regexp_matches(seq, 'v.*c')) AS BIGINT) AS n2,
+        |  CAST(count(*) FILTER (regexp_matches(seq, 'v.*c.*p')) AS BIGINT) AS n3
+        |  FROM s)
+        |SELECT * FROM (
+        |  SELECT CAST(1 AS BIGINT) AS stage, 'view' AS name, n1 AS users,
+        |    n1 * 10000 // n_users AS conv_bp FROM f
+        |  UNION ALL
+        |  SELECT CAST(2 AS BIGINT), 'view>click', n2,
+        |    CASE WHEN n1 = 0 THEN 0 ELSE n2 * 10000 // n1 END FROM f
+        |  UNION ALL
+        |  SELECT CAST(3 AS BIGINT), 'view>click>purchase', n3,
+        |    CASE WHEN n2 = 0 THEN 0 ELSE n3 * 10000 // n2 END FROM f)
+        |ORDER BY stage""".stripMargin,
     "q139_hll_sketch_shards" ->
       """SELECT event_type, count(DISTINCT user_id) AS exact_users,
         |  TRUE AS rel_err_ok
