@@ -591,6 +591,48 @@ object TextAnalysis {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    "q214_chunking" -> ((s, d) => {
+      // Sliding-window document chunking + cross-doc chunk dedup — the
+      // step every RAG/embedding pipeline runs between cleaning and the
+      // encoder, absent from the suite until now: 64-token windows at
+      // stride 48 (25% overlap), the tail kept however short (dropping
+      // it silently loses document endings — the classic chunking bug).
+      // Each chunk carries exact integer geometry (chunk_idx, start_tok,
+      // n_tokens) and an md5 fingerprint; the dedup leg marks the
+      // lexicographically-first (doc_id, chunk_idx) occurrence of every
+      // fingerprint as the keeper (the q60 min-keeper idiom lifted to
+      // chunk granularity — the corpus's planted duplicate documents
+      // produce real cross-doc dup chunks). One scan + explode for the
+      // chunks, one narrow shuffle on the 32-hex fingerprint for the
+      // keeper vote, a broadcast-sized join back. At 100 TB: ~50 bytes
+      // per chunk cross the exchange (fingerprint + geometry), never
+      // chunk text; stride/window are constants so the explode is pure
+      // per-row arithmetic inside codegen.
+      val W = 64
+      val S = 48
+      val ch = graft.CacheRegistry.cached(t(s, d, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .withColumn("n", size(col("toks")))
+        .where(col("n") >= 1)
+        .select(col("doc_id"), col("toks"),
+          explode(expr(s"sequence(0, (n - 1) div $S)")).as("k"))
+        .withColumn("start_tok", (col("k") * S + 1).cast("long"))
+        .withColumn("chunk", expr(s"slice(toks, k * $S + 1, $W)"))
+        .select(col("doc_id"), col("k").cast("long").as("chunk_idx"),
+          col("start_tok"),
+          size(col("chunk")).cast("long").as("n_tokens"),
+          md5(concat_ws(" ", col("chunk"))).as("chunk_md5")))
+      val keeper = ch.groupBy(col("chunk_md5"))
+        .agg(min(struct(col("doc_id"), col("chunk_idx"))).as("m"))
+      ch.join(keeper, "chunk_md5")
+        .withColumn("keeper",
+          col("doc_id") === col("m.doc_id") &&
+            col("chunk_idx") === col("m.chunk_idx"))
+        .select(col("doc_id"), col("chunk_idx"), col("start_tok"),
+          col("n_tokens"), col("chunk_md5"), col("keeper"))
+        .orderBy("doc_id", "chunk_idx")
+    }),
+
     "q204_html_extract" -> ((s, d) => {
       // HTML → text extraction — the crawl pipeline's step between
       // q202's blocklist and everything downstream (the
@@ -1467,6 +1509,32 @@ object TextAnalysis {
       |      '\s+', ' ', 'g'))""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q214_chunking" ->
+      """WITH d0 AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks,
+        |    len(string_split(text, ' ')) AS n
+        |  FROM documents WHERE len(string_split(text, ' ')) >= 1),
+        |c AS (
+        |  SELECT doc_id, CAST(k AS BIGINT) AS chunk_idx,
+        |    CAST(k * 48 + 1 AS BIGINT) AS start_tok,
+        |    toks[k * 48 + 1 : least(k * 48 + 64, n)] AS chunk
+        |  FROM (SELECT doc_id, toks, n,
+        |          unnest(range(0, (n - 1) // 48 + 1)) AS k
+        |        FROM d0)),
+        |ch AS (
+        |  SELECT doc_id, chunk_idx, start_tok,
+        |    CAST(len(chunk) AS BIGINT) AS n_tokens,
+        |    md5(array_to_string(chunk, ' ')) AS chunk_md5
+        |  FROM c),
+        |keep AS (
+        |  SELECT chunk_md5,
+        |    min(struct_pack(d := doc_id, i := chunk_idx)) AS m
+        |  FROM ch GROUP BY 1)
+        |SELECT ch.doc_id, ch.chunk_idx, ch.start_tok, ch.n_tokens,
+        |  ch.chunk_md5,
+        |  (ch.doc_id = (m).d AND ch.chunk_idx = (m).i) AS keeper
+        |FROM ch JOIN keep USING (chunk_md5)
+        |ORDER BY doc_id, chunk_idx""".stripMargin,
     "q204_html_extract" ->
       s"""WITH page AS (
          |  SELECT doc_id, $htmlPageSql AS html
