@@ -555,6 +555,46 @@ object TextAnalysis {
       .select(col("word"), array_join(col("syms"), "|").as("tokens"))
   }
 
+  /** q215's content-defined chunk table over a (doc_id, text) frame —
+    * factored out so CdcSpec can feed engineered near-dup documents
+    * through the IDENTICAL pipeline the query runs. Boundary rule: a
+    * chunk ends after token p when the 3-gram ending at p satisfies
+    * md5 % 32 == 0 (local decision ⇒ edits don't shift later
+    * boundaries); columns mirror q214 for the side-by-side contrast. */
+  private[operators] def cdcChunks(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), col("toks"),
+        posexplode(col("toks")).as(Seq("p0", "tk")))
+      .withColumn("pos", (col("p0") + 1).cast("long"))
+      .withColumn("flag", when(col("pos") >= 3 &&
+        expr("CAST(conv(substring(md5(concat_ws(' ', " +
+          "element_at(toks, CAST(pos - 2 AS INT)), " +
+          "element_at(toks, CAST(pos - 1 AS INT)), " +
+          "element_at(toks, CAST(pos AS INT)))), 1, 2), 16, 10) AS INT) " +
+          "% 32 = 0"), 1L).otherwise(0L))
+      .select(col("doc_id"), col("pos"), col("tk"), col("flag"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ch = tok
+      .withColumn("chunk_id", coalesce(sum(col("flag")).over(w), lit(0L)))
+      .groupBy(col("doc_id"), col("chunk_id"))
+      .agg(min(col("pos")).as("start_tok"),
+        count(lit(1)).as("n_tokens"),
+        md5(concat_ws(" ",
+          expr("transform(array_sort(collect_list(struct(pos, tk))), " +
+            "x -> x.tk)"))).as("chunk_md5"))
+    val keeper = ch.groupBy(col("chunk_md5"))
+      .agg(min(struct(col("doc_id"), col("chunk_id"))).as("m"))
+    ch.join(keeper, "chunk_md5")
+      .withColumn("keeper",
+        col("doc_id") === col("m.doc_id") &&
+          col("chunk_id") === col("m.chunk_id"))
+      .select(col("doc_id"), col("chunk_id"), col("start_tok"),
+        col("n_tokens"), col("chunk_md5"), col("keeper"))
+  }
+
   /** q204's synthesized page around a `text` column (the q65
     * injected-input discipline) — shared with the q205 pipeline. */
   private[operators] def htmlPage: org.apache.spark.sql.Column = concat(
@@ -590,6 +630,25 @@ object TextAnalysis {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "q215_cdc_chunking" -> ((s, d) =>
+      // Content-defined chunking — q214's SHIFT-ROBUST twin: fixed
+      // 64/48 windows lose every downstream chunk identity the moment
+      // one token is inserted upstream (all boundaries shift), which is
+      // exactly the edit near-dup documents carry. CDC places a
+      // boundary after token p wherever the 3-gram ending at p hashes
+      // to ≡ 0 (mod 32) — a LOCAL decision, so an edit only disturbs
+      // boundaries whose grams overlap it and every later chunk keeps
+      // its fingerprint (CdcSpec MEASURES it: one token prepended ⇒
+      // all but the first chunk's fingerprints survive, while the q214
+      // fixed-window fingerprints all change). Expected chunk ≈ 32
+      // tokens; chunk_id is a per-doc prefix sum of boundary flags (a
+      // doc-bounded window, the PlanGuard-legal shape); fingerprints
+      // then dedup cross-doc with the q214 min-keeper idiom. The same
+      // rolling/local-hash discipline as q113's Rabin-Karp spans,
+      // applied to the chunking stage every dedup-aware ingest runs.
+      cdcChunks(t(s, d, "documents").select(col("doc_id"), col("text")))
+        .orderBy("doc_id", "chunk_id")),
 
     "q214_chunking" -> ((s, d) => {
       // Sliding-window document chunking + cross-doc chunk dedup — the
@@ -1509,6 +1568,47 @@ object TextAnalysis {
       |      '\s+', ' ', 'g'))""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q215_cdc_chunking" ->
+      """WITH d0 AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |t AS (
+        |  SELECT doc_id, struct_extract(u, 'pos') AS pos,
+        |    struct_extract(u, 'tk') AS tk,
+        |    struct_extract(u, 'flag') AS flag
+        |  FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, len(toks) + 1),
+        |      i -> struct_pack(
+        |        pos := i,
+        |        tk := toks[i],
+        |        flag := CASE WHEN i >= 3 AND
+        |            ((strpos('0123456789abcdef', substr(md5(
+        |               array_to_string(toks[i-2:i], ' ')), 1, 1)) - 1) * 16
+        |             + strpos('0123456789abcdef', substr(md5(
+        |               array_to_string(toks[i-2:i], ' ')), 2, 1)) - 1)
+        |            % 32 = 0
+        |          THEN 1 ELSE 0 END))) AS u
+        |    FROM d0)),
+        |c AS (
+        |  SELECT doc_id, pos, tk,
+        |    coalesce(sum(flag) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS chunk_id
+        |  FROM t),
+        |ch AS (
+        |  SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+        |    CAST(min(pos) AS BIGINT) AS start_tok,
+        |    CAST(count(*) AS BIGINT) AS n_tokens,
+        |    md5(string_agg(tk, ' ' ORDER BY pos)) AS chunk_md5
+        |  FROM c GROUP BY 1, 2),
+        |keep AS (
+        |  SELECT chunk_md5, min(struct_pack(d := doc_id, i := chunk_id)) AS m
+        |  FROM ch GROUP BY 1)
+        |SELECT ch.doc_id, ch.chunk_id, ch.start_tok, ch.n_tokens,
+        |  ch.chunk_md5,
+        |  (ch.doc_id = struct_extract(m, 'd')
+        |    AND ch.chunk_id = struct_extract(m, 'i')) AS keeper
+        |FROM ch JOIN keep USING (chunk_md5)
+        |ORDER BY doc_id, chunk_id""".stripMargin,
     "q214_chunking" ->
       """WITH d0 AS (
         |  SELECT doc_id, string_split(text, ' ') AS toks,
