@@ -94,12 +94,17 @@ object Bench {
         triggerMs: Long, addBatchMs: Long)
     val streamBuf =
       new java.util.concurrent.ConcurrentLinkedQueue[BatchTele]
+    // flips on ANY streaming event since the last clear: batch queries
+    // never set it, so they pay zero drain latency (215 queries × a
+    // 100 ms poll floor would otherwise add ~1 min of pure waiting)
+    val sawStream = new java.util.concurrent.atomic.AtomicBoolean(false)
     spark.sparkContext.addSparkListener(
       new org.apache.spark.scheduler.SparkListener {
         override def onOtherEvent(
             e: org.apache.spark.scheduler.SparkListenerEvent): Unit = e match {
           case p: org.apache.spark.sql.streaming
               .StreamingQueryListener.QueryProgressEvent =>
+            sawStream.set(true)
             val pr = p.progress
             def dur(k: String): Long = {
               val v = pr.durationMs.get(k)
@@ -108,19 +113,27 @@ object Bench {
             streamBuf.add(BatchTele(pr.runId.toString.take(8), pr.batchId,
               pr.numInputRows, dur("triggerExecution"), dur("addBatch")))
             ()
+          case _: org.apache.spark.sql.streaming.StreamingQueryListener.Event =>
+            sawStream.set(true)
           case _ => ()
         }
       })
+    def streamClear(): Unit = { streamBuf.clear(); sawStream.set(false) }
     // listener delivery is async: wait until the buffer stops growing
     // (two stable 50 ms polls, 2 s cap) before snapshotting a query's events
-    def drainStreamBus(): Unit = {
-      var last = -1
-      var same = 0
-      var waited = 0
-      while (same < 2 && waited < 2000) {
-        Thread.sleep(50); waited += 50
-        val c = streamBuf.size
-        if (c == last) same += 1 else { same = 0; last = c }
+    def snapshotBatches(): List[BatchTele] = {
+      if (!sawStream.get()) Nil
+      else {
+        var last = -1
+        var same = 0
+        var waited = 0
+        while (same < 2 && waited < 2000) {
+          Thread.sleep(50); waited += 50
+          val c = streamBuf.size
+          if (c == last) same += 1 else { same = 0; last = c }
+        }
+        import scala.jdk.CollectionConverters._
+        streamBuf.asScala.toList
       }
     }
 
@@ -141,24 +154,26 @@ object Bench {
 
     // interleaved protocol: warmup, then timed reps, per query — the
     // timed window opens immediately after the query's own warmup.
-    // Streaming telemetry snapshots the LAST rep only (batch structure
-    // is identical across reps; one rep's worth keeps the artifact flat).
+    // Streaming telemetry prefers the LAST rep's micro-batches (batch
+    // structure is identical across reps; one rep keeps the artifact
+    // flat) and falls back to the WARMUP's — single-flight staged
+    // streams (q142's checkpoint build, q172's CDC sink run under
+    // Staging.once) execute exactly once per JVM, during warmup, and
+    // would otherwise be invisible to the artifact.
     val timed = names.map { n =>
+      streamClear()
       run(n) // warmup (untimed)
+      val warm = snapshotBatches()
       val (jit0, gc0, drop0) = (jitMs, gcMs, drops.get())
       val times = (1 to reps).map { r =>
-        if (r == reps) { drainStreamBus(); streamBuf.clear() }
+        if (r == reps) { snapshotBatches(); streamClear() }
         run(n)
       }
       val best = times.min
-      val batches =
-        if (streamBuf.isEmpty) Nil
-        else {
-          drainStreamBus()
-          import scala.jdk.CollectionConverters._
-          streamBuf.asScala.toList.sortBy(b => (b.runId, b.batchId))
-        }
-      streamBuf.clear()
+      val fin = snapshotBatches()
+      val batches = (if (fin.nonEmpty) fin else warm)
+        .sortBy(b => (b.runId, b.batchId))
+      streamClear()
       val diag = Seq(
         "jit_ms" -> (jitMs - jit0), "gc_ms" -> (gcMs - gc0),
         "drops" -> (drops.get() - drop0),
@@ -199,11 +214,16 @@ object Bench {
     // one representative per operator family, every query the round-5
     // plan audit watches (q97/q103/q107/q122/q125/q126/q128), and the
     // newest additions.
+    // Pruned in round 10 to fund the auto-derived q207+ tail (the 1600-
+    // char stdout guard tripped at 215 queries): dropped q06/q30/q70/
+    // q144/q152/q164/q198/q155 — each family keeps a representative
+    // (generator→q03, windows→q157, ANN→q127/q143, media→q200/q206,
+    // BPE→q160, dedup gates→q199/q202) and every round-5 plan-audit
+    // watch (q97/q103/q107/q122/q125/q126/q128) stays.
     val headline = Seq(
-      "q01_onebrc_events", "q03_onebrc_tenths", "q06_generator",
+      "q01_onebrc_events", "q03_onebrc_tenths",
       "q11_join_sortmerge", "q17_range_join", "q20_tpch_q1",
-      "q30_window_topk", "q63_minhash_lsh",
-      "q69_dedup_clusters", "q70_knn_brute",
+      "q63_minhash_lsh", "q69_dedup_clusters",
       "q77_training_pipeline", "q78_delta_dedup",
       "q97_stream_stream_join", "q99_stream_delta_admit",
       "q103_approx_percentile", "q104_delta_dedup_full",
@@ -212,14 +232,12 @@ object Bench {
       "q115_semantic_multiprobe", "q120_cluster_split",
       "q122_stream_sliding", "q125_sql_recursive",
       "q126_transform_with_state", "q127_ann_rerank", "q128_pagerank",
-      "q143_ivf_pq_rerank", "q144_png_ingest",
-      "q150_staged_ann", "q151_ann_delta", "q152_bpe_train",
-      "q153_bm25", "q154_bigram_lm", "q155_incremental_rollup",
+      "q143_ivf_pq_rerank",
+      "q150_staged_ann", "q151_ann_delta",
+      "q153_bm25", "q154_bigram_lm",
       "q157_topk_agg", "q159_stream_session_timers",
-      "q160_bpe_apply", "q161_salted_join", "q164_cogroup",
-      // round-8 additions: URL/line/image/audio dedup, blocklist,
-      // triangles (q177 stays off the line; its plan twin q17 is on)
-      "q195_quantile_normalize", "q198_url_dedup", "q199_line_dedup",
+      "q160_bpe_apply", "q161_salted_join",
+      "q195_quantile_normalize", "q199_line_dedup",
       "q200_image_dedup", "q201_audio_dedup", "q202_blocklist",
       "q203_triangles", "q204_html_extract", "q205_crawl_pipeline",
       "q206_video_ingest")
