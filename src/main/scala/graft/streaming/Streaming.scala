@@ -488,6 +488,46 @@ object Streaming {
 
     "q95_stream_tumbling" -> ((s, d) => tumblingHourly(s, d)),
 
+    "q216_stream_media_ingest" -> ((s, d) => withStreamPartitions(s, 4) { sp =>
+      // MULTIMODAL ingest AS A STREAM — bridges the real-bytes media
+      // family (q144/q146/q206/q209) with the streaming story: a
+      // readStream over the binaryFile source (new media files landing
+      // in a bucket) with the png_ihdr codegen decode running INSIDE
+      // the streaming scan projection. Stateless append (no watermark,
+      // no aggregation state — per-file decode is embarrassingly
+      // incremental), so at 100 TB the stream is pure source
+      // parallelism: each discovered file decodes once, ~40 bytes of
+      // header metadata reach the sink, payload bytes never leave the
+      // scan. Single-batch over the committed fixture set ⇒ must equal
+      // the batch q144 answer — SAME manifest oracle, which binds the
+      // streaming scan, the binary decode expression and the sink
+      // round-trip in one check.
+      graft.functions.PngFunctions.register(sp)
+      val name = s"graft_smedia_${System.nanoTime()}"
+      val q = sp.readStream
+        .schema(StructType(Seq(
+          StructField("path", StringType),
+          StructField("modificationTime",
+            org.apache.spark.sql.types.TimestampType),
+          StructField("length", LongType),
+          StructField("content", org.apache.spark.sql.types.BinaryType))))
+        .format("binaryFile")
+        .option("pathGlobFilter", "*.png")
+        .load(graft.Fixtures.path("png"))
+        .select(element_at(split(col("path"), "/"), -1).as("name"),
+          expr("png_ihdr(content)").as("h"),
+          col("length").as("n_bytes"))
+        .select(col("name"), col("h.width").as("width"),
+          col("h.height").as("height"),
+          col("h.bit_depth").as("bit_depth"),
+          col("h.color_type").as("color_type"), col("n_bytes"))
+        .writeStream.outputMode("append")
+        .format("memory").queryName(name)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      drainMemorySink(sp, name).orderBy("name")
+    }),
+
     "q122_stream_sliding" -> ((s, d) => withStreamPartitions(s, 4) { sp =>
       // SLIDING windows (1 h length, 30 min slide) — the overlapping-window
       // twin of q95's tumbling agg: each event contributes to exactly
@@ -767,6 +807,16 @@ object Streaming {
       |ORDER BY p.user_id, p_id, c_id""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // same manifest oracle as batch q144: the streaming scan must land
+    // on the identical decoded headers
+    "q216_stream_media_ingest" ->
+      s"""SELECT name, CAST(width AS BIGINT) AS width,
+        |  CAST(height AS BIGINT) AS height,
+        |  CAST(bit_depth AS BIGINT) AS bit_depth,
+        |  CAST(color_type AS BIGINT) AS color_type,
+        |  CAST(n_bytes AS BIGINT) AS n_bytes
+        |FROM read_csv('${graft.Fixtures.path("png")}/manifest.csv', header=true)
+        |ORDER BY name""".stripMargin,
     "q94_stream_onebrc" -> graft.onebrc.OneBrc.brcAggSql(
       s"""SELECT station, measure FROM read_csv('${graft.Fixtures.path("measurements_golden.csv")}',
          |  delim=';', header=false, columns={'station':'VARCHAR','measure':'DOUBLE'})""".stripMargin),
