@@ -757,6 +757,57 @@ object Relational {
             .reduce(_ && _).as("within_tol"))
         .orderBy("l_returnflag")),
 
+    "q217_kanon_release" -> ((s, d) => {
+      // k-anonymity data release with HIERARCHICAL generalization — the
+      // privacy gate every aggregate-release pipeline runs before stats
+      // leave the fence: a cell may be published only when ≥ K distinct
+      // users stand behind it. Cells failing K at (event_type, hour)
+      // don't just get suppressed — their EVENTS roll up the
+      // generalization ladder (hour → day → all-time) and re-vote at
+      // the coarser cell; a cell still below K after the last rung is
+      // fully suppressed. The testdata exercises every rung: at sf0.01
+      // 500 hour-cells publish and 2885 fail into day-cells (all
+      // publish); at sf0.001 every hour-cell fails, 97 day-cells
+      // publish, 53 fail into the all-time rung. Shape: three grouped
+      // passes over strictly SHRINKING populations (each rung sees only
+      // the previous rung's failing events, via left-semi joins on the
+      // failing cell keys), count_distinct partial-aggregates per rung;
+      // exact integers throughout. At 100 TB the ladder is the standard
+      // roll-up cube walked lazily — never materialized wider than the
+      // failing slice.
+      val K = 5
+      val ev = events(s, d)
+        .select(col("event_type"), col("user_id"),
+          date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:00")
+            .as("hour"),
+          date_format(col("ts"), "yyyy-MM-dd").as("day"))
+        .transform(graft.CacheRegistry.cached)
+      def cells(e: DataFrame, key: Seq[String]) = e
+        .groupBy(key.map(col): _*)
+        .agg(countDistinct(col("user_id")).as("users"),
+          count(lit(1)).as("n_events"))
+      val l1 = cells(ev, Seq("event_type", "hour"))
+      val rel1 = l1.where(col("users") >= K)
+        .select(lit(1L).as("level"), col("event_type"),
+          col("hour").as("period"), col("users"), col("n_events"))
+      val ev2 = ev.join(l1.where(col("users") < K)
+        .select(col("event_type"), col("hour")),
+        Seq("event_type", "hour"), "left_semi")
+      val l2 = cells(ev2, Seq("event_type", "day"))
+      val rel2 = l2.where(col("users") >= K)
+        .select(lit(2L).as("level"), col("event_type"),
+          col("day").as("period"), col("users"), col("n_events"))
+      val ev3 = ev2.join(l2.where(col("users") < K)
+        .select(col("event_type"), col("day")),
+        Seq("event_type", "day"), "left_semi")
+      val rel3 = cells(ev3, Seq("event_type"))
+        .where(col("users") >= K) // below K at the last rung: suppressed
+        .select(lit(3L).as("level"), col("event_type"),
+          lit("all").as("period"), col("users"), col("n_events"))
+      rel1.unionByName(rel2).unionByName(rel3)
+        .orderBy("level", "event_type", "period")
+    }),
+
     "q213_funnel_match" -> ((s, d) => {
       // Ordered-sequence funnel analysis (the MATCH_RECOGNIZE-class
       // staple Spark has no operator for, composed from primitives):
@@ -2711,6 +2762,41 @@ object Relational {
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
     // rel_err_ok is computed from Spark's real DataSketches HLL union;
     // the oracle asserts it (the q22 bounded-error contract)
+    "q217_kanon_release" ->
+      """WITH ev AS (
+        |  SELECT event_type, user_id,
+        |    strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
+        |    strftime(ts, '%Y-%m-%d') AS day
+        |  FROM events),
+        |l1 AS (
+        |  SELECT event_type, hour, count(DISTINCT user_id) AS users,
+        |    count(*) AS n_events
+        |  FROM ev GROUP BY 1, 2),
+        |f1 AS (SELECT event_type, hour FROM l1 WHERE users < 5),
+        |ev2 AS (SELECT ev.* FROM ev SEMI JOIN f1 USING (event_type, hour)),
+        |l2 AS (
+        |  SELECT event_type, day, count(DISTINCT user_id) AS users,
+        |    count(*) AS n_events
+        |  FROM ev2 GROUP BY 1, 2),
+        |f2 AS (SELECT event_type, day FROM l2 WHERE users < 5),
+        |ev3 AS (SELECT ev2.* FROM ev2 SEMI JOIN f2 USING (event_type, day)),
+        |l3 AS (
+        |  SELECT event_type, count(DISTINCT user_id) AS users,
+        |    count(*) AS n_events
+        |  FROM ev3 GROUP BY 1)
+        |SELECT * FROM (
+        |  SELECT CAST(1 AS BIGINT) AS level, event_type, hour AS period,
+        |    CAST(users AS BIGINT) AS users, CAST(n_events AS BIGINT) AS n_events
+        |  FROM l1 WHERE users >= 5
+        |  UNION ALL
+        |  SELECT CAST(2 AS BIGINT), event_type, day,
+        |    CAST(users AS BIGINT), CAST(n_events AS BIGINT)
+        |  FROM l2 WHERE users >= 5
+        |  UNION ALL
+        |  SELECT CAST(3 AS BIGINT), event_type, 'all',
+        |    CAST(users AS BIGINT), CAST(n_events AS BIGINT)
+        |  FROM l3 WHERE users >= 5)
+        |ORDER BY level, event_type, period""".stripMargin,
     "q213_funnel_match" ->
       """WITH s AS (
         |  SELECT user_id,
