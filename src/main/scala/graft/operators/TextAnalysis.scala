@@ -69,7 +69,51 @@ object TextAnalysis {
   private def bm25Serve(s: SparkSession, post: DataFrame,
       dl: DataFrame): DataFrame = {
     import s.implicits._
-    val queries = Bm25Queries.toDF("query_id", "term")
+    bm25ServeOn(s, post, dl, Bm25Queries.toDF("query_id", "term"))
+  }
+
+  /** q218's known-item eval over any (doc_id, text, ...) frame —
+    * factored so RetrievalEvalSpec can feed an engineered corpus with
+    * planted unique terms through the IDENTICAL harness the query runs.
+    * Queries: every 13th doc, its 4 rarest distinct tokens; relevant
+    * item: the source doc itself; metrics: target_rank (0 = miss),
+    * integer-micro reciprocal rank, hit@10. */
+  private[operators] def knownItemEvalOn(s: SparkSession,
+      docs: DataFrame): DataFrame = {
+    val tf = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      .transform(graft.CacheRegistry.cached)
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val termDf = tf.groupBy(col("term")).agg(count(lit(1)).as("qdf"))
+    val qw = Window.partitionBy(col("query_id"))
+      .orderBy(col("qdf"), col("term"))
+    val queries = docs
+      .where(col("doc_id") % 13 === 0)
+      .select(col("doc_id").as("query_id"),
+        explode(split(col("text"), " ")).as("term"))
+      .distinct()
+      .join(termDf, "term")
+      .withColumn("tr_rk", row_number().over(qw))
+      .where(col("tr_rk") <= 4)
+      .select(col("query_id"), col("term"))
+      .transform(graft.CacheRegistry.cached)
+    val ranked = bm25ServeOn(s, tf, dl, queries)
+    val hit = ranked.where(col("doc_id") === col("query_id"))
+      .select(col("query_id"), col("rk").as("tr"))
+    queries.select(col("query_id")).distinct()
+      .join(hit, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("tr"), lit(0L)).as("target_rank"),
+        coalesce(expr("1000000 div tr"), lit(0L)).as("rr_micro"),
+        col("tr").isNotNull.as("hit10"))
+  }
+
+  /** As [[bm25Serve]] but with the (query_id, term) frame a parameter —
+    * q218's known-item eval reuses the IDENTICAL scoring arithmetic
+    * over its per-document query set (one definition, no drift). */
+  private def bm25ServeOn(s: SparkSession, post: DataFrame,
+      dl: DataFrame, queries: DataFrame): DataFrame = {
     val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot"))
     val dfq = post
       .join(broadcast(queries.select(col("term")).distinct), "term")
@@ -198,8 +242,11 @@ object TextAnalysis {
   /** DuckDB CTE chain mirroring [[bm25Ranked]] (ends at `ranked`,
     * unfiltered) — q153's oracle appends its final SELECT; q165's oracle
     * appends the dense leg and the fusion. ONE text, zero drift. */
-  private[operators] def bm25CtesSql: String =
-    s"""q(query_id, term) AS (VALUES $bm25ValuesSql),
+  /** The BM25 CTE chain with the query-set CTE a parameter (must bind
+    * `q(query_id, term)`) — one arithmetic text for q153/q168/q169 and
+    * q218's known-item query set. */
+  private[operators] def bm25CtesWithQ(qCte: String): String =
+    s"""$qCte,
        |tokens AS (
        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tokens GROUP BY 1, 2),
@@ -221,6 +268,9 @@ object TextAnalysis {
        |ranked AS (SELECT query_id, doc_id, score_micro,
        |  CAST(row_number() OVER (PARTITION BY query_id
        |    ORDER BY score_micro DESC, doc_id) AS BIGINT) AS rk FROM scored)""".stripMargin
+
+  private[operators] def bm25CtesSql: String =
+    bm25CtesWithQ(s"q(query_id, term) AS (VALUES $bm25ValuesSql)")
 
   /** q153's complete oracle text — also the oracle of the staged (q168)
     * and incrementally-maintained (q169) index forms, which are
@@ -1262,6 +1312,30 @@ object TextAnalysis {
       bm25Ranked(s, d).orderBy("query_id", "rk")
     }),
 
+    "q218_retrieval_eval" -> ((s, d) =>
+      // Retrieval EVALUATION — the measurement harness next to the
+      // retrieval stack itself (BM25 q153, ANN q127/q143, fusion q165):
+      // known-item search, the classic self-labeling eval. Every 13th
+      // document becomes a query (its 4 RAREST distinct tokens — df asc
+      // then term, the discriminative-term builder every known-item
+      // harness uses), and the one relevant item is the source document
+      // itself — ground truth by construction, no human labels. The
+      // ranked lists come from the IDENTICAL q153 scoring body
+      // (bm25ServeOn — same postings, same micro-unit arithmetic; the
+      // eval can never drift from the ranker it measures). Per query:
+      // the target's rank in the top-10 (0 = miss), reciprocal rank in
+      // exact integer micro-units (1e6 div rank — no float MRR), and
+      // the hit@10 flag. The MEASURED result on this corpus is itself
+      // the point of an eval harness: hit@10 is 4/39 at sf0.01, because
+      // the synthetic vocabulary has 31 terms with min df 25 — no term
+      // isolates a document, so lexical known-item retrieval sits near
+      // chance (RetrievalEvalSpec proves the harness itself: on an
+      // engineered corpus with planted unique terms, every query hits
+      // rank 1). At 100 TB the query set is eval-sized (broadcast), so
+      // the cost is one posting-list-bounded scoring pass — the eval
+      // rides the production serving plan.
+      knownItemEvalOn(s, t(s, d, "documents")).orderBy("query_id")),
+
     "q192_chat_contract" -> ((s, d) => {
       // Chat-template CONTRACT validation — the SFT-data gate every
       // instruction-tuning pipeline runs before training: conversations
@@ -1944,6 +2018,36 @@ object TextAnalysis {
         |  10000 * gini_num // (n_terms * total_tf) AS gini_bp
         |FROM g ORDER BY lang""".stripMargin,
     "q153_bm25" -> bm25FinalSql,
+    "q218_retrieval_eval" -> {
+      val qCte = """qdf AS (
+        |  SELECT term, count(DISTINCT doc_id) AS qdf FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |    FROM documents) tt
+        |  GROUP BY term),
+        |q(query_id, term) AS (
+        |  SELECT query_id, term FROM (
+        |    SELECT query_id, term,
+        |      row_number() OVER (PARTITION BY query_id
+        |        ORDER BY qdf, term) AS tr_rk
+        |    FROM (
+        |      SELECT DISTINCT doc_id AS query_id,
+        |        unnest(string_split(text, ' ')) AS term
+        |      FROM documents WHERE doc_id % 13 = 0)
+        |    JOIN qdf USING (term))
+        |  WHERE tr_rk <= 4)""".stripMargin
+      s"""WITH ${bm25CtesWithQ(qCte)},
+         |hits AS (
+         |  SELECT query_id, rk FROM ranked
+         |  WHERE rk <= 10 AND doc_id = query_id)
+         |SELECT CAST(qq.query_id AS BIGINT) AS query_id,
+         |  CAST(coalesce(h.rk, 0) AS BIGINT) AS target_rank,
+         |  CAST(CASE WHEN h.rk IS NULL THEN 0
+         |       ELSE 1000000 // h.rk END AS BIGINT) AS rr_micro,
+         |  h.rk IS NOT NULL AS hit10
+         |FROM (SELECT DISTINCT query_id FROM q) qq
+         |LEFT JOIN hits h USING (query_id)
+         |ORDER BY query_id""".stripMargin
+    },
     // bit-identical by construction (same postings, same scoring tail) —
     // the staged and incrementally-maintained index forms share q153's
     // oracle verbatim, exactly as q150 shares q143's
