@@ -757,6 +757,67 @@ object Relational {
             .reduce(_ && _).as("within_tol"))
         .orderBy("l_returnflag")),
 
+    "q219_data_quality" -> ((s, d) => {
+      // Data-contract validation — the expectations gate (dbt tests /
+      // Great-Expectations class) every ingest runs before a table is
+      // promoted: range checks, key uniqueness, referential integrity,
+      // null discipline — evaluated to ONE report table with exact
+      // violation counts, so the gate is auditable, not a boolean.
+      // Shapes: ranges/nulls are single-pass conditional sums (one
+      // scan per table, map-side combined); uniqueness is
+      // count − count_distinct on the key; referential integrity is a
+      // LEFT ANTI join counted (never a NOT IN subquery — null-safe
+      // and shuffle-bounded by the orphan side). At 100 TB each check
+      // stays one bounded pass; checks over the same table share its
+      // scan via the union of conditional aggregates where possible.
+      def report(id: Long, name: String, checked: DataFrame,
+          violations: org.apache.spark.sql.Column): DataFrame =
+        checked.agg(count(lit(1)).as("n_checked"),
+            coalesce(violations, lit(0L)).as("n_violations"))
+          .select(lit(id).as("check_id"), lit(name).as("check_name"),
+            col("n_checked"), col("n_violations"),
+            (col("n_violations") === 0L).as("pass"))
+      val li = t(s, d, "lineitem")
+      val ord = t(s, d, "orders")
+      val cust = t(s, d, "customer")
+      val c1 = report(1L, "lineitem_quantity_in_1_50", li,
+        sum(when(col("l_quantity") < 1 || col("l_quantity") > 50, 1L)
+          .otherwise(0L)))
+      val c2 = report(2L, "lineitem_price_positive", li,
+        sum(when(col("l_extendedprice") <= 0, 1L).otherwise(0L)))
+      val c3 = report(3L, "orders_orderkey_unique", ord,
+        count(lit(1)) - countDistinct(col("o_orderkey")))
+      // referential checks: orphan counts ride in as lazy 1-row frames
+      // (the q85 idiom — no driver action), left-anti so NULL keys and
+      // shuffle size behave (never NOT IN)
+      def reportRef(id: Long, name: String, checked: DataFrame,
+          orphans: DataFrame): DataFrame =
+        checked.agg(count(lit(1)).as("n_checked"))
+          .crossJoin(broadcast(
+            orphans.agg(count(lit(1)).as("n_violations"))))
+          .select(lit(id).as("check_id"), lit(name).as("check_name"),
+            col("n_checked"), col("n_violations"),
+            (col("n_violations") === 0L).as("pass"))
+      val c4 = reportRef(4L, "lineitem_orderkey_in_orders", li,
+        li.select(col("l_orderkey"))
+          .join(ord.select(col("o_orderkey")),
+            col("l_orderkey") === col("o_orderkey"), "left_anti"))
+      val c5 = reportRef(5L, "customer_nation_exists", cust,
+        cust.select(col("c_nationkey"))
+          .join(t(s, d, "nation").select(col("n_nationkey")),
+            col("c_nationkey") === col("n_nationkey"), "left_anti"))
+      val c6 = report(6L, "orders_date_in_range", ord,
+        sum(when(
+          col("o_orderdate") < lit("1992-01-01").cast("timestamp") ||
+            col("o_orderdate") > lit("1998-12-31").cast("timestamp"),
+          1L).otherwise(0L)))
+      val c7 = report(7L, "lineitem_returnflag_not_null", li,
+        sum(when(col("l_returnflag").isNull, 1L).otherwise(0L)))
+      c1.unionByName(c2).unionByName(c3).unionByName(c4)
+        .unionByName(c5).unionByName(c6).unionByName(c7)
+        .orderBy("check_id")
+    }),
+
     "q217_kanon_release" -> ((s, d) => {
       // k-anonymity data release with HIERARCHICAL generalization — the
       // privacy gate every aggregate-release pipeline runs before stats
@@ -2762,6 +2823,54 @@ object Relational {
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
     // rel_err_ok is computed from Spark's real DataSketches HLL union;
     // the oracle asserts it (the q22 bounded-error contract)
+    "q219_data_quality" ->
+      """SELECT check_id, check_name, n_checked, n_violations,
+        |  n_violations = 0 AS pass
+        |FROM (
+        |  SELECT CAST(1 AS BIGINT) AS check_id,
+        |    'lineitem_quantity_in_1_50' AS check_name,
+        |    CAST(count(*) AS BIGINT) AS n_checked,
+        |    CAST(coalesce(sum(CASE WHEN l_quantity < 1 OR l_quantity > 50
+        |      THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_violations
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT CAST(2 AS BIGINT), 'lineitem_price_positive',
+        |    CAST(count(*) AS BIGINT),
+        |    CAST(coalesce(sum(CASE WHEN l_extendedprice <= 0
+        |      THEN 1 ELSE 0 END), 0) AS BIGINT)
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT CAST(3 AS BIGINT), 'orders_orderkey_unique',
+        |    CAST(count(*) AS BIGINT),
+        |    CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT)
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT CAST(4 AS BIGINT), 'lineitem_orderkey_in_orders',
+        |    (SELECT CAST(count(*) AS BIGINT) FROM lineitem),
+        |    CAST(count(*) AS BIGINT)
+        |  FROM (SELECT l_orderkey FROM lineitem
+        |        ANTI JOIN orders ON l_orderkey = o_orderkey)
+        |  UNION ALL
+        |  SELECT CAST(5 AS BIGINT), 'customer_nation_exists',
+        |    (SELECT CAST(count(*) AS BIGINT) FROM customer),
+        |    CAST(count(*) AS BIGINT)
+        |  FROM (SELECT c_nationkey FROM customer
+        |        ANTI JOIN nation ON c_nationkey = n_nationkey)
+        |  UNION ALL
+        |  SELECT CAST(6 AS BIGINT), 'orders_date_in_range',
+        |    CAST(count(*) AS BIGINT),
+        |    CAST(coalesce(sum(CASE
+        |      WHEN o_orderdate < TIMESTAMP '1992-01-01'
+        |        OR o_orderdate > TIMESTAMP '1998-12-31'
+        |      THEN 1 ELSE 0 END), 0) AS BIGINT)
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT CAST(7 AS BIGINT), 'lineitem_returnflag_not_null',
+        |    CAST(count(*) AS BIGINT),
+        |    CAST(coalesce(sum(CASE WHEN l_returnflag IS NULL
+        |      THEN 1 ELSE 0 END), 0) AS BIGINT)
+        |  FROM lineitem)
+        |ORDER BY check_id""".stripMargin,
     "q217_kanon_release" ->
       """WITH ev AS (
         |  SELECT event_type, user_id,
