@@ -757,6 +757,35 @@ object Relational {
             .reduce(_ && _).as("within_tol"))
         .orderBy("l_returnflag")),
 
+    "q220_decay_score" -> ((s, d) => {
+      // Exponential time-decay scoring — the recency-weighted
+      // engagement feature every feature store materializes (and the
+      // scoring half of trending/leaderboard pipelines): each event
+      // contributes pow(0.5, age/halflife) with a 7-day halflife,
+      // summed per user. The decay weight is quantized to integer
+      // NANOUNITS per event BEFORE the sum (the q154 quantized-
+      // transcendental idiom) so per-user scores are exact BIGINTs in
+      // any aggregation order — bit-stable under any cluster layout;
+      // the reference time rides in as a lazy 1-row max(ts) crossJoin
+      // (the q85 idiom, no driver action). One scan + one
+      // map-side-combinable groupBy; event ages are exact integer
+      // micros end to end (last_us emitted as BIGINT — the
+      // TIMESTAMP-parity CAST discipline). At 100 TB the same shape
+      // holds; incremental refresh folds yesterday's scores by one
+      // multiply (documented, not materialized here).
+      val ev = events(s, d).select(col("user_id"), col("ts"))
+      val tmax = ev.agg(max(col("ts")).as("tmax"))
+      ev.crossJoin(tmax)
+        .withColumn("w_nano", expr(
+          "CAST(round(pow(0.5, CAST(unix_micros(tmax) - unix_micros(ts) " +
+            "AS DOUBLE) / 604800000000.0) * 1e9) AS BIGINT)"))
+        .groupBy(col("user_id"))
+        .agg(sum(col("w_nano")).as("score_nano"),
+          count(lit(1)).as("n_events"),
+          max(expr("unix_micros(ts)")).as("last_us"))
+        .orderBy(col("score_nano").desc, col("user_id"))
+    }),
+
     "q219_data_quality" -> ((s, d) => {
       // Data-contract validation — the expectations gate (dbt tests /
       // Great-Expectations class) every ingest runs before a table is
@@ -2823,6 +2852,19 @@ object Relational {
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
     // rel_err_ok is computed from Spark's real DataSketches HLL union;
     // the oracle asserts it (the q22 bounded-error contract)
+    "q220_decay_score" ->
+      """WITH tm AS (SELECT max(ts) AS tmax FROM events),
+        |w AS (
+        |  SELECT user_id, ts,
+        |    CAST(round(pow(0.5,
+        |      CAST(epoch_us(tmax) - epoch_us(ts) AS DOUBLE)
+        |        / 604800000000.0) * 1e9) AS BIGINT) AS w_nano
+        |  FROM events CROSS JOIN tm)
+        |SELECT user_id, CAST(sum(w_nano) AS BIGINT) AS score_nano,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(max(epoch_us(ts)) AS BIGINT) AS last_us
+        |FROM w GROUP BY 1
+        |ORDER BY score_nano DESC, user_id""".stripMargin,
     "q219_data_quality" ->
       """SELECT check_id, check_name, n_checked, n_violations,
         |  n_violations = 0 AS pass
