@@ -214,12 +214,14 @@ object Bench {
     // one representative per operator family, every query the round-5
     // plan audit watches (q97/q103/q107/q122/q125/q126/q128), and the
     // newest additions.
-    // Pruned in round 10 to fund the auto-derived q207+ tail (the 1600-
-    // char stdout guard tripped at 215 queries): dropped q06/q30/q70/
-    // q144/q152/q164/q198/q155 — each family keeps a representative
-    // (generator→q03, windows→q157, ANN→q127/q143, media→q200/q206,
-    // BPE→q160, dedup gates→q199/q202) and every round-5 plan-audit
-    // watch (q97/q103/q107/q122/q125/q126/q128) stays.
+    // Pruned twice in round 10 to fund the auto-derived q207+ tail (the
+    // stdout guard tripped at 215 and again at 220 queries): dropped
+    // q06/q30/q70/q144/q152/q164/q198/q155, then q109/q110/q150/q161/
+    // q195 — each family keeps a representative (generator→q03,
+    // windows→q157, ANN→q127/q143, spans→q113, semantic→q115,
+    // media→q200/q206, BPE→q160, dedup gates→q199/q202) and every
+    // round-5 plan-audit watch (q97/q103/q107/q122/q125/q126/q128)
+    // stays; pruned queries remain in bench_out.json's full map.
     val headline = Seq(
       "q01_onebrc_events", "q03_onebrc_tenths",
       "q11_join_sortmerge", "q17_range_join", "q20_tpch_q1",
@@ -228,16 +230,14 @@ object Bench {
       "q97_stream_stream_join", "q99_stream_delta_admit",
       "q103_approx_percentile", "q104_delta_dedup_full",
       "q105_staged_dedup", "q107_stream_heavy_hitters",
-      "q109_substring_spans", "q110_semantic_dedup", "q113_spans_rolling",
+      "q113_spans_rolling",
       "q115_semantic_multiprobe", "q120_cluster_split",
       "q122_stream_sliding", "q125_sql_recursive",
       "q126_transform_with_state", "q127_ann_rerank", "q128_pagerank",
-      "q143_ivf_pq_rerank",
-      "q150_staged_ann", "q151_ann_delta",
+      "q143_ivf_pq_rerank", "q151_ann_delta",
       "q153_bm25", "q154_bigram_lm",
       "q157_topk_agg", "q159_stream_session_timers",
-      "q160_bpe_apply", "q161_salted_join",
-      "q195_quantile_normalize", "q199_line_dedup",
+      "q160_bpe_apply", "q199_line_dedup",
       "q200_image_dedup", "q201_audio_dedup", "q202_blocklist",
       "q203_triangles", "q204_html_extract", "q205_crawl_pipeline",
       "q206_video_ingest")
@@ -260,7 +260,10 @@ object Bench {
     val outPath = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json"))
     java.nio.file.Files.write(outPath, (fullJson + "\n").getBytes("UTF-8"))
-    require(shortJson.length < 1600, s"bench stdout line too long: ${shortJson.length}")
+    // the driver parses the LAST stdout line from a 2000-char tail
+    // window: 1750 leaves real margin for the trailing newline while
+    // funding ~2 rounds of auto-added queries between prunes
+    require(shortJson.length < 1750, s"bench stdout line too long: ${shortJson.length}")
     spark.stop()
     println(shortJson)
   }
