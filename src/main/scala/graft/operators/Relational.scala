@@ -757,6 +757,44 @@ object Relational {
             .reduce(_ && _).as("within_tol"))
         .orderBy("l_returnflag")),
 
+    "q221_rolling_sketch" -> ((s, d) => {
+      // Rolling 7-day distinct users via MERGEABLE sketches — the
+      // production form of q197's exact rolling distinct and the
+      // payoff of q139's sharded-HLL shape: build ONE hll sketch per
+      // (day), then serve every trailing-7-day window by UNIONING the
+      // seven daily sketches — each day's data is summarized once and
+      // reused by all 7 windows it serves, so the window sweep moves
+      // ~KB sketch bytes instead of re-scanning (day × window) user
+      // sets. Daily sketches explode to the 7 target days they serve
+      // (the q197 calendar trick), hll_union_agg merges per target
+      // day. Estimates are engine-specific, so the emitted columns are
+      // the exact count (the q197 explode form — the oracle side) plus
+      // the q139 bounded-error CONTRACT: lgK=14 ⇒ SE ≈ 0.8%, gate 5%
+      // (≈ 6σ). At 100 TB the daily-sketch table IS the serving
+      // artifact — one build, every window query a KB-sized merge.
+      val ev = events(s, d)
+        .select(to_date(col("ts")).as("day"), col("user_id"))
+        .transform(graft.CacheRegistry.cached)
+      val daily = ev.groupBy(col("day"))
+        .agg(expr("hll_sketch_agg(user_id, 14)").as("sk"))
+      val served = daily
+        .select(explode(expr("sequence(day, date_add(day, 6))")).as("w_day"),
+          col("sk"))
+      val est = served.groupBy(col("w_day"))
+        .agg(expr("hll_sketch_estimate(hll_union_agg(sk, false))")
+          .as("approx_users"))
+      val exact = ev
+        .select(explode(expr("sequence(day, date_add(day, 6))")).as("w_day"),
+          col("user_id"))
+        .groupBy(col("w_day"))
+        .agg(countDistinct(col("user_id")).as("exact_users"))
+      exact.join(est, "w_day")
+        .select(col("w_day").cast("string").as("w_day"), col("exact_users"),
+          (abs(col("approx_users") - col("exact_users")).cast("double") /
+            col("exact_users") <= 0.05).as("rel_err_ok"))
+        .orderBy("w_day")
+    }),
+
     "q220_decay_score" -> ((s, d) => {
       // Exponential time-decay scoring — the recency-weighted
       // engagement feature every feature store materializes (and the
@@ -2852,6 +2890,19 @@ object Relational {
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
     // rel_err_ok is computed from Spark's real DataSketches HLL union;
     // the oracle asserts it (the q22 bounded-error contract)
+    "q221_rolling_sketch" ->
+      // exact side only — estimates are engine-specific, the emitted
+      // contract bool is the q139 pattern
+      """WITH ed AS (
+        |  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+        |served AS (
+        |  SELECT CAST(day + i * INTERVAL 1 DAY AS DATE) AS w_day, user_id
+        |  FROM ed, range(0, 7) AS t(i))
+        |SELECT CAST(w_day AS VARCHAR) AS w_day,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+        |  TRUE AS rel_err_ok
+        |FROM served GROUP BY w_day
+        |ORDER BY w_day""".stripMargin,
     "q220_decay_score" ->
       """WITH tm AS (SELECT max(ts) AS tmax FROM events),
         |w AS (
