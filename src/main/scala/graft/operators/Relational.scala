@@ -757,6 +757,57 @@ object Relational {
             .reduce(_ && _).as("within_tol"))
         .orderBy("l_returnflag")),
 
+    "q222_exact_median" -> ((s, d) => {
+      // EXACT grouped median — the op q103 deliberately approximates
+      // (with an error contract) done exactly, at scale, without a
+      // per-group global sort: the q108/q195 two-pass sharded rank.
+      // Values shard by range (cents div 500k — truncating div is
+      // monotone, so shard order is compatible with the (v, tie) total
+      // order); pass 1 turns per-(group, shard) counts into exclusive
+      // prefix offsets (a window over the tiny counts frame only);
+      // pass 2 adds a within-shard row_number, reproducing the global
+      // per-group rank with every window partition bounded by the
+      // shard width. The median is then a rank LOOKUP: rows at ranks
+      // (n+1) div 2 and (n+2) div 2 (the same row twice for odd n —
+      // weighted sum, so the emitted 2× median stays an exact BIGINT
+      // with no halving). Ties carry a unique (orderkey, linenumber)
+      // total order, so both engines pick the identical row. At 100 TB
+      // the shard bounds come from an approx-quantile profile (q103)
+      // instead of a fixed width; the rank arithmetic is unchanged.
+      val shardW = 500000L
+      val rows = t(s, d, "lineitem")
+        .select(col("l_returnflag").as("g"),
+          cents(col("l_extendedprice")).as("v"),
+          (col("l_orderkey") * 1000L + col("l_linenumber")).as("tie"))
+        .withColumn("shard", expr(s"v div $shardW"))
+        .transform(graft.CacheRegistry.cached)
+      val cnts = rows.groupBy(col("g"), col("shard"))
+        .agg(count(lit(1)).as("cnt"))
+        .transform(graft.CacheRegistry.cached)
+      val offs = cnts.withColumn("off", coalesce(
+        sum(col("cnt")).over(Window.partitionBy(col("g"))
+          .orderBy(col("shard"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      val targets = cnts.groupBy(col("g")).agg(sum(col("cnt")).as("n"))
+        .select(col("g"), col("n"),
+          expr("(n + 1) div 2").as("r1"), expr("(n + 2) div 2").as("r2"))
+      rows
+        .withColumn("rg", row_number().over(
+          Window.partitionBy(col("g"), col("shard"))
+            .orderBy(col("v"), col("tie"))).cast("long"))
+        .join(broadcast(offs.select(col("g"), col("shard"), col("off"))),
+          Seq("g", "shard"))
+        .withColumn("r", col("rg") + col("off"))
+        .join(broadcast(targets), "g")
+        .where(col("r") === col("r1") || col("r") === col("r2"))
+        .withColumn("w", (col("r") === col("r1")).cast("long") +
+          (col("r") === col("r2")).cast("long"))
+        .groupBy(col("g"))
+        .agg(max(col("n")).as("n"),
+          sum(col("v") * col("w")).as("median2x_cents"))
+        .orderBy("g")
+    }),
+
     "q221_rolling_sketch" -> ((s, d) => {
       // Rolling 7-day distinct users via MERGEABLE sketches — the
       // production form of q197's exact rolling distinct and the
@@ -2890,6 +2941,23 @@ object Relational {
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
     // rel_err_ok is computed from Spark's real DataSketches HLL union;
     // the oracle asserts it (the q22 bounded-error contract)
+    "q222_exact_median" ->
+      // the oracle affords the per-group global-sort form DuckDB can run
+      // at fixture size; rank equality with the sharded two-pass form is
+      // the q108 monotone-shard argument
+      """WITH r AS (
+        |  SELECT l_returnflag AS g,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS v,
+        |    row_number() OVER (PARTITION BY l_returnflag
+        |      ORDER BY CAST(round(l_extendedprice * 100) AS BIGINT),
+        |        l_orderkey * 1000 + l_linenumber) AS rk,
+        |    count(*) OVER (PARTITION BY l_returnflag) AS n
+        |  FROM lineitem)
+        |SELECT g, CAST(max(n) AS BIGINT) AS n,
+        |  CAST(sum(v * (CASE WHEN rk = (n + 1) // 2 THEN 1 ELSE 0 END
+        |              + CASE WHEN rk = (n + 2) // 2 THEN 1 ELSE 0 END))
+        |    AS BIGINT) AS median2x_cents
+        |FROM r GROUP BY g ORDER BY g""".stripMargin,
     "q221_rolling_sketch" ->
       // exact side only — estimates are engine-specific, the emitted
       // contract bool is the q139 pattern
