@@ -757,6 +757,42 @@ object Relational {
             .reduce(_ && _).as("within_tol"))
         .orderBy("l_returnflag")),
 
+    "q223_weighted_sample" -> ((s, d) => {
+      // Weighted sampling WITHOUT replacement (Efraimidis–Spirakis
+      // A-ES) — the data-mixing primitive behind "sample K docs with
+      // probability ∝ weight": each item draws a deterministic uniform
+      // u from a salted md5 (never rand() — the suite's reproducibility
+      // rule) and keys on ln(u)/w; the K LARGEST keys are exactly a
+      // weight-proportional sample without replacement (the A-ES
+      // theorem). Keys are quantized to integer nanounits (the q154
+      // idiom) and selection runs through the topk_rows BOUNDED-STATE
+      // aggregate — O(K) state per partition, map-side combined, never
+      // a global sort or an empty-partitionBy window (the q157
+      // machinery closing the loop: custom TypedImperativeAggregate
+      // serving a classic sampling operator). Weights here are doc
+      // lengths; at 100 TB the same one-pass shape holds and the
+      // sample is reproducible bit-for-bit under any layout.
+      graft.functions.TopKRowsAgg.register(s)
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"),
+          octet_length(col("text")).cast("long").as("w"))
+        .where(col("w") >= 1)
+        .withColumn("u", expr(
+          "(CAST(conv(substring(md5(concat('ws_', CAST(doc_id AS STRING))), " +
+            "1, 12), 16, 10) AS BIGINT) + 1) / CAST(281474976710656 AS DOUBLE)"))
+        .withColumn("key_nano",
+          expr("CAST(round(ln(u) / w * 1e9) AS BIGINT)"))
+      docs
+        .agg(expr("topk_rows(struct(CAST(key_nano AS DOUBLE) AS s0, " +
+          "lpad(CAST(doc_id AS STRING), 10, '0') AS tb, doc_id, w, " +
+          "key_nano), 50)").as("top"))
+        .select(posexplode(col("top")).as(Seq("i", "r")))
+        .select((col("i") + 1).cast("long").as("smp_rank"),
+          col("r.doc_id").as("doc_id"), col("r.w").as("w"),
+          col("r.key_nano").as("key_nano"))
+        .orderBy("smp_rank")
+    }),
+
     "q222_exact_median" -> ((s, d) => {
       // EXACT grouped median — the op q103 deliberately approximates
       // (with an error contract) done exactly, at scale, without a
@@ -2941,6 +2977,25 @@ object Relational {
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
     // rel_err_ok is computed from Spark's real DataSketches HLL union;
     // the oracle asserts it (the q22 bounded-error contract)
+    "q223_weighted_sample" ->
+      """WITH dw AS (
+        |  SELECT doc_id, CAST(strlen(text) AS BIGINT) AS w
+        |  FROM documents WHERE strlen(text) >= 1),
+        |k AS (
+        |  SELECT doc_id, w,
+        |    CAST(round(ln(
+        |      (CAST(concat('0x', substr(md5('ws_' || CAST(doc_id AS VARCHAR)),
+        |         1, 12)) AS BIGINT) + 1)
+        |      / CAST(281474976710656 AS DOUBLE)) / w * 1e9) AS BIGINT)
+        |      AS key_nano
+        |  FROM dw)
+        |SELECT * FROM (
+        |  SELECT CAST(row_number() OVER (ORDER BY key_nano DESC,
+        |      lpad(CAST(doc_id AS VARCHAR), 10, '0')) AS BIGINT)
+        |      AS smp_rank,
+        |    doc_id, w, key_nano
+        |  FROM k)
+        |WHERE smp_rank <= 50 ORDER BY smp_rank""".stripMargin,
     "q222_exact_median" ->
       // the oracle affords the per-group global-sort form DuckDB can run
       // at fixture size; rank equality with the sharded two-pass form is
