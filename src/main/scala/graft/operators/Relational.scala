@@ -84,6 +84,33 @@ object Relational {
       |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS DOUBLE)/100.0 AS total
       |FROM marked GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** q213's funnel body over any (user_id, ts, event_id, event_type)
+    * frame — factored so FunnelSpec can pin the subsequence semantics on
+    * engineered event streams through the IDENTICAL pipeline. */
+  private[operators] def funnelOver(ev: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val seqs = ev
+      .select(col("user_id"),
+        struct(col("ts"), col("event_id"),
+          substring(col("event_type"), 1, 1).as("ch")).as("e"))
+      .groupBy(col("user_id"))
+      .agg(concat_ws("",
+        expr("transform(array_sort(collect_list(e)), x -> x.ch)")).as("seq"))
+    val f = seqs.agg(
+      count(lit(1)).as("n_users"),
+      sum(when(col("seq").rlike("v"), 1L).otherwise(0L)).as("n1"),
+      sum(when(col("seq").rlike("v.*c"), 1L).otherwise(0L)).as("n2"),
+      sum(when(col("seq").rlike("v.*c.*p"), 1L).otherwise(0L)).as("n3"))
+    f.selectExpr(
+      "stack(3, " +
+        "CAST(1 AS BIGINT), 'view', n1, n1 * 10000 div n_users, " +
+        "CAST(2 AS BIGINT), 'view>click', n2, " +
+        "  CASE WHEN n1 = 0 THEN CAST(0 AS BIGINT) ELSE n2 * 10000 div n1 END, " +
+        "CAST(3 AS BIGINT), 'view>click>purchase', n3, " +
+        "  CASE WHEN n2 = 0 THEN CAST(0 AS BIGINT) ELSE n3 * 10000 div n2 END" +
+        ") AS (stage, name, users, conv_bp)")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---- joins ------------------------------------------------------------
@@ -1043,27 +1070,7 @@ object Relational {
       // materializes; ts is exact micros so cross-engine order ties
       // cannot exist (verified: no per-user microsecond collisions at
       // any SF).
-      val seqs = events(s, d)
-        .select(col("user_id"),
-          struct(col("ts"), col("event_id"),
-            substring(col("event_type"), 1, 1).as("ch")).as("e"))
-        .groupBy(col("user_id"))
-        .agg(concat_ws("",
-          expr("transform(array_sort(collect_list(e)), x -> x.ch)")).as("seq"))
-      val f = seqs.agg(
-        count(lit(1)).as("n_users"),
-        sum(when(col("seq").rlike("v"), 1L).otherwise(0L)).as("n1"),
-        sum(when(col("seq").rlike("v.*c"), 1L).otherwise(0L)).as("n2"),
-        sum(when(col("seq").rlike("v.*c.*p"), 1L).otherwise(0L)).as("n3"))
-      f.selectExpr(
-        "stack(3, " +
-          "CAST(1 AS BIGINT), 'view', n1, n1 * 10000 div n_users, " +
-          "CAST(2 AS BIGINT), 'view>click', n2, " +
-          "  CASE WHEN n1 = 0 THEN CAST(0 AS BIGINT) ELSE n2 * 10000 div n1 END, " +
-          "CAST(3 AS BIGINT), 'view>click>purchase', n3, " +
-          "  CASE WHEN n2 = 0 THEN CAST(0 AS BIGINT) ELSE n3 * 10000 div n2 END" +
-          ") AS (stage, name, users, conv_bp)")
-        .orderBy("stage")
+      funnelOver(events(s, d)).orderBy("stage")
     }),
 
     "q139_hll_sketch_shards" -> ((s, d) => {
