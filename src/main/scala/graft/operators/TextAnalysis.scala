@@ -1312,6 +1312,48 @@ object TextAnalysis {
       bm25Ranked(s, d).orderBy("query_id", "rk")
     }),
 
+    "q224_text_scrub" -> ((s, d) => {
+      // Invisible-character scrubbing — the cleaning stage between
+      // extraction (q204/q209) and everything downstream: BOM,
+      // zero-width characters (the classic paste/crawl contamination
+      // that breaks tokenizers and dedup silently) and C0/DEL control
+      // bytes are stripped. The corpus is clean ASCII, so dirt is
+      // INJECTED deterministically (the q65 discipline): every 11th doc
+      // gains a BOM prefix, a BEL at a hash-chosen position and a
+      // zero-width space — and the scrub contract is SELF-CERTIFYING:
+      // scrub(dirty(text)) must equal the original text exactly, so the
+      // emitted `restored` flag (clean_md5 == md5(original)) is TRUE
+      // for every row, planted or not, and n_removed is exactly 3 for
+      // planted docs and 0 otherwise. Unicode escapes on the Spark
+      // side, chr() codepoints on the DuckDB side (Spark's char()
+      // truncates mod 256 — the trap this dodges); both engines run the
+      // same \x-escape regex class for controls (Java and RE2 agree).
+      // Per-row projection: scan-bound at any scale.
+      val digit = expr(
+        "CAST(conv(substring(md5(concat('dirty_', CAST(doc_id AS STRING))), " +
+          "1, 1), 16, 10) AS INT)")
+      val k = least(digit % 40 + 1, length(col("text")))
+      val dirty = when(col("doc_id") % 11 === 0,
+        concat(lit("\uFEFF"), col("text").substr(lit(1), k),
+          lit("\u0007"), lit("\u200B"),
+          col("text").substr(k + lit(1), length(col("text")))))
+        .otherwise(col("text"))
+      val cleaned = regexp_replace(regexp_replace(dirty,
+        "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", ""),
+        "[\uFEFF\u200B-\u200D]", "")
+      t(s, d, "documents")
+        .select(col("doc_id"), col("text"))
+        .withColumn("dirty", dirty)
+        .withColumn("clean", cleaned)
+        .select(col("doc_id"),
+          (col("doc_id") % 11 === 0).as("was_dirty"),
+          (length(col("dirty")) - length(col("clean"))).cast("long")
+            .as("n_removed"),
+          md5(col("clean")).as("clean_md5"),
+          (md5(col("clean")) === md5(col("text"))).as("restored"))
+        .orderBy("doc_id")
+    }),
+
     "q218_retrieval_eval" -> ((s, d) =>
       // Retrieval EVALUATION — the measurement harness next to the
       // retrieval stack itself (BM25 q153, ANN q127/q143, fusion q165):
@@ -2018,6 +2060,33 @@ object TextAnalysis {
         |  10000 * gini_num // (n_terms * total_tf) AS gini_bp
         |FROM g ORDER BY lang""".stripMargin,
     "q153_bm25" -> bm25FinalSql,
+    // chr() codepoints (NOT Spark-side char(), which truncates mod 256);
+    // the 'g' flag is load-bearing: DuckDB regexp_replace is first-match
+    // by default while Spark's is global
+    "q224_text_scrub" ->
+      """WITH base AS (
+        |  SELECT doc_id, text,
+        |    least((strpos('0123456789abcdef',
+        |      substr(md5('dirty_' || CAST(doc_id AS VARCHAR)), 1, 1)) - 1)
+        |      % 40 + 1, length(text)) AS k
+        |  FROM documents),
+        |d AS (
+        |  SELECT doc_id, text,
+        |    CASE WHEN doc_id % 11 = 0 THEN
+        |      chr(65279) || substr(text, 1, k) || chr(7) || chr(8203)
+        |        || substr(text, k + 1)
+        |    ELSE text END AS dirty
+        |  FROM base),
+        |c AS (
+        |  SELECT doc_id, text, dirty,
+        |    regexp_replace(regexp_replace(dirty,
+        |      '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
+        |      '[\x{FEFF}\x{200B}-\x{200D}]', '', 'g') AS clean
+        |  FROM d)
+        |SELECT doc_id, doc_id % 11 = 0 AS was_dirty,
+        |  CAST(length(dirty) - length(clean) AS BIGINT) AS n_removed,
+        |  md5(clean) AS clean_md5, md5(clean) = md5(text) AS restored
+        |FROM c ORDER BY doc_id""".stripMargin,
     "q218_retrieval_eval" -> {
       val qCte = """qdf AS (
         |  SELECT term, count(DISTINCT doc_id) AS qdf FROM (
