@@ -1312,6 +1312,47 @@ object TextAnalysis {
       bm25Ranked(s, d).orderBy("query_id", "rk")
     }),
 
+    "q225_epoch_shuffle" -> ((s, d) => {
+      // Deterministic per-epoch training order — the reproducibility
+      // contract every trainer needs (resume mid-epoch, re-run a job,
+      // audit which sample was step N): epoch e's permutation is the
+      // rank of md5('ep' || e || '_' || doc_id), so the order is (a)
+      // uniform-random-like, (b) DIFFERENT every epoch, (c) bit-stable
+      // under any cluster layout with no rand() anywhere. The global
+      // rank is NEVER a global window: hashes shard uniformly by their
+      // first hex nibble (16 shards by construction), per-(epoch,
+      // shard) counts fold into exclusive prefix offsets over the tiny
+      // counts frame, and a within-shard row_number reproduces the
+      // exact global position — the q108/q195/q222 two-pass machinery
+      // applied to the shuffle every data loader materializes. At
+      // 100 TB: one narrow exchange of (hash, doc_id) pairs per epoch,
+      // positions exact, resume = WHERE pos > checkpoint.
+      val epochs = 2
+      val rows = t(s, d, "documents")
+        .select(col("doc_id"),
+          explode(expr(s"sequence(0, ${epochs - 1})")).as("epoch"))
+        .withColumn("h", md5(concat(lit("ep"), col("epoch"), lit("_"),
+          col("doc_id"))))
+        .withColumn("shard",
+          expr("CAST(conv(substring(h, 1, 1), 16, 10) AS INT)"))
+        .transform(graft.CacheRegistry.cached)
+      val cnts = rows.groupBy(col("epoch"), col("shard"))
+        .agg(count(lit(1)).as("cnt"))
+      val offs = cnts.withColumn("off", coalesce(
+        sum(col("cnt")).over(Window.partitionBy(col("epoch"))
+          .orderBy(col("shard"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      rows
+        .withColumn("rg", row_number().over(
+          Window.partitionBy(col("epoch"), col("shard"))
+            .orderBy(col("h"), col("doc_id"))).cast("long"))
+        .join(broadcast(offs.select(col("epoch"), col("shard"), col("off"))),
+          Seq("epoch", "shard"))
+        .select(col("epoch").cast("long").as("epoch"),
+          (col("rg") + col("off")).as("pos"), col("doc_id"))
+        .orderBy("epoch", "pos")
+    }),
+
     "q224_text_scrub" -> ((s, d) => {
       // Invisible-character scrubbing — the cleaning stage between
       // extraction (q204/q209) and everything downstream: BOM,
@@ -2060,6 +2101,21 @@ object TextAnalysis {
         |  10000 * gini_num // (n_terms * total_tf) AS gini_bp
         |FROM g ORDER BY lang""".stripMargin,
     "q153_bm25" -> bm25FinalSql,
+    "q225_epoch_shuffle" ->
+      // the oracle affords the one-window global-sort form at fixture
+      // size; rank equality with the nibble-sharded two-pass form is
+      // the q108 monotone-shard argument (hex-string order == (nibble,
+      // rest) order)
+      """WITH r AS (
+        |  SELECT e.epoch, d.doc_id,
+        |    md5('ep' || CAST(e.epoch AS VARCHAR) || '_'
+        |        || CAST(d.doc_id AS VARCHAR)) AS h
+        |  FROM documents d, (SELECT unnest(range(0, 2)) AS epoch) e)
+        |SELECT CAST(epoch AS BIGINT) AS epoch,
+        |  CAST(row_number() OVER (PARTITION BY epoch
+        |    ORDER BY h, doc_id) AS BIGINT) AS pos,
+        |  doc_id
+        |FROM r ORDER BY epoch, pos""".stripMargin,
     // chr() codepoints (NOT Spark-side char(), which truncates mod 256);
     // the 'g' flag is load-bearing: DuckDB regexp_replace is first-match
     // by default while Spark's is global
