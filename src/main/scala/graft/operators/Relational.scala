@@ -784,6 +784,34 @@ object Relational {
             .reduce(_ && _).as("within_tol"))
         .orderBy("l_returnflag")),
 
+    "q226_activity_streaks" -> ((s, d) => {
+      // Consecutive-day activity streaks — the engagement staple
+      // (longest streak, streak count) and the DATE-axis form of the
+      // gaps-and-islands technique q109 applies to token positions:
+      // distinct active days per user, then the classic island key
+      // day − rank (two consecutive days share it; a gap breaks it) via
+      // date_sub over a per-USER window — bounded by the user's own
+      // active-day count, never a corpus window. Islands collapse to
+      // per-user streak stats in one more map-side-combinable pass.
+      // Exact integer day arithmetic both engines (dates, no
+      // timestamps); at 100 TB the only exchange carries (user, day)
+      // pairs already deduped map-side.
+      val days = events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+        .distinct()
+      val islands = days
+        .withColumn("grp", expr("date_sub(day, " +
+          "CAST(row_number() OVER (PARTITION BY user_id ORDER BY day) " +
+          "AS INT))"))
+        .groupBy(col("user_id"), col("grp"))
+        .agg(count(lit(1)).as("len"))
+      islands.groupBy(col("user_id"))
+        .agg(sum(col("len")).as("n_active_days"),
+          max(col("len")).as("longest_streak"),
+          count(lit(1)).as("n_streaks"))
+        .orderBy("user_id")
+    }),
+
     "q223_weighted_sample" -> ((s, d) => {
       // Weighted sampling WITHOUT replacement (Efraimidis–Spirakis
       // A-ES) — the data-mixing primitive behind "sample K docs with
@@ -2984,6 +3012,21 @@ object Relational {
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
     // rel_err_ok is computed from Spark's real DataSketches HLL union;
     // the oracle asserts it (the q22 bounded-error contract)
+    "q226_activity_streaks" ->
+      """WITH days AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |isl AS (
+        |  SELECT user_id,
+        |    day - CAST(row_number() OVER (PARTITION BY user_id
+        |      ORDER BY day) AS INT) AS grp
+        |  FROM days),
+        |st AS (
+        |  SELECT user_id, grp, count(*) AS len
+        |  FROM isl GROUP BY 1, 2)
+        |SELECT user_id, CAST(sum(len) AS BIGINT) AS n_active_days,
+        |  CAST(max(len) AS BIGINT) AS longest_streak,
+        |  CAST(count(*) AS BIGINT) AS n_streaks
+        |FROM st GROUP BY 1 ORDER BY user_id""".stripMargin,
     "q223_weighted_sample" ->
       """WITH dw AS (
         |  SELECT doc_id, CAST(strlen(text) AS BIGINT) AS w
