@@ -1312,6 +1312,43 @@ object TextAnalysis {
       bm25Ranked(s, d).orderBy("query_id", "rk")
     }),
 
+    "q227_pmi_collocations" -> ((s, d) => {
+      // PMI collocation mining — the co-occurrence statistic behind
+      // phrase discovery, topic seeds and association rules:
+      // pmi(a,b) = ln(N·c(a,b) / (c(a)·c(b))) over document-level
+      // co-occurrence. Distinct (doc, term) pairs self-join ON doc_id
+      // with a.term < b.term — pair work per doc is bounded by the
+      // doc's own VOCABULARY squared (at web scale a df-cap prunes
+      // stopword-class terms first, the q63 ShingleDfCap discipline);
+      // df counts come from the same distinct frame, N rides a lazy
+      // 1-row crossJoin (q85), support ≥ 5 co-docs. PMI is quantized
+      // to integer nanounits per pair (the q154 idiom — the ln spelled
+      // with the oracle's exact parenthesization), so the emitted
+      // table is hash-exact including its (pmi desc, a, b) order.
+      val dt = t(s, d, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        .distinct()
+        .transform(graft.CacheRegistry.cached)
+      val df = dt.groupBy(col("term")).agg(count(lit(1)).as("c1"))
+      val n = dt.select(col("doc_id")).distinct()
+        .agg(count(lit(1)).as("n_docs"))
+      val pairs = dt.select(col("doc_id"), col("term").as("a"))
+        .join(dt.select(col("doc_id"), col("term").as("b")), "doc_id")
+        .where(col("a") < col("b"))
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("cab"))
+        .where(col("cab") >= 5)
+      pairs
+        .join(broadcast(df.select(col("term").as("a"), col("c1").as("ca"))), "a")
+        .join(broadcast(df.select(col("term").as("b"), col("c1").as("cb"))), "b")
+        .crossJoin(broadcast(n))
+        .withColumn("pmi_nano", expr(
+          "CAST(round(ln(CAST(cab AS DOUBLE) * n_docs / (ca * cb)) * 1e9) " +
+            "AS BIGINT)"))
+        .select(col("a"), col("b"), col("ca"), col("cb"), col("cab"),
+          col("pmi_nano"))
+        .orderBy(col("pmi_nano").desc, col("a"), col("b"))
+    }),
+
     "q225_epoch_shuffle" -> ((s, d) => {
       // Deterministic per-epoch training order — the reproducibility
       // contract every trainer needs (resume mid-epoch, re-run a job,
@@ -2101,6 +2138,26 @@ object TextAnalysis {
         |  10000 * gini_num // (n_terms * total_tf) AS gini_bp
         |FROM g ORDER BY lang""".stripMargin,
     "q153_bm25" -> bm25FinalSql,
+    "q227_pmi_collocations" ->
+      """WITH dt AS (
+        |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS term
+        |  FROM documents),
+        |df AS (SELECT term, count(*) AS c1 FROM dt GROUP BY 1),
+        |n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM dt),
+        |pairs AS (
+        |  SELECT x.term AS a, y.term AS b, count(*) AS cab
+        |  FROM dt x JOIN dt y USING (doc_id)
+        |  WHERE x.term < y.term
+        |  GROUP BY 1, 2 HAVING count(*) >= 5)
+        |SELECT a, b, CAST(ca.c1 AS BIGINT) AS ca,
+        |  CAST(cb.c1 AS BIGINT) AS cb, CAST(cab AS BIGINT) AS cab,
+        |  CAST(round(ln(CAST(cab AS DOUBLE) * n_docs / (ca.c1 * cb.c1))
+        |    * 1e9) AS BIGINT) AS pmi_nano
+        |FROM pairs
+        |JOIN df ca ON ca.term = a
+        |JOIN df cb ON cb.term = b
+        |CROSS JOIN n
+        |ORDER BY pmi_nano DESC, a, b""".stripMargin,
     "q225_epoch_shuffle" ->
       // the oracle affords the one-window global-sort form at fixture
       // size; rank equality with the nibble-sharded two-pass form is
