@@ -445,6 +445,41 @@ object Similarity {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    "q228_embedding_pool" -> ((s, d) => {
+      // Chunk→document embedding POOLING — the aggregation step between
+      // per-chunk encoding (q214/q215's chunk tables) and doc-level
+      // retrieval: vectors pool in groups of 4 (vec_id div 4 stands in
+      // for the chunk→doc mapping) by element-wise mean. Float sums are
+      // NOT associative, so the mean would be cluster-layout-dependent
+      // — instead each float element quantizes to integer MICROunits
+      // first (float→double widening is exact; one deterministic round
+      // per element), integer sums are exact in any order, and the mean
+      // divides with the q140 sign-split (Spark div truncates toward
+      // zero, DuckDB // floors — they disagree exactly on the negative
+      // components embeddings carry). Emitted long-form (pool, dim)
+      // rows; the L2-normalize a serving stack would fuse on top is one
+      // more quantized map (the q35 int8 discipline). One explode + one
+      // map-side-combinable groupBy; ~24 bytes per (pool, dim) cross
+      // the exchange, never vectors.
+      t(s, d, "embeddings")
+        .select(col("vec_id"),
+          posexplode(col("embedding")).as(Seq("dim0", "v")))
+        .select(expr("vec_id div 4").as("pool_id"),
+          (col("dim0") + 1).cast("long").as("dim"),
+          expr("CAST(round(CAST(v AS DOUBLE) * 1e6) AS BIGINT)")
+            .as("micro"))
+        .groupBy(col("pool_id"), col("dim"))
+        .agg(count(lit(1)).as("n"), sum(col("micro")).as("sum_micro"))
+        .withColumn("mean_nano", expr(
+          """CAST(CASE WHEN sum_micro >= 0
+            |     THEN (sum_micro * 1000) div n
+            |     ELSE -((-sum_micro * 1000) div n) END AS BIGINT)"""
+            .stripMargin))
+        .select(col("pool_id"), col("dim"), col("n"), col("sum_micro"),
+          col("mean_nano"))
+        .orderBy("pool_id", "dim")
+    }),
+
     "q35_embed_quantize" -> ((s, d) => {
       // int8 symmetric quantization — the storage-compression step before
       // ANN indexing (4x smaller vectors, SIMD-friendly int8 dot
@@ -1066,6 +1101,27 @@ object Similarity {
        |FROM ranked WHERE rn <= 10 ORDER BY q_id, rn""".stripMargin
 
   val oracle: Map[String, String] = Map(
+
+    "q228_embedding_pool" ->
+      """WITH ex AS (
+        |  SELECT vec_id // 4 AS pool_id,
+        |    struct_extract(u, 'dim') AS dim,
+        |    CAST(round(CAST(struct_extract(u, 'v') AS DOUBLE) * 1e6)
+        |      AS BIGINT) AS micro
+        |  FROM (
+        |    SELECT vec_id, unnest(list_transform(
+        |      range(1, len(embedding) + 1),
+        |      i -> struct_pack(dim := i, v := embedding[i]))) AS u
+        |    FROM embeddings))
+        |SELECT pool_id, CAST(dim AS BIGINT) AS dim,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(micro) AS BIGINT) AS sum_micro,
+        |  CAST(CASE WHEN sum(micro) >= 0
+        |    THEN (sum(micro) * 1000) // count(*)
+        |    ELSE -((-sum(micro) * 1000) // count(*)) END AS BIGINT)
+        |    AS mean_nano
+        |FROM ex GROUP BY 1, 2
+        |ORDER BY pool_id, dim""".stripMargin,
 
     "q35_embed_quantize" ->
       """WITH ex AS (
