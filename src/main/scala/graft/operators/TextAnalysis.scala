@@ -1312,6 +1312,38 @@ object TextAnalysis {
       bm25Ranked(s, d).orderBy("query_id", "rk")
     }),
 
+    "q229_psi_drift" -> ((s, d) => {
+      // Population-stability-index drift detection — the monitoring
+      // gate between yesterday's corpus and today's: doc lengths bin
+      // into 20 fixed buckets (the q196 explicit-edge discipline), the
+      // even/odd doc_id halves stand in for reference vs current, and
+      // each bin contributes (p−q)·ln(p/q) with add-one smoothing
+      // (zero-count bins can't blow up). Counts are exact integers;
+      // the one transcendental is quantized to nanounits PER BIN (the
+      // q154 idiom) so the per-bin contributions — and any total a
+      // dashboard sums from them — are hash-exact. The conventional
+      // read (PSI < 0.1 stable, > 0.25 shifted) applies to the summed
+      // nanounits / 1e9. One scan + a 20-row aggregate; totals ride a
+      // lazy 1-row crossJoin.
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"),
+          octet_length(col("text")).cast("long").as("v"))
+        .withColumn("bin", least(expr("v div 100"), lit(19L)))
+        .withColumn("ref", col("doc_id") % 2 === 0)
+      val cnt = docs.groupBy(col("bin")).agg(
+        sum(when(col("ref"), 1L).otherwise(0L)).as("n_ref"),
+        sum(when(!col("ref"), 1L).otherwise(0L)).as("n_cur"))
+      val tot = cnt.agg(sum(col("n_ref")).as("tr"), sum(col("n_cur")).as("tc"))
+      cnt.crossJoin(broadcast(tot))
+        .withColumn("psi_nano", expr(
+          "CAST(round(((CAST(n_ref + 1 AS DOUBLE) / (tr + 20)) - " +
+            "(CAST(n_cur + 1 AS DOUBLE) / (tc + 20))) * " +
+            "ln((CAST(n_ref + 1 AS DOUBLE) / (tr + 20)) / " +
+            "(CAST(n_cur + 1 AS DOUBLE) / (tc + 20))) * 1e9) AS BIGINT)"))
+        .select(col("bin"), col("n_ref"), col("n_cur"), col("psi_nano"))
+        .orderBy("bin")
+    }),
+
     "q227_pmi_collocations" -> ((s, d) => {
       // PMI collocation mining — the co-occurrence statistic behind
       // phrase discovery, topic seeds and association rules:
@@ -2138,6 +2170,26 @@ object TextAnalysis {
         |  10000 * gini_num // (n_terms * total_tf) AS gini_bp
         |FROM g ORDER BY lang""".stripMargin,
     "q153_bm25" -> bm25FinalSql,
+    "q229_psi_drift" ->
+      """WITH docs AS (
+        |  SELECT doc_id, CAST(strlen(text) AS BIGINT) AS v FROM documents),
+        |b AS (
+        |  SELECT least(v // 100, 19) AS bin, doc_id % 2 = 0 AS refside
+        |  FROM docs),
+        |cnt AS (
+        |  SELECT bin,
+        |    CAST(sum(CASE WHEN refside THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+        |    CAST(sum(CASE WHEN refside THEN 0 ELSE 1 END) AS BIGINT) AS n_cur
+        |  FROM b GROUP BY 1),
+        |tot AS (SELECT sum(n_ref) AS tr, sum(n_cur) AS tc FROM cnt)
+        |SELECT bin, n_ref, n_cur,
+        |  CAST(round(((CAST(n_ref + 1 AS DOUBLE) / (tr + 20)) -
+        |    (CAST(n_cur + 1 AS DOUBLE) / (tc + 20))) *
+        |    ln((CAST(n_ref + 1 AS DOUBLE) / (tr + 20)) /
+        |    (CAST(n_cur + 1 AS DOUBLE) / (tc + 20))) * 1e9) AS BIGINT)
+        |    AS psi_nano
+        |FROM cnt CROSS JOIN tot
+        |ORDER BY bin""".stripMargin,
     "q227_pmi_collocations" ->
       """WITH dt AS (
         |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS term
