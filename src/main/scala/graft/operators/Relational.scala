@@ -784,6 +784,38 @@ object Relational {
             .reduce(_ && _).as("within_tol"))
         .orderBy("l_returnflag")),
 
+    "q231_skew_profile" -> ((s, d) => {
+      // Join-key SKEW profile — the diagnosis every shuffle-debugging
+      // session runs before reaching for q161's salting or AQE's skew
+      // split: per-key frequency stats plus the top hot keys, in one
+      // bounded pass. The hot-key list runs through topk_rows (O(k)
+      // state, map-side combined — profiling a skewed key must not
+      // itself skew); global stats ride the same aggregate pass and
+      // join back as a lazy 1-row frame. skew_bp = max/avg in basis
+      // points (10000 = perfectly uniform); share_bp = the hot key's
+      // fraction of all rows. Exact integers throughout — the report a
+      // production job would emit before choosing its join strategy.
+      graft.functions.TopKRowsAgg.register(s)
+      val cnt = events(s, d).groupBy(col("user_id"))
+        .agg(count(lit(1)).as("cnt"))
+        .transform(graft.CacheRegistry.cached)
+      val stats = cnt.agg(count(lit(1)).as("n_keys"),
+        sum(col("cnt")).as("n_rows"), max(col("cnt")).as("max_cnt"))
+      cnt
+        .agg(expr("topk_rows(struct(CAST(cnt AS DOUBLE) AS s0, " +
+          "lpad(CAST(user_id AS STRING), 10, '0') AS tb, user_id, cnt), 5)")
+          .as("top"))
+        .select(posexplode(col("top")).as(Seq("i", "r")))
+        .select((col("i") + 1).cast("long").as("hot_rank"),
+          col("r.user_id").as("user_id"), col("r.cnt").as("cnt"))
+        .crossJoin(broadcast(stats))
+        .select(col("hot_rank"), col("user_id"), col("cnt"),
+          expr("cnt * 10000 div n_rows").as("share_bp"),
+          col("n_keys"),
+          expr("max_cnt * n_keys * 10000 div n_rows").as("skew_bp"))
+        .orderBy("hot_rank")
+    }),
+
     "q226_activity_streaks" -> ((s, d) => {
       // Consecutive-day activity streaks — the engagement staple
       // (longest streak, streak count) and the DATE-axis form of the
@@ -3012,6 +3044,25 @@ object Relational {
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
     // rel_err_ok is computed from Spark's real DataSketches HLL union;
     // the oracle asserts it (the q22 bounded-error contract)
+    "q231_skew_profile" ->
+      """WITH cnt AS (
+        |  SELECT user_id, count(*) AS cnt FROM events GROUP BY 1),
+        |stats AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_keys,
+        |    CAST(sum(cnt) AS BIGINT) AS n_rows,
+        |    CAST(max(cnt) AS BIGINT) AS max_cnt
+        |  FROM cnt),
+        |top AS (
+        |  SELECT user_id, CAST(cnt AS BIGINT) AS cnt,
+        |    CAST(row_number() OVER (ORDER BY cnt DESC,
+        |      lpad(CAST(user_id AS VARCHAR), 10, '0')) AS BIGINT)
+        |      AS hot_rank
+        |  FROM cnt)
+        |SELECT hot_rank, user_id, cnt,
+        |  cnt * 10000 // n_rows AS share_bp, n_keys,
+        |  max_cnt * n_keys * 10000 // n_rows AS skew_bp
+        |FROM top CROSS JOIN stats
+        |WHERE hot_rank <= 5 ORDER BY hot_rank""".stripMargin,
     "q226_activity_streaks" ->
       """WITH days AS (
         |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
