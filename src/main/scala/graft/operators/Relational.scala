@@ -784,6 +784,42 @@ object Relational {
             .reduce(_ && _).as("within_tol"))
         .orderBy("l_returnflag")),
 
+    "q232_tpch_q5" -> ((s, d) => {
+      // TPC-H Q5 — the deepest join chain in the suite (6 tables:
+      // lineitem ⋈ orders ⋈ customer ⋈ supplier ⋈ nation ⋈ region) and
+      // the classic local-supplier-volume rollup, next to Q1 (q20) and
+      // Q3 (q29). The load-bearing predicate is c_nationkey =
+      // s_nationkey — an extra equi-condition BETWEEN two dimension
+      // joins, the shape that exposes join-order quality. Catalyst
+      // broadcasts nation/region (and at this SF customer/supplier via
+      // AQE); the date filter pushes to the orders scan. Revenue is
+      // EXACT: cents × integer discount-percent = 1e-4 dollar units
+      // (l_discount is a 0.00–0.10 two-decimal domain, so
+      // round(l_discount·100) is lossless) — BIGINT sums in any join
+      // order, the q20 cents discipline extended to the discount
+      // product. Ordered (revenue desc, n_name) with the unique-order
+      // tie-break.
+      val li = t(s, d, "lineitem")
+        .withColumn("rev_e4", cents(col("l_extendedprice")) *
+          (lit(100L) - expr("CAST(round(l_discount * 100) AS BIGINT)")))
+      li
+        .join(t(s, d, "orders")
+          .where(col("o_orderdate") >= lit("1994-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1996-01-01").cast("timestamp")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(t(s, d, "supplier"),
+          col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+        .join(t(s, d, "nation"), col("s_nationkey") === col("n_nationkey"))
+        .join(t(s, d, "region").where(col("r_name") === "ASIA"),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(col("rev_e4")).as("revenue_e4"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("revenue_e4").desc, col("n_name"))
+    }),
+
     "q231_skew_profile" -> ((s, d) => {
       // Join-key SKEW profile — the diagnosis every shuffle-debugging
       // session runs before reaching for q161's salting or AQE's skew
@@ -3044,6 +3080,24 @@ object Relational {
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
     // rel_err_ok is computed from Spark's real DataSketches HLL union;
     // the oracle asserts it (the q22 bounded-error contract)
+    "q232_tpch_q5" ->
+      """SELECT n_name,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |    * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT)
+        |    AS revenue_e4,
+        |  CAST(count(*) AS BIGINT) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |  AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1994-01-01'
+        |  AND o_orderdate < TIMESTAMP '1996-01-01'
+        |GROUP BY n_name
+        |ORDER BY revenue_e4 DESC, n_name""".stripMargin,
     "q231_skew_profile" ->
       """WITH cnt AS (
         |  SELECT user_id, count(*) AS cnt FROM events GROUP BY 1),
