@@ -784,6 +784,75 @@ object Relational {
             .reduce(_ && _).as("within_tol"))
         .orderBy("l_returnflag")),
 
+    "q234_tpch_q13" -> ((s, d) => {
+      // TPC-H Q13 — the customer order-count DISTRIBUTION, the one
+      // classic join shape the suite lacked: a LEFT OUTER join whose
+      // filter lives INSIDE the join condition, not after it (a
+      // customer whose only orders are excluded must still appear
+      // with c_count = 0 — a post-join WHERE would silently drop the
+      // zero bucket, the textbook outer-join bug), followed by TWO
+      // aggregations: count(o_orderkey) per customer (count of a
+      // COLUMN, so unmatched rows' nulls contribute 0), then the
+      // histogram over those counts. The fixture lacks o_comment, so
+      // the exclusion predicate is the same-shaped o_orderpriority
+      // filter. At scale: the filter prunes the orders scan before
+      // the exchange, the first groupBy rides the join's own
+      // c_custkey partitioning, and the second aggregates a frame
+      // bounded by max orders-per-customer — pennies.
+      val o = t(s, d, "orders")
+        .where(col("o_orderpriority") =!= "1-URGENT")
+        .select(col("o_orderkey"), col("o_custkey"))
+      t(s, d, "customer")
+        .join(o, col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    }),
+
+    "q235_tpch_q21" -> ((s, d) => {
+      // TPC-H Q21 — "suppliers who kept waiting", the deepest
+      // CORRELATED shape in the benchmark: for finished orders, late
+      // lineitems where ANOTHER supplier shared the order (EXISTS —
+      // a left-semi self-join) but NO OTHER supplier was also late
+      // (NOT EXISTS — a left-anti self-join over the same derived
+      // frame), i.e. this supplier alone held the order up. The
+      // fixture lacks receipt/commit dates, so "late" is l_shipdate >
+      // o_orderdate + 60 days — same shape, same plan. Self-joins on
+      // the derived frame rename their keys (k2/s2, k3/s3 — the
+      // ambiguous-column discipline); both probes shuffle on
+      // l_orderkey so AQE can reuse the partitioning, and the anti
+      // side is pre-filtered to late rows only (the smaller frame).
+      // supplier joins AFTER the correlation collapses the frame to
+      // qualifying rows — broadcast at any realistic supplier count.
+      val li = t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+      val lf = li
+        .join(t(s, d, "orders").where(col("o_orderstatus") === "F")
+          .select(col("o_orderkey"), col("o_orderdate")),
+          col("l_orderkey") === col("o_orderkey"))
+        .withColumn("late",
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+        .select(col("l_orderkey"), col("l_suppkey"), col("late"))
+        .transform(graft.CacheRegistry.cached)
+      val anyOther = li.select(col("l_orderkey").as("k2"),
+        col("l_suppkey").as("s2"))
+      val lateOther = lf.where(col("late"))
+        .select(col("l_orderkey").as("k3"), col("l_suppkey").as("s3"))
+      lf.where(col("late"))
+        .join(anyOther,
+          col("l_orderkey") === col("k2") && col("l_suppkey") =!= col("s2"),
+          "left_semi")
+        .join(lateOther,
+          col("l_orderkey") === col("k3") && col("l_suppkey") =!= col("s3"),
+          "left_anti")
+        .join(t(s, d, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+    }),
+
     "q232_tpch_q5" -> ((s, d) => {
       // TPC-H Q5 — the deepest join chain in the suite (6 tables:
       // lineitem ⋈ orders ⋈ customer ⋈ supplier ⋈ nation ⋈ region) and
@@ -3080,6 +3149,35 @@ object Relational {
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
     // rel_err_ok is computed from Spark's real DataSketches HLL union;
     // the oracle asserts it (the q22 bounded-error contract)
+    "q234_tpch_q13" ->
+      """WITH per_cust AS (
+        |  SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+        |  FROM customer
+        |  LEFT OUTER JOIN orders ON c_custkey = o_custkey
+        |    AND o_orderpriority <> '1-URGENT'
+        |  GROUP BY c_custkey)
+        |SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+        |FROM per_cust
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "q235_tpch_q21" ->
+      """WITH lf AS (
+        |  SELECT l_orderkey, l_suppkey,
+        |    l_shipdate > o_orderdate + INTERVAL 60 DAY AS late
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE o_orderstatus = 'F')
+        |SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+        |FROM lf l1
+        |JOIN supplier ON l1.l_suppkey = s_suppkey
+        |WHERE l1.late
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey
+        |      AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lf l3
+        |    WHERE l3.l_orderkey = l1.l_orderkey
+        |      AND l3.l_suppkey <> l1.l_suppkey AND l3.late)
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name""".stripMargin,
     "q232_tpch_q5" ->
       """SELECT n_name,
         |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)

@@ -681,6 +681,43 @@ object TextAnalysis {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    "q233_quality_classifier" -> ((s, d) => {
+      // Hashed linear quality-classifier INFERENCE — the fasttext-style
+      // keep/drop model every web-scale pipeline runs between cheap
+      // heuristics (q82) and expensive stages: the hashing trick maps
+      // each token to one of 1024 buckets (first 8 md5 hex digits mod
+      // B — no vocabulary file, OOV-free by construction), the trained
+      // weight vector is a B-row table (weights derived here from
+      // md5('w_' || bucket) in integer MICROunits, standing in for a
+      // persisted model artifact), and a doc's logit is the MEAN bucket
+      // weight over its tokens. The deploy shape is the point: the
+      // model BROADCASTS (1024 rows ⋘ corpus, exactly how a trained
+      // .bin ships to every executor) and the only exchange is the
+      // map-side-combined groupBy(doc_id) over ~24-byte rows — one scan
+      // at any corpus size. Weight sums are exact BIGINTs in any order;
+      // the one transcendental (sigmoid) runs in DOUBLE with
+      // oracle-identical parenthesization and quantizes to nanounits
+      // per doc (the q154 idiom), so logits, probabilities and the
+      // keep verdict are all hash-exact.
+      val w = s.range(1024).toDF("bucket")
+        .withColumn("w_micro", expr(
+          "CAST(conv(substring(md5(concat('w_', CAST(bucket AS STRING))), " +
+            "1, 8), 16, 10) AS BIGINT) % 2000001 - 1000000"))
+      t(s, d, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .withColumn("bucket", expr(
+          "CAST(conv(substring(md5(tok), 1, 8), 16, 10) AS BIGINT) % 1024"))
+        .join(broadcast(w), "bucket")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(col("w_micro")).as("logit_sum_micro"))
+        .withColumn("p_nano", expr(
+          "CAST(round(1e9 / (1.0 + exp(-(CAST(logit_sum_micro AS DOUBLE) " +
+            "/ n_tokens / 1e6)))) AS BIGINT)"))
+        .withColumn("keep", col("p_nano") >= lit(500000000L))
+        .orderBy("doc_id")
+    }),
+
     "q215_cdc_chunking" -> ((s, d) =>
       // Content-defined chunking — q214's SHIFT-ROBUST twin: fixed
       // 64/48 windows lose every downstream chunk identity the moment
@@ -1794,6 +1831,29 @@ object TextAnalysis {
       |      '\s+', ' ', 'g'))""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q233_quality_classifier" ->
+      """WITH w AS (
+        |  SELECT b AS bucket,
+        |    CAST('0x' || substr(md5('w_' || CAST(b AS VARCHAR)), 1, 8)
+        |      AS BIGINT) % 2000001 - 1000000 AS w_micro
+        |  FROM (SELECT unnest(range(1024)) AS b)),
+        |tok AS (
+        |  SELECT doc_id,
+        |    CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) % 1024 AS bucket
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |        FROM documents)),
+        |agg AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |    CAST(sum(w_micro) AS BIGINT) AS logit_sum_micro
+        |  FROM tok JOIN w USING (bucket) GROUP BY 1),
+        |p AS (
+        |  SELECT doc_id, n_tokens, logit_sum_micro,
+        |    CAST(round(1e9 / (1.0 + exp(-(CAST(logit_sum_micro AS DOUBLE)
+        |      / n_tokens / 1e6)))) AS BIGINT) AS p_nano
+        |  FROM agg)
+        |SELECT doc_id, n_tokens, logit_sum_micro, p_nano,
+        |  p_nano >= 500000000 AS keep
+        |FROM p ORDER BY doc_id""".stripMargin,
     "q215_cdc_chunking" ->
       """WITH d0 AS (
         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
