@@ -681,6 +681,74 @@ object TextAnalysis {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    "q236_inverted_index" -> ((s, d) => {
+      // Inverted-index construction stats — the index-BUILD step behind
+      // q153's BM25 serving, costed the way an index builder budgets
+      // storage: per term, postings sorted by doc_id, delta-gap
+      // encoded, varint-costed. Postings order is a window partitioned
+      // BY TERM — bounded by df, and honestly noted: a web-scale build
+      // df-caps the stopword class first (the q63 ShingleDfCap
+      // discipline) and range-shards any surviving hot term with the
+      // q108 two-pass machinery; gap = doc_id − lag(doc_id) (the first
+      // posting stores doc_id + 1, its gap from the −1 sentinel, so
+      // every gap ≥ 1), varint bytes = ceil(bit_length / 7) via
+      // length(bin(gap)) — pure integers end to end, and the emitted
+      // ratio_bp is the exact compression ratio vs raw 8-byte postings
+      // in basis points.
+      val post = t(s, d, "documents")
+        .select(explode(split(col("text"), " ")).as("term"), col("doc_id"))
+        .distinct()
+      val w = Window.partitionBy(col("term")).orderBy(col("doc_id"))
+      post
+        .withColumn("gap",
+          col("doc_id") - coalesce(lag(col("doc_id"), 1).over(w), lit(-1L)))
+        .withColumn("vb", expr("(length(bin(gap)) + 6) div 7"))
+        .groupBy(col("term"))
+        .agg(count(lit(1)).as("df"),
+          sum(col("vb")).as("varint_bytes"),
+          (count(lit(1)) * 8).as("raw_bytes"),
+          expr("(sum(vb) * 10000) div (count(1) * 8)").as("ratio_bp"),
+          max(col("gap")).as("max_gap"))
+        .orderBy(col("varint_bytes").desc, col("term"))
+    }),
+
+    "q237_source_kl" -> ((s, d) => {
+      // Per-source token-distribution divergence — the dataset-card
+      // statistic behind mixing decisions (q38/q116) and the
+      // token-level sibling of q229's length-PSI: KL(source ‖ corpus)
+      // over unigram distributions with add-one smoothing, so a source
+      // that never uses a corpus term still contributes (the zero-count
+      // cells are the signal). The full source × vocab grid is a
+      // crossJoin of two TINY frames — sources by definition, vocab
+      // df-capped at web scale — left-joined with the observed counts;
+      // counts are exact BIGINTs, and each cell's p·ln(p/q) is computed
+      // in DOUBLE from those integers with oracle-identical
+      // parenthesization, then quantized to integer nanounits PER CELL
+      // before the per-source sum (the q154 idiom) — so the ranking of
+      // sources by divergence is hash-exact.
+      val toks = t(s, d, "documents")
+        .select(col("source"), explode(split(col("text"), " ")).as("term"))
+        .transform(graft.CacheRegistry.cached)
+      val cs = toks.groupBy(col("source"), col("term"))
+        .agg(count(lit(1)).as("c_st"))
+      val corpus = toks.groupBy(col("term")).agg(count(lit(1)).as("c_t"))
+      val ns = toks.groupBy(col("source")).agg(count(lit(1)).as("n_s"))
+      val tot = corpus.agg(sum(col("c_t")).as("n_tok"),
+        count(lit(1)).as("v"))
+      ns.crossJoin(broadcast(corpus))
+        .crossJoin(broadcast(tot))
+        .join(cs, Seq("source", "term"), "left_outer")
+        .withColumn("c0", coalesce(col("c_st"), lit(0L)))
+        .withColumn("pd", expr("CAST(c0 + 1 AS DOUBLE) / (n_s + v)"))
+        .withColumn("qd", expr("CAST(c_t + 1 AS DOUBLE) / (n_tok + v)"))
+        .withColumn("cell_nano",
+          expr("CAST(round((pd * ln(pd / qd)) * 1e9) AS BIGINT)"))
+        .groupBy(col("source"))
+        .agg(max(col("n_s")).as("n_tokens"),
+          sum(col("cell_nano")).as("kl_nano"))
+        .orderBy(col("kl_nano").desc, col("source"))
+    }),
+
     "q233_quality_classifier" -> ((s, d) => {
       // Hashed linear quality-classifier INFERENCE — the fasttext-style
       // keep/drop model every web-scale pipeline runs between cheap
@@ -1831,6 +1899,48 @@ object TextAnalysis {
       |      '\s+', ' ', 'g'))""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q236_inverted_index" ->
+      """WITH post AS (
+        |  SELECT DISTINCT term, doc_id FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS term, doc_id
+        |    FROM documents)),
+        |g AS (
+        |  SELECT term, doc_id,
+        |    doc_id - coalesce(lag(doc_id) OVER (
+        |      PARTITION BY term ORDER BY doc_id), -1) AS gap
+        |  FROM post),
+        |v AS (SELECT term, gap, (length(bin(gap)) + 6) // 7 AS vb FROM g)
+        |SELECT term, CAST(count(*) AS BIGINT) AS df,
+        |  CAST(sum(vb) AS BIGINT) AS varint_bytes,
+        |  CAST(count(*) * 8 AS BIGINT) AS raw_bytes,
+        |  CAST((sum(vb) * 10000) // (count(*) * 8) AS BIGINT) AS ratio_bp,
+        |  CAST(max(gap) AS BIGINT) AS max_gap
+        |FROM v GROUP BY term
+        |ORDER BY varint_bytes DESC, term""".stripMargin,
+    "q237_source_kl" ->
+      """WITH toks AS (
+        |  SELECT source, unnest(string_split(text, ' ')) AS term
+        |  FROM documents),
+        |cs AS (SELECT source, term, count(*) AS c_st FROM toks GROUP BY 1, 2),
+        |corpus AS (SELECT term, count(*) AS c_t FROM toks GROUP BY 1),
+        |ns AS (SELECT source, count(*) AS n_s FROM toks GROUP BY 1),
+        |tot AS (SELECT CAST(sum(c_t) AS BIGINT) AS n_tok,
+        |  count(*) AS v FROM corpus),
+        |grid AS (
+        |  SELECT ns.source, corpus.term, ns.n_s, corpus.c_t, tot.n_tok,
+        |    tot.v, coalesce(cs.c_st, 0) AS c0
+        |  FROM ns CROSS JOIN corpus CROSS JOIN tot
+        |  LEFT JOIN cs ON cs.source = ns.source AND cs.term = corpus.term),
+        |cells AS (
+        |  SELECT source, n_s,
+        |    CAST(c0 + 1 AS DOUBLE) / (n_s + v) AS pd,
+        |    CAST(c_t + 1 AS DOUBLE) / (n_tok + v) AS qd
+        |  FROM grid)
+        |SELECT source, CAST(max(n_s) AS BIGINT) AS n_tokens,
+        |  CAST(sum(CAST(round((pd * ln(pd / qd)) * 1e9) AS BIGINT))
+        |    AS BIGINT) AS kl_nano
+        |FROM cells GROUP BY source
+        |ORDER BY kl_nano DESC, source""".stripMargin,
     "q233_quality_classifier" ->
       """WITH w AS (
         |  SELECT b AS bucket,
