@@ -784,6 +784,70 @@ object Relational {
             .reduce(_ && _).as("within_tol"))
         .orderBy("l_returnflag")),
 
+    "q240_zonemap_skip" -> ((s, d) => {
+      // Zone-map (min/max) data skipping made EXPLICIT — the reason a
+      // 100 TB scan with a time predicate reads 1% of its files: per
+      // "file" (event_id div 500, the write batch standing in for a
+      // parquet row group), exact epoch-micro min/max, the skip
+      // decision for a fixed 4-day predicate, and the CERTIFICATE a
+      // skipping scan rests on: every skipped file must contain ZERO
+      // matching rows (skip_ok — true here only because ingest order
+      // correlates with event time, the property zone maps monetize
+      // and a random layout destroys; the q141 z-order story in one
+      // dimension). One scan, one groupBy over ~20-byte rows; the
+      // stats table is what a format's footer metadata IS.
+      val lo = 1704412800000000L // 2024-01-05T00:00:00 in micros
+      val hi = 1704758400000000L // 2024-01-09T00:00:00
+      events(s, d)
+        .select(expr("event_id div 500").as("file_id"),
+          expr("unix_micros(ts)").as("us"))
+        .groupBy(col("file_id"))
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("us")).as("min_us"), max(col("us")).as("max_us"),
+          sum(when(col("us") >= lo && col("us") < hi, 1L).otherwise(0L))
+            .as("n_match"))
+        .withColumn("can_skip",
+          !(col("max_us") >= lo && col("min_us") < hi))
+        .withColumn("skip_ok", !col("can_skip") || col("n_match") === 0L)
+        .orderBy("file_id")
+    }),
+
+    "q241_cm_joinsize" -> ((s, d) => {
+      // Count-min join-CARDINALITY estimation — the planner statistic
+      // made explicit: |events ⋈ orders ON user_id = o_custkey|
+      // predicted from two depth-4 × width-256 integer sketches
+      // WITHOUT running the join (the CM inner-product estimator),
+      // published next to the exact Σ c_A(k)·c_B(k) certificate. Every
+      // per-row estimate over-counts by construction (hash collisions
+      // only ADD mass), so est ≥ exact is an invariant the oracle
+      // hashes, and the served estimate is the min over rows. At
+      // 100 TB the sketches merge map-side like q139's HLL shards —
+      // 4·256 longs per side cross the wire, and the join being sized
+      // never executes; the exact certificate (a key-counts join) is
+      // the fixture-scale proof harness, not the production path.
+      def counts(df: DataFrame, key: String) =
+        df.groupBy(col(key).as("k")).agg(count(lit(1)).as("c"))
+      def cm(cnts: DataFrame, side: String) = cnts
+        .select(explode(expr("sequence(0, 3)")).as("r"), col("k"), col("c"))
+        .withColumn("bucket", expr(
+          "CAST(conv(substring(md5(concat('cm', CAST(r AS STRING), '_', " +
+            "CAST(k AS STRING))), 1, 8), 16, 10) AS BIGINT) % 256"))
+        .groupBy(col("r"), col("bucket")).agg(sum(col("c")).as(side))
+      val ca = counts(events(s, d), "user_id")
+      val cb = counts(t(s, d, "orders"), "o_custkey")
+      val est = cm(ca, "ca").join(cm(cb, "cb"), Seq("r", "bucket"))
+        .groupBy(col("r"))
+        .agg(sum(col("ca") * col("cb")).as("est"))
+      val exact = ca.join(cb.withColumnRenamed("c", "c2")
+          .withColumnRenamed("k", "k2"), col("k") === col("k2"))
+        .agg(sum(col("c") * col("c2")).as("exact_n"))
+      est.crossJoin(broadcast(exact))
+        .select(col("r").cast("long").as("r"), col("est"), col("exact_n"),
+          (col("est") >= col("exact_n")).as("over_ok"),
+          expr("(est * 10000) div exact_n").as("ratio_bp"))
+        .orderBy("r")
+    }),
+
     "q234_tpch_q13" -> ((s, d) => {
       // TPC-H Q13 — the customer order-count DISTRIBUTION, the one
       // classic join shape the suite lacked: a LEFT OUTER join whose
@@ -3149,6 +3213,50 @@ object Relational {
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
     // rel_err_ok is computed from Spark's real DataSketches HLL union;
     // the oracle asserts it (the q22 bounded-error contract)
+    "q240_zonemap_skip" ->
+      """WITH e AS (
+        |  SELECT event_id // 500 AS file_id, epoch_us(ts) AS us
+        |  FROM events),
+        |g AS (
+        |  SELECT file_id, CAST(count(*) AS BIGINT) AS n_rows,
+        |    CAST(min(us) AS BIGINT) AS min_us,
+        |    CAST(max(us) AS BIGINT) AS max_us,
+        |    CAST(sum(CASE WHEN us >= 1704412800000000
+        |      AND us < 1704758400000000 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_match
+        |  FROM e GROUP BY 1)
+        |SELECT file_id, n_rows, min_us, max_us, n_match,
+        |  NOT (max_us >= 1704412800000000 AND min_us < 1704758400000000)
+        |    AS can_skip,
+        |  (max_us >= 1704412800000000 AND min_us < 1704758400000000)
+        |    OR n_match = 0 AS skip_ok
+        |FROM g ORDER BY file_id""".stripMargin,
+    "q241_cm_joinsize" ->
+      """WITH ca AS (
+        |  SELECT user_id AS k, count(*) AS c FROM events GROUP BY 1),
+        |cb AS (
+        |  SELECT o_custkey AS k, count(*) AS c FROM orders GROUP BY 1),
+        |rr AS (SELECT unnest(range(4)) AS r),
+        |sa AS (
+        |  SELECT r, CAST('0x' || substr(md5('cm' || CAST(r AS VARCHAR)
+        |    || '_' || CAST(k AS VARCHAR)), 1, 8) AS BIGINT) % 256
+        |    AS bucket, CAST(sum(c) AS BIGINT) AS cas
+        |  FROM ca CROSS JOIN rr GROUP BY 1, 2),
+        |sb AS (
+        |  SELECT r, CAST('0x' || substr(md5('cm' || CAST(r AS VARCHAR)
+        |    || '_' || CAST(k AS VARCHAR)), 1, 8) AS BIGINT) % 256
+        |    AS bucket, CAST(sum(c) AS BIGINT) AS cbs
+        |  FROM cb CROSS JOIN rr GROUP BY 1, 2),
+        |est AS (
+        |  SELECT r, CAST(sum(cas * cbs) AS BIGINT) AS est
+        |  FROM sa JOIN sb USING (r, bucket) GROUP BY 1),
+        |ex AS (
+        |  SELECT CAST(sum(ca.c * cb.c) AS BIGINT) AS exact_n
+        |  FROM ca JOIN cb USING (k))
+        |SELECT CAST(r AS BIGINT) AS r, est, exact_n,
+        |  est >= exact_n AS over_ok,
+        |  CAST((est * 10000) // exact_n AS BIGINT) AS ratio_bp
+        |FROM est CROSS JOIN ex ORDER BY r""".stripMargin,
     "q234_tpch_q13" ->
       """WITH per_cust AS (
         |  SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count

@@ -445,6 +445,61 @@ object Similarity {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    "q239_int8_norm_recall" -> ((s, d) => {
+      // q238's FIX, shipped as its didactic twin (the q211 discipline):
+      // L2-normalize BEFORE quantizing. q238 measures 0.5–0.9 recall@10
+      // because per-vector absmax quantization preserves DOT rank while
+      // the ground truth ranks by COSINE — magnitude leaks into the
+      // score. On unit vectors dot IS cosine, so after dividing by the
+      // exact double L2 norm (the same sequential-fold sum the q70
+      // cosine pair already proves engine-identical) the only rank
+      // error left is 8-bit quantization noise. Same skeleton as q238
+      // — broadcast queries, one corpus pass, exact BIGINT dots —
+      // and Int8RecallSpec pins the claim: q239's total overlap ≥
+      // q238's on the fixture corpus.
+      VectorExpressions.register(s)
+      val e = t(s, d, "embeddings")
+        .withColumn("nrm", expr(
+          "sqrt(aggregate(transform(embedding, x -> CAST(x AS DOUBLE) " +
+            "* CAST(x AS DOUBLE)), CAST(0.0 AS DOUBLE), " +
+            "(acc, x) -> acc + x))"))
+        .withColumn("q8", expr(
+          "CASE WHEN nrm = 0 THEN transform(embedding, x -> 0L) " +
+            "ELSE transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) " +
+            "/ nrm * 127.0 + 0.5) AS BIGINT)) END"))
+        .select(col("vec_id"), col("embedding"), col("q8"))
+        .transform(graft.CacheRegistry.cached)
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
+          col("q8").as("qq8"))
+      val joined = broadcast(q).crossJoin(e)
+        .where(col("vec_id") =!= col("q_id"))
+      val w = Window.partitionBy(col("q_id"))
+      val fl = joined
+        .withColumn("cos", expr("cosine_sim(qe, embedding)"))
+        .withColumn("rn", row_number().over(
+          w.orderBy(col("cos").desc, col("vec_id"))))
+        .filter(col("rn") <= 10)
+        .select(col("q_id"), col("vec_id"))
+      val i8 = joined
+        .withColumn("dot8", expr(
+          "aggregate(zip_with(qq8, q8, (x, y) -> x * y), 0L, " +
+            "(acc, x) -> acc + x)"))
+        .withColumn("rn", row_number().over(
+          w.orderBy(col("dot8").desc, col("vec_id"))))
+        .filter(col("rn") <= 10)
+        .select(col("q_id").as("k_q"), col("vec_id").as("k_v"))
+      val ov = fl.join(i8,
+          col("q_id") === col("k_q") && col("vec_id") === col("k_v"))
+        .groupBy(col("q_id")).agg(count(lit(1)).as("ov"))
+      q.select(col("q_id"))
+        .join(ov, Seq("q_id"), "left_outer")
+        .withColumn("n_overlap", coalesce(col("ov"), lit(0L)))
+        .select(col("q_id"), col("n_overlap"),
+          (col("n_overlap") * 1000).as("recall_bp"))
+        .orderBy("q_id")
+    }),
+
     "q238_int8_recall" -> ((s, d) => {
       // int8 quantization RECALL harness — the evaluation that decides
       // whether q35's 4× compression is deployable: for each query,
@@ -1157,6 +1212,41 @@ object Similarity {
        |FROM ranked WHERE rn <= 10 ORDER BY q_id, rn""".stripMargin
 
   val oracle: Map[String, String] = Map(
+
+    "q239_int8_norm_recall" ->
+      s"""WITH e0 AS (
+         |  SELECT vec_id, embedding,
+         |    sqrt(list_sum(list_transform(embedding,
+         |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+         |  FROM embeddings),
+         |e AS (
+         |  SELECT vec_id, embedding,
+         |    CASE WHEN nrm = 0
+         |      THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
+         |      ELSE list_transform(embedding, x -> CAST(floor(
+         |        CAST(x AS DOUBLE) / nrm * 127.0 + 0.5) AS BIGINT))
+         |    END AS q8
+         |  FROM e0),
+         |q AS (SELECT vec_id AS q_id, embedding AS qe, q8 AS qq8
+         |      FROM e WHERE vec_id < 5),
+         |j AS (SELECT q_id, vec_id, qe, embedding, qq8, q8
+         |      FROM q CROSS JOIN e WHERE vec_id <> q_id),
+         |fl AS (SELECT q_id, vec_id FROM (
+         |  SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
+         |    ORDER BY ${cosSql("qe", "embedding")} DESC, vec_id) AS rn
+         |  FROM j) WHERE rn <= 10),
+         |i8 AS (SELECT q_id, vec_id FROM (
+         |  SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
+         |    ORDER BY list_sum(list_transform(range(1, ${Dim + 1}),
+         |      i -> qq8[i] * q8[i])) DESC, vec_id) AS rn
+         |  FROM j) WHERE rn <= 10),
+         |ov AS (SELECT q_id, count(*) AS n_ov
+         |       FROM fl JOIN i8 USING (q_id, vec_id) GROUP BY 1)
+         |SELECT q.q_id, CAST(coalesce(n_ov, 0) AS BIGINT) AS n_overlap,
+         |  CAST(coalesce(n_ov, 0) * 1000 AS BIGINT) AS recall_bp
+         |FROM (SELECT DISTINCT q_id FROM q) q
+         |LEFT JOIN ov ON ov.q_id = q.q_id
+         |ORDER BY q.q_id""".stripMargin,
 
     "q238_int8_recall" ->
       s"""WITH e0 AS (
