@@ -784,6 +784,65 @@ object Relational {
             .reduce(_ && _).as("within_tol"))
         .orderBy("l_returnflag")),
 
+    "q243_tpch_q18" -> ((s, d) => {
+      // TPC-H Q18 — the large-volume-customer report and the classic
+      // AGGREGATE-THEN-SEMI-JOIN shape: the HAVING subquery (orders
+      // whose total quantity tops the threshold) collapses lineitem to
+      // per-order totals FIRST, and that tiny qualifying frame then
+      // drives the join back to orders/customer — the order of
+      // operations that makes the query cheap (filtering after a
+      // 3-way join would shuffle everything). The inner join on the
+      // aggregated frame IS the semi-join, and it carries qty_t along
+      // for free. Quantities sum as exact tenths-BIGINTs, prices emit
+      // as cents, the order date as epoch micros; the top-100 rides a
+      // UNIQUE total order (total_cents desc, o_orderkey) so LIMIT is
+      // deterministic under any layout.
+      val qty = t(s, d, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(sum(expr("CAST(round(l_quantity * 10) AS BIGINT)"))
+          .as("qty_t"))
+        .where(col("qty_t") > 2600)
+      t(s, d, "orders")
+        .join(qty, col("o_orderkey") === col("l_orderkey"))
+        .join(t(s, d, "customer"), col("c_custkey") === col("o_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+          expr("unix_micros(o_orderdate)").as("odate_us"),
+          cents(col("o_totalprice")).as("total_cents"), col("qty_t"))
+        .orderBy(col("total_cents").desc, col("o_orderkey"))
+        .limit(100)
+    }),
+
+    "q244_tpch_q22" -> ((s, d) => {
+      // TPC-H Q22 — the global-benchmark shape the suite still lacked:
+      // a SCALAR aggregate subquery (the positive-balance average)
+      // gating the main scan, composed with an anti-join (customers
+      // with no urgent orders — the fixture-adapted stand-in for
+      // Q22's no-orders predicate, which is empty on this data). The
+      // average is DIVISION-FREE: bal > avg ⟺ bal_cents · N > S with
+      // S, N exact BIGINTs from one 1-row broadcast — no float mean,
+      // no rounding decision, bit-identical in any layout (the q222
+      // exact-order-statistics discipline applied to a threshold).
+      // The anti-join probe side is pre-filtered to urgent orders
+      // only; at scale both the 1-row scalar and the filtered probe
+      // broadcast.
+      val thr = t(s, d, "customer")
+        .where(col("c_acctbal") > 0)
+        .agg(sum(cents(col("c_acctbal"))).as("s_cents"),
+          count(lit(1)).as("n_pos"))
+      t(s, d, "customer")
+        .withColumn("bal_cents", cents(col("c_acctbal")))
+        .crossJoin(broadcast(thr))
+        .where(col("bal_cents") * col("n_pos") > col("s_cents"))
+        .join(t(s, d, "orders")
+            .where(col("o_orderpriority") === "1-URGENT")
+            .select(col("o_custkey")),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_nationkey").cast("long").as("c_nationkey"))
+        .agg(count(lit(1)).as("numcust"),
+          sum(col("bal_cents")).as("total_cents"))
+        .orderBy("c_nationkey")
+    }),
+
     "q240_zonemap_skip" -> ((s, d) => {
       // Zone-map (min/max) data skipping made EXPLICIT — the reason a
       // 100 TB scan with a time predicate reads 1% of its files: per
@@ -3213,6 +3272,40 @@ object Relational {
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
     // rel_err_ok is computed from Spark's real DataSketches HLL union;
     // the oracle asserts it (the q22 bounded-error contract)
+    "q243_tpch_q18" ->
+      """WITH qty AS (
+        |  SELECT l_orderkey,
+        |    CAST(sum(CAST(round(l_quantity * 10) AS BIGINT)) AS BIGINT)
+        |      AS qty_t
+        |  FROM lineitem GROUP BY 1
+        |  HAVING sum(CAST(round(l_quantity * 10) AS BIGINT)) > 2600)
+        |SELECT c_custkey, c_name, o_orderkey,
+        |  CAST(epoch_us(o_orderdate) AS BIGINT) AS odate_us,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) AS total_cents, qty_t
+        |FROM orders
+        |JOIN qty ON o_orderkey = l_orderkey
+        |JOIN customer ON c_custkey = o_custkey
+        |ORDER BY total_cents DESC, o_orderkey
+        |LIMIT 100""".stripMargin,
+    "q244_tpch_q22" ->
+      """WITH t AS (
+        |  SELECT CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT))
+        |    AS BIGINT) AS s_cents, count(*) AS n_pos
+        |  FROM customer WHERE c_acctbal > 0),
+        |rich AS (
+        |  SELECT c_custkey, c_nationkey,
+        |    CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+        |  FROM customer CROSS JOIN t
+        |  WHERE CAST(round(c_acctbal * 100) AS BIGINT) * t.n_pos
+        |    > t.s_cents)
+        |SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
+        |  CAST(count(*) AS BIGINT) AS numcust,
+        |  CAST(sum(bal_cents) AS BIGINT) AS total_cents
+        |FROM rich
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = rich.c_custkey
+        |    AND o_orderpriority = '1-URGENT')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q240_zonemap_skip" ->
       """WITH e AS (
         |  SELECT event_id // 500 AS file_id, epoch_us(ts) AS us

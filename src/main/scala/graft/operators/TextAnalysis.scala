@@ -681,6 +681,51 @@ object TextAnalysis {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    "q242_gdpr_sweep" -> ((s, d) => {
+      // Right-to-be-forgotten PROPAGATION audit — the compliance sweep
+      // a training-data platform must run when source documents are
+      // deleted: the deletion list (here a deterministic md5 gate,
+      // ~1/16 of doc_ids, standing in for the legal request table)
+      // must reach every DERIVED artifact — the inverted-index
+      // postings (q236's shape), the chunk table (q214's geometry)
+      // and the per-doc embedding rows — because a deleted document
+      // surviving in any of them is the violation. At scale deletion
+      // itself is ONE anti-join per artifact producing the kept
+      // snapshot (never per-row deletes); this audit counts both
+      // sides in a single broadcast-join pass per artifact, and the
+      // hashed `clean` invariant (total = deleted + kept) certifies
+      // the partition leaks nothing in either direction.
+      val del = t(s, d, "documents")
+        .where(expr(
+          "substring(md5(concat('gdpr_', CAST(doc_id AS STRING))), 1, 1) " +
+            "= '0'"))
+        .select(col("doc_id").as("del_id"))
+      def sweep(df: DataFrame, key: String, name: String): DataFrame = df
+        .join(broadcast(del), col(key) === col("del_id"), "left_outer")
+        .agg(count(lit(1)).as("rows_total"),
+          sum(when(col("del_id").isNotNull, 1L).otherwise(0L))
+            .as("rows_deleted"),
+          sum(when(col("del_id").isNull, 1L).otherwise(0L)).as("rows_kept"))
+        .select(lit(name).as("artifact"), col("rows_total"),
+          col("rows_deleted"), col("rows_kept"),
+          (col("rows_total") === col("rows_deleted") + col("rows_kept"))
+            .as("clean"))
+      val docs = t(s, d, "documents")
+      val post = docs
+        .select(explode(split(col("text"), " ")).as("term"), col("doc_id"))
+        .distinct()
+      val chunks = docs
+        .select(col("doc_id"), size(split(col("text"), " ")).as("n"))
+        .where(col("n") >= 1)
+        .select(col("doc_id"),
+          explode(expr("sequence(0, (n - 1) div 48)")).as("k"))
+      val emb = t(s, d, "embeddings").select(col("vec_id"))
+      sweep(post, "doc_id", "postings")
+        .unionByName(sweep(chunks, "doc_id", "chunks"))
+        .unionByName(sweep(emb, "vec_id", "embeddings"))
+        .orderBy("artifact")
+    }),
+
     "q236_inverted_index" -> ((s, d) => {
       // Inverted-index construction stats — the index-BUILD step behind
       // q153's BM25 serving, costed the way an index builder budgets
@@ -1899,6 +1944,46 @@ object TextAnalysis {
       |      '\s+', ' ', 'g'))""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q242_gdpr_sweep" ->
+      """WITH del AS (
+        |  SELECT doc_id FROM documents
+        |  WHERE substr(md5('gdpr_' || CAST(doc_id AS VARCHAR)), 1, 1)
+        |    = '0'),
+        |post AS (
+        |  SELECT DISTINCT term, doc_id FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS term, doc_id
+        |    FROM documents)),
+        |ch AS (
+        |  SELECT doc_id,
+        |    unnest(range(0, (len(string_split(text, ' ')) - 1) // 48 + 1))
+        |      AS k
+        |  FROM documents WHERE len(string_split(text, ' ')) >= 1),
+        |emb AS (SELECT vec_id AS doc_id FROM embeddings),
+        |u AS (
+        |  SELECT 'postings' AS artifact, CAST(count(*) AS BIGINT)
+        |      AS rows_total,
+        |    CAST(sum(CASE WHEN doc_id IN (SELECT doc_id FROM del)
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS rows_deleted,
+        |    CAST(sum(CASE WHEN doc_id IN (SELECT doc_id FROM del)
+        |      THEN 0 ELSE 1 END) AS BIGINT) AS rows_kept
+        |  FROM post
+        |  UNION ALL
+        |  SELECT 'chunks', CAST(count(*) AS BIGINT),
+        |    CAST(sum(CASE WHEN doc_id IN (SELECT doc_id FROM del)
+        |      THEN 1 ELSE 0 END) AS BIGINT),
+        |    CAST(sum(CASE WHEN doc_id IN (SELECT doc_id FROM del)
+        |      THEN 0 ELSE 1 END) AS BIGINT)
+        |  FROM ch
+        |  UNION ALL
+        |  SELECT 'embeddings', CAST(count(*) AS BIGINT),
+        |    CAST(sum(CASE WHEN doc_id IN (SELECT doc_id FROM del)
+        |      THEN 1 ELSE 0 END) AS BIGINT),
+        |    CAST(sum(CASE WHEN doc_id IN (SELECT doc_id FROM del)
+        |      THEN 0 ELSE 1 END) AS BIGINT)
+        |  FROM emb)
+        |SELECT artifact, rows_total, rows_deleted, rows_kept,
+        |  rows_total = rows_deleted + rows_kept AS clean
+        |FROM u ORDER BY artifact""".stripMargin,
     "q236_inverted_index" ->
       """WITH post AS (
         |  SELECT DISTINCT term, doc_id FROM (
