@@ -784,6 +784,43 @@ object Relational {
             .reduce(_ && _).as("within_tol"))
         .orderBy("l_returnflag")),
 
+    "q247_benford" -> ((s, d) => {
+      // Benford first-digit audit — the fraud/synthetic-data screen a
+      // data platform runs on any naturally-multiplicative measure
+      // (prices, populations, file sizes): the first significant digit
+      // should follow p(d) = log10(1 + 1/d), and systematic deviation
+      // flags fabricated or truncated data. The digit is extracted
+      // INTEGER-exactly: cents = round(price·100) BIGINT, first char
+      // of the integer's decimal string (integer→string is identical
+      // in both engines — never a double format, never log10 on data).
+      // The expected probabilities ARE transcendental — computed once
+      // in Scala and embedded as the same nanounit literals in both
+      // engines (the q246 discipline). excess_nano = 1e9·n_obs −
+      // p_nano·N is an exact BIGINT signed deviation per digit. One
+      // scan, a 9-row groupBy; the audit is free at any scale.
+      val expNano = (1 to 9).map(dd =>
+        math.round(math.log10(1.0 + 1.0 / dd) * 1e9))
+      val tot = t(s, d, "orders")
+        .where(cents(col("o_totalprice")) > 0)
+        .agg(count(lit(1)).as("n_total"))
+      t(s, d, "orders")
+        .select(cents(col("o_totalprice")).as("c"))
+        .where(col("c") > 0)
+        .withColumn("digit",
+          expr("CAST(substring(CAST(c AS STRING), 1, 1) AS BIGINT)"))
+        .groupBy(col("digit")).agg(count(lit(1)).as("n_obs"))
+        .crossJoin(broadcast(tot))
+        .withColumn("share_bp", expr("(n_obs * 10000) div n_total"))
+        .withColumn("expected_nano",
+          element_at(array(expNano.map(lit): _*), col("digit").cast("int")))
+        .withColumn("excess_nano",
+          col("n_obs") * lit(1000000000L) -
+            col("expected_nano") * col("n_total"))
+        .select(col("digit"), col("n_obs"), col("n_total"),
+          col("share_bp"), col("expected_nano"), col("excess_nano"))
+        .orderBy("digit")
+    }),
+
     "q243_tpch_q18" -> ((s, d) => {
       // TPC-H Q18 — the large-volume-customer report and the classic
       // AGGREGATE-THEN-SEMI-JOIN shape: the HAVING subquery (orders
@@ -3272,6 +3309,26 @@ object Relational {
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
     // rel_err_ok is computed from Spark's real DataSketches HLL union;
     // the oracle asserts it (the q22 bounded-error contract)
+    "q247_benford" -> {
+      val expList = (1 to 9).map(dd =>
+        math.round(math.log10(1.0 + 1.0 / dd) * 1e9)).mkString(", ")
+      s"""WITH c0 AS (
+         |  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS c
+         |  FROM orders
+         |  WHERE CAST(round(o_totalprice * 100) AS BIGINT) > 0),
+         |tot AS (SELECT count(*) AS n_total FROM c0),
+         |g AS (
+         |  SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS BIGINT)
+         |    AS digit, count(*) AS n_obs
+         |  FROM c0 GROUP BY 1)
+         |SELECT digit, CAST(n_obs AS BIGINT) AS n_obs,
+         |  CAST(n_total AS BIGINT) AS n_total,
+         |  CAST((n_obs * 10000) // n_total AS BIGINT) AS share_bp,
+         |  CAST([$expList][CAST(digit AS INT)] AS BIGINT) AS expected_nano,
+         |  CAST(n_obs * 1000000000 - [$expList][CAST(digit AS INT)]
+         |    * n_total AS BIGINT) AS excess_nano
+         |FROM g CROSS JOIN tot ORDER BY digit""".stripMargin
+    },
     "q243_tpch_q18" ->
       """WITH qty AS (
         |  SELECT l_orderkey,

@@ -681,6 +681,83 @@ object TextAnalysis {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    "q248_matched_sampling" -> ((s, d) => {
+      // Stratified MATCHED sampling — the eval-construction operator
+      // behind any fair A-vs-B corpus comparison (ablations, filter
+      // impact studies): comparing arms with different length profiles
+      // confounds every downstream metric, so docs pair up WITHIN
+      // length strata. Arms are doc_id parity (standing in for the
+      // treatment flag a real study carries), strata are fixed-width
+      // n_chars bins (the q196 explicit-edge discipline), and within
+      // each (stratum, arm) docs rank by a salted md5 (deterministic
+      // shuffle, the q225 idiom) — the (stratum, rank) equi-join IS
+      // the matcher, and the unmatched tail of the larger arm drops
+      // exactly like a min(count) quota. Windows partition by
+      // (bucket, arm) — bounded strata, never a global sort; at scale
+      // the rank inside a hot stratum range-shards (q108). Emitted
+      // pairs carry both lengths so the match quality is hashed, not
+      // asserted.
+      val base = t(s, d, "documents")
+        .select(col("doc_id"), col("n_chars"))
+        .withColumn("arm",
+          when(col("doc_id") % 2 === 0, "A").otherwise("B"))
+        .withColumn("bucket", least(expr("n_chars div 100"), lit(9L)))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("bucket"), col("arm"))
+            .orderBy(md5(concat(lit("match_"),
+              col("doc_id").cast("string"))), col("doc_id"))).cast("long"))
+      val a = base.where(col("arm") === "A")
+        .select(col("bucket"), col("rk"), col("doc_id").as("doc_a"),
+          col("n_chars").as("len_a"))
+      val b = base.where(col("arm") === "B")
+        .select(col("bucket"), col("rk"), col("doc_id").as("doc_b"),
+          col("n_chars").as("len_b"))
+      a.join(b, Seq("bucket", "rk"))
+        .orderBy("bucket", "rk")
+    }),
+
+    "q249_quota_alloc" -> ((s, d) => {
+      // Hamilton (largest-remainder) QUOTA allocation — the
+      // integer-exact companion q38's temperature mixing lacks: a
+      // 1000-token budget split across sources exactly proportionally
+      // with NO doubles anywhere — floor quotas from integer division,
+      // the shortfall handed to the largest remainders (rank by
+      // (rem desc, source), the unique-total-order discipline), and
+      // the Σ quota = budget invariant emitted as a hashed column
+      // (the property float weight schemes can only approximate). The
+      // remainder rank is a self-join count over the per-source frame
+      // — tiny by definition, NEVER a global window (the PlanGuard
+      // allowlist stays closed); every crossJoin is a lazy 1-row
+      // broadcast (q85). A data loader consumes exactly this table.
+      val B = 1000L
+      val ns = t(s, d, "documents")
+        .groupBy(col("source"))
+        .agg(sum(size(split(col("text"), " "))).cast("long").as("n_s"))
+      val tot = ns.agg(sum(col("n_s")).as("n_total"))
+      val base = graft.CacheRegistry.cached(ns.crossJoin(broadcast(tot))
+        .withColumn("floor_q", expr(s"($B * n_s) div n_total"))
+        .withColumn("rem", expr(s"($B * n_s) % n_total")))
+      val other = base.select(col("source").as("s2"), col("rem").as("rem2"))
+      val ranked = base.join(other,
+          col("rem2") > col("rem") ||
+            (col("rem2") === col("rem") && col("s2") < col("source")),
+          "left_outer")
+        .groupBy(col("source"), col("n_s"), col("floor_q"), col("rem"))
+        .agg(count(col("s2")).as("n_before"))
+        .withColumn("rk", col("n_before") + 1)
+      val short = base.agg((lit(B) - sum(col("floor_q"))).as("short"))
+      val alloc = ranked.crossJoin(broadcast(short))
+        .withColumn("extra", col("rk") <= col("short"))
+        .withColumn("quota",
+          col("floor_q") + when(col("extra"), 1L).otherwise(0L))
+      alloc.crossJoin(broadcast(
+          alloc.agg(sum(col("quota")).as("alloc_total"))))
+        .withColumn("total_ok", col("alloc_total") === B)
+        .select(col("source"), col("n_s"), col("floor_q"), col("rem"),
+          col("rk"), col("extra"), col("quota"), col("total_ok"))
+        .orderBy("source")
+    }),
+
     "q242_gdpr_sweep" -> ((s, d) => {
       // Right-to-be-forgotten PROPAGATION audit — the compliance sweep
       // a training-data platform must run when source documents are
@@ -1944,6 +2021,49 @@ object TextAnalysis {
       |      '\s+', ' ', 'g'))""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q248_matched_sampling" ->
+      """WITH base AS (
+        |  SELECT doc_id, n_chars,
+        |    CASE WHEN doc_id % 2 = 0 THEN 'A' ELSE 'B' END AS arm,
+        |    least(n_chars // 100, 9) AS bucket
+        |  FROM documents),
+        |rk AS (
+        |  SELECT doc_id, n_chars, arm, bucket,
+        |    CAST(row_number() OVER (PARTITION BY bucket, arm
+        |      ORDER BY md5('match_' || CAST(doc_id AS VARCHAR)), doc_id)
+        |      AS BIGINT) AS rk
+        |  FROM base)
+        |SELECT a.bucket AS bucket, a.rk AS rk, a.doc_id AS doc_a,
+        |  a.n_chars AS len_a, b.doc_id AS doc_b, b.n_chars AS len_b
+        |FROM rk a JOIN rk b ON a.bucket = b.bucket AND a.rk = b.rk
+        |  AND a.arm = 'A' AND b.arm = 'B'
+        |ORDER BY bucket, rk""".stripMargin,
+    "q249_quota_alloc" ->
+      """WITH ns AS (
+        |  SELECT source,
+        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_s
+        |  FROM documents GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n_s) AS BIGINT) AS n_total FROM ns),
+        |base AS (
+        |  SELECT source, n_s,
+        |    (1000 * n_s) // n_total AS floor_q,
+        |    (1000 * n_s) % n_total AS rem
+        |  FROM ns CROSS JOIN tot),
+        |rk AS (
+        |  SELECT *, CAST(row_number() OVER (ORDER BY rem DESC, source)
+        |    AS BIGINT) AS rk
+        |  FROM base),
+        |sh0 AS (SELECT 1000 - sum(floor_q) AS short FROM base),
+        |alloc AS (
+        |  SELECT source, n_s, floor_q, rem, rk, rk <= short AS extra,
+        |    floor_q + CASE WHEN rk <= short THEN 1 ELSE 0 END AS quota
+        |  FROM rk CROSS JOIN sh0),
+        |at AS (SELECT sum(quota) AS alloc_total FROM alloc)
+        |SELECT source, n_s, CAST(floor_q AS BIGINT) AS floor_q,
+        |  CAST(rem AS BIGINT) AS rem, rk, extra,
+        |  CAST(quota AS BIGINT) AS quota,
+        |  alloc_total = 1000 AS total_ok
+        |FROM alloc CROSS JOIN at ORDER BY source""".stripMargin,
     "q242_gdpr_sweep" ->
       """WITH del AS (
         |  SELECT doc_id FROM documents
