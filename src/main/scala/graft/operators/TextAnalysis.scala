@@ -15,6 +15,19 @@ import graft.functions.VectorExpressions
   */
 object TextAnalysis {
 
+  /** Poisson(1) inverse-CDF thresholds in basis points (cumulative
+    * e⁻¹/k! rounded to 1e-4), computed once here and embedded as the
+    * SAME literals in q250's Spark expression and DuckDB oracle — the
+    * q246/q247 constant discipline for transcendental-derived values.
+    * A uniform u ∈ [0, 10000) maps to multiplicity k via the first
+    * threshold above it; the tail collapses to k = 6 (P ≈ 6e-5). */
+  private val PoissonCdfBp: Seq[Long] = {
+    val pmf = (0 to 5).scanLeft(math.exp(-1.0)) {
+      case (p, k) => p / (k + 1)
+    }.take(6) // e⁻¹/k! for k = 0..5
+    pmf.scanLeft(0.0)(_ + _).tail.map(c => math.round(c * 10000))
+  }
+
   private val Stopwords = Seq("the", "a")
   // marker-token vocabularies for the n-gram/stopword language heuristic
   private val LangMarkers: Seq[(String, Seq[String])] = Seq(
@@ -680,6 +693,56 @@ object TextAnalysis {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "q250_poisson_bootstrap" -> ((s, d) => {
+      // Poisson BOOTSTRAP — uncertainty quantification the way it is
+      // actually run at scale (Chamandy et al.): classic bootstrap
+      // resampling needs random access to draw row i of N, impossible
+      // in one pass over a distributed corpus — instead every row
+      // draws its own per-replicate multiplicity ~ Poisson(1)
+      // (E[count] = 1 reproduces the sample size in expectation), so
+      // 50 replicates of the mean-doc-length statistic ride ONE scan
+      // as a (doc × replicate) explode + one map-side-combined
+      // groupBy. Randomness is the salted-md5 uniform (q225), mapped
+      // through the Poisson(1) inverse CDF as basis-point thresholds
+      // computed once in Scala and embedded as identical literals in
+      // both engines (the q246/q247 discipline); sums are exact
+      // BIGINTs, each replicate mean an integer milli-char division,
+      // and the rank over the 50-replicate frame (read the CI off
+      // rk 3 / rk 48) is a self-join count — tiny frame, no global
+      // window.
+      val B = 50
+      val cdfBp = PoissonCdfBp
+      val mExpr = (s"CASE WHEN u < ${cdfBp(0)} THEN 0 " +
+        (1 until cdfBp.length).map(k =>
+          s"WHEN u < ${cdfBp(k)} THEN $k ").mkString +
+        s"ELSE ${cdfBp.length} END")
+      val reps = t(s, d, "documents")
+        .select(col("doc_id"), col("n_chars"),
+          explode(expr(s"sequence(0, ${B - 1})")).as("b"))
+        .withColumn("u", expr(
+          "CAST(conv(substring(md5(concat('boot_', CAST(b AS STRING), " +
+            "'_', CAST(doc_id AS STRING))), 1, 8), 16, 10) AS BIGINT) " +
+            "% 10000"))
+        .withColumn("m", expr(mExpr))
+        .groupBy(col("b"))
+        .agg(sum(col("m")).cast("long").as("n_eff"),
+          sum(col("m") * col("n_chars")).cast("long").as("sum_len"))
+        .withColumn("mean_milli", expr("(1000 * sum_len) div n_eff"))
+        .transform(graft.CacheRegistry.cached)
+      val other = reps.select(col("b").as("b2"),
+        col("mean_milli").as("mm2"))
+      reps.join(other,
+          col("mm2") < col("mean_milli") ||
+            (col("mm2") === col("mean_milli") && col("b2") < col("b")),
+          "left_outer")
+        .groupBy(col("b"), col("n_eff"), col("sum_len"), col("mean_milli"))
+        .agg(count(col("b2")).as("n_before"))
+        .select(col("b").cast("long").as("b"), col("n_eff"),
+          col("sum_len"), col("mean_milli"),
+          (col("n_before") + 1).as("rk"))
+        .orderBy("b")
+    }),
 
     "q248_matched_sampling" -> ((s, d) => {
       // Stratified MATCHED sampling — the eval-construction operator
@@ -2021,6 +2084,32 @@ object TextAnalysis {
       |      '\s+', ' ', 'g'))""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q250_poisson_bootstrap" -> {
+      val mCase = s"CASE WHEN u < ${PoissonCdfBp(0)} THEN 0 " +
+        (1 until PoissonCdfBp.length).map(k =>
+          s"WHEN u < ${PoissonCdfBp(k)} THEN $k ").mkString +
+        s"ELSE ${PoissonCdfBp.length} END"
+      s"""WITH reps AS (
+         |  SELECT b, doc_id, n_chars,
+         |    CAST('0x' || substr(md5('boot_' || CAST(b AS VARCHAR)
+         |      || '_' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+         |      % 10000 AS u
+         |  FROM documents
+         |  CROSS JOIN (SELECT unnest(range(50)) AS b)),
+         |m AS (SELECT b, n_chars, $mCase AS m FROM reps),
+         |g AS (
+         |  SELECT b, CAST(sum(m) AS BIGINT) AS n_eff,
+         |    CAST(sum(m * n_chars) AS BIGINT) AS sum_len
+         |  FROM m GROUP BY 1),
+         |mm AS (
+         |  SELECT b, n_eff, sum_len,
+         |    CAST((1000 * sum_len) // n_eff AS BIGINT) AS mean_milli
+         |  FROM g)
+         |SELECT CAST(b AS BIGINT) AS b, n_eff, sum_len, mean_milli,
+         |  CAST(row_number() OVER (ORDER BY mean_milli, b) AS BIGINT)
+         |    AS rk
+         |FROM mm ORDER BY b""".stripMargin
+    },
     "q248_matched_sampling" ->
       """WITH base AS (
         |  SELECT doc_id, n_chars,
