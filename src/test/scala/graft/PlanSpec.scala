@@ -334,4 +334,81 @@ class PlanSpec extends SparkSpec {
     assert(!p2.contains("SortMergeJoin"),
       s"the suffix join must never shuffle the corpus:\n$p2")
   }
+
+  test("q232: Q5 broadcasts dims, pushes the date range, no cartesian") {
+    val p = plan("q232_tpch_q5")
+    assert(p.contains("BroadcastHashJoin"),
+      s"nation/region (and at this SF customer/supplier) must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"))
+    // upper bound checked via the Filter node text — the scan's
+    // PushedFilters list is truncated ("LessThan(o_orderd...") in
+    // toString before the second predicate finishes rendering
+    assert(p.contains("GreaterThanOrEqual(o_orderdate") &&
+      p.contains("< 1996-01-01"),
+      s"the order-date range must reach the orders scan:\n$p")
+  }
+
+  test("q233: the 1024-row weight model broadcasts; corpus never sorts") {
+    val p = plan("q233_quality_classifier")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the weight table is the model artifact — it must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"a shuffled model join would move the corpus for a 1024-row dim:\n$p")
+  }
+
+  test("q234: Q13's exclusion filter reaches the orders scan; join stays outer") {
+    val p = plan("q234_tpch_q13")
+    assert(p.contains("LeftOuter"),
+      s"zero-order customers must survive — the join must be left outer:\n$p")
+    assert(p.contains("o_orderpriority"),
+      s"the exclusion predicate must prune the orders side pre-join:\n$p")
+  }
+
+  test("q235: Q21 plans semi + anti probes, never a cartesian") {
+    val p = plan("q235_tpch_q21")
+    assert(p.contains("LeftSemi"), s"EXISTS must plan as left-semi:\n$p")
+    assert(p.contains("LeftAnti"), s"NOT EXISTS must plan as left-anti:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q238/q239: the query side broadcasts — the corpus never shuffles") {
+    for (q <- Seq("q238_int8_recall", "q239_int8_norm_recall")) {
+      val p = plan(q)
+      assert(p.contains("BroadcastNestedLoopJoin") ||
+        p.contains("BroadcastHashJoin"),
+        s"$q: the sampled query set must broadcast:\n$p")
+      assert(!p.contains("CartesianProduct"),
+        s"$q: a cartesian would shuffle the corpus against itself:\n$p")
+    }
+  }
+
+  test("q240: the zone-map stats scan is pruned to (event_id, ts)") {
+    val p = plan("q240_zonemap_skip")
+    assert(!p.contains("props") && !p.contains("event_type"),
+      s"untouched event columns must never leave the scan:\n$p")
+  }
+
+  test("q243: Q18's top-100 fuses sort+limit — never a global sort") {
+    val p = plan("q243_tpch_q18")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"orderBy+limit must plan as TakeOrderedAndProject (per-partition " +
+        s"top-k + driver merge), not a global Sort:\n$p")
+    assert("HashAggregate".r.findAllIn(p).length >= 2,
+      s"the HAVING quantity rollup must partial-aggregate:\n$p")
+  }
+
+  test("q244: Q22's anti-join and 1-row scalar broadcast") {
+    val p = plan("q244_tpch_q22")
+    assert(p.contains("LeftAnti"),
+      s"NOT EXISTS urgent-orders must plan as left-anti:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"the scalar threshold must ride a broadcast, not a cartesian:\n$p")
+  }
+
+  test("q246: all four band configs re-band ONE cached signature frame") {
+    val p = plan("q246_lsh_band_sweep")
+    assert(p.contains("InMemoryTableScan"),
+      s"the signature frame must come from the shared cache, not four " +
+        s"recomputed MinHash passes:\n$p")
+  }
 }
