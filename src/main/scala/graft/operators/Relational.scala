@@ -784,6 +784,40 @@ object Relational {
             .reduce(_ && _).as("within_tol"))
         .orderBy("l_returnflag")),
 
+    "q252_tpch_q2" -> ((s, d) => {
+      // TPC-H Q2's decorrelated MIN-PER-GROUP shape — the last classic
+      // benchmark pattern the suite lacked: the correlated "supplier
+      // whose cost equals the minimum for this part" subquery,
+      // decorrelated the way Catalyst (and every planner) rewrites it —
+      // one aggregate producing the per-group minimum AND its argmin in
+      // a single pass, then equi-joins back. The argmin is min over a
+      // (price_cents, suppkey) STRUCT — q211's lexicographic-ordering
+      // discipline, so ties break on the unique suppkey and the row is
+      // deterministic under any layout; prices observe from lineitem
+      // (the fixture lacks partsupp), the p_size predicate stands in
+      // for Q2's region/size gates. Dimensions join AFTER the aggregate
+      // collapses lineitem to one row per part — supplier/nation
+      // broadcast; top-100 rides a unique (best_cents, p_partkey)
+      // order.
+      val obs = t(s, d, "lineitem")
+        .select(col("l_partkey"), col("l_suppkey"),
+          cents(col("l_extendedprice")).as("price_cents"))
+      val best = obs.groupBy(col("l_partkey"))
+        .agg(min(struct(col("price_cents"), col("l_suppkey"))).as("m"))
+        .select(col("l_partkey"),
+          col("m.price_cents").as("best_cents"),
+          col("m.l_suppkey").as("best_supp"))
+      best
+        .join(t(s, d, "part").where(col("p_size") < 15),
+          col("l_partkey") === col("p_partkey"))
+        .join(t(s, d, "supplier"), col("best_supp") === col("s_suppkey"))
+        .join(t(s, d, "nation"), col("s_nationkey") === col("n_nationkey"))
+        .select(col("p_partkey"), col("p_brand"), col("best_cents"),
+          col("s_name"), col("n_name"))
+        .orderBy(col("best_cents"), col("p_partkey"))
+        .limit(100)
+    }),
+
     "q247_benford" -> ((s, d) => {
       // Benford first-digit audit — the fraud/synthetic-data screen a
       // data platform runs on any naturally-multiplicative measure
@@ -3309,6 +3343,26 @@ object Relational {
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
     // rel_err_ok is computed from Spark's real DataSketches HLL union;
     // the oracle asserts it (the q22 bounded-error contract)
+    "q252_tpch_q2" ->
+      """WITH obs AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS price_cents
+        |  FROM lineitem),
+        |best AS (
+        |  SELECT l_partkey,
+        |    min(struct_pack(pc := price_cents, sk := l_suppkey)) AS m
+        |  FROM obs GROUP BY 1),
+        |b2 AS (
+        |  SELECT l_partkey,
+        |    CAST(struct_extract(m, 'pc') AS BIGINT) AS best_cents,
+        |    struct_extract(m, 'sk') AS best_supp
+        |  FROM best)
+        |SELECT p_partkey, p_brand, best_cents, s_name, n_name
+        |FROM b2
+        |JOIN part ON l_partkey = p_partkey AND p_size < 15
+        |JOIN supplier ON best_supp = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |ORDER BY best_cents, p_partkey LIMIT 100""".stripMargin,
     "q247_benford" -> {
       val expList = (1 to 9).map(dd =>
         math.round(math.log10(1.0 + 1.0 / dd) * 1e9)).mkString(", ")
