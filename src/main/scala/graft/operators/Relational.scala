@@ -784,6 +784,106 @@ object Relational {
             .reduce(_ && _).as("within_tol"))
         .orderBy("l_returnflag")),
 
+    "q253_kaplan_meier" -> ((s, d) => {
+      // Kaplan-Meier SURVIVAL curve — time-to-conversion with CENSORED
+      // observations, the estimator product analytics reaches for the
+      // moment observation windows differ (a plain mean of observed
+      // conversion times is biased the day censoring exists): each
+      // user's duration is first-event → first purchase in exact
+      // epoch-micro day units (div 86400e6 — never engine date-diff
+      // semantics), the observation window is a deterministic
+      // md5-derived 1–8 days (the q65 injected-input discipline:
+      // censoring must exist for KM to be the right tool), and a user
+      // converting past their window is censored AT the window. The
+      // day-level risk table (d deaths, c censored, n at risk via the
+      // descending prefix sum) lives on a ≤9-row day-keyed aggregate,
+      // so the KM windows ride the PlanGuard 'day' allowlist — never
+      // the corpus. S(t) = Π (1−d/n) evaluates as a cumulative sum of
+      // per-day nanounit ln terms then one exp (q154/q233 parity), and
+      // the day the risk set dies out (d = n, S = 0, ln undefined)
+      // carries a died_out flag that zeroes survival from there on.
+      val ev = events(s, d)
+      val firstAll = ev.groupBy(col("user_id")).agg(min(col("ts")).as("t0"))
+      val firstBuy = ev.where(col("event_type") === "purchase")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("tb"))
+      val obs = firstAll.join(firstBuy, Seq("user_id"))
+        .withColumn("dur_day", expr(
+          "(unix_micros(tb) - unix_micros(t0)) div 86400000000"))
+        .withColumn("w", expr(
+          "1 + (CAST(conv(substring(md5(concat('cens_', " +
+            "CAST(user_id AS STRING))), 1, 1), 16, 10) AS BIGINT)) % 8"))
+        .select(
+          when(col("dur_day") <= col("w"), col("dur_day"))
+            .otherwise(col("w")).as("day"),
+          (col("dur_day") <= col("w")).as("event"))
+      val byDay = obs.groupBy(col("day"))
+        .agg(sum(when(col("event"), 1L).otherwise(0L)).as("d"),
+          sum(when(col("event"), 0L).otherwise(1L)).as("c"))
+      val wDesc = Window.orderBy(col("day").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAsc = Window.orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      byDay
+        .withColumn("n_at_risk", sum(col("d") + col("c")).over(wDesc))
+        .withColumn("ln_term_nano", expr(
+          "CASE WHEN d = 0 THEN 0L WHEN d < n_at_risk THEN " +
+            "CAST(round(ln(CAST(n_at_risk - d AS DOUBLE) / n_at_risk) " +
+            "* 1e9) AS BIGINT) ELSE 0L END"))
+        .withColumn("died_out",
+          sum(when(col("d") === col("n_at_risk"), 1L).otherwise(0L))
+            .over(wAsc) > 0)
+        .withColumn("cum_ln_nano", sum(col("ln_term_nano")).over(wAsc))
+        .withColumn("surv_nano", expr(
+          "CASE WHEN died_out THEN 0L ELSE " +
+            "CAST(round(exp(CAST(cum_ln_nano AS DOUBLE) / 1e9) * 1e9) " +
+            "AS BIGINT) END"))
+        .select(col("day"), col("d"), col("c"), col("n_at_risk"),
+          col("ln_term_nano"), col("died_out"), col("surv_nano"))
+        .orderBy("day")
+    }),
+
+    "q254_ab_srm" -> ((s, d) => {
+      // A/B assignment + SAMPLE-RATIO-MISMATCH gate — the first check
+      // any experimentation platform runs before reading a metric: arms
+      // come from a hash of the unit id (sticky, cross-session,
+      // layout-independent — the md5-nibble parity of user_id, never
+      // rand()), and if the realized split deviates from 50/50 beyond
+      // chi-square noise the assignment pipeline is broken and every
+      // downstream readout is invalid. The SRM statistic for equal
+      // allocation reduces to (nA−nB)²/(nA+nB) — computed EXACTLY in
+      // integer milli-units (the q188 discipline: integer numerator
+      // products, one integer division), compared against the df=1
+      // p<0.05 critical value 3.841. Per-arm readout rows (users,
+      // events, purchasers, conversion bp) carry the shared SRM
+      // columns; everything is two tiny aggregates over one scan.
+      val ev = events(s, d)
+        .withColumn("arm", when(expr(
+          "CAST(conv(substring(md5(concat('ab_', " +
+            "CAST(user_id AS STRING))), 1, 1), 16, 10) AS BIGINT)") % 2
+          === 0, "A").otherwise("B"))
+      val perArm = ev.groupBy(col("arm"))
+        .agg(countDistinct(col("user_id")).as("n_users"),
+          count(lit(1)).as("n_events"),
+          countDistinct(when(col("event_type") === "purchase",
+            col("user_id"))).as("n_purchasers"))
+        .withColumn("conv_bp",
+          expr("(n_purchasers * 10000) div n_users"))
+      val srm = perArm.agg(
+          sum(when(col("arm") === "A", col("n_users")).otherwise(0L))
+            .as("na"),
+          sum(when(col("arm") === "B", col("n_users")).otherwise(0L))
+            .as("nb"))
+        .select(expr(
+          "((na - nb) * (na - nb) * 1000) div (na + nb)")
+          .as("srm_chi2_milli"))
+        .withColumn("srm_ok", col("srm_chi2_milli") <= 3841L)
+      perArm.crossJoin(broadcast(srm))
+        .select(col("arm"), col("n_users"), col("n_events"),
+          col("n_purchasers"), col("conv_bp"),
+          col("srm_chi2_milli"), col("srm_ok"))
+        .orderBy("arm")
+    }),
+
     "q252_tpch_q2" -> ((s, d) => {
       // TPC-H Q2's decorrelated MIN-PER-GROUP shape — the last classic
       // benchmark pattern the suite lacked: the correlated "supplier
@@ -3343,6 +3443,78 @@ object Relational {
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
     // rel_err_ok is computed from Spark's real DataSketches HLL union;
     // the oracle asserts it (the q22 bounded-error contract)
+    "q253_kaplan_meier" ->
+      """WITH fa AS (SELECT user_id, min(ts) AS t0 FROM events GROUP BY 1),
+        |fb AS (SELECT user_id, min(ts) AS tb FROM events
+        |       WHERE event_type = 'purchase' GROUP BY 1),
+        |u AS (
+        |  SELECT fa.user_id,
+        |    (epoch_us(tb) - epoch_us(t0)) // 86400000000 AS dur_day,
+        |    1 + (strpos('0123456789abcdef', substr(md5('cens_'
+        |      || CAST(fa.user_id AS VARCHAR)), 1, 1)) - 1) % 8 AS w
+        |  FROM fa JOIN fb ON fa.user_id = fb.user_id),
+        |obs AS (
+        |  SELECT CASE WHEN dur_day <= w THEN dur_day ELSE w END AS day,
+        |    dur_day <= w AS event
+        |  FROM u),
+        |byday AS (
+        |  SELECT day,
+        |    CAST(sum(CASE WHEN event THEN 1 ELSE 0 END) AS BIGINT) AS d,
+        |    CAST(sum(CASE WHEN event THEN 0 ELSE 1 END) AS BIGINT) AS c
+        |  FROM obs GROUP BY 1),
+        |r AS (
+        |  SELECT day, d, c,
+        |    CAST(sum(d + c) OVER (ORDER BY day DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS n_at_risk
+        |  FROM byday),
+        |l AS (
+        |  SELECT *, CASE WHEN d = 0 THEN 0 WHEN d < n_at_risk THEN
+        |    CAST(round(ln(CAST(n_at_risk - d AS DOUBLE) / n_at_risk)
+        |      * 1e9) AS BIGINT) ELSE 0 END AS ln_term_nano
+        |  FROM r),
+        |f AS (
+        |  SELECT *,
+        |    sum(CASE WHEN d = n_at_risk THEN 1 ELSE 0 END)
+        |      OVER (ORDER BY day
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) > 0
+        |      AS died_out,
+        |    CAST(sum(ln_term_nano) OVER (ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cum_ln_nano
+        |  FROM l)
+        |SELECT CAST(day AS BIGINT) AS day, d, c, n_at_risk,
+        |  CAST(ln_term_nano AS BIGINT) AS ln_term_nano, died_out,
+        |  CASE WHEN died_out THEN 0 ELSE
+        |    CAST(round(exp(CAST(cum_ln_nano AS DOUBLE) / 1e9) * 1e9)
+        |      AS BIGINT) END AS surv_nano
+        |FROM f ORDER BY day""".stripMargin,
+    "q254_ab_srm" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type,
+        |    CASE WHEN (strpos('0123456789abcdef',
+        |      substr(md5('ab_' || CAST(user_id AS VARCHAR)), 1, 1)) - 1)
+        |      % 2 = 0 THEN 'A' ELSE 'B' END AS arm
+        |  FROM events),
+        |pa AS (
+        |  SELECT arm, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+        |    CAST(count(*) AS BIGINT) AS n_events,
+        |    CAST(count(DISTINCT CASE WHEN event_type = 'purchase'
+        |      THEN user_id END) AS BIGINT) AS n_purchasers
+        |  FROM ev GROUP BY 1),
+        |pa2 AS (SELECT *, (n_purchasers * 10000) // n_users AS conv_bp
+        |        FROM pa),
+        |srm AS (
+        |  SELECT CAST(((na - nb) * (na - nb) * 1000) // (na + nb)
+        |    AS BIGINT) AS srm_chi2_milli
+        |  FROM (
+        |    SELECT sum(CASE WHEN arm = 'A' THEN n_users ELSE 0 END) AS na,
+        |      sum(CASE WHEN arm = 'B' THEN n_users ELSE 0 END) AS nb
+        |    FROM pa))
+        |SELECT arm, n_users, n_events, n_purchasers,
+        |  CAST(conv_bp AS BIGINT) AS conv_bp,
+        |  srm_chi2_milli, srm_chi2_milli <= 3841 AS srm_ok
+        |FROM pa2 CROSS JOIN srm ORDER BY arm""".stripMargin,
     "q252_tpch_q2" ->
       """WITH obs AS (
         |  SELECT l_partkey, l_suppkey,
