@@ -111,6 +111,82 @@ object Relational {
         ") AS (stage, name, users, conv_bp)")
   }
 
+  /** q253's estimator body over any (user_id, event_type, ts) frame —
+    * exposed so ExperimentOpsSpec can prove the KM identities on
+    * engineered corpora through the IDENTICAL pipeline (the
+    * knownItemEvalOn discipline). */
+  def kaplanMeierOn(ev: DataFrame): DataFrame = {
+    val firstAll = ev.groupBy(col("user_id")).agg(min(col("ts")).as("t0"))
+    val firstBuy = ev.where(col("event_type") === "purchase")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("tb"))
+    val obs = firstAll.join(firstBuy, Seq("user_id"))
+      .withColumn("dur_day", expr(
+        "(unix_micros(tb) - unix_micros(t0)) div 86400000000"))
+      .withColumn("w", expr(
+        "1 + (CAST(conv(substring(md5(concat('cens_', " +
+          "CAST(user_id AS STRING))), 1, 1), 16, 10) AS BIGINT)) % 8"))
+      .select(
+        when(col("dur_day") <= col("w"), col("dur_day"))
+          .otherwise(col("w")).as("day"),
+        (col("dur_day") <= col("w")).as("event"))
+    val byDay = obs.groupBy(col("day"))
+      .agg(sum(when(col("event"), 1L).otherwise(0L)).as("d"),
+        sum(when(col("event"), 0L).otherwise(1L)).as("c"))
+    val wDesc = Window.orderBy(col("day").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAsc = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byDay
+      .withColumn("n_at_risk", sum(col("d") + col("c")).over(wDesc))
+      .withColumn("ln_term_nano", expr(
+        "CASE WHEN d = 0 THEN 0L WHEN d < n_at_risk THEN " +
+          "CAST(round(ln(CAST(n_at_risk - d AS DOUBLE) / n_at_risk) " +
+          "* 1e9) AS BIGINT) ELSE 0L END"))
+      .withColumn("died_out",
+        sum(when(col("d") === col("n_at_risk"), 1L).otherwise(0L))
+          .over(wAsc) > 0)
+      .withColumn("cum_ln_nano", sum(col("ln_term_nano")).over(wAsc))
+      .withColumn("surv_nano", expr(
+        "CASE WHEN died_out THEN 0L ELSE " +
+          "CAST(round(exp(CAST(cum_ln_nano AS DOUBLE) / 1e9) * 1e9) " +
+          "AS BIGINT) END"))
+      .select(col("day"), col("d"), col("c"), col("n_at_risk"),
+        col("ln_term_nano"), col("died_out"), col("surv_nano"))
+      .orderBy("day")
+  }
+
+  /** q254's gate body over any (user_id, event_type, ts) frame —
+    * exposed so ExperimentOpsSpec can trip the SRM alarm on an
+    * engineered broken assignment through the IDENTICAL pipeline. */
+  def abSrmOn(ev0: DataFrame): DataFrame = {
+    val ev = ev0
+      .withColumn("arm", when(expr(
+        "CAST(conv(substring(md5(concat('ab_', " +
+          "CAST(user_id AS STRING))), 1, 1), 16, 10) AS BIGINT)") % 2
+        === 0, "A").otherwise("B"))
+    val perArm = ev.groupBy(col("arm"))
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"),
+        countDistinct(when(col("event_type") === "purchase",
+          col("user_id"))).as("n_purchasers"))
+      .withColumn("conv_bp",
+        expr("(n_purchasers * 10000) div n_users"))
+    val srm = perArm.agg(
+        sum(when(col("arm") === "A", col("n_users")).otherwise(0L))
+          .as("na"),
+        sum(when(col("arm") === "B", col("n_users")).otherwise(0L))
+          .as("nb"))
+      .select(expr(
+        "((na - nb) * (na - nb) * 1000) div (na + nb)")
+        .as("srm_chi2_milli"))
+      .withColumn("srm_ok", col("srm_chi2_milli") <= 3841L)
+    perArm.crossJoin(broadcast(srm))
+      .select(col("arm"), col("n_users"), col("n_events"),
+        col("n_purchasers"), col("conv_bp"),
+        col("srm_chi2_milli"), col("srm_ok"))
+      .orderBy("arm")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---- joins ------------------------------------------------------------
@@ -802,44 +878,7 @@ object Relational {
       // per-day nanounit ln terms then one exp (q154/q233 parity), and
       // the day the risk set dies out (d = n, S = 0, ln undefined)
       // carries a died_out flag that zeroes survival from there on.
-      val ev = events(s, d)
-      val firstAll = ev.groupBy(col("user_id")).agg(min(col("ts")).as("t0"))
-      val firstBuy = ev.where(col("event_type") === "purchase")
-        .groupBy(col("user_id")).agg(min(col("ts")).as("tb"))
-      val obs = firstAll.join(firstBuy, Seq("user_id"))
-        .withColumn("dur_day", expr(
-          "(unix_micros(tb) - unix_micros(t0)) div 86400000000"))
-        .withColumn("w", expr(
-          "1 + (CAST(conv(substring(md5(concat('cens_', " +
-            "CAST(user_id AS STRING))), 1, 1), 16, 10) AS BIGINT)) % 8"))
-        .select(
-          when(col("dur_day") <= col("w"), col("dur_day"))
-            .otherwise(col("w")).as("day"),
-          (col("dur_day") <= col("w")).as("event"))
-      val byDay = obs.groupBy(col("day"))
-        .agg(sum(when(col("event"), 1L).otherwise(0L)).as("d"),
-          sum(when(col("event"), 0L).otherwise(1L)).as("c"))
-      val wDesc = Window.orderBy(col("day").desc)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val wAsc = Window.orderBy(col("day"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      byDay
-        .withColumn("n_at_risk", sum(col("d") + col("c")).over(wDesc))
-        .withColumn("ln_term_nano", expr(
-          "CASE WHEN d = 0 THEN 0L WHEN d < n_at_risk THEN " +
-            "CAST(round(ln(CAST(n_at_risk - d AS DOUBLE) / n_at_risk) " +
-            "* 1e9) AS BIGINT) ELSE 0L END"))
-        .withColumn("died_out",
-          sum(when(col("d") === col("n_at_risk"), 1L).otherwise(0L))
-            .over(wAsc) > 0)
-        .withColumn("cum_ln_nano", sum(col("ln_term_nano")).over(wAsc))
-        .withColumn("surv_nano", expr(
-          "CASE WHEN died_out THEN 0L ELSE " +
-            "CAST(round(exp(CAST(cum_ln_nano AS DOUBLE) / 1e9) * 1e9) " +
-            "AS BIGINT) END"))
-        .select(col("day"), col("d"), col("c"), col("n_at_risk"),
-          col("ln_term_nano"), col("died_out"), col("surv_nano"))
-        .orderBy("day")
+      kaplanMeierOn(events(s, d))
     }),
 
     "q254_ab_srm" -> ((s, d) => {
@@ -856,32 +895,7 @@ object Relational {
       // p<0.05 critical value 3.841. Per-arm readout rows (users,
       // events, purchasers, conversion bp) carry the shared SRM
       // columns; everything is two tiny aggregates over one scan.
-      val ev = events(s, d)
-        .withColumn("arm", when(expr(
-          "CAST(conv(substring(md5(concat('ab_', " +
-            "CAST(user_id AS STRING))), 1, 1), 16, 10) AS BIGINT)") % 2
-          === 0, "A").otherwise("B"))
-      val perArm = ev.groupBy(col("arm"))
-        .agg(countDistinct(col("user_id")).as("n_users"),
-          count(lit(1)).as("n_events"),
-          countDistinct(when(col("event_type") === "purchase",
-            col("user_id"))).as("n_purchasers"))
-        .withColumn("conv_bp",
-          expr("(n_purchasers * 10000) div n_users"))
-      val srm = perArm.agg(
-          sum(when(col("arm") === "A", col("n_users")).otherwise(0L))
-            .as("na"),
-          sum(when(col("arm") === "B", col("n_users")).otherwise(0L))
-            .as("nb"))
-        .select(expr(
-          "((na - nb) * (na - nb) * 1000) div (na + nb)")
-          .as("srm_chi2_milli"))
-        .withColumn("srm_ok", col("srm_chi2_milli") <= 3841L)
-      perArm.crossJoin(broadcast(srm))
-        .select(col("arm"), col("n_users"), col("n_events"),
-          col("n_purchasers"), col("conv_bp"),
-          col("srm_chi2_milli"), col("srm_ok"))
-        .orderBy("arm")
+      abSrmOn(events(s, d))
     }),
 
     "q252_tpch_q2" -> ((s, d) => {
