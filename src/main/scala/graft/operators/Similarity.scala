@@ -445,6 +445,60 @@ object Similarity {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    "q255_rbo_agreement" -> ((s, d) => {
+      // Rank-Biased Overlap (Webber et al.) between the suite's two
+      // retrieval legs — the DIAGNOSTIC beside q165's fusion: RRF
+      // combines the lexical and dense lists, RBO measures how much
+      // they agree, which is what decides whether hybrid search is
+      // worth its cost (two highly-correlated rankers fuse to nothing).
+      // Both legs are the SAME shared definitions q165 consumes
+      // (bm25Ranked / the q70 cosine shape at bm25QueryIds — agreement
+      // can never drift from the fusion it explains). Truncated RBO at
+      // depth 10, p = 0.9, regrouped per matched doc: a doc at ranks
+      // (ra, rb) in the two lists contributes the weight TAIL
+      // W(max(ra,rb)), W(m) = Σ_{d=m}^{10} (1−p)·p^(d−1)/d — computed
+      // once in Scala and embedded as identical nanounit literals in
+      // both engines (the q246/q247 constant discipline: pow on data is
+      // never cross-engine-safe, a closed-form literal is), so
+      // rbo_nano is an exact BIGINT over ≤10 matched docs per query.
+      // The fixture verdict is the honest extreme: RBO = 0 on every
+      // query — the synthetic embeddings carry no relation to the
+      // text, the rankers are independent, and the diagnostic reads
+      // "maximum diversity: fusion changes everything" — the exact
+      // complement of q165's rationale.
+      VectorExpressions.register(s)
+      val p = 0.9
+      val wTail = (1 to 10).map(m => math.round(
+        (m to 10).map(dd => (1 - p) * math.pow(p, dd - 1) / dd).sum * 1e9))
+      val lex = TextAnalysis.bm25Ranked(s, d)
+        .select(col("query_id").cast("long").as("query_id"),
+          col("doc_id"), col("rk").as("lex_rk"))
+      val e = t(s, d, "embeddings")
+      val qv = e.filter(col("vec_id").isin(TextAnalysis.bm25QueryIds: _*))
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      val wd = Window.partitionBy("query_id")
+        .orderBy(col("cos").desc, col("doc_id"))
+      val dense = broadcast(qv).crossJoin(e)
+        .where(col("vec_id") =!= col("query_id"))
+        .withColumn("cos", expr("cosine_sim(qe, embedding)"))
+        .withColumn("doc_id", col("vec_id"))
+        .withColumn("dense_rk", row_number().over(wd).cast("long"))
+        .filter(col("dense_rk") <= 10)
+        .select(col("query_id"), col("doc_id"), col("dense_rk"))
+      val matched = lex.join(dense, Seq("query_id", "doc_id"))
+        .withColumn("m", greatest(col("lex_rk"), col("dense_rk")))
+        .withColumn("w_nano",
+          element_at(array(wTail.map(lit): _*), col("m").cast("int")))
+      val per = matched.groupBy(col("query_id"))
+        .agg(count(lit(1)).as("n_common"), sum(col("w_nano")).as("rbo_nano"))
+      lex.select(col("query_id")).distinct()
+        .join(per, Seq("query_id"), "left_outer")
+        .select(col("query_id"),
+          coalesce(col("n_common"), lit(0L)).as("n_common"),
+          coalesce(col("rbo_nano"), lit(0L)).as("rbo_nano"))
+        .orderBy("query_id")
+    }),
+
     "q239_int8_norm_recall" -> ((s, d) => {
       // q238's FIX, shipped as its didactic twin (the q211 discipline):
       // L2-normalize BEFORE quantizing. q238 measures 0.5–0.9 recall@10
@@ -1213,6 +1267,40 @@ object Similarity {
 
   val oracle: Map[String, String] = Map(
 
+    "q255_rbo_agreement" -> {
+      val p = 0.9
+      val wTail = (1 to 10).map(m => math.round(
+        (m to 10).map(dd => (1 - p) * math.pow(p, dd - 1) / dd).sum * 1e9))
+        .mkString(", ")
+      s"""WITH ${TextAnalysis.bm25CtesSql},
+         |lex AS (SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
+         |               rk AS lex_rk FROM ranked WHERE rk <= 10),
+         |eq AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+         |       WHERE vec_id IN (${TextAnalysis.bm25QueryIds
+                  .mkString(", ")})),
+         |dscored AS (
+         |  SELECT query_id, vec_id AS doc_id,
+         |    ${cosSql("qe", "embedding")} AS cos
+         |  FROM eq CROSS JOIN embeddings WHERE vec_id != query_id),
+         |dense AS (SELECT query_id, doc_id, dense_rk FROM (
+         |  SELECT query_id, doc_id,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cos DESC, doc_id) AS BIGINT) AS dense_rk
+         |  FROM dscored) WHERE dense_rk <= 10),
+         |j AS (
+         |  SELECT query_id, greatest(lex_rk, dense_rk) AS m
+         |  FROM lex JOIN dense USING (query_id, doc_id)),
+         |per AS (
+         |  SELECT query_id, CAST(count(*) AS BIGINT) AS n_common,
+         |    CAST(sum([$wTail][CAST(m AS INT)]) AS BIGINT) AS rbo_nano
+         |  FROM j GROUP BY 1),
+         |qs AS (SELECT DISTINCT query_id FROM lex)
+         |SELECT qs.query_id,
+         |  CAST(coalesce(n_common, 0) AS BIGINT) AS n_common,
+         |  CAST(coalesce(rbo_nano, 0) AS BIGINT) AS rbo_nano
+         |FROM qs LEFT JOIN per ON per.query_id = qs.query_id
+         |ORDER BY qs.query_id""".stripMargin
+    },
     "q239_int8_norm_recall" ->
       s"""WITH e0 AS (
          |  SELECT vec_id, embedding,
