@@ -179,7 +179,62 @@ object SqlEntry {
       |FROM orders WHERE o_orderstatus = 'O'
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // CUSUM changepoint detection — a TRUE sequential recurrence
+  // (S_t depends on S_{t-1} through a max, so no prefix-sum window can
+  // express it) run through the same WITH RECURSIVE / UnionLoopExec
+  // machinery as q125: the recursion spine is the ~40-row day frame,
+  // metadata-sized at any corpus scale — the O(data) work is the one
+  // daily-counts aggregate, map-side combined. A level shift is
+  // INJECTED deterministically (+40 events/day from day 20, the
+  // q65/q224 discipline — the fixture alone is stationary and a
+  // detector proven only on quiet data proves nothing), and the
+  // detector must alarm within a few days of the plant: S_t =
+  // max(0, S_{t-1} + (n_t − μ − k)) in exact integer milli-events
+  // (k = 10 events slack, alarm at h = 50), so the alarm day — the
+  // measured detection delay — is oracle-hashed, not asserted.
+  // Engine dialects differ on epoch extraction (unix_micros vs
+  // epoch_us) and integer division (div vs //), so the recurrence is
+  // spelled once per dialect below with identical arithmetic.
+  private def q256Sql(epochUs: String => String, idiv: String) =
+    s"""WITH RECURSIVE
+       |base AS (
+       |  SELECT (${epochUs("ts")} -
+       |    (SELECT min(${epochUs("ts")}) FROM events)) $idiv 86400000000
+       |    AS day
+       |  FROM events),
+       |bounds AS (SELECT max(day) AS hi FROM base),
+       |daily AS (SELECT day, count(*) AS n FROM base GROUP BY 1),
+       |spine(day, hi) AS (
+       |  SELECT CAST(0 AS BIGINT) AS day, hi FROM bounds
+       |  UNION ALL
+       |  SELECT day + 1, hi FROM spine WHERE day < hi),
+       |x AS (
+       |  SELECT s.day,
+       |    CAST(coalesce(n, 0) +
+       |      CASE WHEN s.day >= 20 THEN 40 ELSE 0 END AS BIGINT) AS n
+       |  FROM spine s LEFT JOIN daily ON daily.day = s.day),
+       |stats AS (
+       |  SELECT CAST((sum(n) * 1000) $idiv count(*) AS BIGINT)
+       |    AS mu_milli FROM x),
+       |cus(day, n, s_milli) AS (
+       |  SELECT x.day, x.n,
+       |    greatest(CAST(0 AS BIGINT),
+       |      x.n * 1000 - mu_milli - 10000)
+       |  FROM x CROSS JOIN stats WHERE x.day = 0
+       |  UNION ALL
+       |  SELECT x.day, x.n,
+       |    greatest(CAST(0 AS BIGINT),
+       |      c.s_milli + x.n * 1000 - mu_milli - 10000)
+       |  FROM cus c JOIN x ON x.day = c.day + 1 CROSS JOIN stats)
+       |SELECT day, n AS n_obs, CAST(s_milli AS BIGINT) AS s_milli,
+       |  s_milli > 50000 AS alarm
+       |FROM cus ORDER BY day""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q256_sql_cusum" -> ((s, d) => {
+      graft.Tables.events(s, d).createOrReplaceTempView("events")
+      s.sql(q256Sql(c => s"unix_micros($c)", "div"))
+    }),
     "q45_sql_scan_agg" ->
       ((s, d) => runSql(s, d, Seq("lineitem"), Q45)),
     "q46_sql_cte_window" ->
@@ -196,6 +251,7 @@ object SqlEntry {
       ((s, d) => runSql(s, d, Seq("orders"), Q134)))
 
   val oracle: Map[String, String] = Map(
+    "q256_sql_cusum" -> q256Sql(c => s"epoch_us($c)", "//"),
     "q45_sql_scan_agg" -> Q45,
     "q46_sql_cte_window" -> Q46,
     "q47_sql_subqueries" -> Q47,
