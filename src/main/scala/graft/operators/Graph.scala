@@ -60,7 +60,79 @@ object Graph {
     * truth; measured 0.12%. */
   val TriSampleDenom = 32 // keep edge iff first 2 md5 hex chars < '08'
 
+  /** q257: BFS hop depth — fixed unroll so both engines run the identical
+    * frontier algebra (unbounded BFS is the q128 driver-loop shape with a
+    * checkpoint every ~10 hops; fixed hops are what make the reachable
+    * sets oracle-hash-exact). */
+  val BfsHops = 4
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "q257_bfs_hops" -> ((s, d) => {
+      // BFS reachability over the DOULION-sampled co-occurrence graph —
+      // the graph family's missing third leg after ranking (q128) and
+      // structure metrics (q203/q251): hop-distance from a seed, the
+      // primitive behind crawl-frontier scheduling and "how many hops
+      // until the component is exhausted". The UNSAMPLED graph is
+      // near-complete (q251's verdict: degrees 85–123), where BFS is a
+      // trivial 1–2 hops; the 1/32 md5-sampled edge set (q203's
+      // DOULION subset — deterministic, layout-independent, so the
+      // reachable SETS are oracle-exact) thins mean degree to ~3 and
+      // gives the frontier a real multi-hop expansion plus a
+      // disconnected remainder. Each hop is the scalable shape: one
+      // equi-join frontier⋈edges (at 100 TB edges are bucketed on src —
+      // q128's layout — so only the O(frontier) side moves), one
+      // distinct, one LEFT ANTI against the visited set; per-hop frames
+      // go through CacheRegistry so hop k isn't recomputed by every
+      // later visited reference (linear, not quadratic, plan). Output:
+      // per-hop exact census rows (count, min/max, sum of node ids —
+      // order-independent integers) with the unreached remainder as
+      // hop −1; seed = min node id, deterministic.
+      val ev = events(s, d)
+        .select(col("user_id"), col("event_type"),
+          date_trunc("hour", col("ts")).as("h"))
+        .distinct()
+      val buckets = ev.groupBy(col("event_type"), col("h"))
+        .agg(count(lit(1)).as("m"))
+        .where(col("m") <= TriBucketCap)
+      val members = ev.join(buckets.select(col("event_type"), col("h")),
+        Seq("event_type", "h"))
+      val pairs = members.as("x")
+        .join(members.as("y"), Seq("event_type", "h"))
+        .where(col("x.user_id") < col("y.user_id"))
+        .select(col("x.user_id").as("a"), col("y.user_id").as("b"))
+        .distinct()
+      val sampled = pairs.where(
+        substring(md5(concat(lit("tri_"), col("a"), lit("_"), col("b"))),
+          1, 2) < lit("08"))
+      val edges = graft.CacheRegistry.cached(
+        sampled.select(col("a").as("src"), col("b").as("dst"))
+          .union(sampled.select(col("b").as("src"), col("a").as("dst"))))
+      val nodes = edges.select(col("src").as("node")).distinct()
+      var frontier = graft.CacheRegistry.cached(
+        edges.agg(min(col("src")).as("node")))
+      var visited = frontier
+      val hops = scala.collection.mutable.ArrayBuffer((0, frontier))
+      for (h <- 1 to BfsHops) {
+        frontier = graft.CacheRegistry.cached(
+          frontier.join(edges, frontier("node") === edges("src"))
+            .select(col("dst").as("node")).distinct()
+            .join(visited, Seq("node"), "left_anti"))
+        visited = visited.union(frontier)
+        hops += ((h, frontier))
+      }
+      val unreached = nodes.join(visited, Seq("node"), "left_anti")
+      val tagged = (hops.toSeq :+ ((-1, unreached)))
+        .map { case (h, f) =>
+          f.select(lit(h).cast("bigint").as("hop"), col("node")) }
+        .reduce(_.union(_))
+      tagged.groupBy(col("hop"))
+        .agg(count(lit(1)).as("n_nodes"),
+          min(col("node")).as("min_node"),
+          max(col("node")).as("max_node"),
+          sum(col("node")).cast("bigint").as("sum_node"))
+        .orderBy(col("hop"))
+    }),
 
     "q251_degree_powerlaw" -> ((s, d) => {
       // Degree-distribution POWER-LAW diagnostics — the structural
@@ -240,6 +312,51 @@ object Graph {
     * discipline as q140's oracle: every computed output column carries an
     * explicit CAST to the Spark-side type. */
   val oracle: Map[String, String] = Map(
+    "q257_bfs_hops" -> {
+      val step = (i: Int) =>
+        s"""h$i AS (
+           |  SELECT DISTINCT e.dst AS node FROM edges e
+           |  JOIN h${i - 1} ON e.src = h${i - 1}.node
+           |  EXCEPT SELECT node FROM v${i - 1}),
+           |v$i AS (SELECT node FROM v${i - 1}
+           |  UNION SELECT node FROM h$i)""".stripMargin
+      s"""WITH ev AS (
+         |  SELECT DISTINCT user_id, event_type, date_trunc('hour', ts) AS h
+         |  FROM events),
+         |buckets AS (
+         |  SELECT event_type, h FROM (
+         |    SELECT event_type, h, count(*) AS m FROM ev GROUP BY 1, 2)
+         |  WHERE m <= $TriBucketCap),
+         |members AS (SELECT ev.* FROM ev JOIN buckets USING (event_type, h)),
+         |pairs AS (
+         |  SELECT DISTINCT x.user_id AS a, y.user_id AS b
+         |  FROM members x JOIN members y USING (event_type, h)
+         |  WHERE x.user_id < y.user_id),
+         |sampled AS (
+         |  SELECT a, b FROM pairs
+         |  WHERE substr(md5('tri_' || CAST(a AS VARCHAR) || '_'
+         |    || CAST(b AS VARCHAR)), 1, 2) < '08'),
+         |edges AS (
+         |  SELECT a AS src, b AS dst FROM sampled
+         |  UNION ALL SELECT b, a FROM sampled),
+         |nodes AS (SELECT DISTINCT src AS node FROM edges),
+         |h0 AS (SELECT min(src) AS node FROM edges),
+         |v0 AS (SELECT node FROM h0),
+         |${(1 to BfsHops).map(step).mkString(",\n")},
+         |unreached AS (
+         |  SELECT node FROM nodes EXCEPT SELECT node FROM v$BfsHops),
+         |tagged AS (
+         |  SELECT 0 AS hop, node FROM h0
+         |${(1 to BfsHops).map(i =>
+            s"  UNION ALL SELECT $i, node FROM h$i").mkString("\n")}
+         |  UNION ALL SELECT -1, node FROM unreached)
+         |SELECT CAST(hop AS BIGINT) AS hop,
+         |  CAST(count(*) AS BIGINT) AS n_nodes,
+         |  CAST(min(node) AS BIGINT) AS min_node,
+         |  CAST(max(node) AS BIGINT) AS max_node,
+         |  CAST(sum(node) AS BIGINT) AS sum_node
+         |FROM tagged GROUP BY hop ORDER BY hop""".stripMargin
+    },
     "q251_degree_powerlaw" ->
       s"""WITH ev AS (
          |  SELECT DISTINCT user_id, event_type, date_trunc('hour', ts) AS h

@@ -93,6 +93,23 @@ object TextAnalysis {
     * integer-micro reciprocal rank, hit@10. */
   private[operators] def knownItemEvalOn(s: SparkSession,
       docs: DataFrame): DataFrame = {
+    val (tf, dl, queries) = knownItemFrames(docs)
+    val ranked = bm25ServeOn(s, tf, dl, queries)
+    val hit = ranked.where(col("doc_id") === col("query_id"))
+      .select(col("query_id"), col("rk").as("tr"))
+    queries.select(col("query_id")).distinct()
+      .join(hit, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("tr"), lit(0L)).as("target_rank"),
+        coalesce(expr("1000000 div tr"), lit(0L)).as("rr_micro"),
+        col("tr").isNotNull.as("hit10"))
+  }
+
+  /** The corpus + known-item query frames (postings, doc lengths, the
+    * every-13th-doc 4-rarest-terms query set) — factored so q218's
+    * rank eval and q258's graded NDCG consume the IDENTICAL inputs. */
+  private def knownItemFrames(
+      docs: DataFrame): (DataFrame, DataFrame, DataFrame) = {
     val tf = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
@@ -111,15 +128,59 @@ object TextAnalysis {
       .where(col("tr_rk") <= 4)
       .select(col("query_id"), col("term"))
       .transform(graft.CacheRegistry.cached)
+    (tf, dl, queries)
+  }
+
+  /** q258: discount weights 1/log2(r+1), r = 1..10, as nanounit
+    * literals computed ONCE in Scala (StrictMath) and embedded in both
+    * engines' texts — `pow`/`log` on data is never cross-engine-safe
+    * (the q255 discipline). */
+  private val NdcgWNano: IndexedSeq[Long] = (1 to 10).map(r =>
+    Math.round(1e9 * StrictMath.log(2.0) / StrictMath.log(r + 1.0)))
+
+  /** One CASE text valid in BOTH Spark SQL and DuckDB — rank → nano
+    * discount weight. */
+  private def ndcgWCase(rkCol: String): String =
+    s"CASE $rkCol " + NdcgWNano.zipWithIndex.map { case (w, i) =>
+      s"WHEN ${i + 1} THEN CAST($w AS BIGINT)" }.mkString(" ") + " END"
+
+  /** Graded gain 2^rel − 1 for rel ∈ 1..4 (a doc can match at most the
+    * query's 4 terms) — explicit CASE, one text for both engines. */
+  private def ndcgGainCase(relCol: String): String =
+    s"CASE $relCol WHEN 1 THEN 1 WHEN 2 THEN 3 WHEN 3 THEN 7 " +
+      s"WHEN 4 THEN 15 END"
+
+  /** q258's NDCG@10 over the known-item corpus — graded relevance =
+    * number of the query's 4 terms the doc contains (derivable ground
+    * truth, no labels), ranked lists from the IDENTICAL q153/q218
+    * scoring body. All arithmetic exact: integer gains × nano-literal
+    * discounts, ndcg_micro = dcg·1e6 div idcg (both positive). */
+  private[operators] def ndcgEvalOn(s: SparkSession,
+      docs: DataFrame): DataFrame = {
+    val (tf, dl, queries) = knownItemFrames(docs)
     val ranked = bm25ServeOn(s, tf, dl, queries)
-    val hit = ranked.where(col("doc_id") === col("query_id"))
-      .select(col("query_id"), col("rk").as("tr"))
-    queries.select(col("query_id")).distinct()
-      .join(hit, Seq("query_id"), "left")
+    val rel = tf.select(col("doc_id"), col("term"))
+      .join(broadcast(queries), "term")
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(count(lit(1)).as("rel"))
+      .transform(graft.CacheRegistry.cached)
+    val dcg = ranked.join(rel, Seq("query_id", "doc_id"))
       .select(col("query_id"),
-        coalesce(col("tr"), lit(0L)).as("target_rank"),
-        coalesce(expr("1000000 div tr"), lit(0L)).as("rr_micro"),
-        col("tr").isNotNull.as("hit10"))
+        (expr(ndcgGainCase("rel")) * expr(ndcgWCase("rk"))).as("t"))
+      .groupBy(col("query_id"))
+      .agg(sum(col("t")).cast("bigint").as("dcg_nano"))
+    val iw = Window.partitionBy(col("query_id"))
+      .orderBy(col("rel").desc, col("doc_id"))
+    val idcg = rel.withColumn("irk", row_number().over(iw))
+      .where(col("irk") <= 10)
+      .select(col("query_id"),
+        (expr(ndcgGainCase("rel")) * expr(ndcgWCase("irk"))).as("t"))
+      .groupBy(col("query_id"))
+      .agg(sum(col("t")).cast("bigint").as("idcg_nano"))
+    dcg.join(idcg, Seq("query_id"))
+      .select(col("query_id"), col("dcg_nano"), col("idcg_nano"),
+        expr("CAST((dcg_nano * 1000000) div idcg_nano AS BIGINT)")
+          .as("ndcg_micro"))
   }
 
   /** As [[bm25Serve]] but with the (query_id, term) frame a parameter —
@@ -284,6 +345,26 @@ object TextAnalysis {
 
   private[operators] def bm25CtesSql: String =
     bm25CtesWithQ(s"q(query_id, term) AS (VALUES $bm25ValuesSql)")
+
+  /** The known-item query-set CTE (every 13th doc, 4 rarest terms) —
+    * ONE text for q218's rank eval and q258's NDCG oracle. */
+  private val knownItemQCte =
+    """qdf AS (
+      |  SELECT term, count(DISTINCT doc_id) AS qdf FROM (
+      |    SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      |    FROM documents) tt
+      |  GROUP BY term),
+      |q(query_id, term) AS (
+      |  SELECT query_id, term FROM (
+      |    SELECT query_id, term,
+      |      row_number() OVER (PARTITION BY query_id
+      |        ORDER BY qdf, term) AS tr_rk
+      |    FROM (
+      |      SELECT DISTINCT doc_id AS query_id,
+      |        unnest(string_split(text, ' ')) AS term
+      |      FROM documents WHERE doc_id % 13 = 0)
+      |    JOIN qdf USING (term))
+      |  WHERE tr_rk <= 4)""".stripMargin
 
   /** q153's complete oracle text — also the oracle of the staged (q168)
     * and incrementally-maintained (q169) index forms, which are
@@ -1778,6 +1859,26 @@ object TextAnalysis {
       // rides the production serving plan.
       knownItemEvalOn(s, t(s, d, "documents")).orderBy("query_id")),
 
+    "q258_ndcg" -> ((s, d) =>
+      // NDCG@10 — the GRADED-relevance eval beside q218's binary
+      // known-item ranks (MRR/hit@k see only "the one right doc";
+      // NDCG measures how well the whole top-10 orders partial
+      // matches — the metric that actually moves when a ranker
+      // improves its tail). Relevance is derivable ground truth: how
+      // many of the query's 4 terms the doc contains (1–4), gain
+      // 2^rel − 1, discounts 1/log2(r+1) as nano-literals computed
+      // once in Scala and embedded in BOTH engine texts (pow/log on
+      // data is never cross-engine-safe — the q255 discipline), and
+      // the ranked lists are the IDENTICAL q153/q218 scoring body, so
+      // the three retrieval evals (MRR, RBO, NDCG) can never drift
+      // from the ranker or each other. IDCG re-ranks the doc's true
+      // rel set (top-10 by rel desc — tie order can't change the
+      // sum), ndcg_micro = dcg·1e6 div idcg, exact BIGINTs
+      // throughout. At 100 TB the shape is q218's: broadcast
+      // eval-sized query set, posting-bounded scoring pass, one extra
+      // map-side-combined rel aggregate; nothing new shuffles.
+      ndcgEvalOn(s, t(s, d, "documents")).orderBy("query_id")),
+
     "q192_chat_contract" -> ((s, d) => {
       // Chat-template CONTRACT validation — the SFT-data gate every
       // instruction-tuning pipeline runs before training: conversations
@@ -2717,23 +2818,7 @@ object TextAnalysis {
         |  md5(clean) AS clean_md5, md5(clean) = md5(text) AS restored
         |FROM c ORDER BY doc_id""".stripMargin,
     "q218_retrieval_eval" -> {
-      val qCte = """qdf AS (
-        |  SELECT term, count(DISTINCT doc_id) AS qdf FROM (
-        |    SELECT doc_id, unnest(string_split(text, ' ')) AS term
-        |    FROM documents) tt
-        |  GROUP BY term),
-        |q(query_id, term) AS (
-        |  SELECT query_id, term FROM (
-        |    SELECT query_id, term,
-        |      row_number() OVER (PARTITION BY query_id
-        |        ORDER BY qdf, term) AS tr_rk
-        |    FROM (
-        |      SELECT DISTINCT doc_id AS query_id,
-        |        unnest(string_split(text, ' ')) AS term
-        |      FROM documents WHERE doc_id % 13 = 0)
-        |    JOIN qdf USING (term))
-        |  WHERE tr_rk <= 4)""".stripMargin
-      s"""WITH ${bm25CtesWithQ(qCte)},
+      s"""WITH ${bm25CtesWithQ(knownItemQCte)},
          |hits AS (
          |  SELECT query_id, rk FROM ranked
          |  WHERE rk <= 10 AND doc_id = query_id)
@@ -2746,6 +2831,30 @@ object TextAnalysis {
          |LEFT JOIN hits h USING (query_id)
          |ORDER BY query_id""".stripMargin
     },
+    "q258_ndcg" ->
+      s"""WITH ${bm25CtesWithQ(knownItemQCte)},
+         |rel AS (
+         |  SELECT query_id, doc_id, count(*) AS rel
+         |  FROM tf JOIN q USING (term) GROUP BY 1, 2),
+         |dcg AS (
+         |  SELECT query_id, CAST(sum(${ndcgGainCase("rel")}
+         |      * ${ndcgWCase("rk")}) AS BIGINT) AS dcg_nano
+         |  FROM ranked JOIN rel USING (query_id, doc_id)
+         |  WHERE rk <= 10 GROUP BY 1),
+         |ideal AS (
+         |  SELECT query_id, rel, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY rel DESC, doc_id) AS irk
+         |  FROM rel),
+         |idcg AS (
+         |  SELECT query_id, CAST(sum(${ndcgGainCase("rel")}
+         |      * ${ndcgWCase("irk")}) AS BIGINT) AS idcg_nano
+         |  FROM ideal WHERE irk <= 10 GROUP BY 1)
+         |SELECT CAST(query_id AS BIGINT) AS query_id, dcg_nano,
+         |  idcg_nano,
+         |  CAST((dcg_nano * 1000000) // idcg_nano AS BIGINT)
+         |    AS ndcg_micro
+         |FROM dcg JOIN idcg USING (query_id)
+         |ORDER BY query_id""".stripMargin,
     // bit-identical by construction (same postings, same scoring tail) —
     // the staged and incrementally-maintained index forms share q153's
     // oracle verbatim, exactly as q150 shares q143's
