@@ -155,6 +155,52 @@ object Relational {
       .orderBy("day")
   }
 
+  /** q260's decomposition body over any (ts) frame — exposed so
+    * ExperimentOpsSpec can prove recovery identities on engineered
+    * series through the IDENTICAL pipeline. Weekend rows get a
+    * deterministic +60 events/day INJECTED (the q65/q224 discipline —
+    * a decomposition proven only on aseasonal data proves nothing);
+    * the dow-5/6 seasonal indices must recover it. */
+  def seasonalDecompOn(ev: DataFrame): DataFrame = {
+    val base = ev.select(expr("unix_micros(ts)").as("us"))
+    val m = base.agg(min(col("us")).as("m0"))
+    val dc = base.crossJoin(broadcast(m))
+      .select(expr("(us - m0) div 86400000000").as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("n0"))
+    // day spine: a gap day must enter the moving average as 0, not
+    // vanish — rows-between over a frame with holes is the classic
+    // trend bug (the q256 spine discipline)
+    val spine = dc.agg(max(col("day")).as("hi"))
+      .select(explode(expr("sequence(CAST(0 AS BIGINT), hi)")).as("day"))
+    val full = spine.join(dc, Seq("day"), "left")
+      .select(col("day"),
+        (coalesce(col("n0"), lit(0L)) +
+          when(expr("day % 7") isin (5L, 6L), 60L).otherwise(0L)).as("n"))
+    val w7 = Window.orderBy(col("day")).rowsBetween(-3, 3)
+    val t2 = full
+      .withColumn("nwin", count(lit(1)).over(w7))
+      .withColumn("s7", sum(col("n")).over(w7))
+      .where(col("nwin") === 7)
+      .select(col("day"), col("n"),
+        expr("(s7 * 1000) div 7").as("trend_milli"),
+        expr("n * 1000 - (s7 * 1000) div 7").as("detrended_milli"),
+        expr("day % 7").as("dow"))
+      .transform(graft.CacheRegistry.cached)
+    // seasonal index = mean detrended per dow; detrended is SIGNED, so
+    // the division sign-splits (Spark div truncates, DuckDB // floors)
+    val sm = t2.groupBy(col("dow"))
+      .agg(sum(col("detrended_milli")).as("sd"),
+        count(lit(1)).as("cnt"))
+      .select(col("dow"), expr(
+        "CAST(CASE WHEN sd >= 0 THEN sd div cnt " +
+          "ELSE -((-sd) div cnt) END AS BIGINT)").as("s_milli"))
+    t2.join(broadcast(sm), Seq("dow"))
+      .select(col("day"), col("n"), col("trend_milli"),
+        col("detrended_milli"), col("dow"), col("s_milli"),
+        (col("detrended_milli") - col("s_milli")).as("resid_milli"))
+      .orderBy("day")
+  }
+
   /** q254's gate body over any (user_id, event_type, ts) frame —
     * exposed so ExperimentOpsSpec can trip the SRM alarm on an
     * engineered broken assignment through the IDENTICAL pipeline. */
@@ -879,6 +925,33 @@ object Relational {
       // the day the risk set dies out (d = n, S = 0, ln undefined)
       // carries a died_out flag that zeroes survival from there on.
       kaplanMeierOn(events(s, d))
+    }),
+
+    "q260_seasonal_decomp" -> ((s, d) => {
+      // STL-lite SEASONAL DECOMPOSITION — the time-series triple
+      // (trend, seasonal, residual) read before any anomaly gate
+      // (q256's CUSUM alarms on residual-scale shifts; THIS is the
+      // report that says what "normal" looks like first): daily event
+      // counts on a gap-filled day spine (a missing day enters the
+      // moving average as 0 — the classic trend bug the spine
+      // discipline closes), trend = centered 7-day moving average in
+      // exact milli-events (only full windows — the 3-day edges carry
+      // no trend row), seasonal = per-day-of-week mean of the
+      // detrended series with the SIGNED division sign-split (q140),
+      // residual = detrended − seasonal, all BIGINT milli-units. A
+      // weekly pattern is INJECTED deterministically (+60 events on
+      // dow 5/6 — the q65/q224 discipline), and the decomposition
+      // demonstrably recovers it: the two weekend indices are the top
+      // two (+51.8k / +26.9k milli vs −8.5k…−27k weekdays; the exact
+      // expectation is 60k·5/7 ≈ +42.9k because the plant dilutes its
+      // own trend by 60·2/7 — ExperimentOpsSpec pins that closed form
+      // EXACTLY on a constant base series, where every residual is 0),
+      // the fixture's ±25-event/day base noise explaining the spread.
+      // Scale shape: one map-side-combined daily aggregate is the only
+      // O(data) work; every window rides the metadata-sized day frame
+      // (PlanGuard 'day' allowlist), the 7-row seasonal table
+      // broadcasts back.
+      seasonalDecompOn(events(s, d))
     }),
 
     "q254_ab_srm" -> ((s, d) => {
@@ -3503,6 +3576,43 @@ object Relational {
         |    CAST(round(exp(CAST(cum_ln_nano AS DOUBLE) / 1e9) * 1e9)
         |      AS BIGINT) END AS surv_nano
         |FROM f ORDER BY day""".stripMargin,
+    "q260_seasonal_decomp" ->
+      """WITH base AS (SELECT epoch_us(ts) AS us FROM events),
+        |m AS (SELECT min(us) AS m0 FROM base),
+        |dc AS (
+        |  SELECT (us - m0) // 86400000000 AS day,
+        |    CAST(count(*) AS BIGINT) AS n0
+        |  FROM base CROSS JOIN m GROUP BY 1),
+        |bounds AS (SELECT max(day) AS hi FROM dc),
+        |spine AS (SELECT unnest(range(0, hi + 1)) AS day FROM bounds),
+        |f AS (
+        |  SELECT s.day,
+        |    CAST(coalesce(n0, 0) + CASE WHEN s.day % 7 IN (5, 6)
+        |      THEN 60 ELSE 0 END AS BIGINT) AS n
+        |  FROM spine s LEFT JOIN dc ON dc.day = s.day),
+        |tr AS (
+        |  SELECT day, n,
+        |    count(*) OVER w7 AS nwin,
+        |    CAST(sum(n) OVER w7 AS BIGINT) AS s7
+        |  FROM f WINDOW w7 AS (ORDER BY day
+        |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        |t2 AS (
+        |  SELECT day, n,
+        |    CAST((s7 * 1000) // 7 AS BIGINT) AS trend_milli,
+        |    CAST(n * 1000 - (s7 * 1000) // 7 AS BIGINT)
+        |      AS detrended_milli,
+        |    day % 7 AS dow
+        |  FROM tr WHERE nwin = 7),
+        |sm AS (
+        |  SELECT dow, CAST(CASE WHEN sd >= 0 THEN sd // cnt
+        |    ELSE -((-sd) // cnt) END AS BIGINT) AS s_milli
+        |  FROM (SELECT dow, CAST(sum(detrended_milli) AS BIGINT) AS sd,
+        |          CAST(count(*) AS BIGINT) AS cnt
+        |        FROM t2 GROUP BY 1))
+        |SELECT CAST(t2.day AS BIGINT) AS day, n, trend_milli,
+        |  detrended_milli, CAST(t2.dow AS BIGINT) AS dow, s_milli,
+        |  CAST(detrended_milli - s_milli AS BIGINT) AS resid_milli
+        |FROM t2 JOIN sm USING (dow) ORDER BY day""".stripMargin,
     "q254_ab_srm" ->
       """WITH ev AS (
         |  SELECT user_id, event_type,

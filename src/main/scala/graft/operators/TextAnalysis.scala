@@ -105,6 +105,65 @@ object TextAnalysis {
         col("tr").isNotNull.as("hit10"))
   }
 
+  /** q233's hashed-linear score frame (doc_id, n_tokens,
+    * logit_sum_micro, p_nano, keep) — factored so q259's AUC evaluates
+    * the IDENTICAL scores the classifier emits. */
+  private[operators] def qualityScoresOn(s: SparkSession,
+      docs: DataFrame): DataFrame = {
+    val w = s.range(1024).toDF("bucket")
+      .withColumn("w_micro", expr(
+        "CAST(conv(substring(md5(concat('w_', CAST(bucket AS STRING))), " +
+          "1, 8), 16, 10) AS BIGINT) % 2000001 - 1000000"))
+    docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .withColumn("bucket", expr(
+        "CAST(conv(substring(md5(tok), 1, 8), 16, 10) AS BIGINT) % 1024"))
+      .join(broadcast(w), "bucket")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("w_micro")).as("logit_sum_micro"))
+      .withColumn("p_nano", expr(
+        "CAST(round(1e9 / (1.0 + exp(-(CAST(logit_sum_micro AS DOUBLE) " +
+          "/ n_tokens / 1e6)))) AS BIGINT)"))
+      .withColumn("keep", col("p_nano") >= lit(500000000L))
+  }
+
+  /** q259: fixed quantization width splitting the [0, 1e9] score range
+    * into 1024 buckets (976563·1024 > 1e9, so bucket ∈ 0..1023). */
+  private[operators] val AucBucketW = 976563L
+
+  /** Exact tie-aware AUC over a (score BIGINT ≥ 0, label BOOLEAN)
+    * frame — the Mann-Whitney statistic with no global window: score-
+    * level aggregate → 1024-bucket histogram → broadcast self-join
+    * prefix across buckets + per-bucket window within. Returns one row
+    * (n_pos, n_neg, pairs2, auc_micro) with pairs2 = 2·Σ[s⁺>s⁻] +
+    * Σ[s⁺=s⁻]. Requires both classes non-empty (integer div). */
+  private[operators] def aucOn(labeled: DataFrame): DataFrame = {
+    val sg = labeled.groupBy(col("score"))
+      .agg(sum(when(col("label"), 1L).otherwise(0L)).as("n_pos"),
+        sum(when(col("label"), 0L).otherwise(1L)).as("n_neg"))
+      .withColumn("bucket", expr(s"score div $AucBucketW"))
+      .transform(graft.CacheRegistry.cached)
+    val bk = sg.groupBy(col("bucket")).agg(sum(col("n_neg")).as("bn_neg"))
+      .transform(graft.CacheRegistry.cached)
+    val below = bk.select(col("bucket"))
+      .join(bk.select(col("bucket").as("b2"), col("bn_neg").as("nn2")),
+        col("b2") < col("bucket"), "left_outer")
+      .groupBy(col("bucket"))
+      .agg(coalesce(sum(col("nn2")), lit(0L)).as("nbb"))
+    val wv = Window.partitionBy(col("bucket")).orderBy(col("score"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    sg.withColumn("nbw", coalesce(sum(col("n_neg")).over(wv), lit(0L)))
+      .join(below, Seq("bucket"))
+      .agg(sum(col("n_pos")).cast("bigint").as("n_pos"),
+        sum(col("n_neg")).cast("bigint").as("n_neg"),
+        sum(col("n_pos") * (lit(2L) * (col("nbb") + col("nbw"))
+          + col("n_neg"))).cast("bigint").as("pairs2"))
+      .select(col("n_pos"), col("n_neg"), col("pairs2"),
+        expr("CAST((pairs2 * 1000000) div (2 * n_pos * n_neg) AS BIGINT)")
+          .as("auc_micro"))
+  }
+
   /** The corpus + known-item query frames (postings, doc lengths, the
     * every-13th-doc 4-rarest-terms query set) — factored so q218's
     * rank eval and q258's graded NDCG consume the IDENTICAL inputs. */
@@ -1033,23 +1092,43 @@ object TextAnalysis {
       // oracle-identical parenthesization and quantizes to nanounits
       // per doc (the q154 idiom), so logits, probabilities and the
       // keep verdict are all hash-exact.
-      val w = s.range(1024).toDF("bucket")
-        .withColumn("w_micro", expr(
-          "CAST(conv(substring(md5(concat('w_', CAST(bucket AS STRING))), " +
-            "1, 8), 16, 10) AS BIGINT) % 2000001 - 1000000"))
-      t(s, d, "documents")
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-        .withColumn("bucket", expr(
-          "CAST(conv(substring(md5(tok), 1, 8), 16, 10) AS BIGINT) % 1024"))
-        .join(broadcast(w), "bucket")
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_tokens"),
-          sum(col("w_micro")).as("logit_sum_micro"))
-        .withColumn("p_nano", expr(
-          "CAST(round(1e9 / (1.0 + exp(-(CAST(logit_sum_micro AS DOUBLE) " +
-            "/ n_tokens / 1e6)))) AS BIGINT)"))
-        .withColumn("keep", col("p_nano") >= lit(500000000L))
-        .orderBy("doc_id")
+      qualityScoresOn(s, t(s, d, "documents")).orderBy("doc_id")
+    }),
+
+    "q259_auc" -> ((s, d) => {
+      // AUC via the exact Mann-Whitney rank-sum — the threshold-free
+      // eval every keep/drop classifier (q233) needs before anyone
+      // trusts its `keep` column: P(score⁺ > score⁻) + ½P(tie),
+      // computed WITHOUT a global sort. The distributed shape is the
+      // point — a global rank is an empty-partitionBy window (one task
+      // holds the corpus, PlanGuard-banned); instead scores collapse
+      // to a score-level aggregate (one map-side-combined shuffle),
+      // scores quantize into 1024 FIXED nano-range buckets, the
+      // cross-bucket "negatives below" prefix is a broadcast self-join
+      // count over the ≤1024-row bucket frame (the q249/q250 tiny-
+      // frame idiom) and the within-bucket prefix is a window
+      // PARTITIONED BY bucket — so the only per-score state is local
+      // to its bucket, at any corpus size. Scores are the IDENTICAL
+      // q233 pipeline (qualityScoresOn — the eval can't drift from
+      // the model it measures); the label is derivable ground truth:
+      // n_tokens·n_docs > Σtokens, i.e. above-mean length, compared
+      // in exact integers (never a mean division). All tie handling
+      // exact: pairs2 doubles the ½-tie term into integers,
+      // auc_micro = pairs2·1e6 div (2·n⁺·n⁻). (At web scale the two
+      // final products move to DECIMAL(38,0) — the q140 discipline;
+      // BIGINT holds to ~10⁹ docs per class here.) The measured
+      // verdict is the honest one for md5-random weights: AUC ≈ 0.5 —
+      // the stand-in model has NO discrimination w.r.t. length, which
+      // is exactly what this eval exists to expose (AucSpec proves
+      // the harness: planted separation ⇒ 1.0, all-ties ⇒ 0.5, a
+      // hand-computed tie mix ⇒ 0.75).
+      val scores = qualityScoresOn(s, t(s, d, "documents"))
+      val tot = scores.agg(count(lit(1)).as("nd"),
+        sum(col("n_tokens")).as("tt"))
+      val labeled = scores.crossJoin(broadcast(tot))
+        .select(col("p_nano").as("score"),
+          (col("n_tokens") * col("nd") > col("tt")).as("label"))
+      aucOn(labeled)
     }),
 
     "q215_cdc_chunking" -> ((s, d) =>
@@ -2336,6 +2415,60 @@ object TextAnalysis {
         |    AS BIGINT) AS kl_nano
         |FROM cells GROUP BY source
         |ORDER BY kl_nano DESC, source""".stripMargin,
+    "q259_auc" ->
+      s"""WITH w AS (
+         |  SELECT b AS bucket,
+         |    CAST('0x' || substr(md5('w_' || CAST(b AS VARCHAR)), 1, 8)
+         |      AS BIGINT) % 2000001 - 1000000 AS w_micro
+         |  FROM (SELECT unnest(range(1024)) AS b)),
+         |tok AS (
+         |  SELECT doc_id,
+         |    CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) % 1024 AS bucket
+         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+         |        FROM documents)),
+         |agg AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |    CAST(sum(w_micro) AS BIGINT) AS logit_sum_micro
+         |  FROM tok JOIN w USING (bucket) GROUP BY 1),
+         |p AS (
+         |  SELECT doc_id, n_tokens,
+         |    CAST(round(1e9 / (1.0 + exp(-(CAST(logit_sum_micro AS DOUBLE)
+         |      / n_tokens / 1e6)))) AS BIGINT) AS p_nano
+         |  FROM agg),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS nd,
+         |               CAST(sum(n_tokens) AS BIGINT) AS tt FROM p),
+         |lab AS (
+         |  SELECT p_nano AS score, n_tokens * nd > tt AS label
+         |  FROM p CROSS JOIN tot),
+         |sg AS (
+         |  SELECT score,
+         |    CAST(sum(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_pos,
+         |    CAST(sum(CASE WHEN label THEN 0 ELSE 1 END) AS BIGINT)
+         |      AS n_neg,
+         |    score // $AucBucketW AS bucket
+         |  FROM lab GROUP BY score),
+         |bk AS (SELECT bucket, CAST(sum(n_neg) AS BIGINT) AS bn_neg
+         |       FROM sg GROUP BY 1),
+         |below AS (
+         |  SELECT x.bucket,
+         |    CAST(coalesce(sum(y.bn_neg), 0) AS BIGINT) AS nbb
+         |  FROM bk x LEFT JOIN bk y ON y.bucket < x.bucket
+         |  GROUP BY x.bucket),
+         |wib AS (
+         |  SELECT bucket, n_pos, n_neg,
+         |    CAST(coalesce(sum(n_neg) OVER (PARTITION BY bucket
+         |      ORDER BY score
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS BIGINT) AS nbw
+         |  FROM sg)
+         |SELECT CAST(sum(n_pos) AS BIGINT) AS n_pos,
+         |  CAST(sum(n_neg) AS BIGINT) AS n_neg,
+         |  CAST(sum(n_pos * (2 * (nbb + nbw) + n_neg)) AS BIGINT)
+         |    AS pairs2,
+         |  CAST((sum(n_pos * (2 * (nbb + nbw) + n_neg)) * 1000000)
+         |    // (2 * sum(n_pos) * sum(n_neg)) AS BIGINT) AS auc_micro
+         |FROM wib JOIN below USING (bucket)""".stripMargin,
     "q233_quality_classifier" ->
       """WITH w AS (
         |  SELECT b AS bucket,

@@ -100,4 +100,31 @@ class ExperimentOpsSpec extends SparkSpec {
     val gg = Relational.abSrmOn(balanced).collect()
     assert(gg.forall(_.getBoolean(6)), "an exact 50/50 split must pass")
   }
+
+  test("q260 on a constant base series: exact closed-form recovery, " +
+    "zero residuals") {
+    import org.apache.spark.sql.functions._
+    // c = 5 events on each of 28 days — the only structure in the
+    // series is the pipeline's own +60 weekend plant, so the
+    // decomposition must recover it EXACTLY: every full 7-day window
+    // holds one dow-5 and one dow-6 ⇒ s7 = 7c + 120, trend_milli =
+    // 1000c + floor(120000/7) = 1000c + 17142, weekday detrended =
+    // −17142, weekend = +60000 − 17142 = +42858 (the 60k·5/7 closed
+    // form), seasonal = the same values (means of identical rows),
+    // and EVERY residual is identically 0.
+    val ev = spark.range(28L * 5)
+      .select(expr("timestamp_micros((id div 5) * 86400000000 + (id % 5))")
+        .as("ts"))
+    val out = Relational.seasonalDecompOn(ev).collect()
+    assert(out.length == 22) // days 3..24 carry full windows
+    out.foreach { r =>
+      val (dow, trend, det, sMilli, resid) = (r.getLong(4), r.getLong(2),
+        r.getLong(3), r.getLong(5), r.getLong(6))
+      assert(trend == 5000L + 17142L)
+      val expected = if (dow == 5 || dow == 6) 42858L else -17142L
+      assert(det == expected, s"dow $dow detrended $det")
+      assert(sMilli == expected, s"dow $dow seasonal $sMilli")
+      assert(resid == 0L, s"dow $dow residual $resid")
+    }
+  }
 }
