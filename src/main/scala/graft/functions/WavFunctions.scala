@@ -2,6 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.types._
@@ -142,6 +143,22 @@ object WavHeader {
     while (w < 64) { if (avg(w) > mean) hh |= 1L << w; w += 1 }
     java.lang.Long.valueOf(hh)
   }
+
+  /** First n amplitudes of the PCM stream (q262's Haar input) — the
+    * same channel-interleaved amplitude formula as [[pcmStats]], so a
+    * stereo file contributes L/R alternating. Null for anything
+    * [[pcmStats]] rejects or with fewer than n samples (a short file
+    * must not silently zero-pad into fake band energies). */
+  def samples(b: Array[Byte], n: Int): ArrayData = {
+    val d = pcmData(b)
+    if (d == null) return null
+    val bytesPer = d(0); val dataPos = d(1); val total = d(2)
+    if (total < n) return null
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) { out(i) = ampAt(b, bytesPer, dataPos, i); i += 1 }
+    ArrayData.toArrayData(out)
+  }
 }
 
 /** wav_fmt(content) -> struct<channels, sample_rate, bits_per_sample,
@@ -218,6 +235,32 @@ case class WavFingerprint(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** wav_samples(content, n) -> array<bigint> of the first n PCM
+  * amplitudes, null for non-PCM-WAV bytes or fewer than n samples —
+  * the decode step that hands the payload to DECLARATIVE array
+  * algebra (q262 runs the Haar transform with higher-order functions
+  * on this array, keeping the wavelet visible to codegen instead of
+  * burying it in the expression). */
+case class WavSamples(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "wav_samples"
+
+  override def nullSafeEval(v: Any): Any =
+    WavHeader.samples(v.asInstanceOf[Array[Byte]], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, b => {
+      s"""
+         |${ev.value} = graft.functions.WavHeader.samples($b, $n);
+         |${ev.isNull} = (${ev.value} == null);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object WavFunctions {
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -226,5 +269,8 @@ object WavFunctions {
       "wav_pcm", exprs => WavPcmStats(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "wav_fingerprint", exprs => WavFingerprint(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "wav_samples", exprs => WavSamples(exprs(0),
+        exprs(1).eval().asInstanceOf[Number].intValue()), "built-in")
   }
 }

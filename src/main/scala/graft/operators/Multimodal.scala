@@ -427,6 +427,58 @@ object Multimodal {
         .orderBy("name")
     }),
 
+    "q262_haar_bands" -> ((s, d) => {
+      // Haar wavelet BAND ENERGIES — frequency-band features from the
+      // PCM stream with EXACT integer arithmetic (a DFT's sin/cos are
+      // irrational — never cross-engine hashable; Haar's unnormalized
+      // sum/difference pairs stay in BIGINT, which is what makes a
+      // spectral feature oracle-exact at all). The decode step
+      // (wav_samples, the q156 walker returning the first 64
+      // channel-interleaved amplitudes) hands the payload to
+      // DECLARATIVE array algebra: each level is one higher-order
+      // transform (pairwise sums) + one aggregate (pairwise-difference
+      // energy), 3 levels → detail energies ed1..ed3 (high→low band)
+      // + the approximation energy ea3, all inside whole-stage codegen
+      // — at 100 TB a clip becomes 5 BIGINTs inside the scan
+      // projection and audio bytes never shuffle (the q200/q207
+      // contract). Every row carries the in-query Parseval invariant
+      // ea3 + ed3 + 2·ed2 + 4·ed1 = 8·e0 — the transform proves its
+      // own energy conservation per file. Oracle =
+      // tools/gen_haar_manifest.py, an INDEPENDENT Python RIFF parser
+      // + integer Haar over the same committed fixtures (the
+      // q156/q207 cross-validation contract); short files (wav_f, 33
+      // samples) are null per wav_samples' no-zero-pad contract and
+      // skipped by both sides.
+      graft.functions.WavFunctions.register(s)
+      def pairA(arr: String, m: Int): String =
+        s"transform(sequence(0, ${m - 1}), i -> " +
+          s"element_at($arr, 2*i+1) + element_at($arr, 2*i+2))"
+      def pairE(arr: String, m: Int): String =
+        s"aggregate(sequence(0, ${m - 1}), CAST(0 AS BIGINT), (acc, i) " +
+          s"-> acc + (element_at($arr, 2*i+1) - element_at($arr, 2*i+2)) " +
+          s"* (element_at($arr, 2*i+1) - element_at($arr, 2*i+2)))"
+      def sq(arr: String): String =
+        s"aggregate($arr, CAST(0 AS BIGINT), (acc, x) -> acc + x * x)"
+      s.read.format("binaryFile")
+        .option("pathGlobFilter", "*.wav")
+        .load(graft.Fixtures.path("wav"))
+        .select(element_at(split(col("path"), "/"), -1).as("name"),
+          expr("wav_samples(content, 64)").as("s0"))
+        .where(col("s0").isNotNull)
+        .withColumn("e0", expr(sq("s0")))
+        .withColumn("a1", expr(pairA("s0", 32)))
+        .withColumn("ed1", expr(pairE("s0", 32)))
+        .withColumn("a2", expr(pairA("a1", 16)))
+        .withColumn("ed2", expr(pairE("a1", 16)))
+        .withColumn("a3", expr(pairA("a2", 8)))
+        .withColumn("ed3", expr(pairE("a2", 8)))
+        .withColumn("ea3", expr(sq("a3")))
+        .select(col("name"), col("e0"), col("ed1"), col("ed2"),
+          col("ed3"), col("ea3"),
+          expr("ea3 + ed3 + 2*ed2 + 4*ed1 = 8*e0").as("parseval_ok"))
+        .orderBy("name")
+    }),
+
     "q156_wav_pcm" -> ((s, d) => {
       // PCM feature extraction — the step PAST header decode: wav_pcm
       // walks to the data chunk and parses the actual amplitude stream
@@ -549,6 +601,14 @@ object Multimodal {
         |  CAST(n_frames AS BIGINT) AS n_frames,
         |  CAST(n_bytes AS BIGINT) AS n_bytes
         |FROM read_csv('${graft.Fixtures.path("wav")}/manifest.csv', header=true)
+        |ORDER BY name""".stripMargin,
+    "q262_haar_bands" ->
+      s"""SELECT name, CAST(e0 AS BIGINT) AS e0,
+        |  CAST(ed1 AS BIGINT) AS ed1, CAST(ed2 AS BIGINT) AS ed2,
+        |  CAST(ed3 AS BIGINT) AS ed3, CAST(ea3 AS BIGINT) AS ea3,
+        |  CAST(parseval_ok AS BOOLEAN) AS parseval_ok
+        |FROM read_csv('${graft.Fixtures.path("wav")}/haar_manifest.csv',
+        |  header=true)
         |ORDER BY name""".stripMargin,
     "q156_wav_pcm" ->
       s"""SELECT name, CAST(n_samples AS BIGINT) AS n_samples,

@@ -2346,6 +2346,54 @@ object Relational {
         .orderBy("custkey")
     }),
 
+    "q261_snapshot_diff" -> ((s, d) => {
+      // Content-addressed SNAPSHOT DIFF — the dataset-versioning
+      // primitive between q171's changelog apply (which needs a
+      // changelog) and "just re-read both": given two materialized
+      // corpus versions, classify every key added / removed /
+      // modified / unchanged and fingerprint each class, WITHOUT the
+      // payload ever moving — rows collapse to (key, md5(text)) in
+      // the scan projection, so the one full-outer merge shuffles
+      // ~40 bytes/doc at any corpus size. Snapshot fingerprints are
+      // ORDER-INDEPENDENT commutative sums of per-row 32-bit hashes
+      // (sum is layout/partitioning-invariant — the property that
+      // makes "did anything change at all?" an O(1) compare of two
+      // BIGINTs BEFORE paying for the join; BIGINT holds to 2^31
+      // rows, DECIMAL(38,0) past that — q140). v2 is derived
+      // deterministically from v1 (the q65 injected-input
+      // discipline): docs ≡5 (mod 23) removed, ≡7 modified (text
+      // suffix ⇒ new content hash), ≡11 held out of v1 so they
+      // surface as v2 additions — all four classes provably
+      // populated, counts and class fingerprints hash-exact.
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      def fp(hc: String) = expr(
+        s"CAST(conv(substring(md5(concat(CAST(doc_id AS STRING), ':', " +
+          s"$hc)), 1, 8), 16, 10) AS BIGINT)")
+      val v1 = docs.where(col("doc_id") % 23 =!= 11)
+        .select(col("doc_id"), md5(col("text")).as("h1"))
+      val v2 = docs.where(col("doc_id") % 23 =!= 5)
+        .select(col("doc_id"),
+          md5(when(col("doc_id") % 23 === 7,
+            concat(col("text"), lit(" v2r1")))
+            .otherwise(col("text"))).as("h2"))
+      val f1 = v1.agg(count(lit(1)).as("n_v1"),
+        sum(fp("h1")).cast("bigint").as("fp_v1"))
+      val f2 = v2.agg(count(lit(1)).as("n_v2"),
+        sum(fp("h2")).cast("bigint").as("fp_v2"))
+      v1.join(v2, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"),
+          when(col("h1").isNull, "added")
+            .when(col("h2").isNull, "removed")
+            .when(col("h1") =!= col("h2"), "modified")
+            .otherwise("unchanged").as("status"),
+          coalesce(col("h2"), col("h1")).as("h"))
+        .groupBy(col("status"))
+        .agg(count(lit(1)).as("n"),
+          sum(fp("h")).cast("bigint").as("fp"))
+        .crossJoin(broadcast(f1)).crossJoin(broadcast(f2))
+        .orderBy("status")
+    }),
+
     "q171_cdc_apply" -> ((s, d) => {
       // Ordered CDC apply with DELETES — the piece q39's upsert merge
       // leaves out, and the shape a Debezium/binlog consumer actually
@@ -3576,6 +3624,39 @@ object Relational {
         |    CAST(round(exp(CAST(cum_ln_nano AS DOUBLE) / 1e9) * 1e9)
         |      AS BIGINT) END AS surv_nano
         |FROM f ORDER BY day""".stripMargin,
+    "q261_snapshot_diff" ->
+      """WITH v1 AS (
+        |  SELECT doc_id, md5(text) AS h1 FROM documents
+        |  WHERE doc_id % 23 != 11),
+        |v2 AS (
+        |  SELECT doc_id, md5(CASE WHEN doc_id % 23 = 7
+        |      THEN text || ' v2r1' ELSE text END) AS h2
+        |  FROM documents WHERE doc_id % 23 != 5),
+        |f1 AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_v1,
+        |    CAST(sum(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+        |      || ':' || h1), 1, 8) AS BIGINT)) AS BIGINT) AS fp_v1
+        |  FROM v1),
+        |f2 AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_v2,
+        |    CAST(sum(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+        |      || ':' || h2), 1, 8) AS BIGINT)) AS BIGINT) AS fp_v2
+        |  FROM v2),
+        |j AS (
+        |  SELECT doc_id,
+        |    CASE WHEN h1 IS NULL THEN 'added'
+        |         WHEN h2 IS NULL THEN 'removed'
+        |         WHEN h1 != h2 THEN 'modified'
+        |         ELSE 'unchanged' END AS status,
+        |    coalesce(h2, h1) AS h
+        |  FROM v1 FULL OUTER JOIN v2 USING (doc_id))
+        |SELECT status, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+        |    || ':' || h), 1, 8) AS BIGINT)) AS BIGINT) AS fp,
+        |  n_v1, fp_v1, n_v2, fp_v2
+        |FROM j CROSS JOIN f1 CROSS JOIN f2
+        |GROUP BY status, n_v1, fp_v1, n_v2, fp_v2
+        |ORDER BY status""".stripMargin,
     "q260_seasonal_decomp" ->
       """WITH base AS (SELECT epoch_us(ts) AS us FROM events),
         |m AS (SELECT min(us) AS m0 FROM base),
