@@ -1131,6 +1131,108 @@ object TextAnalysis {
       aucOn(labeled)
     }),
 
+    "q264_pareto_frontier" -> ((s, d) => {
+      // Pareto / skyline FRONTIER — the multi-objective dominance
+      // filter behind data selection ("the best quality at every cost
+      // budget"): a doc is dominated iff another has cost ≤ AND
+      // quality ≥ with one strict; what survives is the efficient
+      // frontier an ablation actually chooses from. Axes are the
+      // IDENTICAL q233 score (quality, maximize) and token count
+      // (cost, minimize). The scalable shape is the q259
+      // decomposition with max in place of sum — a global
+      // sort-and-scan is a PlanGuard-banned global window: docs
+      // collapse to per-cost groups (max quality + its argmax doc via
+      // one STRUCT max, the q211 discipline), cost groups quantize
+      // into fixed-width buckets, the cross-bucket running max is a
+      // broadcast self-join over the bucket frame and the
+      // within-bucket prefix max is a bucket-partitioned window; a
+      // group is ON the frontier iff its quality strictly exceeds
+      // the prefix max over all cheaper groups (strict > also
+      // resolves equal-quality ties toward the cheaper doc — the
+      // dominance definition, not a convention). Exact integers
+      // throughout; the fixture frontier is the honest shape: the
+      // p≈½-hugging scores admit only a handful of efficient points.
+      val scores = qualityScoresOn(s, t(s, d, "documents"))
+      val bw = 16
+      val g = scores.groupBy(col("n_tokens"))
+        .agg(max(col("p_nano")).as("best_p_nano"),
+          max(struct(col("p_nano"), col("doc_id")))
+            .getField("doc_id").as("best_doc"))
+        .select(col("n_tokens").as("cost"), col("best_p_nano"),
+          col("best_doc"))
+        .withColumn("bucket", expr(s"cost div $bw"))
+        .transform(graft.CacheRegistry.cached)
+      val bk = g.groupBy(col("bucket"))
+        .agg(max(col("best_p_nano")).as("bmax"))
+        .transform(graft.CacheRegistry.cached)
+      val below = bk.select(col("bucket"))
+        .join(bk.select(col("bucket").as("b2"), col("bmax").as("m2")),
+          col("b2") < col("bucket"), "left_outer")
+        .groupBy(col("bucket"))
+        .agg(coalesce(max(col("m2")), lit(-1L)).as("cross_max"))
+      val wv = Window.partitionBy(col("bucket")).orderBy(col("cost"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      g.withColumn("wmax",
+          coalesce(max(col("best_p_nano")).over(wv), lit(-1L)))
+        .join(below, Seq("bucket"))
+        .where(col("best_p_nano") >
+          greatest(col("cross_max"), col("wmax")))
+        .select(col("cost"), col("best_p_nano"), col("best_doc"))
+        .orderBy("cost")
+    }),
+
+    "q263_calibration" -> ((s, d) => {
+      // Calibration curve + Brier score — the RELIABILITY axis of
+      // classifier eval next to q259's discrimination axis (AUC says
+      // "positives rank above negatives"; calibration says "0.7 means
+      // 70%" — a model can ace one and fail the other, which is why
+      // both ship together): the IDENTICAL q233 scores and the
+      // IDENTICAL q259 label (above-mean length, exact-integer
+      // compare) bin into 10 FIXED probability deciles (p_nano div
+      // 1e8 capped at 9 — fixed edges, the q196 discipline, so the
+      // histogram is one map-side-combined aggregate at any corpus
+      // size). Per bin: n, mean predicted probability and observed
+      // positive rate in exact integer micro-units (nonneg div), and
+      // the calibration gap. The Brier sum squares nano-residuals —
+      // (1e9)² per row overflows BIGINT in the thousands, so the sums
+      // accumulate as DECIMAL(38,0) (the q140 discipline) and divide
+      // back to a BIGINT micro-score carried on every row. Measured
+      // verdict (the honest one): the model's logit is a MEAN of
+      // ~±1-microunit random weights, so predictions hug ½ — only
+      // bins 4–6 are populated (mean predicted 0.48–0.60) — and
+      // Brier = 0.2505, statistically indistinguishable from the
+      // always-say-½ model's 0.25: together with q259's AUC 0.507
+      // the two axes agree the stand-in model carries zero signal,
+      // each seeing a different face of it (no discrimination; no
+      // spread to mis-calibrate).
+      val scores = qualityScoresOn(s, t(s, d, "documents"))
+      val tot = scores.agg(count(lit(1)).as("nd"),
+        sum(col("n_tokens")).as("tt"))
+      val dec = "decimal(38,0)"
+      val labeled = scores.crossJoin(broadcast(tot))
+        .select(col("p_nano"),
+          when(col("n_tokens") * col("nd") > col("tt"), 1L).otherwise(0L)
+            .as("y"))
+        .withColumn("bin", least(expr("p_nano div 100000000"), lit(9L)))
+        .withColumn("res", col("p_nano") - col("y") * lit(1000000000L))
+      val brier = labeled
+        .agg(sum((col("res") * col("res")).cast(dec)).as("sq"),
+          count(lit(1)).cast(dec).as("n"))
+        .select(expr(
+          "CAST((sq div n) div 1000000000000 AS BIGINT)")
+          .as("brier_micro"))
+      labeled.groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("p_nano")).as("sp"), sum(col("y")).as("sy"))
+        .select(col("bin"), col("n"),
+          expr("(sp div n) div 1000 AS mean_pred_micro"),
+          expr("(sy * 1000000) div n AS obs_rate_micro"))
+        .withColumn("gap_micro",
+          col("mean_pred_micro") - col("obs_rate_micro"))
+        .crossJoin(broadcast(brier))
+        .orderBy("bin")
+    }),
+
     "q215_cdc_chunking" -> ((s, d) =>
       // Content-defined chunking — q214's SHIFT-ROBUST twin: fixed
       // 64/48 windows lose every downstream chunk identity the moment
@@ -2469,6 +2571,96 @@ object TextAnalysis {
          |  CAST((sum(n_pos * (2 * (nbb + nbw) + n_neg)) * 1000000)
          |    // (2 * sum(n_pos) * sum(n_neg)) AS BIGINT) AS auc_micro
          |FROM wib JOIN below USING (bucket)""".stripMargin,
+    "q264_pareto_frontier" ->
+      s"""WITH w AS (
+         |  SELECT b AS bucket,
+         |    CAST('0x' || substr(md5('w_' || CAST(b AS VARCHAR)), 1, 8)
+         |      AS BIGINT) % 2000001 - 1000000 AS w_micro
+         |  FROM (SELECT unnest(range(1024)) AS b)),
+         |tok AS (
+         |  SELECT doc_id,
+         |    CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) % 1024 AS bucket
+         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+         |        FROM documents)),
+         |agg AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |    CAST(sum(w_micro) AS BIGINT) AS logit_sum_micro
+         |  FROM tok JOIN w USING (bucket) GROUP BY 1),
+         |p AS (
+         |  SELECT doc_id, n_tokens,
+         |    CAST(round(1e9 / (1.0 + exp(-(CAST(logit_sum_micro AS DOUBLE)
+         |      / n_tokens / 1e6)))) AS BIGINT) AS p_nano
+         |  FROM agg),
+         |g AS (
+         |  SELECT n_tokens AS cost,
+         |    CAST(max(p_nano) AS BIGINT) AS best_p_nano,
+         |    (max(struct_pack(p := p_nano, d := doc_id))).d AS best_doc,
+         |    n_tokens // 16 AS cb
+         |  FROM p GROUP BY n_tokens),
+         |bk AS (SELECT cb, CAST(max(best_p_nano) AS BIGINT) AS bmax
+         |       FROM g GROUP BY 1),
+         |below AS (
+         |  SELECT x.cb, CAST(coalesce(max(y.bmax), -1) AS BIGINT)
+         |    AS cross_max
+         |  FROM bk x LEFT JOIN bk y ON y.cb < x.cb GROUP BY x.cb),
+         |wib AS (
+         |  SELECT cost, best_p_nano, best_doc, cb,
+         |    CAST(coalesce(max(best_p_nano) OVER (PARTITION BY cb
+         |      ORDER BY cost
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+         |      AS BIGINT) AS wmax
+         |  FROM g)
+         |SELECT CAST(cost AS BIGINT) AS cost, best_p_nano,
+         |  CAST(best_doc AS BIGINT) AS best_doc
+         |FROM wib JOIN below USING (cb)
+         |WHERE best_p_nano > greatest(cross_max, wmax)
+         |ORDER BY cost""".stripMargin,
+    "q263_calibration" ->
+      s"""WITH w AS (
+         |  SELECT b AS bucket,
+         |    CAST('0x' || substr(md5('w_' || CAST(b AS VARCHAR)), 1, 8)
+         |      AS BIGINT) % 2000001 - 1000000 AS w_micro
+         |  FROM (SELECT unnest(range(1024)) AS b)),
+         |tok AS (
+         |  SELECT doc_id,
+         |    CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) % 1024 AS bucket
+         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+         |        FROM documents)),
+         |agg AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |    CAST(sum(w_micro) AS BIGINT) AS logit_sum_micro
+         |  FROM tok JOIN w USING (bucket) GROUP BY 1),
+         |p AS (
+         |  SELECT doc_id, n_tokens,
+         |    CAST(round(1e9 / (1.0 + exp(-(CAST(logit_sum_micro AS DOUBLE)
+         |      / n_tokens / 1e6)))) AS BIGINT) AS p_nano
+         |  FROM agg),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS nd,
+         |               CAST(sum(n_tokens) AS BIGINT) AS tt FROM p),
+         |lab AS (
+         |  SELECT p_nano,
+         |    CAST(CASE WHEN n_tokens * nd > tt THEN 1 ELSE 0 END
+         |      AS BIGINT) AS y,
+         |    least(p_nano // 100000000, 9) AS bin
+         |  FROM p CROSS JOIN tot),
+         |lr AS (SELECT p_nano, y, bin,
+         |         p_nano - y * 1000000000 AS res FROM lab),
+         |brier AS (
+         |  SELECT CAST((sum(CAST(res AS HUGEINT) * CAST(res AS HUGEINT))
+         |    // CAST(count(*) AS HUGEINT)) // 1000000000000 AS BIGINT)
+         |    AS brier_micro
+         |  FROM lr)
+         |SELECT CAST(bin AS BIGINT) AS bin,
+         |  CAST(count(*) AS BIGINT) AS n,
+         |  CAST((sum(p_nano) // count(*)) // 1000 AS BIGINT)
+         |    AS mean_pred_micro,
+         |  CAST((sum(y) * 1000000) // count(*) AS BIGINT)
+         |    AS obs_rate_micro,
+         |  CAST((sum(p_nano) // count(*)) // 1000
+         |    - (sum(y) * 1000000) // count(*) AS BIGINT) AS gap_micro,
+         |  brier_micro
+         |FROM lr CROSS JOIN brier
+         |GROUP BY bin, brier_micro ORDER BY bin""".stripMargin,
     "q233_quality_classifier" ->
       """WITH w AS (
         |  SELECT b AS bucket,
