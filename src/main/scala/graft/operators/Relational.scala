@@ -155,6 +155,47 @@ object Relational {
       .orderBy("day")
   }
 
+  /** q265: the deterministic 4-arm assignment — argmax of salted md5
+    * hex strings over arms a–d (ASCII-lexicographic compare, identical
+    * semantics both engines; ties broken by arm order, unreachable for
+    * md5). One text, parameterized only by the engine's string-cast
+    * keyword. */
+  private[operators] def armArgmaxSql(salt: String, cast: String): String = {
+    def hx(a: String) =
+      s"md5(concat('${salt}_${a}_', CAST(event_id AS $cast)))"
+    s"CASE WHEN ${hx("a")} >= ${hx("b")} AND ${hx("a")} >= ${hx("c")} " +
+      s"AND ${hx("a")} >= ${hx("d")} THEN 'a' " +
+      s"WHEN ${hx("b")} >= ${hx("c")} AND ${hx("b")} >= ${hx("d")} " +
+      s"THEN 'b' WHEN ${hx("c")} >= ${hx("d")} THEN 'c' ELSE 'd' END"
+  }
+
+  /** q265's estimator body — exposed so PipelineOpsSpec can prove the
+    * replay identity (policy salt == logging salt ⇒ every round
+    * matches and replay_bp == naive_bp exactly) through the IDENTICAL
+    * pipeline. */
+  def banditReplayOn(ev0: DataFrame, polSalt: String): DataFrame = {
+    val ev = ev0.select(col("event_id"),
+        expr(armArgmaxSql("log", "STRING")).as("logged_arm"),
+        expr(armArgmaxSql(polSalt, "STRING")).as("pol_arm"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("r"))
+      .transform(graft.CacheRegistry.cached)
+    val per = ev.groupBy(col("logged_arm").as("arm"))
+      .agg(count(lit(1)).as("n_rounds"),
+        sum(when(col("pol_arm") === col("logged_arm"), 1L).otherwise(0L))
+          .as("n_matched"),
+        sum(when(col("pol_arm") === col("logged_arm"), col("r"))
+          .otherwise(0L)).as("matched_r"))
+    val replay = per.agg(sum(col("n_matched")).as("tm"),
+        sum(col("matched_r")).as("tr"))
+      .select(expr("CAST((tr * 10000) div tm AS BIGINT)").as("replay_bp"))
+    val naive = ev.agg(
+      expr("CAST((sum(r) * 10000) div count(1) AS BIGINT)").as("naive_bp"))
+    per.withColumn("match_bp",
+        expr("CAST((n_matched * 10000) div n_rounds AS BIGINT)"))
+      .crossJoin(broadcast(replay)).crossJoin(broadcast(naive))
+      .orderBy("arm")
+  }
+
   /** q260's decomposition body over any (ts) frame — exposed so
     * ExperimentOpsSpec can prove recovery identities on engineered
     * series through the IDENTICAL pipeline. Weekend rows get a
@@ -952,6 +993,31 @@ object Relational {
       // (PlanGuard 'day' allowlist), the 7-row seasonal table
       // broadcasts back.
       seasonalDecompOn(events(s, d))
+    }),
+
+    "q265_bandit_replay" -> ((s, d) => {
+      // OFF-POLICY REPLAY evaluation (Li et al.'s replay method) —
+      // the counterfactual eval between q254's on-policy A/B readout
+      // and actually deploying: "what reward WOULD policy π have
+      // earned on this logged traffic?", answered from logs alone by
+      // keeping exactly the rounds where the logged arm equals π's
+      // choice (unbiased when logging is uniform — which the
+      // md5-argmax assignment is by construction). Every piece is
+      // deterministic and layout-independent: the logged arm and the
+      // candidate policy are BOTH the salted-md5 argmax over arms a–d
+      // (one shared text — only the salt differs), reward is the
+      // purchase flag, and the estimate is exact integer basis
+      // points. Per-arm rows carry logged rounds, matched rounds
+      // (≈1/4 each — the uniform-logging match rate the method
+      // predicts), the matched conversion estimate, and the shared
+      // replay_bp next to naive_bp: the honest verdict is
+      // replay ≈ naive — a hash policy carries no signal about
+      // purchases, so the counterfactual equals the factual, while
+      // PipelineOpsSpec proves the machinery: π ≡ logging policy ⇒
+      // 100% match and replay_bp == naive_bp EXACTLY. At 100 TB: one
+      // scan, two map-side-combined aggregates, two 1-row broadcasts
+      // — the eval is free next to the logging pipeline.
+      banditReplayOn(events(s, d), "pol")
     }),
 
     "q254_ab_srm" -> ((s, d) => {
@@ -3624,6 +3690,33 @@ object Relational {
         |    CAST(round(exp(CAST(cum_ln_nano AS DOUBLE) / 1e9) * 1e9)
         |      AS BIGINT) END AS surv_nano
         |FROM f ORDER BY day""".stripMargin,
+    "q265_bandit_replay" -> {
+      val log = armArgmaxSql("log", "VARCHAR")
+      val pol = armArgmaxSql("pol", "VARCHAR")
+      s"""WITH ev AS (
+         |  SELECT event_id, $log AS logged_arm, $pol AS pol_arm,
+         |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS r
+         |  FROM events),
+         |per AS (
+         |  SELECT logged_arm AS arm,
+         |    CAST(count(*) AS BIGINT) AS n_rounds,
+         |    CAST(sum(CASE WHEN pol_arm = logged_arm THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_matched,
+         |    CAST(sum(CASE WHEN pol_arm = logged_arm THEN r ELSE 0 END)
+         |      AS BIGINT) AS matched_r
+         |  FROM ev GROUP BY 1),
+         |rp AS (
+         |  SELECT CAST((sum(matched_r) * 10000) // sum(n_matched)
+         |    AS BIGINT) AS replay_bp FROM per),
+         |nv AS (
+         |  SELECT CAST((sum(r) * 10000) // count(*) AS BIGINT)
+         |    AS naive_bp FROM ev)
+         |SELECT arm, n_rounds, n_matched, matched_r,
+         |  CAST((n_matched * 10000) // n_rounds AS BIGINT) AS match_bp,
+         |  replay_bp, naive_bp
+         |FROM per CROSS JOIN rp CROSS JOIN nv
+         |ORDER BY arm""".stripMargin
+    },
     "q261_snapshot_diff" ->
       """WITH v1 AS (
         |  SELECT doc_id, md5(text) AS h1 FROM documents

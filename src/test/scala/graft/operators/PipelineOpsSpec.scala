@@ -293,6 +293,27 @@ class PipelineOpsSpec extends SparkSpec {
     Staging.forget(dir)
     assert(!Staging.isStaged(dir))
   }
+
+  test("q265: replaying the logging policy itself matches every round " +
+    "and reproduces the factual rate exactly") {
+    // the replay method's defining identity: with π ≡ the logging
+    // policy (same salt), every round matches, each arm's matched
+    // count equals its logged count, and the counterfactual estimate
+    // IS the factual one — any mismatch would mean the estimator
+    // reweights or drops rounds it shouldn't
+    val rows = Relational
+      .banditReplayOn(graft.Tables.events(spark, sf0001), "log")
+      .collect()
+    assert(rows.length == 4)
+    rows.foreach { r =>
+      assert(r.getLong(2) == r.getLong(1),
+        s"arm ${r.getString(0)}: matched ${r.getLong(2)} != " +
+          s"logged ${r.getLong(1)}")
+      assert(r.getLong(4) == 10000L)
+      assert(r.getLong(5) == r.getLong(6),
+        "replay_bp must equal naive_bp when π is the logging policy")
+    }
+  }
 }
 
 /** Indirection keeps the spec free of streaming imports. */
