@@ -97,11 +97,16 @@ object Graph {
         .where(col("m") <= TriBucketCap)
       val members = ev.join(buckets.select(col("event_type"), col("h")),
         Seq("event_type", "h"))
-      val pairs = members.as("x")
+      // cached at the PAIRS level with q203's exact plan — Spark's
+      // CacheManager dedupes by plan identity, so q203/q257 share one
+      // materialization AND the union below doesn't evaluate the
+      // member self-join twice (uncached, edges paid 2× the pair
+      // build — the round's bench flagged it at sf0.1)
+      val pairs = graft.CacheRegistry.cached(members.as("x")
         .join(members.as("y"), Seq("event_type", "h"))
         .where(col("x.user_id") < col("y.user_id"))
         .select(col("x.user_id").as("a"), col("y.user_id").as("b"))
-        .distinct()
+        .distinct())
       val sampled = pairs.where(
         substring(md5(concat(lit("tri_"), col("a"), lit("_"), col("b"))),
           1, 2) < lit("08"))
@@ -109,15 +114,26 @@ object Graph {
         sampled.select(col("a").as("src"), col("b").as("dst"))
           .union(sampled.select(col("b").as("src"), col("a").as("dst"))))
       val nodes = edges.select(col("src").as("node")).distinct()
-      var frontier = graft.CacheRegistry.cached(
-        edges.agg(min(col("src")).as("node")))
+      // localCheckpoint (the q69 lineage-truncation idiom) EVERY hop,
+      // not CacheRegistry: caching truncates physical re-execution but
+      // the LOGICAL plan keeps full lineage, and BFS's visited
+      // accumulation makes that lineage grow exponentially with hops
+      // (frontier_h embeds frontier_{h-1} twice: once via the
+      // expansion join, once via the anti-join's visited union) — at
+      // sf0.1 the optimizer+codegen walk alone grew to ~17 s of the
+      // query's 22 s before this. Checkpointing collapses each ≤|V|-row
+      // frontier to a leaf, so every hop's plan — and the census over
+      // all of them — stays constant-size; the checkpointed frames are
+      // node-id lists, never payloads.
+      var frontier = edges.agg(min(col("src")).as("node"))
+        .localCheckpoint()
       var visited = frontier
       val hops = scala.collection.mutable.ArrayBuffer((0, frontier))
       for (h <- 1 to BfsHops) {
-        frontier = graft.CacheRegistry.cached(
-          frontier.join(edges, frontier("node") === edges("src"))
-            .select(col("dst").as("node")).distinct()
-            .join(visited, Seq("node"), "left_anti"))
+        frontier = frontier.join(edges, frontier("node") === edges("src"))
+          .select(col("dst").as("node")).distinct()
+          .join(visited, Seq("node"), "left_anti")
+          .localCheckpoint()
         visited = visited.union(frontier)
         hops += ((h, frontier))
       }

@@ -179,35 +179,39 @@ object SqlEntry {
       |FROM orders WHERE o_orderstatus = 'O'
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
-  // CUSUM changepoint detection — a TRUE sequential recurrence
-  // (S_t depends on S_{t-1} through a max, so no prefix-sum window can
-  // express it) run through the same WITH RECURSIVE / UnionLoopExec
-  // machinery as q125: the recursion spine is the ~40-row day frame,
-  // metadata-sized at any corpus scale — the O(data) work is the one
-  // daily-counts aggregate, map-side combined. A level shift is
-  // INJECTED deterministically (+40 events/day from day 20, the
-  // q65/q224 discipline — the fixture alone is stationary and a
-  // detector proven only on quiet data proves nothing), and the
-  // detector must alarm within a few days of the plant: S_t =
-  // max(0, S_{t-1} + (n_t − μ − k)) in exact integer milli-events
-  // (k = 10 events slack, alarm at h = 50), so the alarm day — the
-  // measured detection delay — is oracle-hashed, not asserted.
-  // Engine dialects differ on epoch extraction (unix_micros vs
-  // epoch_us) and integer division (div vs //), so the recurrence is
-  // spelled once per dialect below with identical arithmetic.
-  private def q256Sql(epochUs: String => String, idiv: String) =
-    s"""WITH RECURSIVE
-       |base AS (
+  // CUSUM changepoint detection — S_t = max(0, S_{t-1} + (n_t − μ − k))
+  // LOOKS like an irreducible sequential recurrence (S_t depends on
+  // S_{t-1} through a max), but the max-plus algebra LINEARIZES it:
+  // S_t = P_t − min_{0≤j≤t} P_j with P the plain prefix sum of
+  // z_t = n_t·1000 − μ_milli − k_milli and P_0 = 0 — exactly two
+  // windows (running sum, running min) over the metadata-sized day
+  // frame, which ride the PlanGuard 'day' allowlist at any corpus
+  // scale. (The first cut of this query ran the recurrence through
+  // WITH RECURSIVE; UnionLoopExec re-evaluates the CTE chain every
+  // iteration, which went quadratic on the sf0.1 300-day span —
+  // 41.8 s vs 0.2 s for this form, same rows. The identity is exact
+  // in integers, so the oracle hash is unchanged.) The only O(data)
+  // work is the one map-side-combined daily-counts aggregate; the day
+  // spine is gap-filled (q260's discipline — a zero-event day must
+  // enter the statistic as 0). A level shift is INJECTED
+  // deterministically (+40 events/day from day 20, the q65/q224
+  // discipline — a detector proven only on quiet data proves
+  // nothing), and the detector must alarm within a few days:
+  // k = 10 events slack, alarm at h = 50, all exact integer
+  // milli-events, so the alarm day — the measured detection delay —
+  // is oracle-hashed, not asserted. Dialect splits: epoch extraction
+  // (unix_micros vs epoch_us), integer division (div vs //), and the
+  // spine generator (explode(sequence) vs unnest(range)).
+  private def q256Sql(epochUs: String => String, idiv: String,
+      spine: String) =
+    s"""WITH base AS (
        |  SELECT (${epochUs("ts")} -
        |    (SELECT min(${epochUs("ts")}) FROM events)) $idiv 86400000000
        |    AS day
        |  FROM events),
        |bounds AS (SELECT max(day) AS hi FROM base),
        |daily AS (SELECT day, count(*) AS n FROM base GROUP BY 1),
-       |spine(day, hi) AS (
-       |  SELECT CAST(0 AS BIGINT) AS day, hi FROM bounds
-       |  UNION ALL
-       |  SELECT day + 1, hi FROM spine WHERE day < hi),
+       |spine AS ($spine),
        |x AS (
        |  SELECT s.day,
        |    CAST(coalesce(n, 0) +
@@ -216,24 +220,30 @@ object SqlEntry {
        |stats AS (
        |  SELECT CAST((sum(n) * 1000) $idiv count(*) AS BIGINT)
        |    AS mu_milli FROM x),
-       |cus(day, n, s_milli) AS (
-       |  SELECT x.day, x.n,
-       |    greatest(CAST(0 AS BIGINT),
-       |      x.n * 1000 - mu_milli - 10000)
-       |  FROM x CROSS JOIN stats WHERE x.day = 0
-       |  UNION ALL
-       |  SELECT x.day, x.n,
-       |    greatest(CAST(0 AS BIGINT),
-       |      c.s_milli + x.n * 1000 - mu_milli - 10000)
-       |  FROM cus c JOIN x ON x.day = c.day + 1 CROSS JOIN stats)
-       |SELECT day, n AS n_obs, CAST(s_milli AS BIGINT) AS s_milli,
-       |  s_milli > 50000 AS alarm
-       |FROM cus ORDER BY day""".stripMargin
+       |z AS (
+       |  SELECT day, n, n * 1000 - mu_milli - 10000 AS z_milli
+       |  FROM x CROSS JOIN stats),
+       |pfx AS (
+       |  SELECT day, n,
+       |    CAST(sum(z_milli) OVER (ORDER BY day
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |      AS BIGINT) AS p
+       |  FROM z),
+       |sm AS (
+       |  SELECT day, n,
+       |    CAST(p - least(CAST(0 AS BIGINT), min(p) OVER (ORDER BY day
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+       |      AS BIGINT) AS s_milli
+       |  FROM pfx)
+       |SELECT day, n AS n_obs, s_milli, s_milli > 50000 AS alarm
+       |FROM sm ORDER BY day""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q256_sql_cusum" -> ((s, d) => {
       graft.Tables.events(s, d).createOrReplaceTempView("events")
-      s.sql(q256Sql(c => s"unix_micros($c)", "div"))
+      s.sql(q256Sql(c => s"unix_micros($c)", "div",
+        "SELECT explode(sequence(CAST(0 AS BIGINT), hi)) AS day " +
+          "FROM bounds"))
     }),
     "q45_sql_scan_agg" ->
       ((s, d) => runSql(s, d, Seq("lineitem"), Q45)),
@@ -251,7 +261,8 @@ object SqlEntry {
       ((s, d) => runSql(s, d, Seq("orders"), Q134)))
 
   val oracle: Map[String, String] = Map(
-    "q256_sql_cusum" -> q256Sql(c => s"epoch_us($c)", "//"),
+    "q256_sql_cusum" -> q256Sql(c => s"epoch_us($c)", "//",
+      "SELECT unnest(range(0, hi + 1)) AS day FROM bounds"),
     "q45_sql_scan_agg" -> Q45,
     "q46_sql_cte_window" -> Q46,
     "q47_sql_subqueries" -> Q47,
