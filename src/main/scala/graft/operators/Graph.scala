@@ -66,6 +66,38 @@ object Graph {
     * sets oracle-hash-exact). */
   val BfsHops = 4
 
+  /** q257's frontier algebra over any symmetric (src, dst) edge frame —
+    * exposed so GraphSpec can prove the hop census on engineered graphs
+    * (a path graph pins one node per hop; a disconnected component must
+    * land at hop −1) through the IDENTICAL pipeline. Seed = min node.
+    * Scale/lineage notes at the q257 use site. */
+  private[operators] def bfsCensus(edges: DataFrame): DataFrame = {
+    val nodes = edges.select(col("src").as("node")).distinct()
+    var frontier = edges.agg(min(col("src")).as("node"))
+      .localCheckpoint()
+    var visited = frontier
+    val hops = scala.collection.mutable.ArrayBuffer((0, frontier))
+    for (h <- 1 to BfsHops) {
+      frontier = frontier.join(edges, frontier("node") === edges("src"))
+        .select(col("dst").as("node")).distinct()
+        .join(visited, Seq("node"), "left_anti")
+        .localCheckpoint()
+      visited = visited.union(frontier)
+      hops += ((h, frontier))
+    }
+    val unreached = nodes.join(visited, Seq("node"), "left_anti")
+    (hops.toSeq :+ ((-1, unreached)))
+      .map { case (h, f) =>
+        f.select(lit(h).cast("bigint").as("hop"), col("node")) }
+      .reduce(_.union(_))
+      .groupBy(col("hop"))
+      .agg(count(lit(1)).as("n_nodes"),
+        min(col("node")).as("min_node"),
+        max(col("node")).as("max_node"),
+        sum(col("node")).cast("bigint").as("sum_node"))
+      .orderBy(col("hop"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     "q257_bfs_hops" -> ((s, d) => {
@@ -113,41 +145,19 @@ object Graph {
       val edges = graft.CacheRegistry.cached(
         sampled.select(col("a").as("src"), col("b").as("dst"))
           .union(sampled.select(col("b").as("src"), col("a").as("dst"))))
-      val nodes = edges.select(col("src").as("node")).distinct()
-      // localCheckpoint (the q69 lineage-truncation idiom) EVERY hop,
-      // not CacheRegistry: caching truncates physical re-execution but
-      // the LOGICAL plan keeps full lineage, and BFS's visited
-      // accumulation makes that lineage grow exponentially with hops
-      // (frontier_h embeds frontier_{h-1} twice: once via the
-      // expansion join, once via the anti-join's visited union) — at
-      // sf0.1 the optimizer+codegen walk alone grew to ~17 s of the
-      // query's 22 s before this. Checkpointing collapses each ≤|V|-row
-      // frontier to a leaf, so every hop's plan — and the census over
-      // all of them — stays constant-size; the checkpointed frames are
-      // node-id lists, never payloads.
-      var frontier = edges.agg(min(col("src")).as("node"))
-        .localCheckpoint()
-      var visited = frontier
-      val hops = scala.collection.mutable.ArrayBuffer((0, frontier))
-      for (h <- 1 to BfsHops) {
-        frontier = frontier.join(edges, frontier("node") === edges("src"))
-          .select(col("dst").as("node")).distinct()
-          .join(visited, Seq("node"), "left_anti")
-          .localCheckpoint()
-        visited = visited.union(frontier)
-        hops += ((h, frontier))
-      }
-      val unreached = nodes.join(visited, Seq("node"), "left_anti")
-      val tagged = (hops.toSeq :+ ((-1, unreached)))
-        .map { case (h, f) =>
-          f.select(lit(h).cast("bigint").as("hop"), col("node")) }
-        .reduce(_.union(_))
-      tagged.groupBy(col("hop"))
-        .agg(count(lit(1)).as("n_nodes"),
-          min(col("node")).as("min_node"),
-          max(col("node")).as("max_node"),
-          sum(col("node")).cast("bigint").as("sum_node"))
-        .orderBy(col("hop"))
+      // hop loop in bfsCensus; each frontier is localCheckpoint'ed (the
+      // q69 lineage-truncation idiom) rather than CacheRegistry-cached:
+      // caching truncates physical re-execution but the LOGICAL plan
+      // keeps full lineage, and BFS's visited accumulation makes that
+      // lineage grow exponentially with hops (frontier_h embeds
+      // frontier_{h-1} twice: once via the expansion join, once via the
+      // anti-join's visited union) — at sf0.1 the optimizer+codegen
+      // walk alone grew to ~17 s of the query's 22 s before this.
+      // Checkpointing collapses each ≤|V|-row frontier to a leaf, so
+      // every hop's plan — and the census over all of them — stays
+      // constant-size; the checkpointed frames are node-id lists,
+      // never payloads.
+      bfsCensus(edges)
     }),
 
     "q251_degree_powerlaw" -> ((s, d) => {

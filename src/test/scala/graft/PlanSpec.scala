@@ -411,4 +411,49 @@ class PlanSpec extends SparkSpec {
       s"the signature frame must come from the shared cache, not four " +
         s"recomputed MinHash passes:\n$p")
   }
+
+  test("q256: the linearized CUSUM carries no recursion node") {
+    // the WITH RECURSIVE first cut planned a UnionLoop that re-evaluated
+    // its CTE chain per day — quadratic in the span (41.8 s at sf0.1);
+    // the prefix-min identity must plan as plain windows over the day
+    // frame with zero loop operators
+    val p = plan("q256_sql_cusum")
+    assert(!p.contains("UnionLoop"),
+      s"CUSUM must be the windowed identity, not recursion:\n$p")
+    assert(p.contains("Window"), s"expected the two day-frame windows:\n$p")
+  }
+
+  test("q257: BFS hop plans are lineage-truncated leaves") {
+    // each frontier must enter the census as a scanned RDD leaf
+    // (localCheckpoint), never as re-inlined join lineage — the
+    // visited-union otherwise doubles plan size per hop
+    val p = plan("q257_bfs_hops")
+    assert(p.contains("Scan ExistingRDD"),
+      s"frontiers must be checkpointed leaves:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q259/q264: the bucketed prefix never plans a global window") {
+    // the whole point of the 1024-bucket decomposition: every Window
+    // operator in the plan carries a partition spec
+    Seq("q259_auc", "q264_pareto_frontier").foreach { n =>
+      val lp = SparkEntry.queries(n)(spark, sf0001)
+        .queryExecution.optimizedPlan
+      lp.foreach {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window =>
+          assert(w.partitionSpec.nonEmpty,
+            s"$n: empty-partition window in the AUC/frontier path")
+        case _ => ()
+      }
+    }
+  }
+
+  test("q265: both aggregates are map-side combinable, policy is in-row") {
+    // the replay eval must be two hash aggregates over one scan — no
+    // join for the policy (it is a per-row expression), no sort
+    val p = plan("q265_bandit_replay")
+    assert(p.contains("HashAggregate"))
+    assert(!p.contains("SortMergeJoin"),
+      s"the policy must not join — it is per-row arithmetic:\n$p")
+  }
 }

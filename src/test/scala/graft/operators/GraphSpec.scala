@@ -64,4 +64,35 @@ class GraphSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"),
       s"final top-k must not global-sort:\n$p")
   }
+
+  private def census(edges: Seq[(Long, Long)]): Map[Long, (Long, Long, Long, Long)] = {
+    import spark.implicits._
+    val sym = edges.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    Graph.bfsCensus(sym.toDF("src", "dst")).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+  }
+
+  test("q257 BFS on a path graph: exactly one node per hop") {
+    // 0-1-2-3-4 plus the isolated pair 10-11: seed = 0, hop h must hold
+    // exactly node h, and the disconnected pair must land at hop −1
+    val c = census(Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)))
+    (0 to Graph.BfsHops).foreach { h =>
+      assert(c(h.toLong) == ((1L, h.toLong, h.toLong, h.toLong)),
+        s"hop $h must hold exactly node $h, got ${c(h.toLong)}")
+    }
+    assert(c(-1L) == ((2L, 10L, 11L, 21L)),
+      "the disconnected pair must be the whole unreached census")
+  }
+
+  test("q257 BFS on a star: everything at hop 1, no deeper frontier") {
+    // hub 0 with leaves 1..6 — hop 1 is all six leaves, hops 2..4 are
+    // EMPTY (no rows — the frontier must die, not re-emit visited nodes)
+    val c = census((1L to 6L).map(i => (0L, i)))
+    assert(c(0L) == ((1L, 0L, 0L, 0L)))
+    assert(c(1L) == ((6L, 1L, 6L, 21L)))
+    (2 to Graph.BfsHops).foreach(h =>
+      assert(!c.contains(h.toLong), s"hop $h must be empty on a star"))
+    assert(!c.contains(-1L), "a star has no unreached remainder")
+  }
 }
