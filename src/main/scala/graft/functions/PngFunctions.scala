@@ -227,6 +227,47 @@ object PngHeader {
     while (c < 64) { if (avg(c) > mean) hh |= 1L << c; c += 1 }
     java.lang.Long.valueOf(hh)
   }
+
+  /** q266: 2×2 box-downsample of the integer-luma grid — the thumbnail
+    * step every multimodal ingest runs, kept exact: per-pixel luma is
+    * q200's (299R+587G+114B)/1000, each output pixel the floor-mean of
+    * its 2×2 block (odd edge rows/columns truncate — out dims w/2 ×
+    * h/2), and the thumbnail reduces IN-EXPRESSION to the mergeable
+    * stats plus a POSITION-WEIGHTED checksum Σ v·(idx+1) (row-major
+    * idx), which pins every output pixel's value AND position — two
+    * thumbnails with permuted pixels share sums but never the
+    * checksum. Null for anything [[pixelStats]] rejects or smaller
+    * than 2×2 (an empty block must not fabricate pixels). */
+  def box2Stats(b: Array[Byte]): InternalRow = {
+    val dec = decodeUnfiltered(b)
+    if (dec == null || dec.width < 2 || dec.height < 2) return null
+    val w = dec.width; val h = dec.height; val nc = dec.nchan
+    val stride = w * nc
+    def luma(x: Int, y: Int): Long = {
+      val o = y * (1 + stride) + 1 + x * nc
+      (299L * (dec.raw(o) & 0xFF) + 587L * (dec.raw(o + 1) & 0xFF) +
+        114L * (dec.raw(o + 2) & 0xFF)) / 1000L
+    }
+    val ow = w / 2; val oh = h / 2
+    var n = 0L; var mn = Long.MaxValue; var mx = Long.MinValue
+    var sum = 0L; var sumsq = 0L; var chk = 0L
+    var oy = 0
+    while (oy < oh) {
+      var ox = 0
+      while (ox < ow) {
+        val v = (luma(2 * ox, 2 * oy) + luma(2 * ox + 1, 2 * oy) +
+          luma(2 * ox, 2 * oy + 1) + luma(2 * ox + 1, 2 * oy + 1)) / 4L
+        if (v < mn) mn = v
+        if (v > mx) mx = v
+        sum += v; sumsq += v * v
+        chk += v * (oy.toLong * ow + ox + 1)
+        n += 1
+        ox += 1
+      }
+      oy += 1
+    }
+    InternalRow(ow.toLong, oh.toLong, n, mn, mx, sum, sumsq, chk)
+  }
 }
 
 /** png_ihdr(content) -> struct<width, height, bit_depth, color_type: long>,
@@ -302,6 +343,34 @@ case class PngAhash(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** png_box2(content) -> struct<out_w, out_h, n_px, px_min, px_max,
+  * px_sum, px_sumsq, checksum: long> — the 2×2 luma box-downsample
+  * reduced in-expression (q266), null for non-decodable bytes or
+  * images under 2×2. */
+case class PngBox2(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("out_w", LongType), StructField("out_h", LongType),
+    StructField("n_px", LongType), StructField("px_min", LongType),
+    StructField("px_max", LongType), StructField("px_sum", LongType),
+    StructField("px_sumsq", LongType), StructField("checksum", LongType)))
+  override def nullable: Boolean = true
+  override def prettyName: String = "png_box2"
+
+  override def nullSafeEval(v: Any): Any =
+    PngHeader.box2Stats(v.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, b => {
+      s"""
+         |${ev.value} = graft.functions.PngHeader.box2Stats($b);
+         |${ev.isNull} = (${ev.value} == null);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object PngFunctions {
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -310,5 +379,7 @@ object PngFunctions {
       "png_pixels", exprs => PngPixels(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "png_ahash", exprs => PngAhash(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "png_box2", exprs => PngBox2(exprs.head), "built-in")
   }
 }

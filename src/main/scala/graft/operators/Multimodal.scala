@@ -427,6 +427,40 @@ object Multimodal {
         .orderBy("name")
     }),
 
+    "q266_thumbnail" -> ((s, d) => {
+      // Thumbnail generation INSIDE the scan — the first transform
+      // every image pipeline runs after decode, done the way 100 TB
+      // wants it: png_box2 decodes (the q167 inflate+unfilter walk),
+      // converts to q200's integer luma, 2×2 floor-mean downsamples,
+      // and reduces the thumbnail to mergeable stats PLUS a
+      // position-weighted checksum Σ v·(idx+1) — value AND position
+      // of every output pixel pinned, so two thumbnails with permuted
+      // pixels share sums but never hash equal — all in ONE codegen
+      // expression: ~64 bytes per image cross the shuffle, never
+      // pixels (the q200/q207/q262 payload contract). Odd edges
+      // truncate (out = w/2 × h/2); under-2×2 images are null per the
+      // no-fabricated-pixels contract (img_d, 1×1, drops on both
+      // sides). Oracle = tools/gen_box2_manifest.py — an INDEPENDENT
+      // from-scratch Python PNG decoder (zlib + all five filters incl.
+      // Paeth; the img_g/img_h fixtures exercise every filter
+      // schedule) + the same integer arithmetic, bit-identical (the
+      // q262 cross-validation contract).
+      graft.functions.PngFunctions.register(s)
+      s.read.format("binaryFile")
+        .option("pathGlobFilter", "*.png")
+        .load(graft.Fixtures.path("png"))
+        .select(element_at(split(col("path"), "/"), -1).as("name"),
+          expr("png_box2(content)").as("t"))
+        .where(col("t").isNotNull)
+        .select(col("name"), col("t.out_w").as("out_w"),
+          col("t.out_h").as("out_h"), col("t.n_px").as("n_px"),
+          col("t.px_min").as("px_min"), col("t.px_max").as("px_max"),
+          col("t.px_sum").as("px_sum"),
+          col("t.px_sumsq").as("px_sumsq"),
+          col("t.checksum").as("checksum"))
+        .orderBy("name")
+    }),
+
     "q262_haar_bands" -> ((s, d) => {
       // Haar wavelet BAND ENERGIES — frequency-band features from the
       // PCM stream with EXACT integer arithmetic (a DFT's sin/cos are
@@ -601,6 +635,17 @@ object Multimodal {
         |  CAST(n_frames AS BIGINT) AS n_frames,
         |  CAST(n_bytes AS BIGINT) AS n_bytes
         |FROM read_csv('${graft.Fixtures.path("wav")}/manifest.csv', header=true)
+        |ORDER BY name""".stripMargin,
+    "q266_thumbnail" ->
+      s"""SELECT name, CAST(out_w AS BIGINT) AS out_w,
+        |  CAST(out_h AS BIGINT) AS out_h, CAST(n_px AS BIGINT) AS n_px,
+        |  CAST(px_min AS BIGINT) AS px_min,
+        |  CAST(px_max AS BIGINT) AS px_max,
+        |  CAST(px_sum AS BIGINT) AS px_sum,
+        |  CAST(px_sumsq AS BIGINT) AS px_sumsq,
+        |  CAST(checksum AS BIGINT) AS checksum
+        |FROM read_csv('${graft.Fixtures.path("png")}/box2_manifest.csv',
+        |  header=true)
         |ORDER BY name""".stripMargin,
     "q262_haar_bands" ->
       s"""SELECT name, CAST(e0 AS BIGINT) AS e0,
