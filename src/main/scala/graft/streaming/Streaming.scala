@@ -44,6 +44,40 @@ class RunningSpendProcessor
   }
 }
 
+case class CusumOut(user_id: Long, event_id: Long, s_cents: Long,
+    alarm: Boolean)
+
+/** Per-user streaming CUSUM (q268) — the batch q256 detector's
+  * streaming twin, and the shape that shows WHY both forms exist:
+  * in batch the max-recurrence linearizes to prefix-sum-minus-running-
+  * min (two windows, no state); in a stream the same recurrence is the
+  * NATURAL form — one 8-byte ValueState per key, O(1) per event, no
+  * window buffers. Within a batch the key's rows apply in (ts,
+  * event_id) order (the q126 determinism contract); across batches the
+  * S value carries forward, so the emitted series is byte-identical to
+  * the batch identity — which IS the oracle: the two derivations
+  * cross-certify each other per event. */
+class CusumProcessor(muCents: Long, kCents: Long, hCents: Long)
+    extends StatefulProcessor[Long, SpendEvent, CusumOut] {
+  @transient private var st: ValueState[SpendState] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    st = getHandle.getValueState("cusum", Encoders.product[SpendState],
+      TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[SpendEvent],
+      tv: TimerValues): Iterator[CusumOut] = {
+    var s = if (st.exists()) st.get() else SpendState(0L, 0L)
+    val out = rows.toIndexedSeq.sortBy(r => (r.ts_us, r.event_id)).map { r =>
+      s = SpendState(s.n + 1,
+        math.max(0L, s.cents + (r.cts - muCents - kCents)))
+      CusumOut(key, r.event_id, s.cents, s.cents > hCents)
+    }
+    st.update(s)
+    out.iterator
+  }
+}
+
 /** Typed rows for q159's timer-driven sessionizer. `ts` keeps its
   * TimestampType so the event-time watermark metadata survives the typed
   * conversion (dropping the watermark column would demote the stream to
@@ -685,6 +719,38 @@ object Streaming {
         .orderBy("user_id", "event_id")
     }),
 
+    "q268_stream_cusum" -> ((s, d) => withStreamPartitions(s, 4) { sp =>
+      // Per-user streaming CUSUM drift detector — q256's batch
+      // changepoint, re-derived the way a STREAM wants it (mechanism
+      // notes on CusumProcessor): μ = 5000 cents reference, k = 1000
+      // slack, alarm above h = 50000 — a user alarms when big spends
+      // cluster faster than the slack drains. State = one (n, S) pair
+      // per user in RocksDB; the oracle is the max-plus LINEARIZATION
+      // (P_t − min prefix, a user-partitioned window — PlanGuard-legal)
+      // of the identical arithmetic, so the streaming recurrence and
+      // the batch identity certify each other on every one of the 10k
+      // per-event rows.
+      sp.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      import sp.implicits._
+      val name = s"graft_cusum_${System.nanoTime()}"
+      val q = eventsStream(sp, d)
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("ts_us"), cents(col("value")).as("cts"))
+        .as[SpendEvent]
+        .groupByKey(_.user_id)
+        .transformWithState(new CusumProcessor(5000L, 1000L, 50000L),
+          TimeMode.None(), OutputMode.Append())
+        .writeStream.outputMode("append")
+        .format("memory").queryName(name)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      drainMemorySink(sp, name)
+        .select(col("user_id"), col("event_id"), col("s_cents"),
+          col("alarm"))
+        .orderBy("user_id", "event_id")
+    }),
+
     "q142_statestore_read" -> ((s, d) => withStreamPartitions(s, 4) { sp =>
       // the STATE DATA SOURCE (SPARK-45511): a completed checkpoint is
       // itself a queryable table — `format("statestore")` reads the
@@ -861,6 +927,30 @@ object Streaming {
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
         |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |ORDER BY user_id, event_id""".stripMargin,
+    // the max-plus LINEARIZATION of the streamed recurrence (q256's
+    // identity, per-user): S_t = P_t − min_{j≤t} P_j over the same
+    // (ts, event_id) order and integer-cents arithmetic — the batch
+    // window form and the streaming ValueState form certify each other
+    "q268_stream_cusum" ->
+      """WITH z AS (
+        |  SELECT user_id, event_id, ts,
+        |    CAST(round(value*100) AS BIGINT) - 6000 AS z
+        |  FROM events),
+        |p AS (
+        |  SELECT user_id, event_id, ts,
+        |    CAST(sum(z) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS pf
+        |  FROM z),
+        |m AS (
+        |  SELECT user_id, event_id,
+        |    CAST(pf - least(0, min(pf) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |      AS BIGINT) AS s_cents
+        |  FROM p)
+        |SELECT user_id, event_id, s_cents, s_cents > 50000 AS alarm
+        |FROM m ORDER BY user_id, event_id""".stripMargin,
     // the batch answer from the RAW table — equality binds
     // ingest → state commit → state-source scan end to end
     "q142_statestore_read" ->
