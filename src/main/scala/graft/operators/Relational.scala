@@ -187,7 +187,8 @@ object Relational {
           .otherwise(0L)).as("matched_r"))
     val replay = per.agg(sum(col("n_matched")).as("tm"),
         sum(col("matched_r")).as("tr"))
-      .select(expr("CAST((tr * 10000) div tm AS BIGINT)").as("replay_bp"))
+      .select(expr("CASE WHEN tm = 0 THEN 0L ELSE " +
+        "CAST((tr * 10000) div tm AS BIGINT) END").as("replay_bp"))
     val naive = ev.agg(
       expr("CAST((sum(r) * 10000) div count(1) AS BIGINT)").as("naive_bp"))
     per.withColumn("match_bp",
@@ -1007,7 +1008,9 @@ object Relational {
       // ≤13-item orders but load-bearing at crawl scale), then pair
       // supports, directional confidences in exact basis points and
       // lift = P(ab)/(P(a)P(b)) in exact integer micro-units
-      // (n_ab·N·1e6 div n_a·n_b — DECIMAL(38,0) past ~1e9 baskets).
+      // (n_ab·N·1e6 div n_a·n_b — the numerator runs in
+      // DECIMAL(38,0)/HUGEINT because n_ab·N alone wraps BIGINT at
+      // ~9.2e12, e.g. a support-1e6 pair over 1e7 baskets).
       // Item supports ride the pair join FROM L1's broadcast (each
       // side carries its own supp — no re-join after counting). Top-50
       // by lift with full (a, b) tie-break. The fixture verdict IS the
@@ -1040,8 +1043,8 @@ object Relational {
         .select(col("a"), col("b"), col("n_a"), col("n_b"), col("n_ab"),
           expr("(n_ab * 10000) div n_a").as("conf_ab_bp"),
           expr("(n_ab * 10000) div n_b").as("conf_ba_bp"),
-          expr("CAST((n_ab * n_orders * 1000000) div (n_a * n_b) " +
-            "AS BIGINT)").as("lift_micro"))
+          expr("CAST((CAST(n_ab AS DECIMAL(38,0)) * n_orders * 1000000) " +
+            "div (n_a * n_b) AS BIGINT)").as("lift_micro"))
         .orderBy(col("lift_micro").desc, col("a"), col("b"))
         .limit(50)
     }),
@@ -3764,8 +3767,8 @@ object Relational {
         |SELECT a, b, n_a, n_b, n_ab,
         |  CAST((n_ab * 10000) // n_a AS BIGINT) AS conf_ab_bp,
         |  CAST((n_ab * 10000) // n_b AS BIGINT) AS conf_ba_bp,
-        |  CAST((n_ab * n_orders * 1000000) // (n_a * n_b) AS BIGINT)
-        |    AS lift_micro
+        |  CAST((CAST(n_ab AS HUGEINT) * n_orders * 1000000) // (n_a * n_b)
+        |    AS BIGINT) AS lift_micro
         |FROM pairs CROSS JOIN no
         |ORDER BY lift_micro DESC, a, b LIMIT 50""".stripMargin,
     "q265_bandit_replay" -> {
@@ -3784,8 +3787,9 @@ object Relational {
          |      AS BIGINT) AS matched_r
          |  FROM ev GROUP BY 1),
          |rp AS (
-         |  SELECT CAST((sum(matched_r) * 10000) // sum(n_matched)
-         |    AS BIGINT) AS replay_bp FROM per),
+         |  SELECT CASE WHEN sum(n_matched) = 0 THEN 0
+         |    ELSE CAST((sum(matched_r) * 10000) // sum(n_matched)
+         |    AS BIGINT) END AS replay_bp FROM per),
          |nv AS (
          |  SELECT CAST((sum(r) * 10000) // count(*) AS BIGINT)
          |    AS naive_bp FROM ev)
