@@ -28,6 +28,23 @@ object Relational {
   /** exact discount/tax percent units (0.04 -> 4L) */
   private def pct(c: Column): Column = round(c * 100).cast("long")
 
+  /** TPC-H revenue term l_extendedprice·(1−l_discount) in exact 1e-4
+    * dollar units: price cents × (100 − discount-percent), both lossless
+    * integer lifts (l_discount is a 0.00–0.10 two-decimal domain). The
+    * q232/q29 cents discipline factored out for the round-11 TPC-H
+    * completion family — BIGINT-sums identically in any join order /
+    * partition layout, which is what makes the 22-query family safe on
+    * any cluster. */
+  private def revE4: Column =
+    cents(col("l_extendedprice")) *
+      (lit(100L) - expr("CAST(round(l_discount * 100) AS BIGINT)"))
+
+  /** The oracle-side spelling of [[revE4]] — one definition, embedded in
+    * every TPC-H oracle that sums revenue. */
+  private val RevE4Sql: String =
+    "CAST(round(l_extendedprice * 100) AS BIGINT) * " +
+      "(100 - CAST(round(l_discount * 100) AS BIGINT))"
+
   /** 12-hex-digit → integer, spelled with the engine's hex-position
     * function (`instr` in Spark, `strpos` in DuckDB) so q56's Spark side
     * and oracle share one definition of the decode. Both engines support
@@ -276,6 +293,375 @@ object Relational {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- TPC-H completion (round 11) -------------------------------------
+    // Q1/Q2/Q3/Q5/Q13/Q18/Q21/Q22 shipped earlier as q20/q252/q29/q232/
+    // q234/q243/q235/q244; q269–q282 complete all 22. The fixture schema
+    // lacks partsupp, l_shipmode, l_commitdate/l_receiptdate, p_container
+    // and comment columns, so the affected queries are ADAPTED — each
+    // keeps the original's SHAPE (the plan challenge the query exists to
+    // pose) and documents the substitution. Shared disciplines: revenue
+    // via revE4 (exact 1e-4 dollar units), dimension joins broadcast,
+    // date filters pushed to scans, unique-order sorts.
+
+    "q269_tpch_q4" -> ((s, d) => {
+      // TPC-H Q4 — order-priority checking: orders in a quarter where at
+      // least one lineitem was late (EXISTS ⇒ left-semi). No commit/
+      // receipt dates in the fixture, so "late" is q235's definition:
+      // l_shipdate > o_orderdate + 60 days. The semi-join needs only
+      // (l_orderkey, l_shipdate) from the fact side — column pruning
+      // reaches the scan — and collapses lineitem BEFORE the groupBy, so
+      // the aggregate runs over orders-sized input only.
+      t(s, d, "orders")
+        .where(col("o_orderdate") >= lit("1996-07-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1996-10-01").cast("timestamp"))
+        .join(t(s, d, "lineitem").select("l_orderkey", "l_shipdate"),
+          col("l_orderkey") === col("o_orderkey") &&
+            col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+          "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    "q270_tpch_q6" -> ((s, d) => {
+      // TPC-H Q6 — the forecasting-revenue scan: pure filter+aggregate,
+      // no join, the benchmark's pushdown litmus. All three predicates
+      // (ship-year window, discount band, quantity cap) sit directly on
+      // scan columns; discount BETWEEN 0.05 AND 0.07 is exact as integer
+      // percent 5..7 (the two-decimal domain). Revenue here is
+      // price × discount — cents × percent, the same lossless 1e-4
+      // units. One partial-agg pass, a single row crosses the exchange.
+      t(s, d, "lineitem")
+        .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+          col("l_quantity") < 24 &&
+          expr("CAST(round(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7"))
+        .agg(sum(cents(col("l_extendedprice")) *
+            expr("CAST(round(l_discount * 100) AS BIGINT)")).as("revenue_e4"),
+          count(lit(1)).as("n_items"))
+    }),
+
+    "q271_tpch_q7" -> ((s, d) => {
+      // TPC-H Q7 — volume shipping between two nations, faithful to the
+      // original (every needed column exists). Both nation dims broadcast
+      // PRE-FILTERED to the two trading partners, so non-qualifying rows
+      // die at the dimension join, before the (supp, cust, year) rollup;
+      // the disjunctive pair predicate runs on the two small joined-in
+      // name columns. Fact-fact lineitem ⋈ orders shuffles once on
+      // orderkey; supplier/customer broadcast at any realistic count.
+      val n1 = broadcast(t(s, d, "nation")
+        .where(col("n_name").isin("NATION_1", "NATION_2"))
+        .select(col("n_nationkey").as("snk"), col("n_name").as("supp_nation")))
+      val n2 = broadcast(t(s, d, "nation")
+        .where(col("n_name").isin("NATION_1", "NATION_2"))
+        .select(col("n_nationkey").as("cnk"), col("n_name").as("cust_nation")))
+      t(s, d, "lineitem")
+        .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+        .join(t(s, d, "orders").select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, d, "customer").select("c_custkey", "c_nationkey"),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, d, "supplier").select("s_suppkey", "s_nationkey")),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(n1, col("s_nationkey") === col("snk"))
+        .join(n2, col("c_nationkey") === col("cnk"))
+        .where((col("supp_nation") === "NATION_1" &&
+            col("cust_nation") === "NATION_2") ||
+          (col("supp_nation") === "NATION_2" &&
+            col("cust_nation") === "NATION_1"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).cast("long").as("l_year"))
+        .agg(sum(revE4).as("revenue_e4"))
+        .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+    }),
+
+    "q272_tpch_q8" -> ((s, d) => {
+      // TPC-H Q8 — national market share: NATION_5's slice of STANDARD-
+      // part revenue sold into AFRICA, per order-year (original: BRAZIL /
+      // AMERICA / 'ECONOMY ANODIZED STEEL'; the fixture's p_type domain
+      // is single words). The share is numerator-CASE over one aggregate
+      // pass — never two scans — and EXACT in basis points via integer
+      // div (at 100 TB the ×10000 lift wants DECIMAL(38,0); at any bench
+      // SF the sums sit far below BIGINT). Part/region prune via
+      // broadcast pre-filtered dims; the two nation roles join under
+      // different names (the self-join rename discipline).
+      val cn = broadcast(t(s, d, "nation")
+        .select(col("n_nationkey").as("cnk"), col("n_regionkey").as("crk")))
+      val sn = broadcast(t(s, d, "nation")
+        .select(col("n_nationkey").as("snk"), col("n_name").as("supp_nation")))
+      t(s, d, "lineitem")
+        .join(broadcast(t(s, d, "part").where(col("p_type") === "STANDARD")
+          .select("p_partkey")), col("l_partkey") === col("p_partkey"))
+        .join(t(s, d, "orders")
+          .where(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+          .select("o_orderkey", "o_custkey", "o_orderdate"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, d, "customer").select("c_custkey", "c_nationkey"),
+          col("o_custkey") === col("c_custkey"))
+        .join(cn, col("c_nationkey") === col("cnk"))
+        .join(broadcast(t(s, d, "region").where(col("r_name") === "AFRICA")),
+          col("crk") === col("r_regionkey"))
+        .join(broadcast(t(s, d, "supplier").select("s_suppkey", "s_nationkey")),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(sn, col("s_nationkey") === col("snk"))
+        .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(sum(when(col("supp_nation") === "NATION_5", revE4)
+            .otherwise(0L)).as("nation_e4"),
+          sum(revE4).as("total_e4"))
+        .withColumn("share_bp", expr("nation_e4 * 10000 div total_e4"))
+        .orderBy("o_year")
+    }),
+
+    "q273_tpch_q9" -> ((s, d) => {
+      // TPC-H Q9 — product-type profit by (supplier nation, order year).
+      // The fixture has no partsupp, so supply cost is ADAPTED to half
+      // the part's retail price — exact in the same 1e-4 units
+      // (retail cents × qty × 50) so profit subtracts losslessly inside
+      // the sum. p_name LIKE '%gear%' prunes parts BEFORE broadcast;
+      // qty is integer-valued by construction (cast long, no rounding).
+      t(s, d, "lineitem")
+        .join(broadcast(t(s, d, "part").where(col("p_name").like("%gear%"))
+          .select(col("p_partkey"),
+            cents(col("p_retailprice")).as("retail_cents"))),
+          col("l_partkey") === col("p_partkey"))
+        .join(broadcast(t(s, d, "supplier").select("s_suppkey", "s_nationkey")),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(t(s, d, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(t(s, d, "orders").select("o_orderkey", "o_orderdate"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("n_name").as("nation"),
+          year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(sum(revE4 - col("l_quantity").cast("long") *
+          col("retail_cents") * 50).as("profit_e4"))
+        .orderBy(col("nation"), col("o_year").desc)
+    }),
+
+    "q274_tpch_q10" -> ((s, d) => {
+      // TPC-H Q10 — returned-item reporting: top-20 customers by revenue
+      // lost to returns in a quarter. Faithful minus the fixture-absent
+      // phone/address output columns. The group key is per-customer
+      // unique, so (revenue desc, c_custkey) is a total order and the
+      // LIMIT 20 is deterministic — Spark runs it as TakeOrdered, O(20)
+      // state per partition, no global sort materialized.
+      t(s, d, "lineitem").where(col("l_returnflag") === "R")
+        .join(t(s, d, "orders")
+          .where(col("o_orderdate") >= lit("1995-07-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1995-10-01").cast("timestamp"))
+          .select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, d, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"),
+          cents(col("c_acctbal")).as("acctbal_cents"), col("n_name"))
+        .agg(sum(revE4).as("revenue_e4"))
+        .orderBy(col("revenue_e4").desc, col("c_custkey"))
+        .limit(20)
+    }),
+
+    "q275_tpch_q11" -> ((s, d) => {
+      // TPC-H Q11 — important stock: groups whose value exceeds a
+      // FRACTION of the global total (the HAVING-over-scalar-subquery
+      // shape). No partsupp, so part value is ADAPTED to lineitem
+      // revenue cents shipped by NATION_7's suppliers. The per-part
+      // frame computes ONCE (CacheRegistry), feeds both the scalar total
+      // and the filtered output; the threshold compare is exact integer
+      // (value × 1000 > total — BIGINT-safe to ~9e15 total cents,
+      // DECIMAL beyond). One shuffle on partkey, total rides a broadcast
+      // 1-row frame.
+      val pv = t(s, d, "lineitem")
+        .join(broadcast(t(s, d, "supplier").as("sup")
+          .join(broadcast(t(s, d, "nation")
+            .where(col("n_name") === "NATION_7")),
+            col("s_nationkey") === col("n_nationkey"))
+          .select("s_suppkey")), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("l_partkey").as("p_partkey"))
+        .agg(sum(cents(col("l_extendedprice"))).as("value_cents"))
+        .transform(graft.CacheRegistry.cached)
+      val tot = pv.agg(sum(col("value_cents")).as("total_cents"))
+      pv.crossJoin(broadcast(tot))
+        .where(col("value_cents") * 1000 > col("total_cents"))
+        .select("p_partkey", "value_cents")
+        .orderBy(col("value_cents").desc, col("p_partkey"))
+    }),
+
+    "q276_tpch_q12" -> ((s, d) => {
+      // TPC-H Q12 — shipping-mode priority split. No l_shipmode in the
+      // fixture, so the classes are ADAPTED to ship-latency tiers
+      // (FAST ≤30d, SLOW ≤60d, LATE >60d after order date — the q235
+      // lateness scale), preserving the original's shape: one join, a
+      // CASE classifier, dual conditional counts per class. The
+      // priority CASE runs inside the aggregate — one pass, map-side
+      // partials.
+      t(s, d, "lineitem")
+        .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+        .join(t(s, d, "orders")
+          .select("o_orderkey", "o_orderdate", "o_orderpriority"),
+          col("l_orderkey") === col("o_orderkey"))
+        .withColumn("ship_class",
+          when(col("l_shipdate") >
+            col("o_orderdate") + expr("INTERVAL 60 DAYS"), "3-LATE")
+            .when(col("l_shipdate") >
+              col("o_orderdate") + expr("INTERVAL 30 DAYS"), "2-SLOW")
+            .otherwise("1-FAST"))
+        .groupBy(col("ship_class"))
+        .agg(sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+            .otherwise(0L)).as("high_line_count"),
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L)
+            .otherwise(1L)).as("low_line_count"))
+        .orderBy("ship_class")
+    }),
+
+    "q277_tpch_q14" -> ((s, d) => {
+      // TPC-H Q14 — promotion effect: PROMO parts' share of one month's
+      // revenue (p_type = 'PROMO' IS the fixture's promo marker — near-
+      // faithful). Numerator and denominator ride ONE aggregate pass as
+      // a CASE split; the share is exact basis points by integer div.
+      // The month filter pushes to the lineitem scan; part broadcasts
+      // with only (key, type).
+      t(s, d, "lineitem")
+        .where(col("l_shipdate") >= lit("1996-09-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-10-01").cast("timestamp"))
+        .join(broadcast(t(s, d, "part").select("p_partkey", "p_type")),
+          col("l_partkey") === col("p_partkey"))
+        .agg(sum(when(col("p_type") === "PROMO", revE4).otherwise(0L))
+            .as("promo_e4"),
+          sum(revE4).as("total_e4"))
+        .withColumn("promo_bp", expr("promo_e4 * 10000 div total_e4"))
+    }),
+
+    "q278_tpch_q15" -> ((s, d) => {
+      // TPC-H Q15 — top supplier: the revenue view + scalar-max shape,
+      // faithful. The per-supplier quarter revenue computes ONCE
+      // (CacheRegistry standing in for the original's CREATE VIEW),
+      // feeds both the max and the equality probe; the max crosses as a
+      // broadcast 1-row frame, never a second scan. Ties (none here,
+      // but possible in principle) all surface, ordered by s_suppkey —
+      // exactly the original's semantics.
+      val rev = t(s, d, "lineitem")
+        .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+        .groupBy(col("l_suppkey"))
+        .agg(sum(revE4).as("total_rev_e4"))
+        .transform(graft.CacheRegistry.cached)
+      val mx = rev.agg(max(col("total_rev_e4")).as("max_rev_e4"))
+      rev.crossJoin(broadcast(mx))
+        .where(col("total_rev_e4") === col("max_rev_e4"))
+        .join(broadcast(t(s, d, "supplier")),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("total_rev_e4"))
+        .orderBy("s_suppkey")
+    }),
+
+    "q279_tpch_q16" -> ((s, d) => {
+      // TPC-H Q16 — parts/supplier relationship: distinct suppliers per
+      // (brand, type, size) cell, excluding one brand, a size list, and
+      // flagged suppliers. ADAPTED: supplier-part pairs come from
+      // lineitem (no partsupp) and the complaint filter becomes
+      // s_acctbal < 0 (no comment column) — the NOT-IN shape survives as
+      // a broadcast left-anti. distinct() BEFORE the count gives exact
+      // COUNT(DISTINCT) semantics with the dedup shuffled on the full
+      // key, never a driver-side set.
+      val badSup = t(s, d, "supplier").where(col("s_acctbal") < 0)
+        .select(col("s_suppkey").as("bad_suppkey"))
+      t(s, d, "lineitem").select("l_partkey", "l_suppkey")
+        .join(broadcast(t(s, d, "part")
+          .where(col("p_brand") =!= "Brand#1" &&
+            col("p_size").isin(1, 5, 10, 15, 20, 25))
+          .select("p_partkey", "p_brand", "p_type", "p_size")),
+          col("l_partkey") === col("p_partkey"))
+        .join(broadcast(badSup),
+          col("l_suppkey") === col("bad_suppkey"), "left_anti")
+        .select(col("p_brand"), col("p_type"),
+          col("p_size").cast("long").as("p_size"), col("l_suppkey"))
+        .distinct()
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(count(lit(1)).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+          col("p_size"))
+    }),
+
+    "q280_tpch_q17" -> ((s, d) => {
+      // TPC-H Q17 — small-quantity-order revenue: lineitems below 20% of
+      // their part's average quantity (correlated scalar subquery ⇒
+      // per-part aggregate + join-back). Brand#5 stands in for the
+      // original's brand+container pair. The avg compare is EXACT in
+      // integers: qty < 0.2·(sum/cnt) ⟺ 5·qty·cnt < sum — no division,
+      // no float. The brand filter collapses the fact frame FIRST
+      // (broadcast part prune), so the self-aggregate runs over ~1/25 of
+      // lineitem; avg_yearly follows the original's /7.0 as integer div.
+      val li = t(s, d, "lineitem")
+        .join(broadcast(t(s, d, "part").where(col("p_brand") === "Brand#5")
+          .select("p_partkey")), col("l_partkey") === col("p_partkey"))
+        .select(col("p_partkey"), col("l_quantity").cast("long").as("qty"),
+          cents(col("l_extendedprice")).as("price_cents"))
+        .transform(graft.CacheRegistry.cached)
+      val pa = li.groupBy(col("p_partkey").as("pk"))
+        .agg(sum(col("qty")).as("sum_qty"), count(lit(1)).as("cnt"))
+      li.join(pa, col("p_partkey") === col("pk"))
+        .where(col("qty") * 5 * col("cnt") < col("sum_qty"))
+        .agg(sum(col("price_cents")).as("total_cents"),
+          count(lit(1)).as("n_items"))
+        .withColumn("avg_yearly_cents", expr("total_cents div 7"))
+    }),
+
+    "q281_tpch_q19" -> ((s, d) => {
+      // TPC-H Q19 — discounted revenue: the disjunction-of-conjunctions
+      // predicate, the benchmark's OR-pushdown probe. ADAPTED to
+      // brand/size/quantity windows (no container/shipmode); the three
+      // OR arms keep the original's overlapping-range structure. The
+      // l_quantity bounds are scan-column predicates Catalyst can lift
+      // OUT of the OR (qty BETWEEN 1 AND 30 subsumes all arms) for
+      // pushdown while the exact arms evaluate post-join — the plan
+      // shape the query exists to exercise.
+      t(s, d, "lineitem")
+        .join(broadcast(t(s, d, "part")
+          .select("p_partkey", "p_brand", "p_size")),
+          col("l_partkey") === col("p_partkey"))
+        .where(
+          (col("p_brand") === "Brand#1" && col("p_size").between(1, 5) &&
+            col("l_quantity").between(1, 11)) ||
+            (col("p_brand") === "Brand#2" && col("p_size").between(1, 10) &&
+              col("l_quantity").between(10, 20)) ||
+            (col("p_brand") === "Brand#3" && col("p_size").between(1, 15) &&
+              col("l_quantity").between(20, 30)))
+        .agg(sum(revE4).as("revenue_e4"), count(lit(1)).as("n_items"))
+    }),
+
+    "q282_tpch_q20" -> ((s, d) => {
+      // TPC-H Q20 — potential part promotion: suppliers who DOMINATE a
+      // promoted part's shipments. ADAPTED: no partsupp availability, so
+      // "has excess stock" becomes "shipped more than half the part's
+      // 1997 volume" (2·supp_qty > part_qty — the original's
+      // 0.5·sum(l_quantity) half-sum, exact in integers). Two stacked
+      // aggregates over the SAME shuffled frame (partkey ⊂ (partkey,
+      // suppkey) — the second rollup reuses the first's partitioning),
+      // then a semi-join gates the nation-filtered supplier dim.
+      val ps = t(s, d, "lineitem")
+        .where(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+        .join(broadcast(t(s, d, "part").where(col("p_type") === "PROMO")
+          .select("p_partkey")), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_partkey"), col("l_suppkey"))
+        .agg(sum(col("l_quantity").cast("long")).as("supp_qty"))
+        .transform(graft.CacheRegistry.cached)
+      val tot = ps.groupBy(col("p_partkey").as("pk"))
+        .agg(sum(col("supp_qty")).as("part_qty"))
+      val dom = ps.join(tot, col("p_partkey") === col("pk"))
+        .where(col("supp_qty") * 2 > col("part_qty"))
+        .select(col("l_suppkey").as("dk")).distinct()
+      t(s, d, "supplier")
+        .join(broadcast(t(s, d, "nation").where(col("n_name") === "NATION_9")),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(dom, col("s_suppkey") === col("dk"), "left_semi")
+        .select(col("s_suppkey"), col("s_name"))
+        .orderBy("s_suppkey")
+    }),
 
     // ---- joins ------------------------------------------------------------
 
@@ -3080,6 +3466,187 @@ object Relational {
   }
 
   val oracle: Map[String, String] = Map(
+    "q269_tpch_q4" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+        |FROM orders o
+        |WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+        |  AND o_orderdate < TIMESTAMP '1996-10-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem l
+        |    WHERE l.l_orderkey = o.o_orderkey
+        |      AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q270_tpch_q6" ->
+      """SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |    * CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT)
+        |    AS revenue_e4,
+        |  CAST(count(*) AS BIGINT) AS n_items
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_quantity < 24
+        |  AND CAST(round(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7""".stripMargin,
+    "q271_tpch_q7" ->
+      s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         |  CAST(year(l_shipdate) AS BIGINT) AS l_year,
+         |  CAST(sum($RevE4Sql) AS BIGINT) AS revenue_e4
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+         |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+         |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+         |  AND l_shipdate < TIMESTAMP '1998-01-01'
+         |  AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+         |    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+         |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    "q272_tpch_q8" ->
+      s"""WITH vol AS (
+         |  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         |    $RevE4Sql AS v, n2.n_name AS supp_nation
+         |  FROM lineitem
+         |  JOIN part ON l_partkey = p_partkey
+         |  JOIN orders ON l_orderkey = o_orderkey
+         |  JOIN customer ON o_custkey = c_custkey
+         |  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+         |  JOIN region ON n1.n_regionkey = r_regionkey
+         |  JOIN supplier ON l_suppkey = s_suppkey
+         |  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+         |  WHERE r_name = 'AFRICA' AND p_type = 'STANDARD'
+         |    AND o_orderdate >= TIMESTAMP '1996-01-01'
+         |    AND o_orderdate < TIMESTAMP '1998-01-01')
+         |SELECT o_year,
+         |  CAST(sum(CASE WHEN supp_nation = 'NATION_5' THEN v ELSE 0 END)
+         |    AS BIGINT) AS nation_e4,
+         |  CAST(sum(v) AS BIGINT) AS total_e4,
+         |  CAST(sum(CASE WHEN supp_nation = 'NATION_5' THEN v ELSE 0 END)
+         |    * 10000 // sum(v) AS BIGINT) AS share_bp
+         |FROM vol GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q273_tpch_q9" ->
+      s"""SELECT n_name AS nation,
+         |  CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         |  CAST(sum($RevE4Sql - CAST(l_quantity AS BIGINT)
+         |    * CAST(round(p_retailprice * 100) AS BIGINT) * 50) AS BIGINT)
+         |    AS profit_e4
+         |FROM lineitem
+         |JOIN part ON l_partkey = p_partkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |JOIN orders ON l_orderkey = o_orderkey
+         |WHERE p_name LIKE '%gear%'
+         |GROUP BY 1, 2 ORDER BY 1, 2 DESC""".stripMargin,
+    "q274_tpch_q10" ->
+      s"""SELECT c_custkey, c_name,
+         |  CAST(round(c_acctbal * 100) AS BIGINT) AS acctbal_cents,
+         |  n_name, CAST(sum($RevE4Sql) AS BIGINT) AS revenue_e4
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |WHERE l_returnflag = 'R'
+         |  AND o_orderdate >= TIMESTAMP '1995-07-01'
+         |  AND o_orderdate < TIMESTAMP '1995-10-01'
+         |GROUP BY 1, 2, 3, 4
+         |ORDER BY revenue_e4 DESC, c_custkey LIMIT 20""".stripMargin,
+    "q275_tpch_q11" ->
+      """WITH pv AS (
+        |  SELECT l_partkey AS p_partkey,
+        |    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+        |      AS BIGINT) AS value_cents
+        |  FROM lineitem
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  WHERE n_name = 'NATION_7'
+        |  GROUP BY 1)
+        |SELECT p_partkey, value_cents FROM pv
+        |WHERE value_cents * 1000 > (SELECT sum(value_cents) FROM pv)
+        |ORDER BY value_cents DESC, p_partkey""".stripMargin,
+    "q276_tpch_q12" ->
+      """SELECT CASE
+        |    WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY THEN '3-LATE'
+        |    WHEN l_shipdate > o_orderdate + INTERVAL 30 DAY THEN '2-SLOW'
+        |    ELSE '1-FAST' END AS ship_class,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q277_tpch_q14" ->
+      s"""SELECT CAST(sum(CASE WHEN p_type = 'PROMO' THEN $RevE4Sql
+         |    ELSE 0 END) AS BIGINT) AS promo_e4,
+         |  CAST(sum($RevE4Sql) AS BIGINT) AS total_e4,
+         |  CAST(sum(CASE WHEN p_type = 'PROMO' THEN $RevE4Sql ELSE 0 END)
+         |    * 10000 // sum($RevE4Sql) AS BIGINT) AS promo_bp
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+         |  AND l_shipdate < TIMESTAMP '1996-10-01'""".stripMargin,
+    "q278_tpch_q15" ->
+      s"""WITH rev AS (
+         |  SELECT l_suppkey, CAST(sum($RevE4Sql) AS BIGINT) AS total_rev_e4
+         |  FROM lineitem
+         |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+         |    AND l_shipdate < TIMESTAMP '1996-04-01'
+         |  GROUP BY 1)
+         |SELECT s_suppkey, s_name, total_rev_e4
+         |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+         |WHERE total_rev_e4 = (SELECT max(total_rev_e4) FROM rev)
+         |ORDER BY s_suppkey""".stripMargin,
+    "q279_tpch_q16" ->
+      """SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+        |  CAST(count(*) AS BIGINT) AS supplier_cnt
+        |FROM (SELECT DISTINCT p_brand, p_type, p_size, l_suppkey
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_brand <> 'Brand#1' AND p_size IN (1, 5, 10, 15, 20, 25)
+        |    AND l_suppkey NOT IN
+        |      (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0))
+        |GROUP BY 1, 2, 3
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+    "q280_tpch_q17" ->
+      """WITH li AS (
+        |  SELECT p_partkey, CAST(l_quantity AS BIGINT) AS qty,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS price_cents
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_brand = 'Brand#5'),
+        |pa AS (
+        |  SELECT p_partkey AS pk, CAST(sum(qty) AS BIGINT) AS sum_qty,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM li GROUP BY 1)
+        |SELECT CAST(sum(price_cents) AS BIGINT) AS total_cents,
+        |  CAST(count(*) AS BIGINT) AS n_items,
+        |  CAST(sum(price_cents) // 7 AS BIGINT) AS avg_yearly_cents
+        |FROM li JOIN pa ON p_partkey = pk
+        |WHERE qty * 5 * cnt < sum_qty""".stripMargin,
+    "q281_tpch_q19" ->
+      s"""SELECT CAST(sum($RevE4Sql) AS BIGINT) AS revenue_e4,
+         |  CAST(count(*) AS BIGINT) AS n_items
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5
+         |    AND l_quantity BETWEEN 1 AND 11)
+         |  OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10
+         |    AND l_quantity BETWEEN 10 AND 20)
+         |  OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+         |    AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+    "q282_tpch_q20" ->
+      """WITH ps AS (
+        |  SELECT p_partkey, l_suppkey,
+        |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS supp_qty
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_type = 'PROMO'
+        |    AND l_shipdate >= TIMESTAMP '1997-01-01'
+        |    AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  GROUP BY 1, 2),
+        |tot AS (SELECT p_partkey AS pk,
+        |  CAST(sum(supp_qty) AS BIGINT) AS part_qty FROM ps GROUP BY 1),
+        |dom AS (SELECT DISTINCT l_suppkey FROM ps JOIN tot ON p_partkey = pk
+        |  WHERE supp_qty * 2 > part_qty)
+        |SELECT s_suppkey, s_name
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |WHERE n_name = 'NATION_9'
+        |  AND s_suppkey IN (SELECT l_suppkey FROM dom)
+        |ORDER BY s_suppkey""".stripMargin,
     "q10_join_broadcast" ->
       s"""SELECT n_name, r_name, $revenueSql AS revenue,
          |  count(DISTINCT o_orderkey) AS n_orders, count(*) AS n_lines
