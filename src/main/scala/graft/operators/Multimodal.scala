@@ -45,6 +45,120 @@ object Multimodal {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // ---- archive containers (round 11): the crawl wire formats ----------
+
+    "q283_tar_ingest" -> ((s, d) => {
+      // tar member walk — the simplest container a document dump ships
+      // in: tar_entries walks 512-byte ustar blocks, VALIDATES each
+      // header checksum (chksum field counted as spaces — a flipped
+      // header byte voids the whole file, which is how broken.tar dies
+      // here rather than emitting its intact leading entry), joins the
+      // ustar prefix field, and reduces each member to (name, size,
+      // typeflag, offset, payload_md5) inside the scan projection —
+      // payload bytes never leave the task (the q209 contract). Oracle
+      // = the generator's INDEPENDENT 512-block walk, itself
+      // cross-checked against Python tarfile's listing
+      // (tools/gen_archive_fixtures.py).
+      graft.functions.ArchiveFunctions.register(s)
+      s.read.format("binaryFile")
+        .option("pathGlobFilter", "*.tar")
+        .load(graft.Fixtures.path("tar"))
+        .select(element_at(split(col("path"), "/"), -1).as("file"),
+          expr("tar_entries(content)").as("es"))
+        .where(col("es").isNotNull) // DROPMALFORMED: broken.tar
+        .select(col("file"), explode(col("es")).as("e"))
+        .select(col("file"), col("e.name").as("name"),
+          col("e.size").as("size"), col("e.typeflag").as("typeflag"),
+          col("e.offset").as("offset"),
+          col("e.payload_md5").as("payload_md5"))
+        .orderBy("file", "offset")
+    }),
+
+    "q284_zip_ingest" -> ((s, d) => {
+      // zip central-directory walk: EOCD → central entries → local
+      // headers, stored entries copied, deflate entries re-inflated
+      // (the q167/q209 JDK-Inflater discipline, raw/nowrap for zip),
+      // and EVERY payload re-verified against its stored CRC32 + usize.
+      // The verdict split is the operator's point: STRUCTURAL damage
+      // voids the file (null), DATA damage the container makes
+      // per-entry detectable stays a row — corrupt.zip's flipped stored
+      // byte surfaces as crc_ok = false with the md5 OF THE CORRUPTED
+      // BYTES, exactly what a quarantine stage needs. Oracle = the
+      // generator's independent EOCD/CD/local struct walk.
+      graft.functions.ArchiveFunctions.register(s)
+      s.read.format("binaryFile")
+        .option("pathGlobFilter", "*.zip")
+        .load(graft.Fixtures.path("zip"))
+        .select(element_at(split(col("path"), "/"), -1).as("file"),
+          expr("zip_entries(content)").as("es"))
+        .where(col("es").isNotNull)
+        .select(col("file"), explode(col("es")).as("e"))
+        .select(col("file"), col("e.idx").as("idx"),
+          col("e.name").as("name"), col("e.method").as("method"),
+          col("e.csize").as("csize"), col("e.usize").as("usize"),
+          col("e.crc_ok").as("crc_ok"),
+          col("e.payload_md5").as("payload_md5"))
+        .orderBy("file", "idx")
+    }),
+
+    "q285_warc_extract" -> ((s, d) => {
+      // WARC/1.0 record parse + in-scan HTML extraction — the crawl
+      // pipeline run from the actual WIRE format instead of a documents
+      // table: warc_records walks version line / headers / Content-
+      // Length payload / CRLF-CRLF separators, splits response payloads
+      // into HTTP status + body, and the body flows through the
+      // IDENTICAL q204 cleaning (htmlCleanOf — scripts/styles dropped,
+      // tags to spaces, five entities, whitespace collapse) INSIDE the
+      // projection: corpus-sized text crosses the shuffle as md5 +
+      // head40, never pages. Oracle = the generation manifest, whose
+      // clean text is planted ground truth (the generator ASSERTS its
+      // independent Python cleaner inverts the builder's encoding
+      // exactly).
+      graft.functions.ArchiveFunctions.register(s)
+      val clean = TextAnalysis.htmlCleanOf(col("r.body"))
+      s.read.format("binaryFile")
+        .option("pathGlobFilter", "*.warc")
+        .load(graft.Fixtures.path("warc"))
+        .select(expr("warc_records(content)").as("rs"))
+        .where(col("rs").isNotNull)
+        .select(explode(col("rs")).as("r"))
+        .select(col("r.seq").as("seq"), col("r.rec_type").as("rec_type"),
+          col("r.target_uri").as("target_uri"),
+          col("r.content_length").as("content_length"),
+          col("r.http_status").as("http_status"),
+          col("r.payload_md5").as("payload_md5"),
+          when(col("r.rec_type") === "response", md5(clean))
+            .otherwise(lit("")).as("clean_md5"),
+          when(col("r.rec_type") === "response", substring(clean, 1, 40))
+            .otherwise(lit("")).as("clean_head40"))
+        .orderBy("seq")
+    }),
+
+    "q286_warcgz_members" -> ((s, d) => {
+      // Multi-member gzip walk — the Common Crawl convention (one gzip
+      // member per WARC record) that makes a 100 TB warc.gz SPLITTABLE
+      // at member boundaries: gzip_members honors the header flag
+      // fields, raw-inflates each member, and verifies BOTH trailer
+      // fields (CRC32 and ISIZE mod 2^32) — a member that inflates but
+      // lies about its payload voids the file. Each member reduces to
+      // (seq, offset, csize, usize, payload_md5); ArchiveSpec pins the
+      // wire identity end-to-end: concatenating the inflated members
+      // reproduces crawl.warc byte-for-byte, so THIS query's members
+      // and q285's records certify each other. Oracle = the generator's
+      // independent member walk.
+      graft.functions.ArchiveFunctions.register(s)
+      s.read.format("binaryFile")
+        .option("pathGlobFilter", "*.warc.gz")
+        .load(graft.Fixtures.path("warc"))
+        .select(expr("gzip_members(content)").as("ms"))
+        .where(col("ms").isNotNull)
+        .select(explode(col("ms")).as("m"))
+        .select(col("m.seq").as("seq"), col("m.offset").as("offset"),
+          col("m.csize").as("csize"), col("m.usize").as("usize"),
+          col("m.payload_md5").as("payload_md5"))
+        .orderBy("seq")
+    }),
+
     "q90_multimodal_meta" -> ((s, d) =>
       // typed metadata over binary columns — oracle-checked (exact ints)
       assets(s, d).select(
@@ -566,6 +680,41 @@ object Multimodal {
   )
 
   val oracle: Map[String, String] = Map(
+    "q283_tar_ingest" ->
+      s"""SELECT file, name, CAST(size AS BIGINT) AS size,
+         |  CAST(typeflag AS VARCHAR) AS typeflag,
+         |  CAST("offset" AS BIGINT) AS "offset", payload_md5
+         |FROM read_csv('${graft.Fixtures.path("tar")}/manifest.csv',
+         |              header=true)
+         |ORDER BY file, "offset"""".stripMargin,
+    "q284_zip_ingest" ->
+      s"""SELECT file, CAST(idx AS BIGINT) AS idx, name,
+         |  CAST(method AS BIGINT) AS method,
+         |  CAST(csize AS BIGINT) AS csize, CAST(usize AS BIGINT) AS usize,
+         |  CAST(crc_ok AS BOOLEAN) AS crc_ok, payload_md5
+         |FROM read_csv('${graft.Fixtures.path("zip")}/manifest.csv',
+         |              header=true)
+         |ORDER BY file, idx""".stripMargin,
+    // coalesce('') per the read_csv empty-field-to-NULL rule: warcinfo/
+    // request rows carry empty target_uri/clean fields
+    "q285_warc_extract" ->
+      s"""SELECT CAST(seq AS BIGINT) AS seq, rec_type,
+         |  coalesce(target_uri, '') AS target_uri,
+         |  CAST(content_length AS BIGINT) AS content_length,
+         |  CAST(http_status AS BIGINT) AS http_status, payload_md5,
+         |  coalesce(clean_md5, '') AS clean_md5,
+         |  coalesce(clean_head40, '') AS clean_head40
+         |FROM read_csv('${graft.Fixtures.path("warc")}/manifest.csv',
+         |              header=true)
+         |ORDER BY seq""".stripMargin,
+    "q286_warcgz_members" ->
+      s"""SELECT CAST(seq AS BIGINT) AS seq,
+         |  CAST("offset" AS BIGINT) AS "offset",
+         |  CAST(csize AS BIGINT) AS csize, CAST(usize AS BIGINT) AS usize,
+         |  payload_md5
+         |FROM read_csv('${graft.Fixtures.path("warc")}/gz_manifest.csv',
+         |              header=true)
+         |ORDER BY seq""".stripMargin,
     // the generation manifest IS the oracle (see q144's scaladoc); CASTs
     // pin every numeric to BIGINT for type parity with the Spark side
     "q206_video_ingest" ->

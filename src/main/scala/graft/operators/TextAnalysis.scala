@@ -814,8 +814,16 @@ object TextAnalysis {
     * has no backreferences and would silently match nothing), strip
     * remaining tags to spaces, decode the five core entities (&amp;
     * LAST, or double-decoding corrupts), collapse whitespace. */
-  private[operators] def htmlCleanText: org.apache.spark.sql.Column = {
-    val noScript = regexp_replace(regexp_replace(htmlPage,
+  private[operators] def htmlCleanText: org.apache.spark.sql.Column =
+    htmlCleanOf(htmlPage)
+
+  /** The q204 cleaning over an ARBITRARY html column — factored out in
+    * round 11 so q285's WARC response bodies run the IDENTICAL
+    * definition (mirrored by tools/gen_archive_fixtures.py
+    * `clean_html`, asserted there to invert the builder's encoding). */
+  private[operators] def htmlCleanOf(
+      html: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val noScript = regexp_replace(regexp_replace(html,
       "(?s)<script[^>]*>.*?</script>", " "),
       "(?s)<style[^>]*>.*?</style>", " ")
     val unTagged = regexp_replace(noScript, "<[^>]+>", " ")
