@@ -663,6 +663,55 @@ object Relational {
         .orderBy("s_suppkey")
     }),
 
+    "q291_acf" -> ((s, d) => {
+      // Autocorrelation function at lags 1–7 over the daily event
+      // series — the diagnosis q260's decomposition assumes (is there
+      // weekly structure to extract?), run on the SAME injected series
+      // (q260's +60/day weekend pattern) so the planted signal must
+      // surface: r(7) is the top positive lag, the 1–6 lags mix the
+      // weekend/weekday phase. All six sufficient statistics (n, Σx,
+      // Σy, Σx², Σy², Σxy) are exact BIGINT moments per lag (the q140
+      // regr discipline) over the gap-filled day spine (a missing day
+      // IS a 0 — the q256/q260 spine rule); r itself divides by a
+      // sqrt, and sqrt/div/mul are all IEEE exactly-rounded, so one
+      // identically-parenthesized expression rounds to the same
+      // nanounits in both engines (unlike pow/exp, which are NOT
+      // exactly rounded — the q154 boundary). The day frame is a tiny
+      // aggregate; the 7-lag sweep is a broadcast cross over it, never
+      // a corpus-sized window.
+      val base = events(s, d).select(expr("unix_micros(ts)").as("us"))
+      val m = base.agg(min(col("us")).as("m0"))
+      val dc = base.crossJoin(broadcast(m))
+        .select(expr("(us - m0) div 86400000000").as("day"))
+        .groupBy(col("day")).agg(count(lit(1)).as("n0"))
+        .transform(graft.CacheRegistry.cached)
+      val spine = dc.agg(max(col("day")).as("hi"))
+        .select(explode(expr("sequence(CAST(0 AS BIGINT), hi)")).as("day"))
+      val c = spine.join(dc, Seq("day"), "left")
+        .select(col("day"),
+          (coalesce(col("n0"), lit(0L)) +
+            when(expr("day % 7 IN (5, 6)"), 60L).otherwise(0L)).as("n"))
+        .transform(graft.CacheRegistry.cached)
+      val x = c.select(col("day").as("dx"), col("n").as("x"))
+      val y = c.select(col("day").as("dy"), col("n").as("y"))
+      x.crossJoin(broadcast(s.range(1, 8).toDF("lag")))
+        .join(y, col("dy") === col("dx") + col("lag"))
+        .groupBy(col("lag"))
+        .agg(count(lit(1)).as("np"), sum(col("x")).as("sx"),
+          sum(col("y")).as("sy"), sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"),
+          sum(col("x") * col("y")).as("sxy"))
+        .select(col("lag"), col("np"),
+          expr("np * sxy - sx * sy").as("num"),
+          expr("np * sxx - sx * sx").as("d1"),
+          expr("np * syy - sy * sy").as("d2"))
+        .withColumn("r_nano", expr(
+          "CASE WHEN d1 = 0 OR d2 = 0 THEN 0L ELSE " +
+            "CAST(round(CAST(num AS DOUBLE) / sqrt(CAST(d1 AS DOUBLE) * " +
+            "CAST(d2 AS DOUBLE)) * 1000000000) AS BIGINT) END"))
+        .orderBy("lag")
+    }),
+
     // ---- joins ------------------------------------------------------------
 
     "q10_join_broadcast" -> ((s, d) => {
@@ -3647,6 +3696,41 @@ object Relational {
         |WHERE n_name = 'NATION_9'
         |  AND s_suppkey IN (SELECT l_suppkey FROM dom)
         |ORDER BY s_suppkey""".stripMargin,
+    "q291_acf" ->
+      """WITH base AS (SELECT epoch_us(ts) AS us FROM events),
+        |m AS (SELECT min(us) AS m0 FROM base),
+        |dc AS (
+        |  SELECT (us - m0) // 86400000000 AS day,
+        |    CAST(count(*) AS BIGINT) AS n0
+        |  FROM base CROSS JOIN m GROUP BY 1),
+        |bounds AS (SELECT max(day) AS hi FROM dc),
+        |spine AS (SELECT unnest(range(0, hi + 1)) AS day FROM bounds),
+        |c AS (
+        |  SELECT s.day, CAST(coalesce(n0, 0) + CASE WHEN s.day % 7
+        |    IN (5, 6) THEN 60 ELSE 0 END AS BIGINT) AS n
+        |  FROM spine s LEFT JOIN dc ON s.day = dc.day),
+        |lags AS (SELECT CAST(unnest(range(1, 8)) AS BIGINT) AS lag),
+        |pr AS (
+        |  SELECT l.lag, cx.n AS x, cy.n AS y
+        |  FROM c cx CROSS JOIN lags l
+        |  JOIN c cy ON cy.day = cx.day + l.lag),
+        |ag AS (
+        |  SELECT lag, CAST(count(*) AS BIGINT) AS np,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx,
+        |    CAST(sum(y * y) AS BIGINT) AS syy,
+        |    CAST(sum(x * y) AS BIGINT) AS sxy
+        |  FROM pr GROUP BY 1),
+        |dd AS (
+        |  SELECT lag, np, np * sxy - sx * sy AS num,
+        |    np * sxx - sx * sx AS d1, np * syy - sy * sy AS d2
+        |  FROM ag)
+        |SELECT lag, np, num, d1, d2,
+        |  CASE WHEN d1 = 0 OR d2 = 0 THEN 0
+        |    ELSE CAST(round(CAST(num AS DOUBLE) / sqrt(CAST(d1 AS DOUBLE)
+        |      * CAST(d2 AS DOUBLE)) * 1000000000) AS BIGINT) END
+        |    AS r_nano
+        |FROM dd ORDER BY lag""".stripMargin,
     "q10_join_broadcast" ->
       s"""SELECT n_name, r_name, $revenueSql AS revenue,
          |  count(DISTINCT o_orderkey) AS n_orders, count(*) AS n_lines

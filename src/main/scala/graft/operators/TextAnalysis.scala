@@ -842,6 +842,170 @@ object TextAnalysis {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    "q287_dsir_resample" -> ((s, d) => {
+      // DSIR-style importance resampling (Xie et al.) — the data-
+      // selection operator between q75's stratified sampling and q233's
+      // learned quality gate: score every doc by how much its hashed
+      // unigram distribution looks like a TARGET domain (here the 'en'
+      // slice) versus the raw pool, then keep the top of the ranking.
+      // Per-word importance weight = ln(p_target) − ln(p_source) with
+      // add-one smoothing, computed ONCE per vocabulary word and
+      // rounded to integer nanounits BEFORE the per-doc sum (the q154
+      // transcendental discipline: ln on data is safe cross-engine only
+      // with identical parenthesization + per-element rounding; the
+      // BIGINT sum is then layout-independent). Doc score = Σ over
+      // token INSTANCES (DSIR's feature-count form). At 100 TB: one
+      // token shuffle for the vocab, totals on a broadcast 1-row frame,
+      // one word-keyed join back, top-50 as TakeOrdered — no windows.
+      // Honest verdict: en docs dominate the selection, their unigrams
+      // carrying the lang-id signal q83 reads.
+      val toks = t(s, d, "documents")
+        .select(col("doc_id"), col("lang"),
+          explode(split(col("text"), " ")).as("word"))
+        .transform(graft.CacheRegistry.cached)
+      val v = toks.groupBy(col("word"))
+        .agg(count(lit(1)).as("sc"),
+          sum(when(col("lang") === "en", 1L).otherwise(0L)).as("tc"))
+        .transform(graft.CacheRegistry.cached)
+      val tot = v.agg(sum(col("sc")).as("sN"), sum(col("tc")).as("tN"),
+        count(lit(1)).as("V"))
+      val w = v.crossJoin(broadcast(tot))
+        .select(col("word"), expr(
+          "CAST(round((ln(CAST(tc + 1 AS DOUBLE) / (tN + V)) - " +
+            "ln(CAST(sc + 1 AS DOUBLE) / (sN + V))) * 1e9) AS BIGINT)")
+          .as("w_nano"))
+      toks.join(w, "word")
+        .groupBy(col("doc_id"), col("lang"))
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(col("w_nano")).as("score_nano"))
+        .orderBy(col("score_nano").desc, col("doc_id"))
+        .limit(50)
+    }),
+
+    "q288_spearman" -> ((s, d) => {
+      // Spearman rank correlation between two per-doc signals (raw
+      // char length vs distinct-token count) — the ranker-agreement
+      // measure next to q255's RBO: both variables rank through the
+      // q108/q222 two-pass SHARDED rank (range-shard monotone in the
+      // sort key, prefix offsets over the tiny per-shard counts, a
+      // within-shard row_number — never a corpus-wide window), with
+      // doc_id totalizing ties (the deterministic-unique-order
+      // discipline; heavy-tie data would need average ranks — noted,
+      // not the case here). ρ = 1 − 6Σd²/(n(n²−1)) stays EXACT: the
+      // numerator is shifted by +nn1 so it is provably non-negative
+      // (Σd² ≤ nn1/3), divided in DECIMAL(38,0)/HUGEINT (n³·1e9
+      // overflows BIGINT), and re-centered after — no float, no
+      // negative-div engine disagreement. The oracle ranks with plain
+      // global row_number, so equality ALSO proves the sharded
+      // decomposition reproduces the global rank on both variables.
+      val m = t(s, d, "documents")
+        .select(col("doc_id"), col("n_chars").cast("long").as("x"),
+          size(array_distinct(split(col("text"), " "))).cast("long")
+            .as("y"))
+        .transform(graft.CacheRegistry.cached)
+      def ranked(vc: String, alias: String): DataFrame = {
+        val rows = m.select(col("doc_id"), col(vc).as("v"))
+          .withColumn("shard", expr("v div 64"))
+        val cnts = rows.groupBy(col("shard")).agg(count(lit(1)).as("cnt"))
+        val offs = cnts.withColumn("off", coalesce(
+          sum(col("cnt")).over(Window.orderBy(col("shard"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        rows
+          .withColumn("rg", row_number().over(
+            Window.partitionBy(col("shard"))
+              .orderBy(col("v"), col("doc_id"))).cast("long"))
+          .join(broadcast(offs.select(col("shard"), col("off"))), "shard")
+          .select(col("doc_id"), (col("rg") + col("off")).as(alias))
+      }
+      val j = ranked("x", "rx").join(ranked("y", "ry"), "doc_id")
+        .select(((col("rx") - col("ry")) * (col("rx") - col("ry")))
+          .as("d2"))
+      j.agg(count(lit(1)).as("n"), sum(col("d2")).as("sum_d2"))
+        .withColumn("rho_nano", expr(
+          "CAST((2 * (CAST(n AS DECIMAL(38,0)) * (n * n - 1)) - " +
+            "6 * CAST(sum_d2 AS DECIMAL(38,0))) * 1000000000 div " +
+            "(CAST(n AS DECIMAL(38,0)) * (n * n - 1)) AS BIGINT) " +
+            "- 1000000000"))
+    }),
+
+    "q289_pr_sweep" -> ((s, d) => {
+      // Precision/recall/F1 threshold sweep — the operating-point view
+      // of the q233 classifier that q259 (AUC, threshold-free) and
+      // q263 (calibration) don't show: which decile cutoff would a
+      // deployment pick? The IDENTICAL scores and label feed a 10-bin
+      // histogram (one map-side-combined aggregate — fixed edges, the
+      // q263 binning), and all 9 cutoffs read as prefix sums over the
+      // TINY bin frame via a broadcast ≥-join (the q259 cross-bucket
+      // discipline — the corpus is touched once, the sweep is
+      // bin-frame work). LEFT join keeps empty cutoffs (every p_nano
+      // sits in bins 4–6 here, so thr ≥ 7 has tp = fp = 0 — dropping
+      // those rows would misreport the sweep); all ratios exact
+      // micro-units with zero-guarded division. F1 = 2tp/(2tp+fp+fn)
+      // — integer-exact, no harmonic-mean float.
+      val scores = qualityScoresOn(s, t(s, d, "documents"))
+      val tot = scores.agg(count(lit(1)).as("nd"),
+        sum(col("n_tokens")).as("tt"))
+      val lab = scores.crossJoin(broadcast(tot))
+        .select(col("p_nano"),
+          when(col("n_tokens") * col("nd") > col("tt"), 1L).otherwise(0L)
+            .as("y"))
+        .withColumn("bin", least(expr("p_nano div 100000000"), lit(9L)))
+      val bins = lab.groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"), sum(col("y")).as("ny"))
+        .transform(graft.CacheRegistry.cached)
+      val pos = bins.agg(sum(col("ny")).as("p_all"))
+      s.range(1, 10).toDF("thr")
+        .join(broadcast(bins), col("bin") >= col("thr"), "left")
+        .groupBy(col("thr"))
+        .agg(sum(coalesce(col("ny"), lit(0L))).as("tp"),
+          sum(coalesce(col("n") - col("ny"), lit(0L))).as("fp"))
+        .crossJoin(broadcast(pos))
+        .select(col("thr"), col("tp"), col("fp"),
+          (col("p_all") - col("tp")).as("fn"),
+          expr("CASE WHEN tp + fp = 0 THEN 0L ELSE " +
+            "tp * 1000000 div (tp + fp) END").as("precision_micro"),
+          expr("tp * 1000000 div p_all").as("recall_micro"),
+          expr("2 * tp * 1000000 div (2 * tp + fp + (p_all - tp))")
+            .as("f1_micro"))
+        .orderBy("thr")
+    }),
+
+    "q290_ece" -> ((s, d) => {
+      // Expected calibration error — q263's reliability curve folded
+      // to the single number a model card quotes: ECE = Σ_b (n_b/N)·
+      // |acc_b − conf_b|. The per-bin weight cancels EXACTLY against
+      // the per-bin means (n_b·|sp_b/n_b − 1e9·sy_b/n_b| =
+      // |sp_b − 1e9·sy_b|), so the whole statistic is one BIGINT
+      // |difference| sum over the 10-bin frame divided once by N — no
+      // per-bin division error compounds (at 100 TB the |diff| sum
+      // wants DECIMAL(38,0); Σp_nano ≤ 1e9·N). The worst bin rides the
+      // same pass as a struct argmax (gap, bin) — q211's lexicographic
+      // discipline. Verdict beside q263: predictions hug ½, so ECE ≈
+      // the always-say-½ model's gap — reliability and Brier agree.
+      val scores = qualityScoresOn(s, t(s, d, "documents"))
+      val tot = scores.agg(count(lit(1)).as("nd"),
+        sum(col("n_tokens")).as("tt"))
+      val bins = scores.crossJoin(broadcast(tot))
+        .select(col("p_nano"),
+          when(col("n_tokens") * col("nd") > col("tt"), 1L).otherwise(0L)
+            .as("y"))
+        .withColumn("bin", least(expr("p_nano div 100000000"), lit(9L)))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"), sum(col("p_nano")).as("sp"),
+          sum(col("y")).as("sy"))
+      bins
+        .agg(sum(col("n")).as("n_docs"),
+          sum(abs(col("sp") - col("sy") * lit(1000000000L)))
+            .as("gap_sum"),
+          max(struct(
+            abs(expr("(sp div n) - (sy * 1000000000) div n")).as("g"),
+            col("bin"))).as("wb"))
+        .select(col("n_docs"),
+          expr("gap_sum div n_docs").as("ece_nano"),
+          col("wb.bin").as("worst_bin"),
+          col("wb.g").as("worst_gap_nano"))
+    }),
+
     "q250_poisson_bootstrap" -> ((s, d) => {
       // Poisson BOOTSTRAP — uncertainty quantification the way it is
       // actually run at scale (Chamandy et al.): classic bootstrap
@@ -2373,7 +2537,123 @@ object TextAnalysis {
       |        '&#39;', ''''), '&amp;', '&'),
       |      '\s+', ' ', 'g'))""".stripMargin
 
+  /** The q233 score chain as a reusable oracle CTE body (w/tok/agg/p —
+    * the same text q263/q233 inline), for the round-11 eval queries. */
+  private val QualityPSql: String =
+    """w AS (
+      |  SELECT b AS bucket,
+      |    CAST('0x' || substr(md5('w_' || CAST(b AS VARCHAR)), 1, 8)
+      |      AS BIGINT) % 2000001 - 1000000 AS w_micro
+      |  FROM (SELECT unnest(range(1024)) AS b)),
+      |tok AS (
+      |  SELECT doc_id,
+      |    CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) % 1024 AS bucket
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      |        FROM documents)),
+      |agg AS (
+      |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+      |    CAST(sum(w_micro) AS BIGINT) AS logit_sum_micro
+      |  FROM tok JOIN w USING (bucket) GROUP BY 1),
+      |p AS (
+      |  SELECT doc_id, n_tokens,
+      |    CAST(round(1e9 / (1.0 + exp(-(CAST(logit_sum_micro AS DOUBLE)
+      |      / n_tokens / 1e6)))) AS BIGINT) AS p_nano
+      |  FROM agg)""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q287_dsir_resample" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS word
+        |  FROM documents),
+        |v AS (
+        |  SELECT word, CAST(count(*) AS BIGINT) AS sc,
+        |    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS tc
+        |  FROM toks GROUP BY 1),
+        |tot AS (SELECT CAST(sum(sc) AS BIGINT) AS sN,
+        |  CAST(sum(tc) AS BIGINT) AS tN,
+        |  CAST(count(*) AS BIGINT) AS V FROM v),
+        |w AS (
+        |  SELECT word, CAST(round((ln(CAST(tc + 1 AS DOUBLE) / (tN + V))
+        |    - ln(CAST(sc + 1 AS DOUBLE) / (sN + V))) * 1e9) AS BIGINT)
+        |    AS w_nano
+        |  FROM v CROSS JOIN tot)
+        |SELECT doc_id, lang, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(sum(w_nano) AS BIGINT) AS score_nano
+        |FROM toks JOIN w USING (word)
+        |GROUP BY doc_id, lang
+        |ORDER BY score_nano DESC, doc_id LIMIT 50""".stripMargin,
+    // the oracle ranks with a plain GLOBAL row_number — equality also
+    // proves the Spark side's sharded rank reproduces the global rank
+    "q288_spearman" ->
+      """WITH m AS (
+        |  SELECT doc_id, CAST(n_chars AS BIGINT) AS x,
+        |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+        |      AS y
+        |  FROM documents),
+        |rx AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY x, doc_id)
+        |  AS BIGINT) AS rx FROM m),
+        |ry AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY y, doc_id)
+        |  AS BIGINT) AS ry FROM m),
+        |j AS (SELECT (rx - ry) * (rx - ry) AS d2
+        |  FROM rx JOIN ry USING (doc_id)),
+        |ag AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(d2) AS BIGINT) AS sum_d2 FROM j)
+        |SELECT n, sum_d2,
+        |  CAST((2 * (CAST(n AS HUGEINT) * (n * n - 1)) -
+        |    6 * CAST(sum_d2 AS HUGEINT)) * 1000000000 //
+        |    (CAST(n AS HUGEINT) * (n * n - 1)) AS BIGINT)
+        |    - 1000000000 AS rho_nano
+        |FROM ag""".stripMargin,
+    "q289_pr_sweep" ->
+      s"""WITH $QualityPSql,
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS nd,
+         |  CAST(sum(n_tokens) AS BIGINT) AS tt FROM p),
+         |lab AS (
+         |  SELECT p_nano,
+         |    CAST(CASE WHEN n_tokens * nd > tt THEN 1 ELSE 0 END
+         |      AS BIGINT) AS y,
+         |    least(p_nano // 100000000, 9) AS bin
+         |  FROM p CROSS JOIN tot),
+         |bins AS (SELECT bin, CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(y) AS BIGINT) AS ny FROM lab GROUP BY 1),
+         |pos AS (SELECT CAST(sum(ny) AS BIGINT) AS p_all FROM bins),
+         |thr AS (SELECT CAST(unnest(range(1, 10)) AS BIGINT) AS thr),
+         |sw AS (
+         |  SELECT thr.thr, CAST(sum(coalesce(ny, 0)) AS BIGINT) AS tp,
+         |    CAST(sum(coalesce(n - ny, 0)) AS BIGINT) AS fp
+         |  FROM thr LEFT JOIN bins ON bin >= thr.thr GROUP BY 1)
+         |SELECT thr, tp, fp, p_all - tp AS fn,
+         |  CASE WHEN tp + fp = 0 THEN 0
+         |    ELSE CAST(tp * 1000000 // (tp + fp) AS BIGINT) END
+         |    AS precision_micro,
+         |  CAST(tp * 1000000 // p_all AS BIGINT) AS recall_micro,
+         |  CAST(2 * tp * 1000000 // (2 * tp + fp + (p_all - tp))
+         |    AS BIGINT) AS f1_micro
+         |FROM sw CROSS JOIN pos ORDER BY thr""".stripMargin,
+    "q290_ece" ->
+      s"""WITH $QualityPSql,
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS nd,
+         |  CAST(sum(n_tokens) AS BIGINT) AS tt FROM p),
+         |lab AS (
+         |  SELECT p_nano,
+         |    CAST(CASE WHEN n_tokens * nd > tt THEN 1 ELSE 0 END
+         |      AS BIGINT) AS y,
+         |    least(p_nano // 100000000, 9) AS bin
+         |  FROM p CROSS JOIN tot),
+         |bins AS (SELECT bin, CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(p_nano) AS BIGINT) AS sp,
+         |  CAST(sum(y) AS BIGINT) AS sy FROM lab GROUP BY 1),
+         |ag AS (
+         |  SELECT CAST(sum(n) AS BIGINT) AS n_docs,
+         |    CAST(sum(abs(sp - sy * 1000000000)) AS BIGINT) AS gap_sum,
+         |    max(struct_pack(g := abs((sp // n)
+         |      - (sy * 1000000000) // n), bin := bin)) AS wb
+         |  FROM bins)
+         |SELECT n_docs, CAST(gap_sum // n_docs AS BIGINT) AS ece_nano,
+         |  CAST(struct_extract(wb, 'bin') AS BIGINT) AS worst_bin,
+         |  CAST(struct_extract(wb, 'g') AS BIGINT) AS worst_gap_nano
+         |FROM ag""".stripMargin,
     "q250_poisson_bootstrap" -> {
       val mCase = s"CASE WHEN u < ${PoissonCdfBp(0)} THEN 0 " +
         (1 until PoissonCdfBp.length).map(k =>
