@@ -98,7 +98,91 @@ object Graph {
       .orderBy(col("hop"))
   }
 
+  /** q292: synchronous label-propagation iterations — fixed unroll for
+    * the same reason as [[BfsHops]]: both engines must run the identical
+    * update algebra for the final labeling to be oracle-hash-exact. */
+  val LpaIters = 3
+
+  /** q292's LPA over any symmetric (src, dst) edge frame — exposed so
+    * GraphSpec can prove convergence identities on engineered graphs
+    * (two disjoint cliques collapse to their min-node labels after ONE
+    * iteration: every neighborhood's labels are initially distinct, so
+    * the min-label tie-break IS the update). Update rule: each node
+    * adopts the most frequent label among neighbors-plus-self, ties to
+    * the SMALLEST label (deterministic — the argmax rides a (cnt,
+    * -label) struct max, q211's lexicographic discipline). Each
+    * iteration localCheckpoints (the q257 lineage lesson: the label
+    * frame is ≤|V| rows of two BIGINTs, never payloads). */
+  private[operators] def lpaCommunities(edges: DataFrame): DataFrame = {
+    val nodes = edges.select(col("src").as("node")).distinct()
+    val nb = edges.select(col("dst").as("node"), col("src").as("nbr"))
+      .union(nodes.select(col("node"), col("node").as("nbr")))
+    var labels = nodes.select(col("node"), col("node").as("label"))
+      .localCheckpoint()
+    for (_ <- 1 to LpaIters) {
+      labels = nb
+        .join(labels.select(col("node").as("ln"), col("label")),
+          col("nbr") === col("ln"))
+        .groupBy(col("node"), col("label"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("node"))
+        .agg(max(struct(col("cnt").as("c"), (-col("label")).as("nl")))
+          .as("mx"))
+        .select(col("node"), (-col("mx.nl")).as("label"))
+        .localCheckpoint()
+    }
+    labels.groupBy(col("label"))
+      .agg(count(lit(1)).as("n_nodes"), min(col("node")).as("min_node"),
+        sum(col("node")).cast("bigint").as("sum_node"))
+      .orderBy(col("n_nodes").desc, col("label"))
+  }
+
+  /** The q203/q257 DOULION-sampled symmetric edge frame, factored so
+    * q292 runs communities over the IDENTICAL graph (CacheRegistry
+    * dedupes by plan identity, so all three queries share one pairs
+    * materialization). */
+  private[operators] def sampledEdges(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+      .select(col("user_id"), col("event_type"),
+        date_trunc("hour", col("ts")).as("h"))
+      .distinct()
+    val buckets = ev.groupBy(col("event_type"), col("h"))
+      .agg(count(lit(1)).as("m"))
+      .where(col("m") <= TriBucketCap)
+    val members = ev.join(buckets.select(col("event_type"), col("h")),
+      Seq("event_type", "h"))
+    val pairs = graft.CacheRegistry.cached(members.as("x")
+      .join(members.as("y"), Seq("event_type", "h"))
+      .where(col("x.user_id") < col("y.user_id"))
+      .select(col("x.user_id").as("a"), col("y.user_id").as("b"))
+      .distinct())
+    val sampled = pairs.where(
+      substring(md5(concat(lit("tri_"), col("a"), lit("_"), col("b"))),
+        1, 2) < lit("08"))
+    graft.CacheRegistry.cached(
+      sampled.select(col("a").as("src"), col("b").as("dst"))
+        .union(sampled.select(col("b").as("src"), col("a").as("dst"))))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "q292_label_prop" -> ((s, d) => {
+      // Label-propagation community detection (Raghavan et al.) — the
+      // graph family's clustering leg after ranking (q128), structure
+      // (q203/q251) and reachability (q257), on the IDENTICAL 1/32-
+      // sampled co-occurrence graph q257 walks (deterministic md5
+      // sampling is what lets a community assignment be hash-exact).
+      // Synchronous updates, LpaIters fixed, most-frequent-neighbor
+      // label with self-inclusion (the standard anti-oscillation form)
+      // and min-label ties. Each iteration is the scalable shape: one
+      // edges⋈labels equi-join (at 100 TB edges bucket on src — q128's
+      // layout — so only the O(V) label frame moves), two stacked
+      // aggregates ((node, label) counts → per-node struct argmax),
+      // and a localCheckpoint to keep the plan constant-size (the q257
+      // lineage lesson). Output: per-community census rows — exact
+      // order-independent integers, communities by size then label.
+      lpaCommunities(sampledEdges(s, d)).limit(30)
+    }),
 
     "q257_bfs_hops" -> ((s, d) => {
       // BFS reachability over the DOULION-sampled co-occurrence graph —
@@ -120,31 +204,13 @@ object Graph {
       // per-hop exact census rows (count, min/max, sum of node ids —
       // order-independent integers) with the unreached remainder as
       // hop −1; seed = min node id, deterministic.
-      val ev = events(s, d)
-        .select(col("user_id"), col("event_type"),
-          date_trunc("hour", col("ts")).as("h"))
-        .distinct()
-      val buckets = ev.groupBy(col("event_type"), col("h"))
-        .agg(count(lit(1)).as("m"))
-        .where(col("m") <= TriBucketCap)
-      val members = ev.join(buckets.select(col("event_type"), col("h")),
-        Seq("event_type", "h"))
-      // cached at the PAIRS level with q203's exact plan — Spark's
-      // CacheManager dedupes by plan identity, so q203/q257 share one
-      // materialization AND the union below doesn't evaluate the
-      // member self-join twice (uncached, edges paid 2× the pair
-      // build — the round's bench flagged it at sf0.1)
-      val pairs = graft.CacheRegistry.cached(members.as("x")
-        .join(members.as("y"), Seq("event_type", "h"))
-        .where(col("x.user_id") < col("y.user_id"))
-        .select(col("x.user_id").as("a"), col("y.user_id").as("b"))
-        .distinct())
-      val sampled = pairs.where(
-        substring(md5(concat(lit("tri_"), col("a"), lit("_"), col("b"))),
-          1, 2) < lit("08"))
-      val edges = graft.CacheRegistry.cached(
-        sampled.select(col("a").as("src"), col("b").as("dst"))
-          .union(sampled.select(col("b").as("src"), col("a").as("dst"))))
+      // edge build factored as sampledEdges — cached at the PAIRS level
+      // with q203's exact plan: Spark's CacheManager dedupes by plan
+      // identity, so q203/q257/q292 share one materialization AND the
+      // symmetric union doesn't evaluate the member self-join twice
+      // (uncached, edges paid 2× the pair build — the round-10 bench
+      // flagged it at sf0.1)
+      val edges = sampledEdges(s, d)
       // hop loop in bfsCensus; each frontier is localCheckpoint'ed (the
       // q69 lineage-truncation idiom) rather than CacheRegistry-cached:
       // caching truncates physical re-execution but the LOGICAL plan
@@ -338,6 +404,50 @@ object Graph {
     * discipline as q140's oracle: every computed output column carries an
     * explicit CAST to the Spark-side type. */
   val oracle: Map[String, String] = Map(
+    "q292_label_prop" -> {
+      val step = (i: Int) =>
+        s"""c$i AS (
+           |  SELECT nb.node, l.label, CAST(count(*) AS BIGINT) AS cnt
+           |  FROM nb JOIN l${i - 1} l ON l.node = nb.nbr
+           |  GROUP BY 1, 2),
+           |l$i AS (
+           |  SELECT node, CAST(-struct_extract(mx, 'nl') AS BIGINT)
+           |    AS label
+           |  FROM (SELECT node,
+           |          max(struct_pack(c := cnt, nl := -label)) AS mx
+           |        FROM c$i GROUP BY node))""".stripMargin
+      s"""WITH ev AS (
+         |  SELECT DISTINCT user_id, event_type, date_trunc('hour', ts) AS h
+         |  FROM events),
+         |buckets AS (
+         |  SELECT event_type, h FROM (
+         |    SELECT event_type, h, count(*) AS m FROM ev GROUP BY 1, 2)
+         |  WHERE m <= $TriBucketCap),
+         |members AS (SELECT ev.* FROM ev JOIN buckets USING (event_type, h)),
+         |pairs AS (
+         |  SELECT DISTINCT x.user_id AS a, y.user_id AS b
+         |  FROM members x JOIN members y USING (event_type, h)
+         |  WHERE x.user_id < y.user_id),
+         |sampled AS (
+         |  SELECT a, b FROM pairs
+         |  WHERE substr(md5('tri_' || CAST(a AS VARCHAR) || '_'
+         |    || CAST(b AS VARCHAR)), 1, 2) < '08'),
+         |edges AS (
+         |  SELECT a AS src, b AS dst FROM sampled
+         |  UNION ALL SELECT b, a FROM sampled),
+         |nodes AS (SELECT DISTINCT src AS node FROM edges),
+         |nb AS (
+         |  SELECT dst AS node, src AS nbr FROM edges
+         |  UNION ALL SELECT node, node FROM nodes),
+         |l0 AS (SELECT node, node AS label FROM nodes),
+         |${(1 to LpaIters).map(step).mkString(",\n")}
+         |SELECT CAST(label AS BIGINT) AS label,
+         |  CAST(count(*) AS BIGINT) AS n_nodes,
+         |  CAST(min(node) AS BIGINT) AS min_node,
+         |  CAST(sum(node) AS BIGINT) AS sum_node
+         |FROM l$LpaIters GROUP BY label
+         |ORDER BY n_nodes DESC, label LIMIT 30""".stripMargin
+    },
     "q257_bfs_hops" -> {
       val step = (i: Int) =>
         s"""h$i AS (

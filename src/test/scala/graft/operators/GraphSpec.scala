@@ -95,4 +95,27 @@ class GraphSpec extends SparkSpec {
       assert(!c.contains(h.toLong), s"hop $h must be empty on a star"))
     assert(!c.contains(-1L), "a star has no unreached remainder")
   }
+
+  test("q292 LPA: disjoint cliques collapse to min-node labels") {
+    import spark.implicits._
+    // two K4s (10..13, 20..23) + an isolated edge pair (30, 31): after
+    // ONE iteration every clique neighborhood has all-distinct labels,
+    // so the min-label tie-break assigns the clique min to everyone —
+    // iterations 2..LpaIters must keep it stable (the convergence
+    // identity the min-tie-break guarantees on symmetric cliques)
+    def clique(ids: Seq[Long]) = for {
+      a <- ids; b <- ids if a < b
+    } yield (a, b)
+    val und = (clique(Seq(10L, 11L, 12L, 13L)) ++
+      clique(Seq(20L, 21L, 22L, 23L)) :+ ((30L, 31L)))
+    val edges = und.toDF("src", "dst")
+      .union(und.map(_.swap).toDF("src", "dst"))
+    val got = Graph.lpaCommunities(edges).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSet == Set(
+      (10L, 4L, 10L, 46L), (20L, 4L, 20L, 86L), (30L, 2L, 30L, 61L)),
+      s"got ${got.toSeq}")
+    // and the ordering contract: size desc then label
+    assert(got.map(_._1).toSeq == Seq(10L, 20L, 30L))
+  }
 }
