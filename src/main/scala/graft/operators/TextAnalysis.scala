@@ -840,7 +840,88 @@ object TextAnalysis {
     trim(regexp_replace(decoded, "\\s+", " "))
   }
 
+  /** q293: two-sided-geometric (discrete Laplace) CDF thresholds for
+    * ε = 1, α = e⁻¹, in integer micro-units — P(G ≤ k) = 1 − α^(k+1),
+    * computed ONCE here and embedded as identical literals in both
+    * engines (the q250 Poisson-CDF discipline: transcendental-DERIVED
+    * constants are parity-safe, pow on data is not). k caps at 12
+    * (P ≈ 1 − 6e−6). */
+  private val GeomCdfMicro: IndexedSeq[Long] =
+    (0 to 11).map(k => math.round(1e6 * (1 - math.exp(-(k + 1).toDouble))))
+
+  private def geomCase(u: String): String =
+    s"CASE WHEN $u < ${GeomCdfMicro(0)} THEN 0 " +
+      (1 to 11).map(k => s"WHEN $u < ${GeomCdfMicro(k)} THEN $k ").mkString +
+      "ELSE 12 END"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "q293_dp_release" -> ((s, d) => {
+      // Differentially-private count release — the privacy leg next to
+      // q217's k-anonymity and q242's GDPR sweep: per-(lang, source)
+      // document counts released under the two-sided geometric
+      // mechanism (the discrete Laplace — ε = 1 for a ±1-sensitivity
+      // count), noise = G₁ − G₂ with each geometric drawn by inverse
+      // CDF from a salted-md5 uniform (q225's determinism idiom — a DP
+      // release must be FIXED once published; re-randomizing on every
+      // read is itself a privacy bug, the one this design can't have).
+      // CDF thresholds are Scala-computed literals (q250 discipline).
+      // The true count and noise ride along for the fixture's sake — a
+      // production release view projects released_n only. One
+      // map-side-combined aggregate; the noise is per-GROUP scalar
+      // work, O(groups).
+      val u = (salt: String) =>
+        s"CAST(conv(substring(md5(concat('$salt', lang, '_', source)), " +
+          "1, 6), 16, 10) AS BIGINT) % 1000000"
+      t(s, d, "documents")
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("g1", expr(geomCase(u("dp1_"))).cast("long"))
+        .withColumn("g2", expr(geomCase(u("dp2_"))).cast("long"))
+        .select(col("lang"), col("source"), col("n"),
+          (col("g1") - col("g2")).as("noise"),
+          (col("n") + col("g1") - col("g2")).as("released_n"))
+        .orderBy("lang", "source")
+    }),
+
+    "q294_phrase_search" -> ((s, d) => {
+      // Positional phrase search — the IR operator q236's inverted
+      // index can't serve (a document containing both words scattered
+      // is NOT a phrase hit): build positional postings (doc, pos,
+      // word), find the corpus's top bigram with a per-doc lead()
+      // window (doc-bounded — the PlanGuard-legal shape), then serve
+      // the phrase query the way a positional index does at 100 TB:
+      // filter postings to each phrase term FIRST (word-keyed, tiny
+      // after the filter), adjacency-join on (doc, pos+1). The
+      // CROSS-CERTIFICATION is in the output: n_hits (index-join
+      // count) must equal n_pairs (window count) — two different
+      // algorithms, one number; the oracle recomputes both
+      // independently, and the hash compare pins them equal.
+      val posts = t(s, d, "documents")
+        .select(col("doc_id"),
+          posexplode(split(col("text"), " ")).as(Seq("p0", "word")))
+        .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"),
+          col("word"))
+        .transform(graft.CacheRegistry.cached)
+      val top = posts
+        .withColumn("w2", lead(col("word"), 1).over(
+          Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
+        .where(col("w2").isNotNull)
+        .groupBy(col("word").as("w1"), col("w2"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy(col("n_pairs").desc, col("w1"), col("w2"))
+        .limit(1)
+      val p1 = posts.join(broadcast(top), col("word") === col("w1"))
+      val p2 = posts.select(col("doc_id").as("d2"), col("pos").as("q"),
+        col("word").as("wb"))
+      p1.join(p2, col("doc_id") === col("d2") &&
+          col("q") === col("pos") + 1 && col("wb") === col("w2"))
+        .groupBy(col("w1"), col("w2"), col("n_pairs"))
+        .agg(count(lit(1)).as("n_hits"),
+          countDistinct(col("doc_id")).as("n_docs"),
+          min(col("doc_id")).as("min_doc"),
+          max(col("doc_id")).as("max_doc"))
+    }),
 
     "q287_dsir_resample" -> ((s, d) => {
       // DSIR-style importance resampling (Xie et al.) — the data-
@@ -2561,6 +2642,48 @@ object TextAnalysis {
       |  FROM agg)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q293_dp_release" -> {
+      val u = (salt: String) =>
+        s"CAST('0x' || substr(md5('$salt' || lang || '_' || source), " +
+          "1, 6) AS BIGINT) % 1000000"
+      s"""WITH c AS (
+         |  SELECT lang, source, CAST(count(*) AS BIGINT) AS n
+         |  FROM documents GROUP BY 1, 2),
+         |g AS (
+         |  SELECT lang, source, n,
+         |    CAST(${geomCase(u("dp1_"))} AS BIGINT) AS g1,
+         |    CAST(${geomCase(u("dp2_"))} AS BIGINT) AS g2
+         |  FROM c)
+         |SELECT lang, source, n, g1 - g2 AS noise,
+         |  n + g1 - g2 AS released_n
+         |FROM g ORDER BY lang, source""".stripMargin
+    },
+    "q294_phrase_search" ->
+      """WITH posts AS (
+        |  SELECT doc_id, CAST(struct_extract(u, 'pos') AS BIGINT) AS pos,
+        |    CAST(struct_extract(u, 'tk') AS VARCHAR) AS word
+        |  FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, len(toks) + 1),
+        |      i -> struct_pack(pos := i, tk := toks[i]))) AS u
+        |    FROM (SELECT doc_id, string_split(text, ' ') AS toks
+        |          FROM documents))),
+        |bi AS (
+        |  SELECT a.word AS w1, b.word AS w2,
+        |    CAST(count(*) AS BIGINT) AS n_pairs
+        |  FROM posts a JOIN posts b
+        |    ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        |  GROUP BY 1, 2),
+        |top AS (SELECT * FROM bi ORDER BY n_pairs DESC, w1, w2 LIMIT 1),
+        |hits AS (
+        |  SELECT p1.doc_id
+        |  FROM posts p1 JOIN top ON p1.word = top.w1
+        |  JOIN posts p2 ON p2.doc_id = p1.doc_id
+        |    AND p2.pos = p1.pos + 1 AND p2.word = top.w2)
+        |SELECT w1, w2, n_pairs, CAST(count(*) AS BIGINT) AS n_hits,
+        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |  CAST(min(doc_id) AS BIGINT) AS min_doc,
+        |  CAST(max(doc_id) AS BIGINT) AS max_doc
+        |FROM hits CROSS JOIN top GROUP BY 1, 2, 3""".stripMargin,
     "q287_dsir_resample" ->
       """WITH toks AS (
         |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS word
