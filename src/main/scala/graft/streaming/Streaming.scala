@@ -44,6 +44,37 @@ class RunningSpendProcessor
   }
 }
 
+case class QuotaEvent(event_type: String, event_id: Long, ts_us: Long)
+case class QuotaOut(event_type: String, event_id: Long, k: Long,
+    admitted: Boolean)
+
+/** Streaming per-source admission quota (q295) — q249's batch quota
+  * allocation as a live gate: every event gets its source's arrival
+  * rank k from ONE 8-byte ValueState counter and an admit/reject
+  * verdict at k ≤ cap, O(1) per event, state O(sources). Within a
+  * batch rows apply in (ts_us, event_id) order (the q126/q268
+  * determinism contract); across batches the counter carries, so the
+  * emitted ranks equal the batch row_number — which IS the oracle,
+  * cross-certifying the streaming state order per event. */
+class QuotaProcessor(cap: Long)
+    extends StatefulProcessor[String, QuotaEvent, QuotaOut] {
+  @transient private var st: ValueState[Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    st = getHandle.getValueState("n", Encoders.scalaLong, TTLConfig.NONE)
+
+  override def handleInputRows(key: String, rows: Iterator[QuotaEvent],
+      tv: TimerValues): Iterator[QuotaOut] = {
+    var n = if (st.exists()) st.get() else 0L
+    val out = rows.toIndexedSeq.sortBy(r => (r.ts_us, r.event_id)).map { r =>
+      n += 1
+      QuotaOut(key, r.event_id, n, n <= cap)
+    }
+    st.update(n)
+    out.iterator
+  }
+}
+
 case class CusumOut(user_id: Long, event_id: Long, s_cents: Long,
     alarm: Boolean)
 
@@ -719,6 +750,39 @@ object Streaming {
         .orderBy("user_id", "event_id")
     }),
 
+    "q295_stream_quota" -> ((s, d) => withStreamPartitions(s, 4) { sp =>
+      // Streaming per-source admission quota — the live form of q249's
+      // batch allocation and the ingest gate a crawl pipeline actually
+      // deploys (a source may contribute its first `cap` documents;
+      // everything after is rejected AT ARRIVAL, not in a nightly
+      // sweep). One ValueState[Long] counter per source (mechanism on
+      // QuotaProcessor); every event emits (rank, verdict) so the
+      // decision trail is auditable. Oracle = the batch row_number
+      // over (source, arrival order) with verdict k ≤ cap — per-event
+      // hash-exact, so the stream's cross-batch counter and the batch
+      // window certify each other (the q268 pairing). cap = 1000 binds
+      // at every fixture SF (~2000 events/type at sf0.01).
+      sp.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      import sp.implicits._
+      val name = s"graft_quota_${System.nanoTime()}"
+      val q = eventsStream(sp, d)
+        .select(col("event_type"), col("event_id"),
+          unix_micros(col("ts")).as("ts_us"))
+        .as[QuotaEvent]
+        .groupByKey(_.event_type)
+        .transformWithState(new QuotaProcessor(1000L),
+          TimeMode.None(), OutputMode.Append())
+        .writeStream.outputMode("append")
+        .format("memory").queryName(name)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      drainMemorySink(sp, name)
+        .select(col("event_type"), col("event_id"), col("k"),
+          col("admitted"))
+        .orderBy("event_type", "event_id")
+    }),
+
     "q268_stream_cusum" -> ((s, d) => withStreamPartitions(s, 4) { sp =>
       // Per-user streaming CUSUM drift detector — q256's batch
       // changepoint, re-derived the way a STREAM wants it (mechanism
@@ -931,6 +995,14 @@ object Streaming {
     // identity, per-user): S_t = P_t − min_{j≤t} P_j over the same
     // (ts, event_id) order and integer-cents arithmetic — the batch
     // window form and the streaming ValueState form certify each other
+    "q295_stream_quota" ->
+      """WITH r AS (
+        |  SELECT event_type, event_id,
+        |    CAST(row_number() OVER (PARTITION BY event_type
+        |      ORDER BY epoch_us(ts), event_id) AS BIGINT) AS k
+        |  FROM events)
+        |SELECT event_type, event_id, k, k <= 1000 AS admitted
+        |FROM r ORDER BY event_type, event_id""".stripMargin,
     "q268_stream_cusum" ->
       """WITH z AS (
         |  SELECT user_id, event_id, ts,
