@@ -663,6 +663,37 @@ object Relational {
         .orderBy("s_suppkey")
     }),
 
+    "q296_burst_hours" -> ((s, d) => {
+      // Burst detection — the monitoring twin of q291's ACF: which
+      // (event_type, hour) cells spike above their type's hourly
+      // baseline? The 3σ test runs as an EXACT integer inequality by
+      // cross-multiplying the z-score: (n·H − S)² vs 9·(H·Q − S²)
+      // (H = hours, S = Σn, Q = Σn² per type — the q140 moment
+      // discipline), emitted as a burst score in basis points
+      // (10000 = exactly 3σ) so the ranking is hash-exact with no
+      // float variance anywhere. Two stacked aggregates — cells, then
+      // per-type moments over the tiny cell frame — and a broadcast
+      // join back; top-10 by (score, type, hour) unique order. At
+      // 100 TB the squares want DECIMAL(38,0) past ~3e9-row cells;
+      // the shape (cell rollup + tiny-dim stats join) is unchanged.
+      val cells = events(s, d)
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+        .agg(count(lit(1)).as("n"))
+        .transform(graft.CacheRegistry.cached)
+      val st = cells.groupBy(col("event_type").as("et"))
+        .agg(count(lit(1)).as("hh"), sum(col("n")).as("ss"),
+          sum(col("n") * col("n")).as("qq"))
+      cells.join(broadcast(st), col("event_type") === col("et"))
+        .withColumn("dev", col("n") * col("hh") - col("ss"))
+        .withColumn("score_bp", expr(
+          "CASE WHEN hh * qq - ss * ss = 0 THEN 0L ELSE " +
+            "(dev * dev * 10000) div (9 * (hh * qq - ss * ss)) END"))
+        .select(col("event_type"), col("h"), col("n"), col("hh"),
+          col("score_bp"), (col("score_bp") > 10000L).as("is_burst"))
+        .orderBy(col("score_bp").desc, col("event_type"), col("h"))
+        .limit(10)
+    }),
+
     "q291_acf" -> ((s, d) => {
       // Autocorrelation function at lags 1–7 over the daily event
       // series — the diagnosis q260's decomposition assumes (is there
@@ -3696,6 +3727,28 @@ object Relational {
         |WHERE n_name = 'NATION_9'
         |  AND s_suppkey IN (SELECT l_suppkey FROM dom)
         |ORDER BY s_suppkey""".stripMargin,
+    "q296_burst_hours" ->
+      """WITH cells AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS h,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |st AS (
+        |  SELECT event_type AS et, CAST(count(*) AS BIGINT) AS hh,
+        |    CAST(sum(n) AS BIGINT) AS ss,
+        |    CAST(sum(n * n) AS BIGINT) AS qq
+        |  FROM cells GROUP BY 1),
+        |j AS (
+        |  SELECT event_type, h, n, hh,
+        |    n * hh - ss AS dev, hh * qq - ss * ss AS vt
+        |  FROM cells JOIN st ON event_type = et)
+        |SELECT event_type, h, n, hh,
+        |  CASE WHEN vt = 0 THEN 0
+        |    ELSE CAST((dev * dev * 10000) // (9 * vt) AS BIGINT) END
+        |    AS score_bp,
+        |  CASE WHEN vt = 0 THEN FALSE
+        |    ELSE (dev * dev * 10000) // (9 * vt) > 10000 END AS is_burst
+        |FROM j
+        |ORDER BY score_bp DESC, event_type, h LIMIT 10""".stripMargin,
     "q291_acf" ->
       """WITH base AS (SELECT epoch_us(ts) AS us FROM events),
         |m AS (SELECT min(us) AS m0 FROM base),
