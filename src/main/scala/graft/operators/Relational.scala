@@ -663,6 +663,49 @@ object Relational {
         .orderBy("s_suppkey")
     }),
 
+    "q297_ivm_join" -> ((s, d) => {
+      // Incremental JOIN-view maintenance — q155 maintains an
+      // aggregate view from deltas; this is the JOIN-view rule it
+      // doesn't cover: for V = R ⋈ S, an insert delta ΔR maintains V
+      // as V ∪ (ΔR ⋈ S) — the base is NEVER re-joined, only the delta
+      // (1/97 of orders here, the split deterministic on orderkey)
+      // touches the dimension. The maintained view then merges at the
+      // aggregate level: per-nation base + delta revenue summed, both
+      // legs exact cents. The oracle recomputes the WHOLE join flat
+      // AND re-derives the same base/delta split columns, so the
+      // decomposition — not just the total — is pinned. At 100 TB the
+      // base view is a stored table (CacheRegistry stands in) and the
+      // delta join broadcasts the dim: maintenance cost is O(Δ), the
+      // whole point of IVM.
+      val cust = t(s, d, "customer")
+        .join(broadcast(t(s, d, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("n_name"))
+      val ord = t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          cents(col("o_totalprice")).as("cts"))
+      val baseView = ord.where(col("o_orderkey") % 97 =!= 0)
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(col("cts")).as("base_cents"),
+          count(lit(1)).as("base_orders"))
+        .transform(graft.CacheRegistry.cached)
+      val deltaView = ord.where(col("o_orderkey") % 97 === 0)
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("n_name").as("dn"))
+        .agg(sum(col("cts")).as("delta_cents"),
+          count(lit(1)).as("delta_orders"))
+      baseView.join(deltaView, col("n_name") === col("dn"), "full_outer")
+        .select(coalesce(col("n_name"), col("dn")).as("n_name"),
+          coalesce(col("base_cents"), lit(0L)).as("base_cents"),
+          coalesce(col("delta_cents"), lit(0L)).as("delta_cents"),
+          (coalesce(col("base_cents"), lit(0L)) +
+            coalesce(col("delta_cents"), lit(0L))).as("total_cents"),
+          (coalesce(col("base_orders"), lit(0L)) +
+            coalesce(col("delta_orders"), lit(0L))).as("n_orders"))
+        .orderBy("n_name")
+    }),
+
     "q296_burst_hours" -> ((s, d) => {
       // Burst detection — the monitoring twin of q291's ACF: which
       // (event_type, hour) cells spike above their type's hourly
@@ -3727,6 +3770,24 @@ object Relational {
         |WHERE n_name = 'NATION_9'
         |  AND s_suppkey IN (SELECT l_suppkey FROM dom)
         |ORDER BY s_suppkey""".stripMargin,
+    // the oracle is the FLAT recompute: one whole-join rollup with the
+    // base/delta legs re-derived as CASE sums — equality pins the
+    // maintained decomposition, not just the merged total
+    "q297_ivm_join" ->
+      """SELECT n_name,
+        |  CAST(sum(CASE WHEN o_orderkey % 97 <> 0
+        |    THEN CAST(round(o_totalprice * 100) AS BIGINT)
+        |    ELSE 0 END) AS BIGINT) AS base_cents,
+        |  CAST(sum(CASE WHEN o_orderkey % 97 = 0
+        |    THEN CAST(round(o_totalprice * 100) AS BIGINT)
+        |    ELSE 0 END) AS BIGINT) AS delta_cents,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS total_cents,
+        |  CAST(count(*) AS BIGINT) AS n_orders
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
     "q296_burst_hours" ->
       """WITH cells AS (
         |  SELECT event_type, date_trunc('hour', ts) AS h,

@@ -856,6 +856,51 @@ object TextAnalysis {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    "q298_vocab_coverage" -> ((s, d) => {
+      // Tokenizer vocabulary-size sweep — the design question q152's
+      // BPE trainer answers by construction, asked of the corpus
+      // directly: at vocab size K (keep the K most frequent words),
+      // what fraction of token INSTANCES is covered and what hits
+      // OOV? Frequency ranks come from the q108/q222 sharded rank run
+      // DESCENDING (shard = cnt div 16 is monotone in the sort key;
+      // offsets count the HIGHER shards), never a vocabulary-wide
+      // global window — at web scale the vocabulary is itself a
+      // billion-row frame. The K sweep (1..32 — the synthetic corpus
+      // draws from a 31-word vocabulary, so the grid must sit WHERE the
+      // curve bends; a 100+ grid would read 100% everywhere) is a broadcast ≤-join
+      // against the ranked vocab (the q289 prefix discipline);
+      // coverage in exact basis points. The oracle ranks with a plain
+      // global row_number — equality again pins the sharded
+      // decomposition against the global rank.
+      val wc = t(s, d, "documents")
+        .select(explode(split(col("text"), " ")).as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+        .withColumn("shard", expr("cnt div 16"))
+        .transform(graft.CacheRegistry.cached)
+      val tot = wc.agg(sum(col("cnt")).as("total"),
+        count(lit(1)).as("n_vocab"))
+      val offs = wc.groupBy(col("shard")).agg(count(lit(1)).as("nrows"))
+        .withColumn("off", coalesce(
+          sum(col("nrows")).over(Window.orderBy(col("shard").desc)
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      val ranked = wc
+        .withColumn("rg", row_number().over(
+          Window.partitionBy(col("shard"))
+            .orderBy(col("cnt").desc, col("word"))).cast("long"))
+        .join(broadcast(offs.select(col("shard"), col("off"))), "shard")
+        .withColumn("r", col("rg") + col("off"))
+      val ks = s.range(1).select(explode(
+        expr("array(1L, 2L, 4L, 8L, 16L, 32L)")).as("k"))
+      ranked.join(broadcast(ks), col("r") <= col("k"))
+        .groupBy(col("k"))
+        .agg(count(lit(1)).as("n_words"), sum(col("cnt")).as("covered"))
+        .crossJoin(broadcast(tot))
+        .select(col("k"), col("n_words"), col("covered"), col("total"),
+          col("n_vocab"),
+          expr("covered * 10000 div total").as("coverage_bp"))
+        .orderBy("k")
+    }),
+
     "q293_dp_release" -> ((s, d) => {
       // Differentially-private count release — the privacy leg next to
       // q217's k-anonymity and q242's GDPR sweep: per-(lang, source)
@@ -2642,6 +2687,24 @@ object TextAnalysis {
       |  FROM agg)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q298_vocab_coverage" ->
+      """WITH wc AS (
+        |  SELECT word, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS word
+        |        FROM documents)
+        |  GROUP BY 1),
+        |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total,
+        |  CAST(count(*) AS BIGINT) AS n_vocab FROM wc),
+        |rk AS (SELECT word, cnt,
+        |  CAST(row_number() OVER (ORDER BY cnt DESC, word) AS BIGINT)
+        |    AS r FROM wc),
+        |ks AS (SELECT CAST(unnest([1, 2, 4, 8, 16, 32])
+        |  AS BIGINT) AS k)
+        |SELECT k, CAST(count(*) AS BIGINT) AS n_words,
+        |  CAST(sum(cnt) AS BIGINT) AS covered, total, n_vocab,
+        |  CAST(sum(cnt) * 10000 // total AS BIGINT) AS coverage_bp
+        |FROM rk JOIN ks ON r <= k CROSS JOIN tot
+        |GROUP BY k, total, n_vocab ORDER BY k""".stripMargin,
     "q293_dp_release" -> {
       val u = (salt: String) =>
         s"CAST('0x' || substr(md5('$salt' || lang || '_' || source), " +
