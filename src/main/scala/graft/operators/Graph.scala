@@ -347,6 +347,54 @@ object Graph {
           (col("n_triangles_sampled") * p3).as("est_triangles"))
     }),
 
+    "q299_ppr" -> ((s, d) => {
+      // PERSONALIZED PageRank — q128's global ranking re-rooted at a
+      // seed, the form recommendation/retrieval actually serves
+      // ("important near THIS node", not globally): all teleport mass
+      // returns to the seed (min node, deterministic) instead of
+      // spreading 1/n, same exact-integer 1e-12-unit arithmetic, same
+      // five iterations over the SAME cached pre-partitioned edges
+      // (plan-identity cache sharing with q128 — one exchange serves
+      // both rankings). After 5 iterations mass reaches ≤ 5 hops, so
+      // the r > 0 filter makes the locality visible: the result IS the
+      // seed's neighborhood, ranked. Top-20 on a unique order.
+      val li = t(s, d, "lineitem")
+        .select((col("l_partkey") * 2).as("a"),
+          (col("l_suppkey") * 2 + 1).as("b"))
+        .distinct()
+      val edges = graft.CacheRegistry.cached(
+        li.select(col("a").as("src"), col("b").as("dst"))
+          .union(li.select(col("b").as("src"), col("a").as("dst")))
+          .repartition(col("src")))
+      val deg = graft.CacheRegistry.cached(
+        edges.groupBy(col("src").as("node"))
+          .agg(count(lit(1)).as("deg")))
+      val sd = deg.agg(min(col("node")).as("seed"))
+      var ranks = deg.crossJoin(broadcast(sd))
+        .select(col("node"), col("deg"),
+          when(col("node") === col("seed"), lit(Base)).otherwise(lit(0L))
+            .as("r"))
+      for (_ <- 1 to Iters) {
+        val sums = ranks
+          .join(edges, col("node") === col("src"))
+          .select(col("dst"), expr("r div deg").as("c"))
+          .groupBy("dst").agg(sum(col("c")).as("sc"))
+        ranks = deg.join(sums, col("node") === col("dst"), "left")
+          .crossJoin(broadcast(sd))
+          .select(col("node"), col("deg"),
+            (when(col("node") === col("seed"),
+              expr(s"(15 * $Base) div 100")).otherwise(lit(0L)) +
+              expr("(85 * coalesce(sc, 0)) div 100")).as("r"))
+      }
+      ranks.where(col("r") > 0)
+        .select(col("node"),
+          when(pmod(col("node"), lit(2)) === 0, lit("part"))
+            .otherwise(lit("supplier")).as("kind"),
+          col("deg"), col("r").as("ppr_mass"))
+        .orderBy(col("ppr_mass").desc, col("node"))
+        .limit(TopK)
+    }),
+
     "q128_pagerank" -> ((s, d) => {
       val li = t(s, d, "lineitem")
         .select((col("l_partkey") * 2).as("a"),
@@ -576,6 +624,36 @@ object Graph {
          |  CAST(tri.n * ${TriSampleDenom.toLong * TriSampleDenom *
             TriSampleDenom} AS BIGINT) AS est_triangles
          |FROM tri""".stripMargin,
+    "q299_ppr" -> {
+      val step = (i: Int, prev: String) =>
+        s"""s$i AS (
+           |  SELECT e.dst, CAST(sum(r.r // r.deg) AS BIGINT) AS sc
+           |  FROM $prev r JOIN edges e ON r.node = e.src GROUP BY 1),
+           |p$i AS (
+           |  SELECT d.node, d.deg,
+           |    CAST(CASE WHEN d.node = seed THEN (15 * $Base) // 100
+           |      ELSE 0 END
+           |      + (85 * coalesce(sc, 0)) // 100 AS BIGINT) AS r
+           |  FROM deg d CROSS JOIN sd LEFT JOIN s$i ON d.node = s$i.dst)"""
+          .stripMargin
+      s"""WITH li AS (
+         |  SELECT DISTINCT l_partkey*2 AS a, l_suppkey*2+1 AS b FROM lineitem),
+         |edges AS (
+         |  SELECT a AS src, b AS dst FROM li
+         |  UNION ALL SELECT b, a FROM li),
+         |deg AS (SELECT src AS node, count(*) AS deg FROM edges GROUP BY 1),
+         |sd AS (SELECT min(node) AS seed FROM deg),
+         |p0 AS (
+         |  SELECT node, deg, CAST(CASE WHEN node = seed THEN $Base
+         |    ELSE 0 END AS BIGINT) AS r
+         |  FROM deg CROSS JOIN sd),
+         |${(1 to Iters).map(i => step(i, s"p${i - 1}")).mkString(",\n")}
+         |SELECT node,
+         |  CASE WHEN node % 2 = 0 THEN 'part' ELSE 'supplier' END AS kind,
+         |  deg, CAST(r AS BIGINT) AS ppr_mass
+         |FROM p$Iters WHERE r > 0
+         |ORDER BY ppr_mass DESC, node LIMIT $TopK""".stripMargin
+    },
     "q128_pagerank" -> {
       val step = (i: Int, prev: String) =>
         s"""s$i AS (

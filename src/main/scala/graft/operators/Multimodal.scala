@@ -159,6 +159,44 @@ object Multimodal {
         .orderBy("seq")
     }),
 
+    "q300_wire_card" -> ((s, d) => {
+      // The suite's 300th query runs the whole ingest from WIRE BYTES
+      // to a training-data card in one plan: crawl.warc → warc_records
+      // (q285's decoder) → response bodies → the q204 cleaning inside
+      // the projection → token statistics — the q205 funnel idea
+      // started one level earlier, at the format a crawl actually
+      // ships. Output is the one-row dataset card (records, responses,
+      // 200s, content bytes, clean chars, token count, distinct
+      // tokens), every number an exact integer from lazy 1-row frames.
+      // Oracle = card_manifest.csv, computed by the generator from the
+      // independent Python walk + mimic cleaner over the SAME planted
+      // texts the per-record q285 manifest certifies — so the two
+      // queries pin each other's decode at different granularities.
+      graft.functions.ArchiveFunctions.register(s)
+      val recs = s.read.format("binaryFile")
+        .option("pathGlobFilter", "*.warc")
+        .load(graft.Fixtures.path("warc"))
+        .select(explode(expr("warc_records(content)")).as("r"))
+        .select(col("r.rec_type").as("rec_type"),
+          col("r.content_length").as("cl"),
+          col("r.http_status").as("st"), col("r.body").as("body"))
+        .transform(graft.CacheRegistry.cached)
+      val resp = recs.where(col("rec_type") === "response")
+        .select(TextAnalysis.htmlCleanOf(col("body")).as("clean"))
+        .transform(graft.CacheRegistry.cached)
+      val toks = resp.select(explode(split(col("clean"), " ")).as("tok"))
+      recs
+        .agg(count(lit(1)).as("n_records"),
+          sum(when(col("rec_type") === "response", 1L).otherwise(0L))
+            .as("n_responses"),
+          sum(when(col("st") === 200, 1L).otherwise(0L)).as("n_ok"),
+          sum(col("cl")).as("content_bytes"))
+        .crossJoin(broadcast(resp.agg(
+          sum(length(col("clean"))).cast("long").as("clean_chars"))))
+        .crossJoin(broadcast(toks.agg(count(lit(1)).as("n_tokens"),
+          countDistinct(col("tok")).as("n_distinct"))))
+    }),
+
     "q90_multimodal_meta" -> ((s, d) =>
       // typed metadata over binary columns — oracle-checked (exact ints)
       assets(s, d).select(
@@ -680,6 +718,16 @@ object Multimodal {
   )
 
   val oracle: Map[String, String] = Map(
+    "q300_wire_card" ->
+      s"""SELECT CAST(n_records AS BIGINT) AS n_records,
+         |  CAST(n_responses AS BIGINT) AS n_responses,
+         |  CAST(n_ok AS BIGINT) AS n_ok,
+         |  CAST(content_bytes AS BIGINT) AS content_bytes,
+         |  CAST(clean_chars AS BIGINT) AS clean_chars,
+         |  CAST(n_tokens AS BIGINT) AS n_tokens,
+         |  CAST(n_distinct AS BIGINT) AS n_distinct
+         |FROM read_csv('${graft.Fixtures.path("warc")}/card_manifest.csv',
+         |              header=true)""".stripMargin,
     "q283_tar_ingest" ->
       s"""SELECT file, name, CAST(size AS BIGINT) AS size,
          |  CAST(typeflag AS VARCHAR) AS typeflag,

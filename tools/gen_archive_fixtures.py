@@ -367,6 +367,39 @@ def build_warc():
         w.writeheader()
         for r in rows:
             w.writerow(r)
+
+    # dataset-card ground truth for q300 (wire → training-ready stats):
+    # recomputed from the independent walk's records, clean texts from
+    # the SAME mimic cleaner the per-record manifest certifies
+    # re-derive the clean texts (walk_warc only kept md5/head40)
+    cleans = []
+    pos = 0
+    while pos < len(raw):
+        he = raw.index(b'\r\n\r\n', pos)
+        hdrs = dict(line.split(': ', 1)
+                    for line in raw[pos:he].decode('ascii').split('\r\n')[1:])
+        cl = int(hdrs['Content-Length'])
+        payload = raw[he + 4:he + 4 + cl]
+        if hdrs['WARC-Type'] == 'response':
+            body = payload[payload.index(b'\r\n\r\n') + 4:].decode('ascii')
+            cleans.append(clean_html(body))
+        pos = he + 4 + cl + 4
+    all_toks = [t for c in cleans for t in c.split(' ')]
+    card = dict(
+        n_records=len(rows),
+        n_responses=sum(1 for r2 in rows if r2['rec_type'] == 'response'),
+        n_ok=sum(1 for r2 in rows if r2['http_status'] == 200),
+        content_bytes=sum(r2['content_length'] for r2 in rows),
+        clean_chars=sum(len(c) for c in cleans),
+        n_tokens=len(all_toks),
+        n_distinct=len(set(all_toks)))
+    assert card['n_records'] == 6 and card['n_responses'] == 4
+    assert card['n_ok'] == 3 and card['n_tokens'] > 30
+    with open(os.path.join(d, 'card_manifest.csv'), 'w', newline='') as f:
+        w = csv.DictWriter(f, list(card.keys()))
+        w.writeheader()
+        w.writerow(card)
+
     print(f'warc: {len(rows)} records, {len(raw)} bytes')
     return records, raw
 
