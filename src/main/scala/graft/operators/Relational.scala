@@ -45,6 +45,41 @@ object Relational {
     "CAST(round(l_extendedprice * 100) AS BIGINT) * " +
       "(100 - CAST(round(l_discount * 100) AS BIGINT))"
 
+  /** q267's distinct (order, item) basket rows — factored in round 11
+    * so the market-basket family (q267 rules, q301 triples, q302 recs)
+    * shares one cached frame by plan identity. */
+  private[operators] def orderItems(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .select(col("l_orderkey").as("oid"), col("l_partkey").as("item"))
+      .distinct()
+      .transform(graft.CacheRegistry.cached)
+
+  /** q267's L1-pruned, hot-capped basket frame (oid, item, supp):
+    * L1 = support ≥ 30 (A-priori monotonicity prune), baskets capped at
+    * ≤ 20 items (the q203 bucket-cap discipline — m items ⇒ m²/2
+    * pairs). Cached; the whole basket family builds on it. */
+  private[operators] def basketItems(s: SparkSession, d: String): DataFrame = {
+    val items = orderItems(s, d)
+    val l1 = items.groupBy(col("item")).agg(count(lit(1)).as("supp"))
+      .where(col("supp") >= 30)
+    val fi = items.join(broadcast(l1), "item")
+    val ok = fi.groupBy(col("oid")).agg(count(lit(1)).as("m"))
+      .where(col("m") <= 20).select(col("oid"))
+    fi.join(ok, "oid").transform(graft.CacheRegistry.cached)
+  }
+
+  /** q267's L2 frequent-pair frame (a, b, n_a, n_b, n_ab ≥ 2) over a
+    * [[basketItems]] frame — item supports ride the join from L1's
+    * broadcast, so nothing re-joins after counting. */
+  private[operators] def basketPairs(fi2: DataFrame): DataFrame =
+    fi2.as("x")
+      .join(fi2.as("y"), expr("x.oid = y.oid AND x.item < y.item"))
+      .select(col("x.item").as("a"), col("x.supp").as("n_a"),
+        col("y.item").as("b"), col("y.supp").as("n_b"))
+      .groupBy(col("a"), col("b"), col("n_a"), col("n_b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .where(col("n_ab") >= 2)
+
   /** 12-hex-digit → integer, spelled with the engine's hex-position
     * function (`instr` in Spark, `strpos` in DuckDB) so q56's Spark side
     * and oracle share one definition of the decode. Both engines support
@@ -1505,6 +1540,68 @@ object Relational {
       seasonalDecompOn(events(s, d))
     }),
 
+    "q301_basket_triples" -> ((s, d) => {
+      // A-priori SECOND pass — the lattice climb q267 stops short of:
+      // candidate triples generate ONLY from L2 (every 2-subset must be
+      // a frequent pair — the monotonicity prune applied at level 3, as
+      // three broadcast left-semis against the L2 key set BEFORE the
+      // count), over the same capped L1-pruned baskets (≤20 items ⇒
+      // ≤1140 triples/basket, bounded). The fixture verdict IS the
+      // textbook lesson about support decay: where ~50 pairs clear
+      // support 2, exactly ONE triple does — the lattice thins by
+      // orders of magnitude per level, which is why production miners
+      // rarely climb past pairs without much higher minimum support.
+      val fi2 = basketItems(s, d)
+      val l2 = graft.CacheRegistry.cached(
+        basketPairs(fi2).select(col("a"), col("b")))
+      val xy = fi2.as("x")
+        .join(fi2.as("y"), expr("x.oid = y.oid AND x.item < y.item"))
+        .select(col("x.oid").as("oid"), col("x.item").as("a"),
+          col("y.item").as("b"))
+        .join(broadcast(l2.select(col("a").as("pa"), col("b").as("pb"))),
+          col("a") === col("pa") && col("b") === col("pb"), "left_semi")
+      xy.as("w").join(fi2.as("z"), expr("w.oid = z.oid AND w.b < z.item"))
+        .select(col("w.oid"), col("w.a").as("a"), col("w.b").as("b"),
+          col("z.item").as("c"))
+        .join(broadcast(l2.select(col("a").as("qa"), col("b").as("qc"))),
+          col("a") === col("qa") && col("c") === col("qc"), "left_semi")
+        .join(broadcast(l2.select(col("a").as("ra"), col("b").as("rc"))),
+          col("b") === col("ra") && col("c") === col("rc"), "left_semi")
+        .groupBy(col("a"), col("b"), col("c"))
+        .agg(count(lit(1)).as("n_abc"))
+        .where(col("n_abc") >= 2)
+        .orderBy(col("n_abc").desc, col("a"), col("b"), col("c"))
+        .limit(20)
+    }),
+
+    "q302_item_recs" -> ((s, d) => {
+      // Item-item recommendation SERVE — what q267's rule mining is
+      // FOR: each item's top-3 partners by directional confidence,
+      // materialized as the lookup table a recommender ships. Both rule
+      // directions union from ONE pair frame (supports already in-row —
+      // no re-join), and the per-item top-3 rides the bounded-state
+      // topk_rows aggregate (O(3) state per item, map-side combined —
+      // NEVER a window over the pair frame, which at web scale is the
+      // quadratic object). Ties break by zero-padded partner id, the
+      // q231 discipline, mirrored exactly in the oracle's window
+      // tie-break.
+      graft.functions.TopKRowsAgg.register(s)
+      val pr = basketPairs(basketItems(s, d))
+      val both = pr.select(col("a").as("item"), col("b").as("rec"),
+          expr("(n_ab * 10000) div n_a").as("conf_bp"), col("n_ab"))
+        .union(pr.select(col("b").as("item"), col("a").as("rec"),
+          expr("(n_ab * 10000) div n_b").as("conf_bp"), col("n_ab")))
+      both.groupBy(col("item"))
+        .agg(expr("topk_rows(struct(CAST(conf_bp AS DOUBLE) AS s0, " +
+          "lpad(CAST(rec AS STRING), 10, '0') AS tb, rec, conf_bp, " +
+          "n_ab), 3)").as("top"))
+        .select(col("item"), posexplode(col("top")).as(Seq("i", "r")))
+        .select(col("item"), (col("i") + 1).cast("long").as("rec_rank"),
+          col("r.rec").as("rec"), col("r.conf_bp").as("conf_bp"),
+          col("r.n_ab").as("n_ab"))
+        .orderBy("item", "rec_rank")
+    }),
+
     "q267_basket_rules" -> ((s, d) => {
       // Frequent-itemset ASSOCIATION RULES (the A-priori first pass) —
       // the classic market-basket operator the suite lacked: per-order
@@ -1529,25 +1626,9 @@ object Relational {
       // tiny-support spurious-rule regime minimum support exists to
       // police (supports ride in the output, so the ranking carries
       // its own caveat).
-      val items = t(s, d, "lineitem")
-        .select(col("l_orderkey").as("oid"), col("l_partkey").as("item"))
-        .distinct()
-        .transform(graft.CacheRegistry.cached)
-      val nOrders = items.agg(countDistinct(col("oid")).as("n_orders"))
-      val l1 = items.groupBy(col("item")).agg(count(lit(1)).as("supp"))
-        .where(col("supp") >= 30)
-      val fi = items.join(broadcast(l1), "item")
-      val ok = fi.groupBy(col("oid")).agg(count(lit(1)).as("m"))
-        .where(col("m") <= 20).select(col("oid"))
-      val fi2 = fi.join(ok, "oid")
-        .transform(graft.CacheRegistry.cached)
-      fi2.as("x")
-        .join(fi2.as("y"), expr("x.oid = y.oid AND x.item < y.item"))
-        .select(col("x.item").as("a"), col("x.supp").as("n_a"),
-          col("y.item").as("b"), col("y.supp").as("n_b"))
-        .groupBy(col("a"), col("b"), col("n_a"), col("n_b"))
-        .agg(count(lit(1)).as("n_ab"))
-        .where(col("n_ab") >= 2)
+      val nOrders = orderItems(s, d)
+        .agg(countDistinct(col("oid")).as("n_orders"))
+      basketPairs(basketItems(s, d))
         .crossJoin(broadcast(nOrders))
         .select(col("a"), col("b"), col("n_a"), col("n_b"), col("n_ab"),
           expr("(n_ab * 10000) div n_a").as("conf_ab_bp"),
@@ -4509,6 +4590,71 @@ object Relational {
         |    CAST(round(exp(CAST(cum_ln_nano AS DOUBLE) / 1e9) * 1e9)
         |      AS BIGINT) END AS surv_nano
         |FROM f ORDER BY day""".stripMargin,
+    "q301_basket_triples" ->
+      """WITH items AS (
+        |  SELECT DISTINCT l_orderkey AS oid, l_partkey AS item
+        |  FROM lineitem),
+        |l1 AS (SELECT item, CAST(count(*) AS BIGINT) AS supp
+        |       FROM items GROUP BY 1 HAVING count(*) >= 30),
+        |fi AS (SELECT oid, item, supp FROM items JOIN l1 USING (item)),
+        |ok AS (SELECT oid FROM (
+        |         SELECT oid, count(*) AS m FROM fi GROUP BY 1)
+        |       WHERE m <= 20),
+        |fi2 AS (SELECT fi.* FROM fi JOIN ok USING (oid)),
+        |l2 AS (
+        |  SELECT x.item AS a, y.item AS b
+        |  FROM fi2 x JOIN fi2 y ON x.oid = y.oid AND x.item < y.item
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |tr AS (
+        |  SELECT x.item AS a, y.item AS b, z.item AS c,
+        |    CAST(count(*) AS BIGINT) AS n_abc
+        |  FROM fi2 x
+        |  JOIN fi2 y ON x.oid = y.oid AND x.item < y.item
+        |  JOIN fi2 z ON y.oid = z.oid AND y.item < z.item
+        |  WHERE EXISTS (SELECT 1 FROM l2 p
+        |          WHERE p.a = x.item AND p.b = y.item)
+        |    AND EXISTS (SELECT 1 FROM l2 p
+        |          WHERE p.a = x.item AND p.b = z.item)
+        |    AND EXISTS (SELECT 1 FROM l2 p
+        |          WHERE p.a = y.item AND p.b = z.item)
+        |  GROUP BY 1, 2, 3 HAVING count(*) >= 2)
+        |SELECT a, b, c, n_abc FROM tr
+        |ORDER BY n_abc DESC, a, b, c LIMIT 20""".stripMargin,
+    "q302_item_recs" ->
+      """WITH items AS (
+        |  SELECT DISTINCT l_orderkey AS oid, l_partkey AS item
+        |  FROM lineitem),
+        |l1 AS (SELECT item, CAST(count(*) AS BIGINT) AS supp
+        |       FROM items GROUP BY 1 HAVING count(*) >= 30),
+        |fi AS (SELECT oid, item, supp FROM items JOIN l1 USING (item)),
+        |ok AS (SELECT oid FROM (
+        |         SELECT oid, count(*) AS m FROM fi GROUP BY 1)
+        |       WHERE m <= 20),
+        |fi2 AS (SELECT fi.* FROM fi JOIN ok USING (oid)),
+        |pairs AS (
+        |  SELECT x.item AS a, y.item AS b, x.supp AS n_a,
+        |    y.supp AS n_b, CAST(count(*) AS BIGINT) AS n_ab
+        |  FROM fi2 x JOIN fi2 y
+        |    ON x.oid = y.oid AND x.item < y.item
+        |  GROUP BY 1, 2, 3, 4
+        |  HAVING count(*) >= 2),
+        |bth AS (
+        |  SELECT a AS item, b AS rec,
+        |    CAST((n_ab * 10000) // n_a AS BIGINT) AS conf_bp, n_ab
+        |  FROM pairs
+        |  UNION ALL
+        |  SELECT b, a, CAST((n_ab * 10000) // n_b AS BIGINT), n_ab
+        |  FROM pairs),
+        |rk AS (
+        |  SELECT item, rec, conf_bp, n_ab,
+        |    CAST(row_number() OVER (PARTITION BY item
+        |      ORDER BY conf_bp DESC,
+        |        lpad(CAST(rec AS VARCHAR), 10, '0')) AS BIGINT)
+        |      AS rec_rank
+        |  FROM bth)
+        |SELECT item, rec_rank, rec, conf_bp, n_ab
+        |FROM rk WHERE rec_rank <= 3
+        |ORDER BY item, rec_rank""".stripMargin,
     "q267_basket_rules" ->
       """WITH items AS (
         |  SELECT DISTINCT l_orderkey AS oid, l_partkey AS item
