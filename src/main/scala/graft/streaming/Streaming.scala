@@ -750,6 +750,8 @@ object Streaming {
         .orderBy("user_id", "event_id")
     }),
 
+    "q303_stream_late_drop" -> ((s, d) => lateDropWithProgress(s, d)._1),
+
     "q295_stream_quota" -> ((s, d) => withStreamPartitions(s, 4) { sp =>
       // Streaming per-source admission quota — the live form of q249's
       // batch allocation and the ingest gate a crawl pipeline actually
@@ -853,6 +855,112 @@ object Streaming {
           col("user_id"), col("n_events"), col("total"))
         .orderBy("user_id", "session_start"))
   )
+
+  /** q303's staged 3-file source: file 1 = the on-time bulk (everything
+    * but the held-out 1/101 subset), file 2 = that subset arriving LATE
+    * (event time shifted 2 days back — far below the watermark batch 1
+    * establishes), file 3 = the far-future sentinel that closes every
+    * real window. mtimes force the file order (the sessStreamDir
+    * discipline: the file source orders by modification time). */
+  private def lateStreamDir(s: SparkSession, d: String): String = {
+    val dir = graft.Staging.dirFor("latestream", d)
+    graft.Staging.once(dir) {
+      import s.implicits._
+      def stampParts(mtime: Long, stamped: Set[String]): Set[String] = {
+        val dp = java.nio.file.Paths.get(dir)
+        val parts = java.nio.file.Files.list(dp).iterator()
+        var seen = stamped
+        while (parts.hasNext) {
+          val p = parts.next()
+          if (p.getFileName.toString.startsWith("part-") &&
+              !seen(p.getFileName.toString)) {
+            java.nio.file.Files.setLastModifiedTime(p,
+              java.nio.file.attribute.FileTime.fromMillis(mtime))
+            seen += p.getFileName.toString
+          }
+        }
+        seen
+      }
+      val ev = events(s, d).select(col("event_id"), col("ts"),
+        graft.Tables.cents(col("value")).as("cts"))
+      ev.where(pmod(col("event_id"), lit(101)) =!= 0)
+        .coalesce(1).write.mode("overwrite").parquet(dir)
+      val t0 = System.currentTimeMillis() - 300000
+      var stamped = stampParts(t0, Set.empty)
+      // spacer sentinel: advances the watermark past every real window
+      // BEFORE the late file arrives — the watermark computed from
+      // batch N's data is first ENFORCED against batch N+2's input
+      // (one batch to compute, one to take effect), so the late rows
+      // need two batches between them and the bulk. Sentinels carry
+      // event_id = -1 and are filtered AFTER withWatermark: they move
+      // the clock but never reach the aggregate.
+      Seq((-1L, java.sql.Timestamp.valueOf("2024-02-15 00:00:00"), 0L))
+        .toDF("event_id", "ts", "cts")
+        .coalesce(1).write.mode("append").parquet(dir)
+      stamped = stampParts(t0 + 60000, stamped)
+      ev.where(pmod(col("event_id"), lit(101)) === 0)
+        .select(col("event_id"),
+          (col("ts") - expr("INTERVAL 2 DAYS")).as("ts"), col("cts"))
+        .coalesce(1).write.mode("append").parquet(dir)
+      stamped = stampParts(t0 + 120000, stamped)
+      // closing sentinel: forces eviction of anything that (wrongly)
+      // reached state after the late batch — if a late row had been
+      // admitted, it would emit here and the oracle compare would
+      // catch it
+      Seq((-1L, java.sql.Timestamp.valueOf("2024-06-01 00:00:00"), 0L))
+        .toDF("event_id", "ts", "cts")
+        .coalesce(1).write.mode("append").parquet(dir)
+      stampParts(t0 + 180000, stamped)
+      ()
+    }
+    dir
+  }
+
+  /** q303's body + the per-micro-batch progress objects, so
+    * StreamingSpec can pin the ACCOUNTING — Σ numRowsDroppedByWatermark
+    * across batches must equal the planted late-row count exactly (the
+    * semantics claim measured, not asserted). Tumbling 1-hour windows
+    * with a 1-hour watermark in APPEND mode: batch 1 (the bulk) sets
+    * the watermark near max event time; batch 2's 2-day-late rows sit
+    * entirely below it and are DROPPED pre-aggregation — the
+    * correctness property late data exists to test; batch 3's sentinel
+    * advances the watermark past every real window so append mode
+    * emits them all (the sentinel's own window stays in state and
+    * never emits — no output filter needed). The oracle aggregates
+    * exactly the on-time subset: equality proves the drop semantics
+    * row-for-row. */
+  private[streaming] def lateDropWithProgress(s: SparkSession, d: String)
+      : (DataFrame, Seq[org.apache.spark.sql.streaming.StreamingQueryProgress]) =
+    withStreamPartitions(s, 4) { sp =>
+      val dir = lateStreamDir(sp, d)
+      val name = s"graft_late_${System.nanoTime()}"
+      val sch = StructType(Seq(StructField("event_id", LongType),
+        StructField("ts", TimestampType), StructField("cts", LongType)))
+      // NOTE: sentinels are NOT filtered before the aggregate — a
+      // pre-agg filter on event_id pushes through the EventTimeWatermark
+      // node to the scan, so the watermark would never see the sentinel
+      // rows and never advance (measured: wm stuck, 0 rows in). They
+      // aggregate into their own far-future windows and are excluded
+      // AFTER, by window_start — the spacer's window emits (the closing
+      // sentinel passes it), the closing sentinel's own window stays in
+      // state, and both sit past every real window.
+      val q = sp.readStream.schema(sch).option("maxFilesPerTrigger", "1")
+        .parquet(dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 hour"))
+        .agg(count(lit(1)).as("n_events"), sum(col("cts")).as("total_cents"))
+        .select(col("window.start").as("window_start"), col("n_events"),
+          col("total_cents"))
+        .writeStream.outputMode("append")
+        .format("memory").queryName(name)
+        .start()
+      val progresses =
+        try { q.processAllAvailable(); q.recentProgress.toSeq }
+        finally q.stop()
+      (drainMemorySink(sp, name)
+        .where(col("window_start") < lit("2024-02-01").cast("timestamp"))
+        .orderBy("window_start"), progresses)
+    }
 
   /** q159's body, also returning the per-micro-batch progress objects so
     * the cost claim ("the ~1 s/micro-batch streaming floor × a minimal
@@ -995,6 +1103,13 @@ object Streaming {
     // identity, per-user): S_t = P_t − min_{j≤t} P_j over the same
     // (ts, event_id) order and integer-cents arithmetic — the batch
     // window form and the streaming ValueState form certify each other
+    "q303_stream_late_drop" ->
+      """SELECT date_trunc('hour', ts) AS window_start,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |    AS total_cents
+        |FROM events WHERE event_id % 101 <> 0
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q295_stream_quota" ->
       """WITH r AS (
         |  SELECT event_type, event_id,
