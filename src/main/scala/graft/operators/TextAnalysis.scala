@@ -2665,7 +2665,7 @@ object TextAnalysis {
 
   /** The q233 score chain as a reusable oracle CTE body (w/tok/agg/p —
     * the same text q263/q233 inline), for the round-11 eval queries. */
-  private val QualityPSql: String =
+  private[operators] val QualityPSql: String =
     """w AS (
       |  SELECT b AS bucket,
       |    CAST('0x' || substr(md5('w_' || CAST(b AS VARCHAR)), 1, 8)
