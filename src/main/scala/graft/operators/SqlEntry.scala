@@ -238,7 +238,37 @@ object SqlEntry {
        |SELECT day, n AS n_obs, s_milli, s_milli > 50000 AS alarm
        |FROM sm ORDER BY day""".stripMargin
 
+  /** q305's parameterized body — ONE text, two binding surfaces. */
+  private val Q305Body =
+    """SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+      |    AS BIGINT) AS cents,
+      |  CAST(count(*) AS BIGINT) AS n
+      |FROM lineitem""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q305_sql_params" -> ((s, d) => {
+      // Parameterized SQL — BOTH Spark 4 binding surfaces over one
+      // query body: the named-parameter API (spark.sql(text, args) —
+      // SPARK-44140, the injection-safe path a service embeds) and SQL-
+      // level EXECUTE IMMEDIATE ... USING with positional markers
+      // (SPARK-44751, the path a SQL client scripts). The two results
+      // cross-join side by side with an agreement flag — the query
+      // proves the bindings are equivalent, and the oracle (literal
+      // parameters) pins both to the unparameterized answer.
+      t(s, d, "lineitem").createOrReplaceTempView("lineitem")
+      val viaApi = s.sql(
+        Q305Body + " WHERE l_quantity < :cap AND l_returnflag = :flag",
+        Map("cap" -> 24, "flag" -> "R"))
+      val esc = (Q305Body + " WHERE l_quantity < ? AND l_returnflag = ?")
+        .replace("'", "''")
+      val viaExec = s.sql(
+        s"EXECUTE IMMEDIATE '$esc' USING 24, 'R'")
+      viaApi.selectExpr("cents AS api_cents", "n AS api_n")
+        .crossJoin(viaExec.selectExpr("cents AS exec_cents", "n AS exec_n"))
+        .selectExpr("api_cents", "api_n", "exec_cents", "exec_n",
+          "api_cents = exec_cents AND api_n = exec_n AS surfaces_agree")
+    }),
+
     "q256_sql_cusum" -> ((s, d) => {
       graft.Tables.events(s, d).createOrReplaceTempView("events")
       s.sql(q256Sql(c => s"unix_micros($c)", "div",
@@ -261,6 +291,17 @@ object SqlEntry {
       ((s, d) => runSql(s, d, Seq("orders"), Q134)))
 
   val oracle: Map[String, String] = Map(
+    "q305_sql_params" ->
+      """WITH a AS (
+        |  SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+        |      AS BIGINT) AS cents,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM lineitem
+        |  WHERE l_quantity < 24 AND l_returnflag = 'R')
+        |SELECT cents AS api_cents, n AS api_n,
+        |  cents AS exec_cents, n AS exec_n,
+        |  TRUE AS surfaces_agree
+        |FROM a""".stripMargin,
     "q256_sql_cusum" -> q256Sql(c => s"epoch_us($c)", "//",
       "SELECT unnest(range(0, hi + 1)) AS day FROM bounds"),
     "q45_sql_scan_agg" -> Q45,
