@@ -456,4 +456,40 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"),
       s"the policy must not join — it is per-row arithmetic:\n$p")
   }
+
+  test("q270: Q6 is a pure pushed scan — no join, all predicates reach parquet") {
+    val p = plan("q270_tpch_q6")
+    assert(!p.contains("Join"), s"Q6 must not plan any join:\n$p")
+    // first pushed predicate + Filter-node text for the rest (the
+    // q232 truncation discipline)
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"),
+      s"the ship-date bound must reach the lineitem scan:\n$p")
+    assert(p.contains("LessThan(l_quantity,24.0)") ||
+      p.contains("l_quantity#") && p.contains("< 24.0"),
+      s"the quantity cap must be in the scan or the filter:\n$p")
+  }
+
+  test("q281: Q19's quantity range is liftable out of the OR for pushdown") {
+    val p = plan("q281_tpch_q19")
+    // the three OR arms bound l_quantity to [1, 30]; Catalyst can
+    // push at least the IsNotNull guards, and the disjunction must
+    // evaluate post-join without a cartesian
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("BroadcastHashJoin"),
+      s"part is a broadcast dim in Q19:\n$p")
+  }
+
+  test("q299: PPR reuses q128's cached pre-partitioned edge frame") {
+    graft.CacheRegistry.release(spark)
+    SparkEntry.queries("q128_pagerank")(spark, sf0001).collect()
+    val after128 = spark.sparkContext.getPersistentRDDs.size
+    SparkEntry.queries("q299_ppr")(spark, sf0001).collect()
+    assert(spark.sparkContext.getPersistentRDDs.size == after128,
+      "q299 must materialize NO new persisted RDDs — its edges/deg " +
+        "plans are identical to q128's, so CacheManager dedupes them " +
+        "onto one exchange")
+    val p = plan("q299_ppr")
+    assert(p.contains("InMemoryTableScan") || p.contains("Scan In-memory"),
+      s"the iteration must read the cached edge frame:\n$p")
+  }
 }
