@@ -159,6 +159,31 @@ object Multimodal {
         .orderBy("seq")
     }),
 
+    "q306_utf8_repair" -> ((s, d) => {
+      // UTF-8 validation + repair — the charset gate BEFORE every text
+      // stage in a crawl ingest (a latin-1 page read as UTF-8 silently
+      // mojibakes the whole downstream pipeline): utf8_stats classifies
+      // every byte sequence in one pass with strict spec ranges
+      // (overlongs, surrogates and >U+10FFFF all rejected) and repairs
+      // invalid sequences to U+FFFD under the WHATWG maximal-subpart
+      // policy. Three implementations pin each other: this decoder, the
+      // generator's independent Python walker, and CPython's own
+      // errors='replace' codec (asserted equal in the generator on
+      // every fixture). The fixture set plants ASCII, 2/3/4-byte
+      // sequences, stray continuation/lead bytes, latin-1-as-utf8 and
+      // a truncated sequence at EOF.
+      graft.functions.Utf8Functions.register(s)
+      s.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bin")
+        .load(graft.Fixtures.path("utf8"))
+        .select(element_at(split(col("path"), "/"), -1).as("name"),
+          expr("utf8_stats(content)").as("u"))
+        .select(col("name"), col("u.n_bytes").as("n_bytes"),
+          col("u.n_chars").as("n_chars"), col("u.n_bad").as("n_bad"),
+          col("u.text_md5").as("text_md5"))
+        .orderBy("name")
+    }),
+
     "q300_wire_card" -> ((s, d) => {
       // The suite's 300th query runs the whole ingest from WIRE BYTES
       // to a training-data card in one plan: crawl.warc → warc_records
@@ -718,6 +743,13 @@ object Multimodal {
   )
 
   val oracle: Map[String, String] = Map(
+    "q306_utf8_repair" ->
+      s"""SELECT name, CAST(n_bytes AS BIGINT) AS n_bytes,
+         |  CAST(n_chars AS BIGINT) AS n_chars,
+         |  CAST(n_bad AS BIGINT) AS n_bad, text_md5
+         |FROM read_csv('${graft.Fixtures.path("utf8")}/manifest.csv',
+         |              header=true)
+         |ORDER BY name""".stripMargin,
     "q300_wire_card" ->
       s"""SELECT CAST(n_records AS BIGINT) AS n_records,
          |  CAST(n_responses AS BIGINT) AS n_responses,

@@ -856,6 +856,35 @@ object TextAnalysis {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    "q307_hash_collisions" -> ((s, d) => {
+      // Feature-hash collision audit — the report that justifies (or
+      // indicts) q233's 1024-bucket hashed-feature model: distinct
+      // vocabulary words per bucket, folded to the numbers an ML-ops
+      // review asks for (buckets used, worst load, how many words
+      // share a bucket, collision rate in basis points — exact
+      // integers). Two stacked aggregates over the vocabulary — never
+      // the token stream; at web scale the audit costs one word-keyed
+      // shuffle. Verdict on this corpus — and the reason the audit
+      // exists: the 31-word vocabulary does NOT map cleanly into 1024
+      // buckets — one bucket holds 2 words (collision rate 6.45%), so
+      // q233's model conflates exactly one word pair. The birthday
+      // bound says ~37% chance of ≥1 collision at 31-into-1024; this
+      // corpus drew one, and assuming "tiny vocab ⇒ collision-free"
+      // would have been wrong.
+      val loads = t(s, d, "documents")
+        .select(explode(split(col("text"), " ")).as("tok")).distinct()
+        .withColumn("bucket", expr(
+          "CAST(conv(substring(md5(tok), 1, 8), 16, 10) AS BIGINT) % 1024"))
+        .groupBy(col("bucket")).agg(count(lit(1)).as("load"))
+      loads.agg(sum(col("load")).as("n_words"),
+          count(lit(1)).as("n_buckets_used"),
+          max(col("load")).as("max_load"),
+          sum(when(col("load") >= 2, col("load")).otherwise(0L))
+            .as("n_collided"))
+        .withColumn("collision_bp",
+          expr("n_collided * 10000 div n_words"))
+    }),
+
     "q298_vocab_coverage" -> ((s, d) => {
       // Tokenizer vocabulary-size sweep — the design question q152's
       // BPE trainer answers by construction, asked of the corpus
@@ -2687,6 +2716,25 @@ object TextAnalysis {
       |  FROM agg)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q307_hash_collisions" ->
+      """WITH words AS (
+        |  SELECT DISTINCT tok FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS tok FROM documents)),
+        |loads AS (
+        |  SELECT CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) % 1024
+        |      AS bucket,
+        |    CAST(count(*) AS BIGINT) AS load
+        |  FROM words GROUP BY 1),
+        |ag AS (
+        |  SELECT CAST(sum(load) AS BIGINT) AS n_words,
+        |    CAST(count(*) AS BIGINT) AS n_buckets_used,
+        |    CAST(max(load) AS BIGINT) AS max_load,
+        |    CAST(sum(CASE WHEN load >= 2 THEN load ELSE 0 END) AS BIGINT)
+        |      AS n_collided
+        |  FROM loads)
+        |SELECT n_words, n_buckets_used, max_load, n_collided,
+        |  CAST(n_collided * 10000 // n_words AS BIGINT) AS collision_bp
+        |FROM ag""".stripMargin,
     "q298_vocab_coverage" ->
       """WITH wc AS (
         |  SELECT word, CAST(count(*) AS BIGINT) AS cnt
