@@ -1,0 +1,63 @@
+package graft.functions
+
+import org.scalacheck.{Gen, Prop, Properties}
+import org.scalacheck.Prop.propBoolean
+
+/** Random-bytes law for the q306 decoder: `new String(bytes, UTF_8)` is
+  * the JVM's own REPLACE-policy decode — a FOURTH independent
+  * implementation beside the Scala walker, the generator's Python
+  * walker and CPython's codec. On arbitrary byte arrays (adversarial
+  * mixes of valid sequences, stray continuations, truncated leads,
+  * overlongs) the decoded text, replacement count and codepoint count
+  * must all agree.
+  *
+  * Documented divergence (found by this law, verified exhaustively over
+  * all 2- and 3-byte sequences): the JVM departs from WHATWG/CPython on
+  * exactly ONE lead byte — 0xED followed by a surrogate-range
+  * continuation (ED A0..BF ...) decodes as a single malformed unit in
+  * the JDK but as per-byte maximal subparts under WHATWG (CPython
+  * agrees with WHATWG; our decoder follows WHATWG, pinned by the
+  * fixture manifest's CPython cross-check). Every other lead —
+  * including the other strict-range cases E0/F0/F4 and the invalid
+  * C0/C1/F5..FF — agrees across all four implementations, so the
+  * random law simply excludes 0xED (and inputs that legitimately
+  * encode U+FFFD, which would skew the replacement COUNT). */
+object Utf8LawsSpec extends Properties("Utf8Bytes") {
+
+  private val bytesGen: Gen[Array[Byte]] = for {
+    n <- Gen.choose(0, 512)
+    // bias toward interesting lead/continuation bytes, not uniform noise
+    bytes <- Gen.containerOfN[Array, Byte](n, Gen.frequency(
+      4 -> Gen.choose(0x20, 0x7E),       // ascii
+      2 -> Gen.choose(0x80, 0xBF),       // continuations
+      2 -> Gen.choose(0xC0, 0xF5),       // leads (incl. invalid C0/C1/F5)
+      1 -> Gen.oneOf(0xE0, 0xED, 0xF0, 0xF4, 0xFE, 0xFF))
+      .map(_.toByte))
+  } yield bytes
+
+  /** A literal encoded U+FFFD in the INPUT would make the JVM's
+    * replacement count over-read as a bad-byte count — exclude it (the
+    * ambiguity is inherent to counting replacements, not a decoder
+    * disagreement). */
+  private def hasEncodedFffd(b: Array[Byte]): Boolean =
+    b.sliding(3).exists(w => w.length == 3 && (w(0) & 0xFF) == 0xEF &&
+      (w(1) & 0xFF) == 0xBF && (w(2) & 0xFF) == 0xBD)
+
+  property("stats == JVM REPLACE decode on arbitrary non-0xED bytes") =
+    Prop.forAll(bytesGen.retryUntil(b =>
+        !hasEncodedFffd(b) && !b.exists(x => (x & 0xFF) == 0xED), 100)) { b =>
+      val jvm = new String(b, java.nio.charset.StandardCharsets.UTF_8)
+      val r = Utf8Bytes.stats(b)
+      val jvmMd5 = {
+        val enc = jvm.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(enc).map("%02x".format(_)).mkString
+      }
+      (r.getLong(0) == b.length.toLong) :| "n_bytes" &&
+        (r.getLong(1) == jvm.codePointCount(0, jvm.length).toLong) :|
+          s"n_chars: got ${r.getLong(1)}, jvm ${jvm.codePointCount(0, jvm.length)}" &&
+        (r.getLong(2) == jvm.codePoints().filter(_ == 0xFFFD).count()) :|
+          "n_bad equals the JVM's replacement count" &&
+        (r.getUTF8String(3).toString == jvmMd5) :| "decoded text md5"
+    }
+}
