@@ -666,6 +666,33 @@ object Streaming {
       drainMemorySink(sp, name).orderBy("fp")
     }),
 
+    "q308_stream_dedup_wm" -> ((s, d) => withStreamPartitions(s, 4) { sp =>
+      // BOUNDED-STATE streaming dedup — the production form q98's
+      // comment promises (SPARK-42931): dropDuplicatesWithinWatermark
+      // evicts a key's fingerprint once the watermark passes its event
+      // time + delay, so state is O(keys within the watermark window),
+      // not O(all history) — the difference between a dedup stream that
+      // runs forever and one that OOMs its state store. Dedup key =
+      // (user_id, event_type); the event-time column rides only for the
+      // watermark and is dropped AFTER the sink (which payload row
+      // arrives first per key is a race — the KEY SET is not, the q98
+      // determinism discipline). On the finite fixture nothing evicts
+      // mid-run, so the emitted key set equals exact batch DISTINCT —
+      // the oracle.
+      val name = s"graft_sdedupwm_${System.nanoTime()}"
+      val q = eventsStream(sp, d)
+        .select(col("user_id"), col("event_type"), col("ts"))
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark("user_id", "event_type")
+        .writeStream.outputMode("append")
+        .format("memory").queryName(name)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      drainMemorySink(sp, name)
+        .select(col("user_id"), col("event_type"))
+        .orderBy("user_id", "event_type")
+    }),
+
     "q99_stream_delta_admit" -> ((s, d) => withStreamPartitions(s, 4) { sp =>
       // stream-STATIC join — the admission-controller shape that closes
       // the incremental-dedup loop: the BATCH layer stages a reject list
@@ -1103,6 +1130,9 @@ object Streaming {
     // identity, per-user): S_t = P_t − min_{j≤t} P_j over the same
     // (ts, event_id) order and integer-cents arithmetic — the batch
     // window form and the streaming ValueState form certify each other
+    "q308_stream_dedup_wm" ->
+      """SELECT DISTINCT user_id, event_type FROM events
+        |ORDER BY user_id, event_type""".stripMargin,
     "q303_stream_late_drop" ->
       """SELECT date_trunc('hour', ts) AS window_start,
         |  CAST(count(*) AS BIGINT) AS n_events,
