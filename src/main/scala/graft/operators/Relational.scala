@@ -698,6 +698,53 @@ object Relational {
         .orderBy("s_suppkey")
     }),
 
+    "q309_grouped_quartiles" -> ((s, d) => {
+      // Exact grouped QUARTILES + IQR in ONE rank pass — q222's
+      // sharded-rank median generalized to a multi-point lookup: the
+      // two-pass rank computes once, and ALL THREE ceil-convention
+      // targets (r_q = ceil(q·n/4), type-1 quantiles — single-row
+      // lookups, no averaging) read from it via one broadcast targets
+      // join + a conditional-aggregate pivot. The marginal cost of the
+      // 2nd and 3rd quantile over the median alone is ~zero — the
+      // point of separating rank construction from rank consumption.
+      // IQR rides as a derived column: the outlier fence q173's MAD
+      // report complements. Unique (v, tie) total order both engines.
+      val shardW = 500000L
+      val rows = t(s, d, "lineitem")
+        .select(col("l_returnflag").as("g"),
+          cents(col("l_extendedprice")).as("v"),
+          (col("l_orderkey") * 1000L + col("l_linenumber")).as("tie"))
+        .withColumn("shard", expr(s"v div $shardW"))
+        .transform(graft.CacheRegistry.cached)
+      val cnts = rows.groupBy(col("g"), col("shard"))
+        .agg(count(lit(1)).as("cnt"))
+        .transform(graft.CacheRegistry.cached)
+      val offs = cnts.withColumn("off", coalesce(
+        sum(col("cnt")).over(Window.partitionBy(col("g"))
+          .orderBy(col("shard"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      val targets = cnts.groupBy(col("g")).agg(sum(col("cnt")).as("n"))
+        .select(col("g"), col("n"),
+          expr("(n + 3) div 4").as("r1"), expr("(n + 1) div 2").as("r2"),
+          expr("(3 * n + 3) div 4").as("r3"))
+      rows
+        .withColumn("rg", row_number().over(
+          Window.partitionBy(col("g"), col("shard"))
+            .orderBy(col("v"), col("tie"))).cast("long"))
+        .join(broadcast(offs.select(col("g"), col("shard"), col("off"))),
+          Seq("g", "shard"))
+        .withColumn("r", col("rg") + col("off"))
+        .join(broadcast(targets), "g")
+        .where(col("r") === col("r1") || col("r") === col("r2") ||
+          col("r") === col("r3"))
+        .groupBy(col("g"), col("n"))
+        .agg(max(when(col("r") === col("r1"), col("v"))).as("p25_cents"),
+          max(when(col("r") === col("r2"), col("v"))).as("p50_cents"),
+          max(when(col("r") === col("r3"), col("v"))).as("p75_cents"))
+        .withColumn("iqr_cents", col("p75_cents") - col("p25_cents"))
+        .orderBy("g")
+    }),
+
     "q297_ivm_join" -> ((s, d) => {
       // Incremental JOIN-view maintenance — q155 maintains an
       // aggregate view from deltas; this is the JOIN-view rule it
@@ -3851,6 +3898,30 @@ object Relational {
         |WHERE n_name = 'NATION_9'
         |  AND s_suppkey IN (SELECT l_suppkey FROM dom)
         |ORDER BY s_suppkey""".stripMargin,
+    "q309_grouped_quartiles" ->
+      """WITH rows_ AS (
+        |  SELECT l_returnflag AS g,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS v,
+        |    l_orderkey * 1000 + l_linenumber AS tie
+        |  FROM lineitem),
+        |rk AS (
+        |  SELECT g, v, CAST(row_number() OVER (PARTITION BY g
+        |    ORDER BY v, tie) AS BIGINT) AS r
+        |  FROM rows_),
+        |n_ AS (SELECT g, CAST(count(*) AS BIGINT) AS n
+        |       FROM rows_ GROUP BY 1),
+        |t AS (SELECT g, n, (n + 3) // 4 AS r1, (n + 1) // 2 AS r2,
+        |        (3 * n + 3) // 4 AS r3
+        |      FROM n_)
+        |SELECT t.g AS g, n,
+        |  CAST(max(CASE WHEN r = r1 THEN v END) AS BIGINT) AS p25_cents,
+        |  CAST(max(CASE WHEN r = r2 THEN v END) AS BIGINT) AS p50_cents,
+        |  CAST(max(CASE WHEN r = r3 THEN v END) AS BIGINT) AS p75_cents,
+        |  CAST(max(CASE WHEN r = r3 THEN v END)
+        |    - max(CASE WHEN r = r1 THEN v END) AS BIGINT) AS iqr_cents
+        |FROM rk JOIN t USING (g)
+        |WHERE r IN (r1, r2, r3)
+        |GROUP BY t.g, n ORDER BY t.g""".stripMargin,
     // the oracle is the FLAT recompute: one whole-join rollup with the
     // base/delta legs re-derived as CASE sums — equality pins the
     // maintained decomposition, not just the merged total
