@@ -698,6 +698,48 @@ object Relational {
         .orderBy("s_suppkey")
     }),
 
+    "q310_asof_tolerance" -> ((s, d) => {
+      // As-of join with a TOLERANCE bound — the market-data form q16
+      // omits: a purchase matches its most recent prior click ONLY if
+      // that click is within 30 minutes; beyond it the row survives
+      // UNMATCHED (nulls), because "joined to something stale" is
+      // exactly the bug tolerance exists to prevent. Same scalable
+      // union+window algebra as q16 (one shuffle on user_id, never the
+      // per-key range join), with the bound applied as a null-out on
+      // the carried match — exact integer microseconds. The oracle is
+      // a DIFFERENT algorithm entirely (correlated bounded-window max
+      // + equi-join back), so the hash compare cross-certifies the
+      // as-of algebra itself, not just this implementation.
+      val tolUs = 30L * 60 * 1000000
+      val ev = events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("event_id")).as("c_id"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id").as("p_id"))
+      val tagged = clicks
+        .select(col("user_id"), col("ts"), lit(0).as("side"),
+          col("c_id"), lit(null).cast("long").as("p_id"))
+        .unionByName(purchases
+          .select(col("user_id"), col("ts"), lit(1).as("side"),
+            lit(null).cast("long").as("c_id"), col("p_id")))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("side"), coalesce(col("c_id"), col("p_id")))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      tagged
+        .withColumn("match_c", last(col("c_id"), ignoreNulls = true).over(w))
+        .withColumn("match_ts", last(when(col("side") === 0, col("ts")),
+          ignoreNulls = true).over(w))
+        .filter(col("side") === 1)
+        .withColumn("gap0",
+          expr("unix_micros(ts) - unix_micros(match_ts)"))
+        .select(col("p_id"), col("user_id"),
+          (col("match_c").isNotNull && col("gap0") <= tolUs).as("matched"),
+          when(col("gap0") <= tolUs, col("match_c")).as("c_id"),
+          when(col("gap0") <= tolUs, col("gap0")).as("gap_us"))
+        .orderBy("p_id")
+    }),
+
     "q309_grouped_quartiles" -> ((s, d) => {
       // Exact grouped QUARTILES + IQR in ONE rank pass — q222's
       // sharded-rank median generalized to a multi-point lookup: the
@@ -3898,6 +3940,27 @@ object Relational {
         |WHERE n_name = 'NATION_9'
         |  AND s_suppkey IN (SELECT l_suppkey FROM dom)
         |ORDER BY s_suppkey""".stripMargin,
+    "q310_asof_tolerance" ->
+      """WITH clicks AS (
+        |  SELECT user_id, ts, CAST(max(event_id) AS BIGINT) AS c_id
+        |  FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+        |p AS (
+        |  SELECT user_id, ts, CAST(event_id AS BIGINT) AS p_id
+        |  FROM events WHERE event_type = 'purchase'),
+        |m AS (
+        |  SELECT p.p_id, p.user_id, p.ts,
+        |    (SELECT max(c.ts) FROM clicks c
+        |     WHERE c.user_id = p.user_id AND c.ts <= p.ts
+        |       AND c.ts >= p.ts - INTERVAL 30 MINUTE) AS mts
+        |  FROM p)
+        |SELECT m.p_id, m.user_id, mts IS NOT NULL AS matched,
+        |  c.c_id,
+        |  CASE WHEN mts IS NULL THEN NULL
+        |    ELSE CAST(epoch_us(m.ts) - epoch_us(mts) AS BIGINT) END
+        |    AS gap_us
+        |FROM m LEFT JOIN clicks c
+        |  ON c.user_id = m.user_id AND c.ts = m.mts
+        |ORDER BY p_id""".stripMargin,
     "q309_grouped_quartiles" ->
       """WITH rows_ AS (
         |  SELECT l_returnflag AS g,
