@@ -21,6 +21,88 @@ import org.apache.spark.sql.SparkSession
   * measurable, not guessed.
   */
 object Bench {
+  /** Curated bench-headline subset. The driver captures only the LAST
+    * 2000 chars of stdout, so the printed line must stay short: total +
+    * this fixed subset (short qNNN ids), with the complete per-query map
+    * in SPARK_GRAFT_BENCH_OUT. Pruned/promoted each round: flagship 1BRC,
+    * one representative per operator family, every plan-audit watch
+    * (q97/q103/q107/q122/q125/q126/q128 from round 5; q51/q218/q246/q258/
+    * q292/q299/q309 from the round-11 audit), the round-10 scale-trap
+    * pins (q256/q257), and the round-11 flagged pair (q267/q268).
+    *
+    * Round 12: promoted 21 round-10/11 keepers (through q310, so the
+    * auto-add tail below resets to EMPTY — round 11 shipped +42 queries
+    * with the curated max still at q206, the 104-entry auto-tail grew the
+    * stdout line to 1972 chars, and the <1750 guard crashed every full
+    * bench run of the round, BENCH_r11 included) and pruned four family
+    * duplicates (q78/q104 dedup-delta, q151 ANN-delta, q201 audio —
+    * q105/q199/q63/q69, q127/q143, q200/q206 keep those families).
+    * BenchHeadlineSpec recomputes this line's worst-case length for the
+    * CURRENT suite on every build, so growth can never again break the
+    * driver artifact silently.
+    */
+  val curatedHeadline: Seq[String] = Seq(
+    "q01_onebrc_events", "q03_onebrc_tenths",
+    "q11_join_sortmerge", "q17_range_join", "q20_tpch_q1",
+    "q51_date_funcs",
+    "q63_minhash_lsh", "q69_dedup_clusters",
+    "q77_training_pipeline",
+    "q97_stream_stream_join", "q99_stream_delta_admit",
+    "q103_approx_percentile",
+    "q105_staged_dedup", "q107_stream_heavy_hitters",
+    "q113_spans_rolling",
+    "q115_semantic_multiprobe", "q120_cluster_split",
+    "q122_stream_sliding", "q125_sql_recursive",
+    "q126_transform_with_state", "q127_ann_rerank", "q128_pagerank",
+    "q143_ivf_pq_rerank",
+    "q153_bm25", "q154_bigram_lm",
+    "q157_topk_agg", "q159_stream_session_timers",
+    "q160_bpe_apply", "q199_line_dedup",
+    "q200_image_dedup", "q202_blocklist",
+    "q203_triangles", "q204_html_extract", "q205_crawl_pipeline",
+    "q206_video_ingest",
+    "q212_editdist_dedup", "q218_retrieval_eval",
+    "q235_tpch_q21", "q246_lsh_band_sweep",
+    "q256_sql_cusum", "q257_bfs_hops", "q258_ndcg",
+    "q267_basket_rules", "q268_stream_cusum",
+    "q273_tpch_q9", "q283_tar_ingest", "q285_warc_extract",
+    "q292_label_prop", "q295_stream_quota", "q299_ppr",
+    "q302_item_recs", "q303_stream_late_drop", "q306_utf8_repair",
+    "q308_stream_dedup_wm", "q309_grouped_quartiles",
+    "q310_asof_tolerance")
+
+  private val qNumRe = "q(\\d+)".r
+  private def qid(n: String): Int =
+    qNumRe.findFirstMatchIn(n).map(_.group(1).toInt).getOrElse(-1)
+  /** Short id for the stdout line (full names live in bench_out.json). */
+  def shortId(n: String): String = qNumRe.findFirstIn(n).getOrElse(n)
+
+  /** Headline ids for a given suite: the curated list plus every query
+    * whose numeric id exceeds the curated max (round-9 verdict #6: new
+    * queries must appear in BENCH_r{N}.json by construction, not by
+    * hand-editing). Promote keepers into the curated list each round so
+    * this auto-add set resets toward empty. */
+  def headlineSet(names: Seq[String]): Set[String] = {
+    val maxCurated = curatedHeadline.map(qid).max
+    curatedHeadline.toSet ++ names.filter(qid(_) > maxCurated)
+  }
+
+  /** Guard ceiling for the printed stdout line (see main). */
+  val stdoutGuard = 1750
+
+  /** Pessimistic length of the stdout line for a given suite: every
+    * headline value at its widest plausible print ("999.999"), sfDir at
+    * driver length. BenchHeadlineSpec asserts this stays under
+    * [[stdoutGuard]] so suite growth trips a test, not the driver run. */
+  def worstCaseStdoutLen(names: Seq[String]): Int = {
+    val head = headlineSet(names)
+    val entries = names.filter(head)
+      .map(n => "\"" + shortId(n) + "\":999.999").mkString("{", ",", "}")
+    val line = s"""{"metric":"total","value":99999.999,"unit":"sec","n_queries":${names.size},""" +
+      s""""reps":2,"protocol":"interleaved","queries":$entries,"sf":"/root/testdata/sf0.1"}"""
+    line.length
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -209,57 +291,17 @@ object Bench {
     // stdout line must be SHORT: total + a fixed headline subset, with the
     // complete per-query map written to SPARK_GRAFT_BENCH_OUT (default
     // bench_out.json). build.sbt's `showSuccess := false` keeps the line last.
-    // Pruned each round to hold the stdout line near ~1200 chars (the
-    // full map always lands in SPARK_GRAFT_BENCH_OUT): flagship 1BRC,
-    // one representative per operator family, every query the round-5
-    // plan audit watches (q97/q103/q107/q122/q125/q126/q128), and the
-    // newest additions.
-    // Pruned twice in round 10 to fund the auto-derived q207+ tail (the
-    // stdout guard tripped at 215 and again at 220 queries): dropped
-    // q06/q30/q70/q144/q152/q164/q198/q155, then q109/q110/q150/q161/
-    // q195 — each family keeps a representative (generator→q03,
-    // windows→q157, ANN→q127/q143, spans→q113, semantic→q115,
-    // media→q200/q206, BPE→q160, dedup gates→q199/q202) and every
-    // round-5 plan-audit watch (q97/q103/q107/q122/q125/q126/q128)
-    // stays; pruned queries remain in bench_out.json's full map.
-    val headline = Seq(
-      "q01_onebrc_events", "q03_onebrc_tenths",
-      "q11_join_sortmerge", "q17_range_join", "q20_tpch_q1",
-      "q63_minhash_lsh", "q69_dedup_clusters",
-      "q77_training_pipeline", "q78_delta_dedup",
-      "q97_stream_stream_join", "q99_stream_delta_admit",
-      "q103_approx_percentile", "q104_delta_dedup_full",
-      "q105_staged_dedup", "q107_stream_heavy_hitters",
-      "q113_spans_rolling",
-      "q115_semantic_multiprobe", "q120_cluster_split",
-      "q122_stream_sliding", "q125_sql_recursive",
-      "q126_transform_with_state", "q127_ann_rerank", "q128_pagerank",
-      "q143_ivf_pq_rerank", "q151_ann_delta",
-      "q153_bm25", "q154_bigram_lm",
-      "q157_topk_agg", "q159_stream_session_timers",
-      "q160_bpe_apply", "q199_line_dedup",
-      "q200_image_dedup", "q201_audio_dedup", "q202_blocklist",
-      "q203_triangles", "q204_html_extract", "q205_crawl_pipeline",
-      "q206_video_ingest")
-    // Newest additions are DERIVED, not hand-edited (round-9 verdict #6:
-    // q207/q208 shipped without headline rows because the list above was
-    // the only mechanism): every suite query whose numeric id exceeds the
-    // curated list's maximum joins the headline automatically, so a new
-    // round's queries appear in BENCH_r{N}.json's stdout line by
-    // construction. Promote them into the curated list (or prune) when a
-    // later round needs the stdout budget back.
-    val qNum = "q(\\d+)".r
-    def num(n: String): Int =
-      qNum.findFirstMatchIn(n).map(_.group(1).toInt).getOrElse(-1)
-    val maxCurated = headline.map(num).max
-    val headSet = headline.toSet ++ names.filter(num(_) > maxCurated)
+    // Headline subset + auto-add tail: see [[curatedHeadline]] /
+    // [[headlineSet]] (object level so BenchHeadlineSpec can recompute
+    // the line length for the current suite on every build).
+    val headSet = headlineSet(names)
     // the stdout line carries SHORT qNNN ids (the full names live in
     // SPARK_GRAFT_BENCH_OUT's complete map): at 231 queries the full-name
     // headline blew the driver's capture window twice in one round —
     // short ids cut the per-entry cost ~60% and scale with the suite
     val shortJson = {
       val shortNamed = results.filter(r => headSet(r._1)).map { case (k, v) =>
-        (qNum.findFirstIn(k).getOrElse(k), v)
+        (shortId(k), v)
       }
       s"""{"metric":"total","value":$totalStr,"unit":"sec","n_queries":${results.size},$protoJson,"queries":${qJson(shortNamed)},"sf":"$sfDir"}"""
     }
@@ -271,7 +313,7 @@ object Bench {
     // the driver parses the LAST stdout line from a 2000-char tail
     // window: 1750 leaves real margin for the trailing newline while
     // funding ~2 rounds of auto-added queries between prunes
-    require(shortJson.length < 1750, s"bench stdout line too long: ${shortJson.length}")
+    require(shortJson.length < stdoutGuard, s"bench stdout line too long: ${shortJson.length}")
     spark.stop()
     println(shortJson)
   }
