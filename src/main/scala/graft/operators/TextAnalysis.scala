@@ -944,6 +944,17 @@ object TextAnalysis {
       // production release view projects released_n only. One
       // map-side-combined aggregate; the noise is per-GROUP scalar
       // work, O(groups).
+      //
+      // PRIVACY CAVEAT (round-11 ADVICE): the salts here ('dp1_'/'dp2_')
+      // are hard-coded and the group key is public, so anyone can
+      // recompute g1−g2 and invert released_n back to the exact count —
+      // this fixture demonstrates the MECHANISM (two-sided geometric via
+      // inverse CDF, deterministic-once-published), not a private
+      // release. A production release keeps the construction but derives
+      // the uniforms from a SECRET per-release seed (e.g. HMAC(seed,
+      // group_key) with the seed held like a credential); determinism
+      // must come from a fixed secret, not from a publicly recomputable
+      // hash. See README "Differential privacy" note.
       val u = (salt: String) =>
         s"CAST(conv(substring(md5(concat('$salt', lang, '_', source)), " +
           "1, 6), 16, 10) AS BIGINT) % 1000000"

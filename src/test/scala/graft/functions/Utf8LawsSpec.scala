@@ -30,8 +30,15 @@ object Utf8LawsSpec extends Properties("Utf8Bytes") {
     bytes <- Gen.containerOfN[Array, Byte](n, Gen.frequency(
       4 -> Gen.choose(0x20, 0x7E),       // ascii
       2 -> Gen.choose(0x80, 0xBF),       // continuations
-      2 -> Gen.choose(0xC0, 0xF5),       // leads (incl. invalid C0/C1/F5)
-      1 -> Gen.oneOf(0xE0, 0xED, 0xF0, 0xF4, 0xFE, 0xFF))
+      // leads (incl. invalid C0/C1/F5) — 0xED excluded AT THE SOURCE:
+      // filtering it post-hoc via retryUntil rejected ~91% of 512-byte
+      // draws and exhausted the 100-retry budget ~1% of runs (round-11
+      // ADVICE). 0xED's JVM-vs-WHATWG divergence has its own exhaustive
+      // test below.
+      // (map, not suchThat: a filter inside containerOfN discards whole
+      // arrays — remapping 0xED→0xEE keeps generation total)
+      2 -> Gen.choose(0xC0, 0xF5).map(x => if (x == 0xED) 0xEE else x),
+      1 -> Gen.oneOf(0xE0, 0xF0, 0xF4, 0xFE, 0xFF))
       .map(_.toByte))
   } yield bytes
 
@@ -44,8 +51,11 @@ object Utf8LawsSpec extends Properties("Utf8Bytes") {
       (w(1) & 0xFF) == 0xBF && (w(2) & 0xFF) == 0xBD)
 
   property("stats == JVM REPLACE decode on arbitrary non-0xED bytes") =
-    Prop.forAll(bytesGen.retryUntil(b =>
-        !hasEncodedFffd(b) && !b.exists(x => (x & 0xFF) == 0xED), 100)) { b =>
+    // 0xED never comes out of the generator (remapped at the source);
+    // the only remaining retry condition is the rare literal EF BF BD
+    // triple (~1e-4 per 512-byte draw), so 100 retries is effectively
+    // total
+    Prop.forAll(bytesGen.retryUntil(b => !hasEncodedFffd(b), 100)) { b =>
       val jvm = new String(b, java.nio.charset.StandardCharsets.UTF_8)
       val r = Utf8Bytes.stats(b)
       val jvmMd5 = {
