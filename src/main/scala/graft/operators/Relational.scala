@@ -1722,8 +1722,19 @@ object Relational {
         .select(col("a"), col("b"), col("n_a"), col("n_b"), col("n_ab"),
           expr("(n_ab * 10000) div n_a").as("conf_ab_bp"),
           expr("(n_ab * 10000) div n_b").as("conf_ba_bp"),
-          expr("CAST((CAST(n_ab AS DECIMAL(38,0)) * n_orders * 1000000) " +
-            "div (n_a * n_b) AS BIGINT)").as("lift_micro"))
+          // overflow-guarded BIGINT fast path (round-11 verdict #2, the
+          // q244 division-free discipline): n_ab·N·1e6 wraps BIGINT only
+          // when n_ab·N > 9.223e12 (support-1e6 pairs over 1e7 baskets);
+          // below that — every row at any tested SF — the whole lift is
+          // 64-bit integer math inside codegen. Only genuine near-wrap
+          // rows pay the DECIMAL(38,0) branch (per-row CASE, lazily
+          // evaluated). The divisor n_a·n_b ≤ N² stays in BIGINT up to
+          // N ≈ 3.0e9 baskets — beyond that the divisor needs the same
+          // treatment (comment-pinned, not reachable at 1e7-basket scale).
+          expr("CASE WHEN n_ab <= 9223372036854 div n_orders " +
+            "THEN (n_ab * n_orders * 1000000) div (n_a * n_b) " +
+            "ELSE CAST((CAST(n_ab AS DECIMAL(38,0)) * n_orders * 1000000) " +
+            "div (n_a * n_b) AS BIGINT) END").as("lift_micro"))
         .orderBy(col("lift_micro").desc, col("a"), col("b"))
         .limit(50)
     }),
