@@ -327,7 +327,183 @@ object Relational {
       .orderBy("arm")
   }
 
+  /** DERIVED deterministic partsupp relation (round-11 verdict #5). The
+    * fixture schema lacks TPC-H's partsupp, so Q2/Q11/Q16/Q20 first
+    * shipped ADAPTED (observing supplier↔part pairs from lineitem —
+    * q252/q275/q279/q282, retained). The TRUE shapes (q311–q314) run
+    * over this side table instead: exactly 4 suppliers per part (TPC-H's
+    * partsupp multiplicity), with supplier assignment, availqty and
+    * supplycost all md5 arithmetic on (partkey, j) — the q06 generator
+    * discipline — rendered from ONE definition into BOTH engines
+    * ([[PartsuppSql]]) so the relation cannot drift. (ps_partkey,
+    * ps_suppkey) is unique BY CONSTRUCTION: the 4 suppliers land in 4
+    * disjoint quarter-ranges of the supplier key space (j·(ns div 4) +
+    * h mod (ns div 4)) — TPC-H's primary key, needed for Q20's
+    * correlated gate to reference one availqty per pair. At 100 TB this
+    * is a generated dimension: 4·|part| rows, broadcast-sized relative
+    * to the fact table, and every derivation is per-row projection. */
+  private def partsupp(s: SparkSession, d: String): DataFrame =
+    t(s, d, "part").select(col("p_partkey"))
+      .crossJoin(broadcast(t(s, d, "supplier")
+        .agg((max(col("s_suppkey")) + 1).as("ns"))))
+      .select(col("p_partkey").as("ps_partkey"), col("ns"),
+        explode(expr("sequence(0, 3)")).as("j"))
+      .withColumn("h", expr("CAST(conv(substring(md5(concat('ps_', " +
+        "CAST(ps_partkey AS STRING), '_', CAST(j AS STRING))), 1, 12), " +
+        "16, 10) AS BIGINT)"))
+      .select(col("ps_partkey"),
+        expr("h % (ns div 4) + j * (ns div 4)").as("ps_suppkey"),
+        expr("1 + (h div 128) % 9999").as("ps_availqty"),
+        expr("100 + (h div 1024) % 99901").as("ps_supplycost_cents"))
+
+  /** The identical relation as a DuckDB WITH fragment (hex parse via
+    * CAST('0x'||h AS BIGINT) ≡ Spark conv(h,16,10) — the q140 idiom;
+    * 12 hex digits ≤ 2^48, BIGINT-safe both engines). */
+  private val PartsuppSql: String =
+    """partsupp AS (
+      |  SELECT p_partkey AS ps_partkey,
+      |    h % (ns // 4) + j * (ns // 4) AS ps_suppkey,
+      |    1 + (h // 128) % 9999 AS ps_availqty,
+      |    100 + (h // 1024) % 99901 AS ps_supplycost_cents
+      |  FROM (SELECT p_partkey, j,
+      |      CAST('0x' || substring(md5('ps_' || CAST(p_partkey AS VARCHAR) ||
+      |        '_' || CAST(j AS VARCHAR)), 1, 12) AS BIGINT) AS h,
+      |      (SELECT CAST(max(s_suppkey) + 1 AS BIGINT) FROM supplier) AS ns
+      |    FROM part, (VALUES (0), (1), (2), (3)) AS r(j)))""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "q311_tpch_q2_ps" -> ((s, d) => {
+      // TPC-H Q2 UNADAPTED — the correlated "supplier whose cost equals
+      // the minimum for this part within the region" over a REAL
+      // partsupp relation (q252 keeps the lineitem-observed adaptation
+      // beside it). The true shape's two challenges survive intact:
+      // the inner min is computed over the REGION-FILTERED offer set
+      // (not all offers), and TIES ARE KEPT — Q2 returns every supplier
+      // achieving the minimum, which the q252 argmin form cannot. The
+      // correlation decorrelates the planner way: one per-part min over
+      // the region offers, equi-joined back on (part, cost). Supplier/
+      // nation/region collapse to a broadcast before touching partsupp;
+      // top-100 rides a UNIQUE total order (acctbal desc, nation, name,
+      // part, suppkey).
+      val regionSupp = broadcast(t(s, d, "supplier")
+        .join(t(s, d, "nation")
+          .join(t(s, d, "region").where(col("r_name") === "ASIA"),
+            col("n_regionkey") === col("r_regionkey")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("s_name"), col("s_acctbal"),
+          col("n_name")))
+      val offers = partsupp(s, d)
+        .join(regionSupp, col("ps_suppkey") === col("s_suppkey"))
+        .transform(graft.CacheRegistry.cached)
+      val minCost = offers.groupBy(col("ps_partkey").as("mk"))
+        .agg(min(col("ps_supplycost_cents")).as("min_cents"))
+      offers
+        .join(broadcast(t(s, d, "part")
+          .where(col("p_size") < 15 && col("p_type") === "STANDARD")
+          .select(col("p_partkey"), col("p_brand"))),
+          col("ps_partkey") === col("p_partkey"))
+        .join(minCost, col("ps_partkey") === col("mk") &&
+          col("ps_supplycost_cents") === col("min_cents"))
+        .select(col("s_acctbal"), col("s_name"), col("n_name"),
+          col("p_partkey"), col("p_brand"),
+          col("ps_supplycost_cents").as("cost_cents"), col("ps_suppkey"))
+        .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"),
+          col("p_partkey"), col("ps_suppkey"))
+        .limit(100)
+    }),
+
+    "q312_tpch_q11_ps" -> ((s, d) => {
+      // TPC-H Q11 UNADAPTED — ratio-of-sums over partsupp: per-part
+      // stock value Σ(supplycost·availqty) for one nation's suppliers,
+      // HAVING value > fraction·(the same sum globally) — the scalar-
+      // subquery-over-the-same-aggregate shape (q275 keeps the lineitem
+      // revenue adaptation). The per-part frame computes ONCE
+      // (CacheRegistry) and feeds both the scalar total and the filter;
+      // the compare is exact integer cross-multiplication (value·1000 >
+      // total — cost ≤ 1e5 cents × qty ≤ 1e4 bounds a row at 1e9, a
+      // corpus total at ~1e13·SF, BIGINT-safe to 9e18).
+      val natSupp = broadcast(t(s, d, "supplier")
+        .join(t(s, d, "nation").where(col("n_name") === "NATION_7"),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey")))
+      val pv = partsupp(s, d)
+        .join(natSupp, col("ps_suppkey") === col("s_suppkey"))
+        .groupBy(col("ps_partkey"))
+        .agg(sum(col("ps_supplycost_cents") * col("ps_availqty"))
+          .as("value_cu"))
+        .transform(graft.CacheRegistry.cached)
+      val tot = pv.agg(sum(col("value_cu")).as("total_cu"))
+      pv.crossJoin(broadcast(tot))
+        .where(col("value_cu") * 1000 > col("total_cu"))
+        .select(col("ps_partkey"), col("value_cu"))
+        .orderBy(col("value_cu").desc, col("ps_partkey"))
+    }),
+
+    "q313_tpch_q16_ps" -> ((s, d) => {
+      // TPC-H Q16 UNADAPTED — the supplier census over partsupp proper:
+      // distinct suppliers OFFERING each (brand, type, size) cell, not
+      // suppliers observed shipping it (q279's adaptation — an offer
+      // census and a shipment census answer different questions; both
+      // stay). NOT-IN survives as the broadcast left-anti; the complaint
+      // filter remains s_acctbal < 0 (the fixture has no comment
+      // column — documented adaptation, same as q279). distinct()
+      // BEFORE the count = exact COUNT(DISTINCT), shuffled on the full
+      // key, never a driver-side set.
+      val badSup = broadcast(t(s, d, "supplier")
+        .where(col("s_acctbal") < 0)
+        .select(col("s_suppkey").as("bad_suppkey")))
+      partsupp(s, d)
+        .join(broadcast(t(s, d, "part")
+          .where(col("p_brand") =!= "Brand#1" &&
+            col("p_size").isin(1, 5, 10, 15, 20, 25))
+          .select(col("p_partkey"), col("p_brand"), col("p_type"),
+            col("p_size"))),
+          col("ps_partkey") === col("p_partkey"))
+        .join(badSup, col("ps_suppkey") === col("bad_suppkey"), "left_anti")
+        .select(col("p_brand"), col("p_type"),
+          col("p_size").cast("long").as("p_size"), col("ps_suppkey"))
+        .distinct()
+        .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+        .agg(count(lit(1)).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+          col("p_size"))
+    }),
+
+    "q314_tpch_q20_ps" -> ((s, d) => {
+      // TPC-H Q20 UNADAPTED — the correlated-availability gate: a
+      // promoted part's supplier qualifies when ps_availqty exceeds
+      // HALF the (part, supplier) pair's 1997 shipped volume — the
+      // original's correlated scalar subquery against lineitem, with
+      // partsupp supplying a REAL availability (q282's adaptation
+      // compares shipment shares instead; both stay). Decorrelated as
+      // the per-pair volume aggregate inner-joined back — matching the
+      // original's NULL semantics exactly (no shipments ⇒ sum is NULL ⇒
+      // predicate UNKNOWN ⇒ excluded ≡ inner join). The compare is
+      // exact: availqty > 0.5·Σqty ⟺ 20·availqty > Σ(qty·10) in integer
+      // tenths. Volume aggregates shuffle lineitem once on the pair
+      // key; partsupp (4·|part|, dimension-sized) broadcasts onto it.
+      val vol = t(s, d, "lineitem")
+        .where(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(sum(tenths(col("l_quantity"))).as("qty_tenths"))
+      val excess = partsupp(s, d)
+        .join(broadcast(t(s, d, "part").where(col("p_type") === "PROMO")
+          .select(col("p_partkey"))),
+          col("ps_partkey") === col("p_partkey"))
+        .join(vol, col("ps_partkey") === col("l_partkey") &&
+          col("ps_suppkey") === col("l_suppkey"))
+        .where(col("ps_availqty") * 20 > col("qty_tenths"))
+        .select(col("ps_suppkey").as("dk")).distinct()
+      t(s, d, "supplier")
+        .join(broadcast(t(s, d, "nation")
+          .where(col("n_name") === "NATION_9")),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(excess, col("s_suppkey") === col("dk"), "left_semi")
+        .select(col("s_suppkey"), col("s_name"))
+        .orderBy("s_suppkey")
+    }),
 
     // ---- TPC-H completion (round 11) -------------------------------------
     // Q1/Q2/Q3/Q5/Q13/Q18/Q21/Q22 shipped earlier as q20/q252/q29/q232/
@@ -3770,6 +3946,70 @@ object Relational {
   }
 
   val oracle: Map[String, String] = Map(
+    // q311–q314: the oracles run the ORIGINAL TPC-H correlated forms
+    // (Q2's correlated min, Q20's correlated scalar subquery, Q11's
+    // HAVING-over-scalar) over the shared PartsuppSql fragment — a
+    // DIFFERENT algebra than the Spark side's decorrelated joins, so
+    // the hash compare cross-certifies the decorrelation itself.
+    "q311_tpch_q2_ps" ->
+      s"""WITH $PartsuppSql,
+         |rs AS (
+         |  SELECT s_suppkey, s_name, s_acctbal, n_name
+         |  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+         |  JOIN region ON n_regionkey = r_regionkey
+         |  WHERE r_name = 'ASIA'),
+         |offers AS (
+         |  SELECT * FROM partsupp JOIN rs ON ps_suppkey = s_suppkey)
+         |SELECT o.s_acctbal, o.s_name, o.n_name, p_partkey, p_brand,
+         |  CAST(o.ps_supplycost_cents AS BIGINT) AS cost_cents,
+         |  CAST(o.ps_suppkey AS BIGINT) AS ps_suppkey
+         |FROM part JOIN offers o ON o.ps_partkey = p_partkey
+         |WHERE p_size < 15 AND p_type = 'STANDARD'
+         |  AND o.ps_supplycost_cents = (
+         |    SELECT min(o2.ps_supplycost_cents) FROM offers o2
+         |    WHERE o2.ps_partkey = o.ps_partkey)
+         |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey, ps_suppkey
+         |LIMIT 100""".stripMargin,
+    "q312_tpch_q11_ps" ->
+      s"""WITH $PartsuppSql,
+         |pv AS (
+         |  SELECT ps_partkey,
+         |    CAST(sum(ps_supplycost_cents * ps_availqty) AS BIGINT)
+         |      AS value_cu
+         |  FROM partsupp JOIN supplier ON ps_suppkey = s_suppkey
+         |  JOIN nation ON s_nationkey = n_nationkey
+         |  WHERE n_name = 'NATION_7'
+         |  GROUP BY 1)
+         |SELECT ps_partkey, value_cu FROM pv
+         |WHERE value_cu * 1000 > (SELECT sum(value_cu) FROM pv)
+         |ORDER BY value_cu DESC, ps_partkey""".stripMargin,
+    "q313_tpch_q16_ps" ->
+      s"""WITH $PartsuppSql
+         |SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+         |  CAST(count(*) AS BIGINT) AS supplier_cnt
+         |FROM (SELECT DISTINCT p_brand, p_type, p_size, ps_suppkey
+         |  FROM partsupp JOIN part ON ps_partkey = p_partkey
+         |  WHERE p_brand <> 'Brand#1' AND p_size IN (1, 5, 10, 15, 20, 25)
+         |    AND ps_suppkey NOT IN
+         |      (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0))
+         |GROUP BY 1, 2, 3
+         |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+    "q314_tpch_q20_ps" ->
+      s"""WITH $PartsuppSql
+         |SELECT s_suppkey, s_name
+         |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+         |WHERE n_name = 'NATION_9'
+         |  AND s_suppkey IN (
+         |    SELECT ps_suppkey
+         |    FROM partsupp JOIN part ON ps_partkey = p_partkey
+         |    WHERE p_type = 'PROMO'
+         |      AND ps_availqty * 20 > (
+         |        SELECT sum(CAST(round(l_quantity * 10) AS BIGINT))
+         |        FROM lineitem
+         |        WHERE l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+         |          AND l_shipdate >= TIMESTAMP '1997-01-01'
+         |          AND l_shipdate < TIMESTAMP '1998-01-01'))
+         |ORDER BY s_suppkey""".stripMargin,
     "q269_tpch_q4" ->
       """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
         |FROM orders o
