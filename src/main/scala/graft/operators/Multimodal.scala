@@ -556,6 +556,53 @@ object Multimodal {
         .orderBy("name")
     }),
 
+    "q315_jpeg_ingest" -> ((s, d) => {
+      // JPEG segment-walk ingest — the missing crawl image format
+      // (round-11 verdict #4): PNG (q144/q167/q200), WAV, AVI and PDF
+      // are decoded by this family, but >70% of real crawl images are
+      // JPEG. jpeg_info walks the exactly-specifiable SEGMENT layer
+      // with the q283 wire-format discipline: SOI→EOI marker tiling
+      // (truncation AND trailing garbage void the file), SOF0/SOF2
+      // dimensions/precision/components with exact segment lengths,
+      // DQT/DHT INTERNAL tiling into (Pq,Tq)+64/128 and (Tc,Th)+16+Σ
+      // entries with per-kind CRC32s over the raw table bytes (the
+      // oracle pins table BYTES, not just counts), DRI + stuffed/RST-
+      // aware entropy walk, multi-scan progressive files, JFIF/EXIF
+      // signature booleans. Reserved markers, other SOF types and a
+      // second SOI void the file rather than mis-report it; the three
+      // planted corruptions (mid-scan truncation, SOS marker flipped
+      // to reserved 0x7A, bytes after EOI) DROP here and ONLY they do
+      // (JpegSpec pins all three nulls; JpegLawsSpec round-trips an
+      // independent Scala builder + corruption properties). Oracle =
+      // the generator's manifest, re-validated by its own independent
+      // Python segment parser (tools/gen_jpeg_fixtures.py) — builder,
+      // Python parser and this decoder agree three ways. At 100 TB the
+      // walk runs inside the scan projection over binaryFile: ~100
+      // bytes of dimensions/counts/CRCs per image cross the shuffle,
+      // never pixels.
+      graft.functions.JpegFunctions.register(s)
+      s.read.format("binaryFile")
+        .option("pathGlobFilter", "*.jpg")
+        .load(graft.Fixtures.path("jpeg"))
+        .select(element_at(split(col("path"), "/"), -1).as("name"),
+          expr("jpeg_info(content)").as("j"),
+          col("length").as("n_bytes"))
+        .where(col("j").isNotNull) // DROPMALFORMED: the corrupt trio
+        .select(col("name"), col("j.width").as("width"),
+          col("j.height").as("height"),
+          col("j.precision").as("precision"),
+          col("j.n_components").as("n_components"),
+          col("j.progressive").as("progressive"),
+          col("j.n_segments").as("n_segments"),
+          col("j.n_dqt").as("n_dqt"), col("j.dqt_crc32").as("dqt_crc32"),
+          col("j.n_dht").as("n_dht"), col("j.dht_crc32").as("dht_crc32"),
+          col("j.jfif").as("jfif"), col("j.exif").as("exif"),
+          col("j.n_scans").as("n_scans"),
+          col("j.scan_bytes").as("scan_bytes"),
+          col("j.n_rst").as("n_rst"), col("n_bytes"))
+        .orderBy("name")
+    }),
+
     "q144_png_ingest" -> ((s, d) => {
       // REAL-bytes multimodal ingest — closes the "metadata-only" gap of
       // q90–q93: Spark's public binaryFile source reads the committed PNG
@@ -938,6 +985,25 @@ object Multimodal {
         |  CAST(n_chars AS BIGINT) AS n_chars, text_md5,
         |  coalesce(head40, '') AS head40
         |FROM read_csv('${graft.Fixtures.path("pdf")}/manifest.csv',
+        |              header=true)
+        |ORDER BY name""".stripMargin,
+    "q315_jpeg_ingest" ->
+      s"""SELECT name, CAST(width AS BIGINT) AS width,
+        |  CAST(height AS BIGINT) AS height,
+        |  CAST(precision AS BIGINT) AS precision,
+        |  CAST(n_components AS BIGINT) AS n_components,
+        |  progressive,
+        |  CAST(n_segments AS BIGINT) AS n_segments,
+        |  CAST(n_dqt AS BIGINT) AS n_dqt,
+        |  CAST(dqt_crc32 AS BIGINT) AS dqt_crc32,
+        |  CAST(n_dht AS BIGINT) AS n_dht,
+        |  CAST(dht_crc32 AS BIGINT) AS dht_crc32,
+        |  jfif, exif,
+        |  CAST(n_scans AS BIGINT) AS n_scans,
+        |  CAST(scan_bytes AS BIGINT) AS scan_bytes,
+        |  CAST(n_rst AS BIGINT) AS n_rst,
+        |  CAST(n_bytes AS BIGINT) AS n_bytes
+        |FROM read_csv('${graft.Fixtures.path("jpeg")}/manifest.csv',
         |              header=true)
         |ORDER BY name""".stripMargin,
     "q144_png_ingest" ->
