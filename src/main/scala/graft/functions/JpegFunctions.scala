@@ -178,6 +178,302 @@ object JpegInfo {
   }
 }
 
+/** Full BASELINE JPEG decode (q316) — the layer past q315's segment
+  * walk: canonical Huffman tables built from the file's own DHT
+  * segments (Annex C), Annex-F DC-difference/AC-run-length entropy
+  * decode with byte unstuffing and restart-marker sequence validation,
+  * zigzag dequantization against the file's DQT, and a FIXED-POINT
+  * integer IDCT whose 8×8 cosine matrix is embedded as the same
+  * literals in tools/gen_jpeg_decode_fixtures.py — integer-only
+  * arithmetic end to end, so the decoder and the fixture generator
+  * cannot drift by a ULP (the q246 shared-constant discipline applied
+  * to a whole transform).
+  *
+  * Supported profile (anything else decodes to null, never garbage):
+  * SOF0 baseline, 8-bit precision, ONE component (grayscale), 1×1
+  * sampling, single full scan (Ss=0, Se=63, Ah=Al=0), dimensions in
+  * whole 8×8 blocks, optional DRI. Malformed entropy data — a Huffman
+  * code outside the table, an AC run past index 63, a restart marker
+  * out of sequence, EOF mid-block — voids the file (corrupt_acrun.jpg
+  * plants the run-overflow case). Output is the decoded pixel surface
+  * as exact statistics + CRC32 over the row-major bytes, so the oracle
+  * pins every pixel without shipping pixels through the shuffle.
+  */
+object JpegPixels {
+
+  /** round(1024·c(u)·cos((2x+1)uπ/16)), c(0)=1/√2 — keep byte-identical
+    * with tools/gen_jpeg_decode_fixtures.py K. */
+  private val K: Array[Array[Int]] = Array(
+    Array(724, 1004, 946, 851, 724, 569, 392, 200),
+    Array(724, 851, 392, -200, -724, -1004, -946, -569),
+    Array(724, 569, -392, -1004, -724, 200, 946, 851),
+    Array(724, 200, -946, -569, 724, 851, -392, -1004),
+    Array(724, -200, -946, 569, 724, -851, -392, 1004),
+    Array(724, -569, -392, 1004, -724, -200, 946, -851),
+    Array(724, -851, 392, 200, -724, 1004, -946, 569),
+    Array(724, -1004, 946, -851, 724, -569, 392, -200))
+
+  private val ZZ: Array[Int] = Array(
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5, 12, 19, 26,
+    33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28, 35, 42, 49, 56,
+    57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51, 58, 59, 52, 45, 38,
+    31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63)
+
+  private val MaxPixels = 16L * 1024 * 1024 // allocation cap
+
+  private final class Malformed extends Exception(null, null, false, false)
+  private def fail(): Nothing = throw new Malformed
+
+  /** Canonical Huffman decode table (Annex C/F): symbol by (len, code). */
+  private final class Huff(counts: Array[Int], syms: Array[Int]) {
+    // mincode/maxcode/valptr per code length 1..16 (Annex F.2.2.3)
+    val minCode = new Array[Int](17)
+    val maxCode = new Array[Int](17)
+    val valPtr = new Array[Int](17)
+    locally {
+      var code = 0
+      var k = 0
+      var ln = 1
+      while (ln <= 16) {
+        if (counts(ln - 1) == 0) maxCode(ln) = -1
+        else {
+          valPtr(ln) = k
+          minCode(ln) = code
+          code += counts(ln - 1)
+          k += counts(ln - 1)
+          maxCode(ln) = code - 1
+        }
+        code <<= 1
+        ln += 1
+      }
+    }
+    def decode(br: BitReader): Int = {
+      var ln = 1
+      var code = br.bit()
+      while (ln <= 16 && (maxCode(ln) < 0 || code > maxCode(ln))) {
+        code = (code << 1) | br.bit()
+        ln += 1
+      }
+      if (ln > 16) fail()
+      syms(valPtr(ln) + code - minCode(ln))
+    }
+  }
+
+  /** MSB-first bit reader over the entropy-coded segment with FF00
+    * unstuffing; any other marker inside bit-reading is malformed. */
+  private final class BitReader(b: Array[Byte], var i: Int, n: Int) {
+    private var acc = 0
+    private var nb = 0
+    def alignToMarker(): Unit = { acc = 0; nb = 0 }
+    def bit(): Int = {
+      if (nb == 0) {
+        if (i >= n) fail()
+        val v = b(i) & 0xFF; i += 1
+        if (v == 0xFF) {
+          if (i >= n || (b(i) & 0xFF) != 0x00) fail()
+          i += 1
+        }
+        acc = v; nb = 8
+      }
+      nb -= 1
+      (acc >> nb) & 1
+    }
+    def bits(k: Int): Int = {
+      var v = 0; var j = 0
+      while (j < k) { v = (v << 1) | bit(); j += 1 }
+      v
+    }
+  }
+
+  private def extend(r: Int, s: Int): Int =
+    if (s == 0) 0 else if (r >= (1 << (s - 1))) r else r - (1 << s) + 1
+
+  /** struct(width, height, n_blocks, n_rst, px_min, px_max, px_sum,
+    * px_sqsum, px_crc32) or null (keep in sync with
+    * tools/gen_jpeg_decode_fixtures.py). */
+  def decode(b: Array[Byte]): InternalRow = {
+    if (b == null || b.length < 4) return null
+    if ((b(0) & 0xFF) != 0xFF || (b(1) & 0xFF) != 0xD8) return null
+    val n = b.length
+    def u8(k: Int): Int = { if (k >= n) fail(); b(k) & 0xFF }
+    def be16(k: Int): Int = { if (k + 1 >= n) fail(); (u8(k) << 8) | u8(k + 1) }
+    try {
+      var i = 2
+      var width = -1; var height = -1
+      val qtables = new Array[Array[Int]](4) // DQT tables by id
+      var qt: Array[Int] = null // single-component profile: one table id
+      var qtId = -1
+      val huffDc = new Array[Huff](4)
+      val huffAc = new Array[Huff](4)
+      var rstInterval = 0
+      var sofSeen = false
+      // ---- header segment walk up to SOS --------------------------------
+      var sosAt = -1
+      var dcSel = -1; var acSel = -1
+      while (sosAt < 0) {
+        if (u8(i) != 0xFF) fail()
+        while (u8(i) == 0xFF) i += 1
+        val m = u8(i); i += 1
+        if (m == 0xD9 || m == 0xD8 || m <= 0xBF) fail() // EOI/SOI/reserved pre-scan
+        val len = be16(i)
+        if (len < 2 || i + len > n) fail()
+        val p = i + 2
+        val plen = len - 2
+        m match {
+          case 0xC0 =>
+            if (sofSeen || plen != 9) fail() // 1 component only
+            sofSeen = true
+            if (u8(p) != 8) fail()
+            height = be16(p + 1); width = be16(p + 3)
+            if (u8(p + 5) != 1) fail()
+            if (u8(p + 7) != 0x11) fail() // 1x1 sampling
+            qtId = u8(p + 8)
+            if (width < 1 || height < 1 || width % 8 != 0 || height % 8 != 0)
+              fail()
+            if (width.toLong * height > MaxPixels) fail()
+          case 0xC4 =>
+            var off = 0
+            while (off < plen) {
+              val tcth = u8(p + off)
+              val tc = tcth >> 4; val th = tcth & 0x0F
+              if (tc > 1 || th > 3 || off + 17 > plen) fail()
+              val counts = new Array[Int](16)
+              var sum = 0
+              var k = 0
+              while (k < 16) { counts(k) = u8(p + off + 1 + k); sum += counts(k); k += 1 }
+              if (off + 17 + sum > plen) fail()
+              val syms = new Array[Int](sum)
+              k = 0
+              while (k < sum) { syms(k) = u8(p + off + 17 + k); k += 1 }
+              val h = new Huff(counts, syms)
+              if (tc == 0) huffDc(th) = h else huffAc(th) = h
+              off += 17 + sum
+            }
+            if (off != plen) fail()
+          case 0xDB =>
+            var off = 0
+            while (off < plen) {
+              val pqtq = u8(p + off)
+              if ((pqtq >> 4) > 1 || (pqtq & 0x0F) > 3) fail()
+              val sz = 64 * ((pqtq >> 4) + 1)
+              if (off + 1 + sz > plen) fail()
+              if ((pqtq >> 4) == 0) { // 8-bit table (the supported profile)
+                val t = new Array[Int](64)
+                var k = 0
+                while (k < 64) { t(k) = u8(p + off + 1 + k); k += 1 }
+                // stored by id: DQT legally arrives before OR after SOF,
+                // so the SOF's table ref resolves after the header walk
+                qtables(pqtq & 0x0F) = t
+              }
+              off += 1 + sz
+            }
+            if (off != plen) fail()
+          case 0xDD =>
+            if (plen != 2) fail()
+            rstInterval = be16(p)
+          case 0xDA =>
+            if (!sofSeen || plen != 6) fail()
+            if (u8(p) != 1) fail()
+            dcSel = u8(p + 2) >> 4; acSel = u8(p + 2) & 0x0F
+            if (u8(p + 3) != 0 || u8(p + 4) != 63 || u8(p + 5) != 0) fail()
+            sosAt = i + len
+          case x if x >= 0xE0 && x <= 0xEF => ()
+          case 0xFE => ()
+          case _ => fail()
+        }
+        i += len
+      }
+      qt = qtables(qtId)
+      if (qt == null) fail()
+      val dcH = huffDc(dcSel); val acH = huffAc(acSel)
+      if (dcH == null || acH == null) fail()
+      // ---- entropy decode + IDCT ----------------------------------------
+      val bw = width / 8; val bh = height / 8
+      val nBlocks = bw * bh
+      val px = new Array[Byte](width * height)
+      var br = new BitReader(b, sosAt, n)
+      var pred = 0
+      var nRst = 0L
+      var pMin = 255L; var pMax = 0L; var pSum = 0L; var pSq = 0L
+      val m = Array.ofDim[Long](8, 8)
+      var bi = 0
+      while (bi < nBlocks) {
+        if (rstInterval > 0 && bi > 0 && bi % rstInterval == 0) {
+          val at = br.i
+          if (u8(at) != 0xFF || u8(at + 1) != 0xD0 + (nRst % 8)) fail()
+          br = new BitReader(b, at + 2, n)
+          nRst += 1
+          pred = 0
+        }
+        var r = 0
+        while (r < 8) { java.util.Arrays.fill(m(r), 0L); r += 1 }
+        val s0 = dcH.decode(br)
+        if (s0 > 11) fail()
+        pred += extend(br.bits(s0), s0)
+        // a legal 8-bit baseline DC never leaves ±(255·16)·... keep the
+        // IDCT accumulator far from Long range under adversarial drift
+        if (pred < -65536 || pred > 65536) fail()
+        m(0)(0) = pred.toLong * qt(0)
+        var k = 1
+        var eob = false
+        while (k < 64 && !eob) {
+          val sym = acH.decode(br)
+          if (sym == 0x00) eob = true
+          else if (sym == 0xF0) { k += 16; if (k > 64) fail() }
+          else {
+            k += sym >> 4
+            val s = sym & 0x0F
+            if (s == 0 || k > 63) fail()
+            val v = extend(br.bits(s), s)
+            m(ZZ(k) / 8)(ZZ(k) % 8) = v.toLong * qt(k)
+            k += 1
+          }
+        }
+        // fixed-point IDCT — identical integer ops to the generator
+        val by = bi / bw; val bx = bi % bw
+        var y = 0
+        while (y < 8) {
+          var x = 0
+          while (x < 8) {
+            var acc = 0L
+            var a = 0
+            while (a < 8) {
+              if (K(y)(a) != 0) {
+                var inner = 0L
+                var c = 0
+                while (c < 8) { inner += K(x)(c) * m(a)(c); c += 1 }
+                acc += K(y)(a) * inner
+              }
+              a += 1
+            }
+            var v = 128L + ((acc + (1L << 21)) >> 22)
+            if (v < 0) v = 0
+            if (v > 255) v = 255
+            px((by * 8 + y) * width + bx * 8 + x) = v.toByte
+            if (v < pMin) pMin = v
+            if (v > pMax) pMax = v
+            pSum += v
+            pSq += v * v
+            x += 1
+          }
+          y += 1
+        }
+        bi += 1
+      }
+      // ---- trailer: byte-align, then EOI must close the file exactly ----
+      var j = br.i
+      if (u8(j) != 0xFF) fail()
+      while (u8(j) == 0xFF) j += 1
+      if (u8(j) != 0xD9) fail()
+      if (j + 1 != n) fail()
+      val crc = new java.util.zip.CRC32
+      crc.update(px)
+      InternalRow(width.toLong, height.toLong, nBlocks.toLong, nRst,
+        pMin, pMax, pSum, pSq, crc.getValue)
+    } catch { case _: Malformed => null }
+  }
+}
+
 /** jpeg_info(content) -> struct<...> or null (see [[JpegInfo.decode]]). */
 case class JpegInfoExpr(child: Expression) extends UnaryExpression {
   override def dataType: DataType = StructType(Seq(
@@ -214,9 +510,43 @@ case class JpegInfoExpr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** jpeg_pixels(content) -> struct<width, height, n_blocks, n_rst,
+  * px_min, px_max, px_sum, px_sqsum, px_crc32> or null
+  * (see [[JpegPixels.decode]]). */
+case class JpegPixelsExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("width", LongType, nullable = false),
+    StructField("height", LongType, nullable = false),
+    StructField("n_blocks", LongType, nullable = false),
+    StructField("n_rst", LongType, nullable = false),
+    StructField("px_min", LongType, nullable = false),
+    StructField("px_max", LongType, nullable = false),
+    StructField("px_sum", LongType, nullable = false),
+    StructField("px_sqsum", LongType, nullable = false),
+    StructField("px_crc32", LongType, nullable = false)))
+  override def nullable: Boolean = true
+  override def prettyName: String = "jpeg_pixels"
+
+  override def nullSafeEval(v: Any): Any =
+    JpegPixels.decode(v.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, b => {
+      s"""
+         |${ev.value} = graft.functions.JpegPixels.decode($b);
+         |${ev.isNull} = (${ev.value} == null);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object JpegFunctions {
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "jpeg_info", exprs => JpegInfoExpr(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "jpeg_pixels", exprs => JpegPixelsExpr(exprs.head), "built-in")
   }
 }

@@ -603,6 +603,45 @@ object Multimodal {
         .orderBy("name")
     }),
 
+    "q316_jpeg_decode" -> ((s, d) => {
+      // Full BASELINE JPEG decode — the layer past q315's segment walk,
+      // landed because the segment layer shipped early (the round-11
+      // verdict's conditional scope): canonical Huffman tables built
+      // from the file's own DHT, Annex-F DC-diff/AC-run-length entropy
+      // decode with byte unstuffing and restart-sequence validation,
+      // zigzag dequantization, and a FIXED-POINT integer IDCT whose
+      // cosine matrix is the SAME 64 literals in the generator — the
+      // q246 shared-constant discipline applied to a whole transform,
+      // so the expected pixel surface is bit-exact by construction, not
+      // by float luck. Supported profile: SOF0 grayscale 1×1, whole
+      // 8×8-block dimensions, single full scan, optional DRI; anything
+      // else (and any malformed entropy — the planted corrupt_acrun.jpg
+      // AC run past 63, out-of-sequence RST, EOF mid-block) voids the
+      // file. Ground truth three ways: the generator CHOOSES quantized
+      // coefficients by formula, its independent Python re-decoder
+      // proves the bitstream round-trips, and the manifest's pixel
+      // stats + CRC32 come from the shared integer IDCT. Output is
+      // stats + CRC over the row-major pixel surface — every pixel
+      // pinned, no pixel shuffled. At 100 TB this is the decode-at-
+      // ingest shape: entropy decode + IDCT run inside the scan
+      // projection; ~70 bytes of stats per image cross the shuffle.
+      graft.functions.JpegFunctions.register(s)
+      s.read.format("binaryFile")
+        .option("pathGlobFilter", "*.jpg")
+        .load(graft.Fixtures.path("jpeg_decode"))
+        .select(element_at(split(col("path"), "/"), -1).as("name"),
+          expr("jpeg_pixels(content)").as("j"),
+          col("length").as("n_bytes"))
+        .where(col("j").isNotNull) // DROPMALFORMED: corrupt_acrun.jpg
+        .select(col("name"), col("j.width").as("width"),
+          col("j.height").as("height"),
+          col("j.n_blocks").as("n_blocks"), col("j.n_rst").as("n_rst"),
+          col("j.px_min").as("px_min"), col("j.px_max").as("px_max"),
+          col("j.px_sum").as("px_sum"), col("j.px_sqsum").as("px_sqsum"),
+          col("j.px_crc32").as("px_crc32"), col("n_bytes"))
+        .orderBy("name")
+    }),
+
     "q144_png_ingest" -> ((s, d) => {
       // REAL-bytes multimodal ingest — closes the "metadata-only" gap of
       // q90–q93: Spark's public binaryFile source reads the committed PNG
@@ -985,6 +1024,20 @@ object Multimodal {
         |  CAST(n_chars AS BIGINT) AS n_chars, text_md5,
         |  coalesce(head40, '') AS head40
         |FROM read_csv('${graft.Fixtures.path("pdf")}/manifest.csv',
+        |              header=true)
+        |ORDER BY name""".stripMargin,
+    "q316_jpeg_decode" ->
+      s"""SELECT name, CAST(width AS BIGINT) AS width,
+        |  CAST(height AS BIGINT) AS height,
+        |  CAST(n_blocks AS BIGINT) AS n_blocks,
+        |  CAST(n_rst AS BIGINT) AS n_rst,
+        |  CAST(px_min AS BIGINT) AS px_min,
+        |  CAST(px_max AS BIGINT) AS px_max,
+        |  CAST(px_sum AS BIGINT) AS px_sum,
+        |  CAST(px_sqsum AS BIGINT) AS px_sqsum,
+        |  CAST(px_crc32 AS BIGINT) AS px_crc32,
+        |  CAST(n_bytes AS BIGINT) AS n_bytes
+        |FROM read_csv('${graft.Fixtures.path("jpeg_decode")}/manifest.csv',
         |              header=true)
         |ORDER BY name""".stripMargin,
     "q315_jpeg_ingest" ->
