@@ -644,6 +644,43 @@ object Streaming {
       drainMemorySink(sp, name).orderBy("user_id", "p_id", "c_id")
     }),
 
+    "q317_stream_outer_join" -> ((s, d) => withStreamPartitions(s, 4) { sp =>
+      // stream-stream LEFT OUTER join — the semantics q97's inner join
+      // cannot show: an unmatched purchase must still emit (with null
+      // click), but a streaming outer row can only surface once the
+      // WATERMARK proves no matching click can still arrive — late
+      // emission driven by state eviction, not by data. The staged
+      // 6-slab arrival (q97's state-probe source) gets a 7th far-future
+      // sentinel file that advances both sides' watermarks past every
+      // real row, so every unmatched purchase deterministically emits
+      // by end of stream (without it, the final slab's unmatched rows
+      // would sit in state forever — the trap this query documents).
+      // The oracle is the BATCH left join over the same time-bounded
+      // condition: streaming matched rows ≡ inner join ≡ batch, and
+      // each unmatched purchase emits EXACTLY once — hash equality pins
+      // both. Same eviction-safety argument as q97: the state horizon
+      // (1 h watermark + 10 min bound) covers the join window, so no
+      // true match is ever evicted early. Sentinel rows (user −1)
+      // filter out by id AFTER the drain.
+      val dir = ssjOuterStreamDir(sp, d)
+      val name = s"graft_ssjo_${System.nanoTime()}"
+      val sch = StructType(Seq(StructField("event_id", LongType),
+        StructField("ts", TimestampType), StructField("user_id", LongType),
+        StructField("event_type", StringType)))
+      val src = sp.readStream.schema(sch)
+        .option("maxFilesPerTrigger", "1").parquet(dir)
+      val q = ssJoin(src, src, "leftOuter")
+        .writeStream.outputMode("append")
+        .format("memory").queryName(name)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      drainMemorySink(sp, name)
+        .where(col("p_id") >= 0)
+        .select(col("user_id"), col("p_id"), col("c_id"), col("gap_us"),
+          col("c_id").isNotNull.as("matched"))
+        .orderBy("p_id", "c_id")
+    }),
+
     "q98_stream_dedup" -> ((s, d) => withStreamPartitions(s, 4) { sp =>
       // STREAMING dedup — the q61 fingerprint dedup as a stateful stream:
       // dropDuplicates keeps the fingerprint set in the state store and
@@ -966,7 +1003,7 @@ object Streaming {
     * every joinable row — eviction is free of false negatives BY
     * CONSTRUCTION, and JoinStateBoundSpec pins it by equality. */
   private[streaming] def ssJoin(clickSrc: DataFrame,
-      purchSrc: DataFrame): DataFrame = {
+      purchSrc: DataFrame, joinType: String = "inner"): DataFrame = {
     val clicks = clickSrc
       .filter(col("event_type") === "click")
       .select(col("user_id"), col("ts").as("c_ts"), col("event_id").as("c_id"))
@@ -979,7 +1016,7 @@ object Streaming {
     purchases.join(clicks,
         col("p_user") === col("user_id") &&
           col("c_ts") >= col("p_ts") - expr("INTERVAL 10 MINUTES") &&
-          col("c_ts") <= col("p_ts"))
+          col("c_ts") <= col("p_ts"), joinType)
       .select(col("p_user").as("user_id"), col("p_id"), col("c_id"),
         (unix_micros(col("p_ts")) - unix_micros(col("c_ts"))).as("gap_us"))
   }
@@ -991,8 +1028,22 @@ object Streaming {
     * sessStreamDir discipline: FileStreamSource orders by modification
     * time). Each arriving slab advances the watermark ~5 days, so the
     * previous slab's join state is evictable by the next batch. */
-  private def ssjStreamDir(s: SparkSession, d: String): String = {
-    val dir = graft.Staging.dirFor("ssjstream", d)
+  private def ssjStreamDir(s: SparkSession, d: String): String =
+    stageSlabbedEvents(s, d, "ssjstream", sentinel = false)
+
+  /** q317's variant of the staged arrival: the same 6 slabs plus a 7th
+    * far-future sentinel file (one click + one purchase on user −1, 2024-
+    * 12-01) whose only job is to advance BOTH sides' watermarks past
+    * every real row, so the left-outer join's unmatched purchases are
+    * deterministically EMITTED (outer rows surface only when the
+    * watermark proves no match can still arrive); the sentinel's own
+    * rows filter out of the result by id. */
+  private def ssjOuterStreamDir(s: SparkSession, d: String): String =
+    stageSlabbedEvents(s, d, "ssjostream", sentinel = true)
+
+  private def stageSlabbedEvents(s: SparkSession, d: String, ns: String,
+      sentinel: Boolean): String = {
+    val dir = graft.Staging.dirFor(ns, d)
     graft.Staging.once(dir) {
       def stampParts(mtime: Long, stamped: Set[String]): Set[String] = {
         val dp = java.nio.file.Paths.get(dir)
@@ -1023,6 +1074,16 @@ object Streaming {
         ev.where(col("slab") === k).drop("slab")
           .coalesce(1).write.mode("append").parquet(dir)
         stamped = stampParts(t0 + 60000L * k, stamped)
+      }
+      if (sentinel) {
+        import s.implicits._
+        Seq((-1L, java.sql.Timestamp.valueOf("2024-12-01 00:00:00"),
+            -1L, "click"),
+          (-2L, java.sql.Timestamp.valueOf("2024-12-01 00:00:00"),
+            -1L, "purchase"))
+          .toDF("event_id", "ts", "user_id", "event_type")
+          .coalesce(1).write.mode("append").parquet(dir)
+        stamped = stampParts(t0 + 60000L * 7, stamped)
       }
     }
     dir
@@ -1200,6 +1261,22 @@ object Streaming {
         |  FROM events)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q97_stream_stream_join" -> PurchaseClickOracleSql,
+    // the batch LEFT join over the identical time-bounded condition:
+    // streaming matched rows ≡ inner ≡ batch, and every unmatched
+    // purchase emits exactly once after the sentinel advances the
+    // watermark — within a p_id the c_id set is either all-null (one
+    // row) or all-non-null, so the ORDER BY never compares null against
+    // value (Spark sorts nulls first, DuckDB last — the usual trap)
+    "q317_stream_outer_join" ->
+      """SELECT p.user_id, p.event_id AS p_id, c.event_id AS c_id,
+        |  CASE WHEN c.event_id IS NULL THEN NULL
+        |    ELSE epoch_us(p.ts) - epoch_us(c.ts) END AS gap_us,
+        |  c.event_id IS NOT NULL AS matched
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id
+        | AND c.ts >= p.ts - INTERVAL 10 MINUTE AND c.ts <= p.ts
+        |ORDER BY p_id, c_id""".stripMargin,
     "q98_stream_dedup" ->
       s"""SELECT DISTINCT ${graft.operators.Dedup.contentFpSql} AS fp
          |FROM documents ORDER BY fp""".stripMargin,

@@ -479,6 +479,38 @@ class PlanSpec extends SparkSpec {
       s"part is a broadcast dim in Q19:\n$p")
   }
 
+  test("q311: true Q2 broadcasts the region-supplier dim and the filtered part") {
+    val p = plan("q311_tpch_q2_ps")
+    assert(p.contains("BroadcastHashJoin"),
+      s"supplier⋈nation⋈region collapses to a broadcast before partsupp:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q312: true Q11's per-part value frame computes once (cache), nation broadcasts") {
+    val p = plan("q312_tpch_q11_ps")
+    assert(p.contains("InMemoryTableScan"),
+      s"pv must feed both the scalar total and the filter from ONE cache:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the nation-filtered supplier key set must broadcast:\n$p")
+  }
+
+  test("q313: true Q16's NOT-IN is a broadcast left-anti") {
+    val p = plan("q313_tpch_q16_ps")
+    assert(p.contains("LeftAnti"),
+      s"flagged suppliers must exclude via anti-join, never a NOT IN scan:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"every dim here is broadcast-sized — a shuffle join is a regression:\n$p")
+  }
+
+  test("q314: true Q20's correlated gate decorrelates without a cartesian") {
+    val p = plan("q314_tpch_q20_ps")
+    assert(p.contains("LeftSemi"),
+      s"the qualified-supplier set gates the nation dim via semi-join:\n$p")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"),
+      s"the 1997 ship-date range must reach the lineitem scan:\n$p")
+  }
+
   test("q299: PPR reuses q128's cached pre-partitioned edge frame") {
     graft.CacheRegistry.release(spark)
     SparkEntry.queries("q128_pagerank")(spark, sf0001).collect()
