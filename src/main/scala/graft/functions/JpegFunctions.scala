@@ -202,8 +202,10 @@ object JpegInfo {
 object JpegPixels {
 
   /** round(1024·c(u)·cos((2x+1)uπ/16)), c(0)=1/√2 — keep byte-identical
-    * with tools/gen_jpeg_decode_fixtures.py K. */
-  private val K: Array[Array[Int]] = Array(
+    * with tools/gen_jpeg_decode_fixtures.py K. `private[graft]` so
+    * JpegScale's expected-side pixel math provably uses the SAME matrix
+    * (the writer's entropy/Huffman layer stays fully independent). */
+  private[graft] val K: Array[Array[Int]] = Array(
     Array(724, 1004, 946, 851, 724, 569, 392, 200),
     Array(724, 851, 392, -200, -724, -1004, -946, -569),
     Array(724, 569, -392, -1004, -724, 200, 946, 851),
@@ -213,7 +215,7 @@ object JpegPixels {
     Array(724, -851, 392, 200, -724, 1004, -946, 569),
     Array(724, -1004, 946, -851, 724, -569, 392, -200))
 
-  private val ZZ: Array[Int] = Array(
+  private[graft] val ZZ: Array[Int] = Array(
     0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5, 12, 19, 26,
     33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28, 35, 42, 49, 56,
     57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51, 58, 59, 52, 45, 38,
