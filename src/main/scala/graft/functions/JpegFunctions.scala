@@ -512,6 +512,141 @@ case class JpegInfoExpr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** EXIF IFD walk (q319) — the metadata layer crawl pipelines actually
+  * consult before pixels (orientation decides whether width/height swap
+  * at render): locate the APP1 "Exif\0\0" segment with a light marker
+  * walk, then parse the embedded TIFF structure — byte order (II/MM —
+  * every multi-byte field swaps with it), magic 42, IFD0 entry walk
+  * (tag, type, count, value-or-offset with the ≤4-bytes-inline rule),
+  * extracting Orientation (0x0112 SHORT), ImageWidth/ImageLength
+  * (0x0100/0x0101 SHORT or LONG) and Make (0x010F ASCII, offset-stored
+  * when longer than 4 bytes, trailing NUL stripped). All offsets are
+  * TIFF-header-relative and bounds-checked against the SEGMENT — a
+  * malformed IFD voids the result, it can never read past the APP1
+  * payload. Missing tags surface as null FIELDS (an IFD without an
+  * orientation is common and valid); a file without a valid Exif APP1
+  * returns null. Oracle = the generator's builder-intent manifest
+  * (manifest_exif.csv), both byte orders committed. */
+object JpegExif {
+
+  private final class Malformed extends Exception(null, null, false, false)
+  private def fail(): Nothing = throw new Malformed
+
+  def decode(b: Array[Byte]): InternalRow = {
+    if (b == null || b.length < 4) return null
+    if ((b(0) & 0xFF) != 0xFF || (b(1) & 0xFF) != 0xD8) return null
+    val n = b.length
+    def u8(k: Int): Int = { if (k < 0 || k >= n) fail(); b(k) & 0xFF }
+    try {
+      // light marker walk to the APP1 Exif segment (stop at SOS/EOI)
+      var i = 2
+      var p0 = -1
+      var plen = -1
+      while (p0 < 0) {
+        if (u8(i) != 0xFF) fail()
+        while (u8(i) == 0xFF) i += 1
+        val m = u8(i); i += 1
+        if (m == 0xD9 || m == 0xDA) return null // no EXIF before scan
+        if (m == 0xD8 || m <= 0xBF) fail()
+        val len = ((u8(i) << 8) | u8(i + 1))
+        if (len < 2 || i + len > n) fail()
+        if (m == 0xE1 && len >= 8 + 6 &&
+            u8(i + 2) == 'E' && u8(i + 3) == 'x' && u8(i + 4) == 'i' &&
+            u8(i + 5) == 'f' && u8(i + 6) == 0 && u8(i + 7) == 0) {
+          p0 = i + 8 // TIFF header start
+          plen = len - 2 - 6
+        }
+        i += len
+      }
+      // TIFF parse, all offsets relative to p0, bounded by plen
+      def tu8(k: Int): Int = { if (k < 0 || k + 1 > plen) fail(); b(p0 + k) & 0xFF }
+      val little = (tu8(0), tu8(1)) match {
+        case (0x49, 0x49) => true
+        case (0x4D, 0x4D) => false
+        case _ => fail()
+      }
+      def u16(k: Int): Int =
+        if (little) tu8(k) | (tu8(k + 1) << 8) else (tu8(k) << 8) | tu8(k + 1)
+      def u32(k: Int): Long =
+        if (little)
+          tu8(k).toLong | (tu8(k + 1).toLong << 8) |
+            (tu8(k + 2).toLong << 16) | (tu8(k + 3).toLong << 24)
+        else
+          (tu8(k).toLong << 24) | (tu8(k + 1).toLong << 16) |
+            (tu8(k + 2).toLong << 8) | tu8(k + 3).toLong
+      if (u16(2) != 42) fail()
+      val ifd = u32(4)
+      if (ifd < 8 || ifd + 2 > plen) fail()
+      val cnt = u16(ifd.toInt)
+      if (ifd + 2 + 12L * cnt + 4 > plen) fail()
+      var orientation: java.lang.Long = null
+      var widthTag: java.lang.Long = null
+      var heightTag: java.lang.Long = null
+      var make: org.apache.spark.unsafe.types.UTF8String = null
+      var e = 0
+      while (e < cnt) {
+        val at = ifd.toInt + 2 + 12 * e
+        val tag = u16(at)
+        val typ = u16(at + 2)
+        val c = u32(at + 4)
+        val f = at + 8
+        def intVal(): java.lang.Long =
+          if (typ == 3 && c == 1) java.lang.Long.valueOf(u16(f).toLong)
+          else if (typ == 4 && c == 1) java.lang.Long.valueOf(u32(f))
+          else null
+        tag match {
+          case 0x0100 => widthTag = intVal()
+          case 0x0101 => heightTag = intVal()
+          case 0x0112 => orientation = intVal()
+          case 0x010F if typ == 2 && c >= 1 && c <= 4096 =>
+            val off = if (c <= 4) f.toLong else u32(f)
+            if (off + c > plen) fail()
+            var len = c.toInt
+            while (len > 0 && tu8((off + len - 1).toInt) == 0) len -= 1
+            val s = new Array[Byte](len)
+            var k = 0
+            while (k < len) { s(k) = b(p0 + off.toInt + k); k += 1 }
+            make = org.apache.spark.unsafe.types.UTF8String.fromBytes(s)
+          case _ => ()
+        }
+        e += 1
+      }
+      InternalRow(
+        org.apache.spark.unsafe.types.UTF8String
+          .fromString(if (little) "II" else "MM"),
+        cnt.toLong, orientation, widthTag, heightTag, make)
+    } catch { case _: Malformed => null }
+  }
+}
+
+/** jpeg_exif(content) -> struct<byte_order, n_entries, orientation,
+  * width_tag, height_tag, make> or null (see [[JpegExif.decode]]). */
+case class JpegExifExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("byte_order", StringType, nullable = false),
+    StructField("n_entries", LongType, nullable = false),
+    StructField("orientation", LongType, nullable = true),
+    StructField("width_tag", LongType, nullable = true),
+    StructField("height_tag", LongType, nullable = true),
+    StructField("make", StringType, nullable = true)))
+  override def nullable: Boolean = true
+  override def prettyName: String = "jpeg_exif"
+
+  override def nullSafeEval(v: Any): Any =
+    JpegExif.decode(v.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, b => {
+      s"""
+         |${ev.value} = graft.functions.JpegExif.decode($b);
+         |${ev.isNull} = (${ev.value} == null);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** jpeg_pixels(content) -> struct<width, height, n_blocks, n_rst,
   * px_min, px_max, px_sum, px_sqsum, px_crc32> or null
   * (see [[JpegPixels.decode]]). */
@@ -550,5 +685,7 @@ object JpegFunctions {
       "jpeg_info", exprs => JpegInfoExpr(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "jpeg_pixels", exprs => JpegPixelsExpr(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "jpeg_exif", exprs => JpegExifExpr(exprs.head), "built-in")
   }
 }

@@ -603,6 +603,36 @@ object Multimodal {
         .orderBy("name")
     }),
 
+    "q319_jpeg_exif" -> ((s, d) => {
+      // EXIF IFD walk — the metadata crawl pipelines consult BEFORE
+      // pixels (orientation decides whether width/height swap at
+      // render): jpeg_exif locates the APP1 "Exif\0\0" segment and
+      // parses the embedded TIFF — byte order II/MM (both committed as
+      // fixtures; every multi-byte field swaps), magic 42, the IFD0
+      // entry walk with the ≤4-bytes-inline-else-offset value rule —
+      // extracting Orientation, ImageWidth/Length tags and the Make
+      // string (offset-stored in the II fixture, inline in the MM one).
+      // Offsets are TIFF-relative and bounds-checked against the
+      // segment; missing tags are null FIELDS, files without EXIF drop.
+      // Oracle = the generator's builder-intent manifest
+      // (manifest_exif.csv). At 100 TB: same scan-projection shape as
+      // q315 — a per-row bounded walk, ~50 bytes out per image.
+      graft.functions.JpegFunctions.register(s)
+      s.read.format("binaryFile")
+        .option("pathGlobFilter", "*.jpg")
+        .load(graft.Fixtures.path("jpeg"))
+        .select(element_at(split(col("path"), "/"), -1).as("name"),
+          expr("jpeg_exif(content)").as("x"))
+        .where(col("x").isNotNull)
+        .select(col("name"), col("x.byte_order").as("byte_order"),
+          col("x.n_entries").as("n_entries"),
+          col("x.orientation").as("orientation"),
+          col("x.width_tag").as("width_tag"),
+          col("x.height_tag").as("height_tag"),
+          col("x.make").as("make"))
+        .orderBy("name")
+    }),
+
     "q316_jpeg_decode" -> ((s, d) => {
       // Full BASELINE JPEG decode — the layer past q315's segment walk,
       // landed because the segment layer shipped early (the round-11
@@ -1024,6 +1054,16 @@ object Multimodal {
         |  CAST(n_chars AS BIGINT) AS n_chars, text_md5,
         |  coalesce(head40, '') AS head40
         |FROM read_csv('${graft.Fixtures.path("pdf")}/manifest.csv',
+        |              header=true)
+        |ORDER BY name""".stripMargin,
+    "q319_jpeg_exif" ->
+      s"""SELECT name, byte_order,
+        |  CAST(n_entries AS BIGINT) AS n_entries,
+        |  CAST(orientation AS BIGINT) AS orientation,
+        |  CAST(width_tag AS BIGINT) AS width_tag,
+        |  CAST(height_tag AS BIGINT) AS height_tag,
+        |  make
+        |FROM read_csv('${graft.Fixtures.path("jpeg")}/manifest_exif.csv',
         |              header=true)
         |ORDER BY name""".stripMargin,
     "q316_jpeg_decode" ->

@@ -373,6 +373,48 @@ object Relational {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    "q318_scd2_build" -> ((s, d) => {
+      // SLOWLY-CHANGING-DIMENSION TYPE 2 build — the warehouse operator
+      // that turns a change LOG into a versioned dimension with
+      // validity intervals: per user, the event stream's type is read
+      // as the user's current "tier", and the SCD2 rules apply exactly:
+      // (1) consecutive DUPLICATE values collapse — a new version opens
+      // only when the value CHANGES (the lag-compare + running-sum
+      // version id, the classic gaps-and-islands reduction); (2) each
+      // version's valid_from is its first event, valid_to is the NEXT
+      // version's valid_from (exclusive upper bound — intervals tile
+      // with no gaps/overlaps by construction), null for the current
+      // row. All windows partition by user_id and share ONE shuffle
+      // (sort (ts, event_id) — a unique total order, so version ids
+      // are deterministic under any layout). Times emit as exact epoch
+      // micros. At 100 TB this is the standard CDC→dimension shape:
+      // one exchange on the business key, per-key sorted windows,
+      // O(versions) output.
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val changes = events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type").as("tier"))
+        .withColumn("prev", lag(col("tier"), 1).over(w))
+        .withColumn("chg",
+          when(col("prev").isNull || col("prev") =!= col("tier"), 1L)
+            .otherwise(0L))
+        .withColumn("version", sum(col("chg")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val versions = changes.groupBy(col("user_id"), col("version"))
+        .agg(min(struct(col("ts"), col("event_id"), col("tier"))).as("first"),
+          count(lit(1)).as("n_events"))
+        .select(col("user_id"), col("version"),
+          col("first.tier").as("tier"),
+          expr("unix_micros(first.ts)").as("valid_from_us"),
+          col("n_events"))
+      val wv = Window.partitionBy(col("user_id")).orderBy(col("version"))
+      versions
+        .withColumn("valid_to_us", lead(col("valid_from_us"), 1).over(wv))
+        .withColumn("is_current", col("valid_to_us").isNull)
+        .orderBy("user_id", "version")
+    }),
+
     "q311_tpch_q2_ps" -> ((s, d) => {
       // TPC-H Q2 UNADAPTED — the correlated "supplier whose cost equals
       // the minimum for this part within the region" over a REAL
@@ -3951,6 +3993,32 @@ object Relational {
     // HAVING-over-scalar) over the shared PartsuppSql fragment — a
     // DIFFERENT algebra than the Spark side's decorrelated joins, so
     // the hash compare cross-certifies the decorrelation itself.
+    "q318_scd2_build" ->
+      """WITH ch AS (
+        |  SELECT user_id, ts, event_id, event_type AS tier,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |ver AS (
+        |  SELECT user_id, ts, event_id, tier,
+        |    CAST(sum(CASE WHEN prev IS NULL OR prev <> tier THEN 1
+        |      ELSE 0 END) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS version
+        |  FROM ch),
+        |v AS (
+        |  SELECT user_id, version,
+        |    min(struct_pack(ts := ts, event_id := event_id,
+        |      tier := tier)) AS first,
+        |    CAST(count(*) AS BIGINT) AS n_events
+        |  FROM ver GROUP BY 1, 2)
+        |SELECT user_id, version, first.tier AS tier,
+        |  CAST(epoch_us(first.ts) AS BIGINT) AS valid_from_us, n_events,
+        |  CAST(lead(epoch_us(first.ts)) OVER (PARTITION BY user_id
+        |    ORDER BY version) AS BIGINT) AS valid_to_us,
+        |  lead(epoch_us(first.ts)) OVER (PARTITION BY user_id
+        |    ORDER BY version) IS NULL AS is_current
+        |FROM v
+        |ORDER BY user_id, version""".stripMargin,
     "q311_tpch_q2_ps" ->
       s"""WITH $PartsuppSql,
          |rs AS (

@@ -38,7 +38,7 @@ class JpegDecodeSpec extends SparkSpec {
         expr("jpeg_info(content)").as("info"),
         expr("jpeg_pixels(content)").as("px"))
       .collect()
-    assert(rows.length == 5)
+    assert(rows.length == 6)
     rows.foreach { r =>
       assert(!r.isNullAt(1), s"${r.getString(0)}: segment walk must pass")
       assert(r.isNullAt(2), s"${r.getString(0)}: out-of-profile file " +

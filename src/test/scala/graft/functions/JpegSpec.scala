@@ -19,12 +19,12 @@ class JpegSpec extends SparkSpec {
       .select(element_at(split(col("path"), "/"), -1).as("name"),
         expr("jpeg_info(content)").as("j"))
       .collect()
-    assert(rows.length == 8, s"expected 8 fixtures, saw ${rows.length}")
+    assert(rows.length == 9, s"expected 9 fixtures, saw ${rows.length}")
     val (bad, good) = rows.partition(_.isNullAt(1))
     assert(bad.map(_.getString(0)).sorted.toSeq == Seq(
       "corrupt_marker.jpg", "corrupt_trail.jpg", "corrupt_trunc.jpg"),
       s"wrong malformed set: ${bad.map(_.getString(0)).mkString(",")}")
-    assert(good.length == 5)
+    assert(good.length == 6)
   }
 
   test("jpeg_info survives non-JPEG bytes without throwing") {

@@ -37,9 +37,36 @@ def app0_jfif():
     return seg(0xE0, b"JFIF\x00" + bytes([1, 2, 0]) + struct.pack(">HH", 72, 72) + b"\x00\x00")
 
 
-def app1_exif():
-    # minimal TIFF header after the Exif signature
-    return seg(0xE1, b"Exif\x00\x00" + b"II*\x00\x08\x00\x00\x00")
+def tiff_ifd(byte_order, orientation, make, width, height):
+    """A real TIFF IFD0 for the APP1 payload: ImageWidth (LONG),
+    ImageLength (LONG), Make (ASCII — stored at an offset when > 4
+    bytes, exercising the indirection), Orientation (SHORT — value
+    left-justified in the 4-byte field). Entries tag-sorted, next-IFD
+    offset 0. Works for both II and MM."""
+    e = "<" if byte_order == b"II" else ">"
+    make_b = make.encode() + b"\x00"
+    n = 4
+    header = byte_order + struct.pack(e + "H", 42) + struct.pack(e + "I", 8)
+    val_area_off = 8 + 2 + n * 12 + 4
+    entries = b""
+    entries += struct.pack(e + "HHI", 0x0100, 4, 1) + struct.pack(e + "I", width)
+    entries += struct.pack(e + "HHI", 0x0101, 4, 1) + struct.pack(e + "I", height)
+    if len(make_b) <= 4:
+        entries += struct.pack(e + "HHI", 0x010F, 2, len(make_b)) + make_b.ljust(4, b"\x00")
+        val_area = b""
+    else:
+        entries += struct.pack(e + "HHI", 0x010F, 2, len(make_b)) \
+            + struct.pack(e + "I", val_area_off)
+        val_area = make_b
+    entries += struct.pack(e + "HHI", 0x0112, 3, 1) \
+        + struct.pack(e + "H", orientation) + b"\x00\x00"
+    ifd = struct.pack(e + "H", n) + entries + struct.pack(e + "I", 0)
+    return b"Exif\x00\x00" + header + ifd + val_area
+
+
+def app1_exif(byte_order=b"II", orientation=6, make="graftcam longname",
+              width=640, height=480):
+    return seg(0xE1, tiff_ifd(byte_order, orientation, make, width, height))
 
 
 def dqt(tables):
@@ -253,14 +280,26 @@ def main():
                              + sof(0xC0, 8, 37, 53, 3) + h1 + h2
                              + sos_header(3) + e1 + b"\xFF\xD9")
 
-    # img_exif: grayscale with EXIF, DRI + restart markers in the scan.
+    # img_exif: grayscale with a FULL little-endian EXIF IFD (Make at an
+    # offset — the indirection path), DRI + restart markers in the scan.
     d2, _ = dqt([(0, 0, 11)])
     h3, _ = dht([(0, 0, 8), (1, 0, 11)])
     e2, _, _ = entropy(300, seed=13, rst_every=64)
-    files["img_exif.jpg"] = (b"\xFF\xD8" + app1_exif() + d2
-                             + sof(0xC0, 8, 480, 640, 1) + h3
+    files["img_exif.jpg"] = (b"\xFF\xD8"
+                             + app1_exif(b"II", 6, "graftcam longname", 640, 480)
+                             + d2 + sof(0xC0, 8, 480, 640, 1) + h3
                              + seg(0xDD, struct.pack(">H", 64))
                              + sos_header(1) + e2 + b"\xFF\xD9")
+
+    # img_exif_mm: the BIG-ENDIAN byte-order leg (MM), short inline Make,
+    # orientation 3 — every multi-byte IFD field swaps.
+    d2b, _ = dqt([(0, 1, 23)])
+    h3b, _ = dht([(0, 0, 5), (1, 0, 9)])
+    e2b, _, _ = entropy(150, seed=47)
+    files["img_exif_mm.jpg"] = (b"\xFF\xD8"
+                                + app1_exif(b"MM", 3, "gfx", 320, 200)
+                                + d2b + sof(0xC0, 8, 200, 320, 1) + h3b
+                                + sos_header(1) + e2b + b"\xFF\xD9")
 
     # img_prog: SOF2 progressive, TWO scans with a DHT between them (the
     # multi-scan walk), plus a COM segment.
@@ -338,6 +377,14 @@ def main():
             vals = [str(m[c]).lower() if isinstance(m[c], bool) else str(m[c])
                     for c in cols]
             f.write(f"{name}," + ",".join(vals) + f",{nb}\n")
+
+    # EXIF manifest: BUILDER INTENT — the exact parameters the IFDs above
+    # were constructed with (q319's oracle; the Scala decoder recovers
+    # them independently from the bytes)
+    with open(os.path.join(OUT, "manifest_exif.csv"), "w") as f:
+        f.write("name,byte_order,n_entries,orientation,width_tag,height_tag,make\n")
+        f.write("img_exif.jpg,II,4,6,640,480,graftcam longname\n")
+        f.write("img_exif_mm.jpg,MM,4,3,320,200,gfx\n")
     print(f"wrote {len(rows)} good + 3 corrupt fixtures to {OUT}")
 
 
