@@ -356,6 +356,28 @@ object Relational {
         expr("1 + (h div 128) % 9999").as("ps_availqty"),
         expr("100 + (h div 1024) % 99901").as("ps_supplycost_cents"))
 
+  /** q318's gaps-and-islands version derivation as a WITH fragment —
+    * ONE text shared by the batch oracle (q318) and the streaming SCD2
+    * oracle (q321), so the two legs certify the same algebra. */
+  val Scd2VersionsCte: String =
+    """ch AS (
+      |  SELECT user_id, ts, event_id, event_type AS tier,
+      |    lag(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) AS prev
+      |  FROM events),
+      |ver AS (
+      |  SELECT user_id, ts, event_id, tier,
+      |    CAST(sum(CASE WHEN prev IS NULL OR prev <> tier THEN 1
+      |      ELSE 0 END) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS version
+      |  FROM ch),
+      |v AS (
+      |  SELECT user_id, version,
+      |    min(struct_pack(ts := ts, event_id := event_id,
+      |      tier := tier)) AS first,
+      |    CAST(count(*) AS BIGINT) AS n_events
+      |  FROM ver GROUP BY 1, 2)""".stripMargin
+
   /** The identical relation as a DuckDB WITH fragment (hex parse via
     * CAST('0x'||h AS BIGINT) ≡ Spark conv(h,16,10) — the q140 idiom;
     * 12 hex digits ≤ 2^48, BIGINT-safe both engines). */
@@ -372,6 +394,44 @@ object Relational {
       |    FROM part, (VALUES (0), (1), (2), (3)) AS r(j)))""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "q320_ivm_retract" -> ((s, d) => {
+      // Incremental AGGREGATE-view maintenance under RETRACTIONS — the
+      // leg q155 (insert-only deltas) and q297 (join views) leave open:
+      // a CDC stream carries UPDATEs and DELETEs, and a SUM view
+      // maintains by adjustment algebra, never by rescan: U contributes
+      // (+new − old), D contributes (−old). The CDC set is
+      // deterministic on the key (the q65 injected-input discipline:
+      // orderkey ≡ 3 (mod 11) updates price by +10% in exact cents,
+      // ≡ 7 (mod 11) deletes), so both engines derive the identical
+      // stream. Output pins the DECOMPOSITION per priority — base,
+      // adjustment, maintained — and the oracle ALSO recomputes
+      // maintained FLAT from the post-CDC table, so the algebra is
+      // cross-certified against a different evaluation order, not just
+      // re-run. At 100 TB the base aggregate is the STORED view (built
+      // once); maintenance work is proportional to the CDC batch — the
+      // base table is never re-joined or re-scanned.
+      val base = t(s, d, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(sum(cents(col("o_totalprice"))).as("base_cents"))
+      val cdc = t(s, d, "orders")
+        .where(pmod(col("o_orderkey"), lit(11)).isin(3, 7))
+        .select(col("o_orderpriority"),
+          when(pmod(col("o_orderkey"), lit(11)) === 3,
+            // UPDATE: price -> price + 10% (exact cents); adj = new - old
+            expr("CAST(round(o_totalprice * 100) AS BIGINT) div 10"))
+            .otherwise(
+              // DELETE: adj = -old
+              -cents(col("o_totalprice"))).as("adj"))
+      val adj = cdc.groupBy(col("o_orderpriority"))
+        .agg(sum(col("adj")).as("adj_cents"))
+      base.join(adj, Seq("o_orderpriority"), "left")
+        .select(col("o_orderpriority"), col("base_cents"),
+          coalesce(col("adj_cents"), lit(0L)).as("adj_cents"),
+          (col("base_cents") + coalesce(col("adj_cents"), lit(0L)))
+            .as("maintained_cents"))
+        .orderBy("o_orderpriority")
+    }),
 
     "q318_scd2_build" -> ((s, d) => {
       // SLOWLY-CHANGING-DIMENSION TYPE 2 build — the warehouse operator
@@ -3993,24 +4053,39 @@ object Relational {
     // HAVING-over-scalar) over the shared PartsuppSql fragment — a
     // DIFFERENT algebra than the Spark side's decorrelated joins, so
     // the hash compare cross-certifies the decorrelation itself.
+    // maintained recomputed FLAT from the post-CDC table (a different
+    // evaluation order than Spark's base+adjustment), base/adj from the
+    // decomposition — the join of the two pins the algebra itself
+    "q320_ivm_retract" ->
+      """WITH base AS (
+        |  SELECT o_orderpriority,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |      AS base_cents
+        |  FROM orders GROUP BY 1),
+        |adj AS (
+        |  SELECT o_orderpriority, CAST(sum(CASE
+        |    WHEN o_orderkey % 11 = 3
+        |      THEN CAST(round(o_totalprice * 100) AS BIGINT) // 10
+        |    ELSE -CAST(round(o_totalprice * 100) AS BIGINT) END) AS BIGINT)
+        |      AS adj_cents
+        |  FROM orders WHERE o_orderkey % 11 IN (3, 7) GROUP BY 1),
+        |flat AS (
+        |  SELECT o_orderpriority, CAST(sum(CASE
+        |    WHEN o_orderkey % 11 = 7 THEN 0
+        |    WHEN o_orderkey % 11 = 3
+        |      THEN CAST(round(o_totalprice * 100) AS BIGINT)
+        |        + CAST(round(o_totalprice * 100) AS BIGINT) // 10
+        |    ELSE CAST(round(o_totalprice * 100) AS BIGINT) END) AS BIGINT)
+        |      AS maintained_cents
+        |  FROM orders GROUP BY 1)
+        |SELECT base.o_orderpriority, base_cents,
+        |  coalesce(adj_cents, 0) AS adj_cents, maintained_cents
+        |FROM base
+        |LEFT JOIN adj ON base.o_orderpriority = adj.o_orderpriority
+        |JOIN flat ON base.o_orderpriority = flat.o_orderpriority
+        |ORDER BY base.o_orderpriority""".stripMargin,
     "q318_scd2_build" ->
-      """WITH ch AS (
-        |  SELECT user_id, ts, event_id, event_type AS tier,
-        |    lag(event_type) OVER (PARTITION BY user_id
-        |      ORDER BY ts, event_id) AS prev
-        |  FROM events),
-        |ver AS (
-        |  SELECT user_id, ts, event_id, tier,
-        |    CAST(sum(CASE WHEN prev IS NULL OR prev <> tier THEN 1
-        |      ELSE 0 END) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS version
-        |  FROM ch),
-        |v AS (
-        |  SELECT user_id, version,
-        |    min(struct_pack(ts := ts, event_id := event_id,
-        |      tier := tier)) AS first,
-        |    CAST(count(*) AS BIGINT) AS n_events
-        |  FROM ver GROUP BY 1, 2)
+      s"""WITH $Scd2VersionsCte
         |SELECT user_id, version, first.tier AS tier,
         |  CAST(epoch_us(first.ts) AS BIGINT) AS valid_from_us, n_events,
         |  CAST(lead(epoch_us(first.ts)) OVER (PARTITION BY user_id

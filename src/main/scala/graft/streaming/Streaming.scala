@@ -44,6 +44,46 @@ class RunningSpendProcessor
   }
 }
 
+case class TierEvent(user_id: Long, event_id: Long, ts_us: Long, tier: String)
+case class TierVersion(user_id: Long, version: Long, tier: String,
+    valid_from_us: Long)
+case class TierState(tier: String, version: Long)
+
+/** Streaming SCD2 (q321) — q318's gaps-and-islands versioning as a
+  * LIVE dimension maintainer: one ValueState[(tier, version)] per user;
+  * an arriving event opens a new version IFF its value differs from the
+  * held tier (consecutive duplicates collapse, the SCD2 rule), emitting
+  * the version-OPEN record (user, version, tier, valid_from) — the
+  * closing valid_to is implied by the next open, exactly as a streamed
+  * dimension sink applies it. Within a batch rows apply in (ts_us,
+  * event_id) order (the q126/q268 determinism contract); across batches
+  * the state carries, so the emitted opens equal the batch q318
+  * versions row for row — one shared oracle CTE
+  * ([[graft.operators.Relational.Scd2VersionsCte]]) certifies both
+  * legs. State is O(users) × ~30 bytes; per-event work O(1). */
+class Scd2Processor
+    extends StatefulProcessor[Long, TierEvent, TierVersion] {
+  @transient private var st: ValueState[TierState] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    st = getHandle.getValueState("cur", Encoders.product[TierState],
+      TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[TierEvent],
+      tv: TimerValues): Iterator[TierVersion] = {
+    var s = if (st.exists()) st.get() else TierState(null, 0L)
+    val out = rows.toIndexedSeq.sortBy(r => (r.ts_us, r.event_id))
+      .flatMap { r =>
+        if (s.tier == null || s.tier != r.tier) {
+          s = TierState(r.tier, s.version + 1)
+          Some(TierVersion(key, s.version, r.tier, r.ts_us))
+        } else None
+      }
+    st.update(s)
+    out.iterator
+  }
+}
+
 case class QuotaEvent(event_type: String, event_id: Long, ts_us: Long)
 case class QuotaOut(event_type: String, event_id: Long, k: Long,
     admitted: Boolean)
@@ -816,6 +856,36 @@ object Streaming {
 
     "q303_stream_late_drop" -> ((s, d) => lateDropWithProgress(s, d)._1),
 
+    "q321_stream_scd2" -> ((s, d) => withStreamPartitions(s, 4) { sp =>
+      // Streaming SCD2 — q318's versioned-dimension build maintained
+      // LIVE (mechanism on Scd2Processor): each user's ValueState holds
+      // (tier, version); an event opens a new version iff the value
+      // changed, emitting the version-open record. The batch q318 and
+      // this stream share ONE oracle CTE, so the two legs certify the
+      // same gaps-and-islands algebra from opposite evaluation orders
+      // (window scan vs carried state).
+      sp.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      import sp.implicits._
+      val name = s"graft_scd2_${System.nanoTime()}"
+      val q = eventsStream(sp, d)
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("ts_us"),
+          col("event_type").as("tier"))
+        .as[TierEvent]
+        .groupByKey(_.user_id)
+        .transformWithState(new Scd2Processor,
+          TimeMode.None(), OutputMode.Append())
+        .writeStream.outputMode("append")
+        .format("memory").queryName(name)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      drainMemorySink(sp, name)
+        .select(col("user_id"), col("version"), col("tier"),
+          col("valid_from_us"))
+        .orderBy("user_id", "version")
+    }),
+
     "q295_stream_quota" -> ((s, d) => withStreamPartitions(s, 4) { sp =>
       // Streaming per-source admission quota — the live form of q249's
       // batch allocation and the ingest gate a crawl pipeline actually
@@ -1261,6 +1331,14 @@ object Streaming {
         |  FROM events)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q97_stream_stream_join" -> PurchaseClickOracleSql,
+    // ONE CTE text with batch q318 — the streamed opens must equal the
+    // batch window derivation row for row
+    "q321_stream_scd2" ->
+      s"""WITH ${graft.operators.Relational.Scd2VersionsCte}
+        |SELECT user_id, version, first.tier AS tier,
+        |  CAST(epoch_us(first.ts) AS BIGINT) AS valid_from_us
+        |FROM v
+        |ORDER BY user_id, version""".stripMargin,
     // the batch LEFT join over the identical time-bounded condition:
     // streaming matched rows ≡ inner ≡ batch, and every unmatched
     // purchase emits exactly once after the sentinel advances the
