@@ -633,6 +633,40 @@ object Multimodal {
         .orderBy("name")
     }),
 
+    "q323_jpeg_render_dims" -> ((s, d) => {
+      // Orientation-aware EFFECTIVE dimensions — the composition the
+      // two decoders exist for: a crawl image's render size is the SOF
+      // dimensions SWAPPED when EXIF orientation is transposed (5–8);
+      // indexing the stored width/height for a rotated photo is the
+      // classic thumbnail-pipeline bug. BOTH expressions run in ONE
+      // scan projection (no join — the bytes are already in hand), so
+      // at 100 TB this costs exactly one pass: jpeg_info for the frame,
+      // jpeg_exif for the orientation, nulls where EXIF is absent (no
+      // swap — orientation 1 semantics). Oracle = the two builder
+      // manifests LEFT-joined in SQL, computing the same swap rule from
+      // ground truth the decoders never saw.
+      graft.functions.JpegFunctions.register(s)
+      s.read.format("binaryFile")
+        .option("pathGlobFilter", "*.jpg")
+        .load(graft.Fixtures.path("jpeg"))
+        .select(element_at(split(col("path"), "/"), -1).as("name"),
+          expr("jpeg_info(content)").as("j"),
+          expr("jpeg_exif(content)").as("x"))
+        .where(col("j").isNotNull)
+        .select(col("name"),
+          col("j.width").as("width"), col("j.height").as("height"),
+          col("x.orientation").as("orientation"))
+        .withColumn("transposed",
+          coalesce(col("orientation").isin(5, 6, 7, 8), lit(false)))
+        .select(col("name"), col("width"), col("height"),
+          col("orientation"), col("transposed"),
+          when(col("transposed"), col("height")).otherwise(col("width"))
+            .as("render_w"),
+          when(col("transposed"), col("width")).otherwise(col("height"))
+            .as("render_h"))
+        .orderBy("name")
+    }),
+
     "q316_jpeg_decode" -> ((s, d) => {
       // Full BASELINE JPEG decode — the layer past q315's segment walk,
       // landed because the segment layer shipped early (the round-11
@@ -1056,6 +1090,20 @@ object Multimodal {
         |FROM read_csv('${graft.Fixtures.path("pdf")}/manifest.csv',
         |              header=true)
         |ORDER BY name""".stripMargin,
+    "q323_jpeg_render_dims" ->
+      s"""SELECT m.name, CAST(m.width AS BIGINT) AS width,
+        |  CAST(m.height AS BIGINT) AS height,
+        |  CAST(x.orientation AS BIGINT) AS orientation,
+        |  coalesce(x.orientation IN (5, 6, 7, 8), false) AS transposed,
+        |  CAST(CASE WHEN coalesce(x.orientation IN (5, 6, 7, 8), false)
+        |    THEN m.height ELSE m.width END AS BIGINT) AS render_w,
+        |  CAST(CASE WHEN coalesce(x.orientation IN (5, 6, 7, 8), false)
+        |    THEN m.width ELSE m.height END AS BIGINT) AS render_h
+        |FROM read_csv('${graft.Fixtures.path("jpeg")}/manifest.csv',
+        |              header=true) m
+        |LEFT JOIN read_csv('${graft.Fixtures.path("jpeg")}/manifest_exif.csv',
+        |              header=true) x ON m.name = x.name
+        |ORDER BY m.name""".stripMargin,
     "q319_jpeg_exif" ->
       s"""SELECT name, byte_order,
         |  CAST(n_entries AS BIGINT) AS n_entries,

@@ -356,15 +356,47 @@ object Relational {
         expr("1 + (h div 128) % 9999").as("ps_availqty"),
         expr("100 + (h div 1024) % 99901").as("ps_supplycost_cents"))
 
+  /** q318's gaps-and-islands SCD2 core over the events matching `pred`:
+    * (user_id, version, tier, valid_from_us, n_events) — ONE definition
+    * serves the full dimension build (q318, pred = true), the streaming
+    * leg's oracle contract (q321) and the PIT join's profile-only
+    * dimension (q322), so the versioning algebra cannot drift between
+    * its consumers. */
+  private def scd2Versions(s: SparkSession, d: String,
+      pred: Column): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    events(s, d).filter(pred)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("tier"))
+      .withColumn("prev", lag(col("tier"), 1).over(w))
+      .withColumn("chg",
+        when(col("prev").isNull || col("prev") =!= col("tier"), 1L)
+          .otherwise(0L))
+      .withColumn("version", sum(col("chg")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("version"))
+      .agg(min(struct(col("ts"), col("event_id"), col("tier"))).as("first"),
+        count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("version"),
+        col("first.tier").as("tier"),
+        expr("unix_micros(first.ts)").as("valid_from_us"),
+        col("n_events"))
+  }
+
   /** q318's gaps-and-islands version derivation as a WITH fragment —
     * ONE text shared by the batch oracle (q318) and the streaming SCD2
     * oracle (q321), so the two legs certify the same algebra. */
-  val Scd2VersionsCte: String =
-    """ch AS (
+  val Scd2VersionsCte: String = scd2VersionsCteFor("")
+
+  /** The CTE over a filtered change log (q322 versions only the profile
+    * event types — facts must not trivially find themselves). */
+  def scd2VersionsCteFor(where: String): String =
+    s"""ch AS (
       |  SELECT user_id, ts, event_id, event_type AS tier,
       |    lag(event_type) OVER (PARTITION BY user_id
       |      ORDER BY ts, event_id) AS prev
-      |  FROM events),
+      |  FROM events $where),
       |ver AS (
       |  SELECT user_id, ts, event_id, tier,
       |    CAST(sum(CASE WHEN prev IS NULL OR prev <> tier THEN 1
@@ -394,6 +426,52 @@ object Relational {
       |    FROM part, (VALUES (0), (1), (2), (3)) AS r(j)))""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "q322_pit_join" -> ((s, d) => {
+      // POINT-IN-TIME join against the SCD2 dimension — the correctness
+      // join every feature store runs ("which tier was this user in
+      // WHEN they purchased?", never "now"): the dimension is q318's
+      // versioning over the PROFILE event types (purchases/clicks
+      // excluded — a fact must not trivially find itself in the
+      // dimension), and each purchase joins the version valid at its
+      // timestamp. The scalable algebra is the q16/q310 as-of form, not
+      // an interval join: SCD2 intervals TILE (valid_to = the next
+      // version's valid_from), so "the version containing ts" ≡ "the
+      // LAST version open ≤ ts" — union the opens with the facts, one
+      // window per user, no per-key range join. A purchase before the
+      // user's first profile event stays unmatched (nulls) — the
+      // cold-start row a feature pipeline must surface, not invent.
+      // The oracle is a DIFFERENT algorithm (correlated max-valid_from
+      // + equi-join back), so the hash cross-certifies the as-of
+      // reduction of the PIT join itself.
+      val opens = scd2Versions(s, d,
+        !col("event_type").isin("purchase", "click"))
+        .select(col("user_id"), col("version"), col("tier"),
+          col("valid_from_us"))
+      val facts = events(s, d)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), expr("unix_micros(ts)").as("ts_us"),
+          col("event_id").as("p_id"))
+      val tagged = opens
+        .select(col("user_id"), col("valid_from_us").as("t_us"),
+          lit(0).as("side"), col("version"), col("tier"),
+          lit(null).cast("long").as("p_id"))
+        .unionByName(facts.select(col("user_id"),
+          col("ts_us").as("t_us"), lit(1).as("side"),
+          lit(null).cast("long").as("version"),
+          lit(null).cast("string").as("tier"), col("p_id")))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("t_us"), col("side"), coalesce(col("version"), col("p_id")))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      tagged
+        .withColumn("version_at", last(col("version"), ignoreNulls = true).over(w))
+        .withColumn("tier_at", last(col("tier"), ignoreNulls = true).over(w))
+        .filter(col("side") === 1)
+        .select(col("p_id"), col("user_id"), col("t_us").as("ts_us"),
+          col("version_at"), col("tier_at"),
+          col("version_at").isNotNull.as("matched"))
+        .orderBy("p_id")
+    }),
 
     "q320_ivm_retract" -> ((s, d) => {
       // Incremental AGGREGATE-view maintenance under RETRACTIONS — the
@@ -450,26 +528,8 @@ object Relational {
       // micros. At 100 TB this is the standard CDC→dimension shape:
       // one exchange on the business key, per-key sorted windows,
       // O(versions) output.
-      val w = Window.partitionBy(col("user_id"))
-        .orderBy(col("ts"), col("event_id"))
-      val changes = events(s, d)
-        .select(col("user_id"), col("ts"), col("event_id"),
-          col("event_type").as("tier"))
-        .withColumn("prev", lag(col("tier"), 1).over(w))
-        .withColumn("chg",
-          when(col("prev").isNull || col("prev") =!= col("tier"), 1L)
-            .otherwise(0L))
-        .withColumn("version", sum(col("chg")).over(
-          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      val versions = changes.groupBy(col("user_id"), col("version"))
-        .agg(min(struct(col("ts"), col("event_id"), col("tier"))).as("first"),
-          count(lit(1)).as("n_events"))
-        .select(col("user_id"), col("version"),
-          col("first.tier").as("tier"),
-          expr("unix_micros(first.ts)").as("valid_from_us"),
-          col("n_events"))
       val wv = Window.partitionBy(col("user_id")).orderBy(col("version"))
-      versions
+      scd2Versions(s, d, lit(true))
         .withColumn("valid_to_us", lead(col("valid_from_us"), 1).over(wv))
         .withColumn("is_current", col("valid_to_us").isNull)
         .orderBy("user_id", "version")
@@ -4053,6 +4113,33 @@ object Relational {
     // HAVING-over-scalar) over the shared PartsuppSql fragment — a
     // DIFFERENT algebra than the Spark side's decorrelated joins, so
     // the hash compare cross-certifies the decorrelation itself.
+    // a DIFFERENT algorithm than the Spark side's union+window as-of:
+    // correlated max-version-open-at-or-before + equi-join back (version
+    // is monotone in valid_from within a user, so "last open ≤ ts" ≡
+    // "max version with valid_from ≤ ts" — unambiguous even when two
+    // versions share a microsecond)
+    "q322_pit_join" ->
+      s"""WITH ${scd2VersionsCteFor(
+        "WHERE event_type NOT IN ('purchase', 'click')")},
+        |vv AS (
+        |  SELECT user_id, version, first.tier AS tier,
+        |    CAST(epoch_us(first.ts) AS BIGINT) AS valid_from_us
+        |  FROM v),
+        |p AS (
+        |  SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+        |    CAST(event_id AS BIGINT) AS p_id
+        |  FROM events WHERE event_type = 'purchase'),
+        |m AS (
+        |  SELECT p.p_id, p.user_id, p.ts_us,
+        |    (SELECT max(vv.version) FROM vv
+        |     WHERE vv.user_id = p.user_id
+        |       AND vv.valid_from_us <= p.ts_us) AS version_at
+        |  FROM p)
+        |SELECT m.p_id, m.user_id, m.ts_us, m.version_at,
+        |  vv.tier AS tier_at, m.version_at IS NOT NULL AS matched
+        |FROM m LEFT JOIN vv ON vv.user_id = m.user_id
+        |  AND vv.version = m.version_at
+        |ORDER BY p_id""".stripMargin,
     // maintained recomputed FLAT from the post-CDC table (a different
     // evaluation order than Spark's base+adjustment), base/adj from the
     // decomposition — the join of the two pins the algebra itself
