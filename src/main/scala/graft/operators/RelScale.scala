@@ -54,7 +54,10 @@ object RelScale {
   val Gated: Seq[String] = Seq(
     "q103_approx_percentile", "q309_grouped_quartiles", "q51_date_funcs",
     "q246_lsh_band_sweep", "q218_retrieval_eval", "q258_ndcg",
-    "q143_ivf_pq_rerank", "q128_pagerank", "q299_ppr", "q292_label_prop")
+    "q143_ivf_pq_rerank", "q128_pagerank", "q299_ppr", "q292_label_prop",
+    // round-12 joiners: the big-window family (SCD2 versioning over 1M
+    // events) and the retraction-IVM algebra over 1.5M orders
+    "q318_scd2_build", "q320_ivm_retract")
 
   val PerQueryCeiling = 240.0 // seconds
   val TotalCeiling = 1200.0
@@ -133,13 +136,18 @@ object RelScale {
 
       // bucket j = id div GroupSize holds GroupSize distinct users, all
       // from group j % NGroups — co-occurrence edges can never cross a
-      // group boundary (q292's invariant)
+      // group boundary (q292's invariant). Bucket keys stay unique per
+      // j because the HOUR is unique per bucket (ts = epoch + j hours);
+      // the event type cycles with the group's APPEARANCE index
+      // ((j div NGroups) % 5), so a user's successive events always
+      // change type — every event opens an SCD2 version, q318's planted
+      // closed form (versions == events, round 12).
       spark.range(nE).selectExpr(
         "id AS event_id",
         s"timestamp(DATE'2024-01-01') + make_interval(0, 0, 0, 0, " +
-          s"CAST((id div $GroupSize) div 5 AS INT), 0, 0) AS ts",
+          s"CAST(id div $GroupSize AS INT), 0, 0) AS ts",
         s"((id div $GroupSize) % $NGroups) * $GroupSize + id % $GroupSize AS user_id",
-        s"concat('t', CAST((id div $GroupSize) % 5 AS STRING)) AS event_type",
+        s"concat('t', CAST(((id div $GroupSize) div $NGroups) % 5 AS STRING)) AS event_type",
         "CAST(id % 1000 AS DOUBLE) / 10.0 AS value",
         "'{}' AS props")
         .write.mode("overwrite").parquet(s"$work/events.parquet")
@@ -348,6 +356,59 @@ object RelScale {
             "— LPA crossed a disconnected group boundary!")
       }
       println(s"""{"check":"q292_lpa_group_isolation","communities":${rows.length}}""")
+    }
+
+    total += run("q318_scd2_build") { df =>
+      // planted: a user's successive events always change type (the
+      // appearance-cycled generator), so EVERY event opens a version —
+      // rows == nE, every n_events == 1, and Σ version has the closed
+      // form Σ_groups users·A(A+1)/2 with A the group's appearance count
+      val buckets = nE / GroupSize
+      var expVerSum = 0L
+      var g = 0L
+      while (g < NGroups) {
+        val a = (buckets - g + NGroups - 1) / NGroups // appearances
+        expVerSum += GroupSize * (a * (a + 1) / 2)
+        g += 1
+      }
+      val agg = df.agg(count(lit(1)).as("n"),
+        max(col("n_events")).as("mx"), sum(col("version")).as("vs"),
+        sum(when(col("is_current"), 1L).otherwise(0L)).as("cur"))
+        .collect()(0)
+      require(agg.getAs[Long]("n") == nE,
+        s"q318: ${agg.getAs[Long]("n")} versions, planted $nE (every event opens one)")
+      require(agg.getAs[Long]("mx") == 1L, "q318: some version collapsed >1 event")
+      require(agg.getAs[Long]("vs") == expVerSum,
+        s"q318: Σ version ${agg.getAs[Long]("vs")} != closed form $expVerSum")
+      require(agg.getAs[Long]("cur") == GroupSize * NGroups,
+        s"q318: ${agg.getAs[Long]("cur")} current rows, expected one per user")
+      println(s"""{"check":"q318_scd2","versions":$nE,"version_sum":$expVerSum,"current":${GroupSize * NGroups}}""")
+    }
+
+    total += run("q320_ivm_retract") { df =>
+      // closed form by replaying the generator's integer formulas
+      val base = new Array[Long](5)
+      val adj = new Array[Long](5)
+      var id = 0L
+      while (id < nO) {
+        val pri = (id % 5).toInt
+        val c = 10000L + id % 90000
+        base(pri) += c
+        val m = (id + 1) % 11
+        if (m == 3) adj(pri) += c / 10
+        else if (m == 7) adj(pri) -= c
+        id += 1
+      }
+      val rows = df.collect()
+      require(rows.length == 5, s"q320: ${rows.length} priorities")
+      rows.foreach { r =>
+        val pri = r.getAs[String]("o_orderpriority").charAt(0) - '1'
+        require(r.getAs[Long]("base_cents") == base(pri) &&
+          r.getAs[Long]("adj_cents") == adj(pri) &&
+          r.getAs[Long]("maintained_cents") == base(pri) + adj(pri),
+          s"q320: decomposition mismatch for priority ${pri + 1}: $r")
+      }
+      println(s"""{"check":"q320_ivm","priorities":5,"exact":true}""")
     }
 
     println(f"""{"check":"rel_scale_total","sec":$total%.1f,"ceiling":$TotalCeiling%.0f,"queries":${Gated.size}}""")
