@@ -511,6 +511,24 @@ class PlanSpec extends SparkSpec {
       s"the 1997 ship-date range must reach the lineitem scan:\n$p")
   }
 
+  test("q318: the whole SCD2 build rides ONE user_id exchange") {
+    // versioning windows (ts order), the (user, version) aggregate and
+    // the valid_to lead window all accept hashpartitioning(user_id) —
+    // a second exchange anywhere means a requirement regressed
+    val p = plan("q318_scd2_build")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 1,
+      s"expected exactly 1 hash exchange (user_id reused end-to-end), got $exchanges:\n$p")
+  }
+
+  test("q322: the PIT join is the as-of union+window — no join operator at all") {
+    val p = plan("q322_pit_join")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin") &&
+      !p.contains("CartesianProduct"),
+      s"the as-of reduction must replace the interval join entirely:\n$p")
+    assert(p.contains("Window"), s"the last-open-before window is the operator:\n$p")
+  }
+
   test("q299: PPR reuses q128's cached pre-partitioned edge frame") {
     graft.CacheRegistry.release(spark)
     SparkEntry.queries("q128_pagerank")(spark, sf0001).collect()
