@@ -667,6 +667,34 @@ object Multimodal {
         .orderBy("name")
     }),
 
+    "q324_jpeg_dedup" -> ((s, d) => {
+      // EXACT image dedup by DECODED-PIXEL identity — the q200 aHash
+      // leg works on perceptual similarity; THIS is the exact layer a
+      // crawl dedup runs first, and it must key on the PIXEL SURFACE,
+      // not the file bytes: the planted pair (gray_dup_a/b) carries
+      // identical coefficients+quant but different metadata (one drops
+      // the JFIF APP0), so file-level md5 dedup misses what pixel-level
+      // dedup must catch. Key = (px_crc32, width, height) from q316's
+      // full decode; keeper = min name (deterministic); the group's
+      // member list rides along sorted so the oracle pins WHO matched,
+      // not just how many. At 100 TB the CRC comes out of the same
+      // scan-projection decode as q316 — the dedup groupBy shuffles
+      // ~30 bytes per image, never pixels.
+      graft.functions.JpegFunctions.register(s)
+      s.read.format("binaryFile")
+        .option("pathGlobFilter", "*.jpg")
+        .load(graft.Fixtures.path("jpeg_decode"))
+        .select(element_at(split(col("path"), "/"), -1).as("name"),
+          expr("jpeg_pixels(content)").as("j"))
+        .where(col("j").isNotNull)
+        .groupBy(col("j.px_crc32").as("px_crc32"),
+          col("j.width").as("width"), col("j.height").as("height"))
+        .agg(count(lit(1)).as("n_copies"), min(col("name")).as("keeper"),
+          concat_ws(",", sort_array(collect_list(col("name"))))
+            .as("members"))
+        .orderBy("px_crc32")
+    }),
+
     "q316_jpeg_decode" -> ((s, d) => {
       // Full BASELINE JPEG decode — the layer past q315's segment walk,
       // landed because the segment layer shipped early (the round-11
@@ -1114,6 +1142,17 @@ object Multimodal {
         |FROM read_csv('${graft.Fixtures.path("jpeg")}/manifest_exif.csv',
         |              header=true)
         |ORDER BY name""".stripMargin,
+    "q324_jpeg_dedup" ->
+      s"""SELECT CAST(px_crc32 AS BIGINT) AS px_crc32,
+        |  CAST(width AS BIGINT) AS width,
+        |  CAST(height AS BIGINT) AS height,
+        |  CAST(count(*) AS BIGINT) AS n_copies,
+        |  min(name) AS keeper,
+        |  string_agg(name, ',' ORDER BY name) AS members
+        |FROM read_csv('${graft.Fixtures.path("jpeg_decode")}/manifest.csv',
+        |              header=true)
+        |GROUP BY 1, 2, 3
+        |ORDER BY px_crc32""".stripMargin,
     "q316_jpeg_decode" ->
       s"""SELECT name, CAST(width AS BIGINT) AS width,
         |  CAST(height AS BIGINT) AS height,

@@ -19,11 +19,11 @@ class JpegDecodeSpec extends SparkSpec {
       .select(element_at(split(col("path"), "/"), -1).as("name"),
         expr("jpeg_pixels(content)").as("j"))
       .collect()
-    assert(rows.length == 6, s"expected 6 fixtures, saw ${rows.length}")
+    assert(rows.length == 8, s"expected 8 fixtures, saw ${rows.length}")
     val (bad, good) = rows.partition(_.isNullAt(1))
     assert(bad.map(_.getString(0)).toSeq == Seq("corrupt_acrun.jpg"),
       s"wrong malformed set: ${bad.map(_.getString(0)).mkString(",")}")
-    assert(good.length == 5)
+    assert(good.length == 7)
   }
 
   test("unsupported profiles void under jpeg_pixels but parse under jpeg_info") {

@@ -195,7 +195,7 @@ def coef_formula(bi, kind):
     return c
 
 
-def build_file(width, height, kind, q_seed, rst_interval=0):
+def build_file(width, height, kind, q_seed, rst_interval=0, jfif=True):
     assert width % 8 == 0 and height % 8 == 0
     bw_blocks = width // 8
     bh_blocks = height // 8
@@ -203,7 +203,8 @@ def build_file(width, height, kind, q_seed, rst_interval=0):
     q_zz = [1 + ((q_seed * 7 + k * 5) % 24) for k in range(64)]
 
     head = b"\xFF\xD8"
-    head += seg(0xE0, b"JFIF\x00" + bytes([1, 2, 0]) + struct.pack(">HH", 72, 72) + b"\x00\x00")
+    if jfif:
+        head += seg(0xE0, b"JFIF\x00" + bytes([1, 2, 0]) + struct.pack(">HH", 72, 72) + b"\x00\x00")
     head += seg(0xDB, bytes([0x00]) + bytes(q_zz))
     sofp = bytes([8]) + struct.pack(">HH", height, width) + bytes([1, 1, 0x11, 0])
     head += seg(0xC0, sofp)
@@ -336,15 +337,21 @@ def decode_stream(data, n_blocks, rst_interval):
 def main():
     os.makedirs(OUT, exist_ok=True)
     specs = [
-        ("gray_multi.jpg", 48, 32, "dense", 3, 0),
-        ("gray_small.jpg", 16, 16, "plain", 9, 0),
-        ("gray_dconly.jpg", 24, 8, "dc_only", 5, 0),
-        ("gray_rst.jpg", 32, 16, "plain", 7, 2),
-        ("gray_zrl.jpg", 16, 24, "zrl", 11, 0),
+        ("gray_multi.jpg", 48, 32, "dense", 3, 0, True),
+        ("gray_small.jpg", 16, 16, "plain", 9, 0, True),
+        ("gray_dconly.jpg", 24, 8, "dc_only", 5, 0, True),
+        ("gray_rst.jpg", 32, 16, "plain", 7, 2, True),
+        ("gray_zrl.jpg", 16, 24, "zrl", 11, 0, True),
+        # q324 planted EXACT PIXEL DUPLICATES: identical coefficients and
+        # quant (same kind/dims/seed) so the decoded surfaces — and their
+        # CRCs — are equal, but DIFFERENT bytes (one drops the JFIF APP0):
+        # metadata-level dedup (md5 of the file) would miss them
+        ("gray_dup_a.jpg", 16, 16, "plain", 13, 0, True),
+        ("gray_dup_b.jpg", 16, 16, "plain", 13, 0, False),
     ]
     rows = []
-    for name, w, h, kind, qs, rst in specs:
-        data, blocks, q_zz, stats, rsti = build_file(w, h, kind, qs, rst)
+    for name, w, h, kind, qs, rst, jfif in specs:
+        data, blocks, q_zz, stats, rsti = build_file(w, h, kind, qs, rst, jfif)
         redec = decode_stream(data, stats["n_blocks"], rsti)
         assert redec == blocks, f"{name}: coefficient round-trip failed"
         with open(os.path.join(OUT, name), "wb") as f:
