@@ -223,11 +223,12 @@ object JpegPixels {
 
   private val MaxPixels = 16L * 1024 * 1024 // allocation cap
 
-  private final class Malformed extends Exception(null, null, false, false)
+  private[functions] final class Malformed
+      extends Exception(null, null, false, false)
   private def fail(): Nothing = throw new Malformed
 
   /** Canonical Huffman decode table (Annex C/F): symbol by (len, code). */
-  private final class Huff(counts: Array[Int], syms: Array[Int]) {
+  private[functions] final class Huff(counts: Array[Int], syms: Array[Int]) {
     // mincode/maxcode/valptr per code length 1..16 (Annex F.2.2.3)
     val minCode = new Array[Int](17)
     val maxCode = new Array[Int](17)
@@ -263,7 +264,7 @@ object JpegPixels {
 
   /** MSB-first bit reader over the entropy-coded segment with FF00
     * unstuffing; any other marker inside bit-reading is malformed. */
-  private final class BitReader(b: Array[Byte], var i: Int, n: Int) {
+  private[functions] final class BitReader(b: Array[Byte], var i: Int, n: Int) {
     private var acc = 0
     private var nb = 0
     def alignToMarker(): Unit = { acc = 0; nb = 0 }
@@ -287,7 +288,7 @@ object JpegPixels {
     }
   }
 
-  private def extend(r: Int, s: Int): Int =
+  private[functions] def extend(r: Int, s: Int): Int =
     if (s == 0) 0 else if (r >= (1 << (s - 1))) r else r - (1 << s) + 1
 
   /** struct(width, height, n_blocks, n_rst, px_min, px_max, px_sum,
@@ -619,6 +620,302 @@ object JpegExif {
   }
 }
 
+/** COLOR baseline JPEG decode (q325) — the YCbCr 4:2:0 profile that
+  * covers the vast majority of real photographic JPEGs, built on
+  * q316's machinery (same canonical-Huffman build, same bit reader,
+  * same fixed-point IDCT constants): interleaved MCU decode (16×16
+  * pixels = 4 Y blocks in 2×2 raster + 1 Cb + 1 Cr), one DC predictor
+  * PER COMPONENT (reset together at restart markers), per-component
+  * quant tables, nearest-neighbor chroma upsampling (the decoder and
+  * the generator define the SAME rule — the spec leaves interpolation
+  * open, parity requires pinning one), and integer JFIF color
+  * conversion with 2^16-scaled constants shared as literals with the
+  * generator (91881/22554/46802/116130 — round(1.402/0.344136/
+  * 0.714136/1.772 · 65536)), so the RGB surface is bit-exact by
+  * construction. Supported profile: SOF0, 8-bit, EXACTLY (Y 2×2, Cb
+  * 1×1, Cr 1×1), single interleaved scan, dimensions in whole MCUs,
+  * optional DRI; anything else — including q316's grayscale files —
+  * voids here (and color files void under jpeg_pixels: the two
+  * profiles split exactly, spec-pinned). Output: RGB pixel statistics
+  * + CRC32 over the row-major (r,g,b) bytes — every subpixel pinned,
+  * none shuffled. */
+object JpegRgb {
+
+  // JFIF YCbCr→RGB in 2^16 fixed point — keep byte-identical with
+  // tools/gen_jpeg_decode_fixtures.py color constants
+  private val CrR = 91881
+  private val CbG = 22554
+  private val CrG = 46802
+  private val CbB = 116130
+
+  private def fail(): Nothing = throw new JpegPixels.Malformed
+
+  /** struct(width, height, n_mcus, n_rst, px_sum, px_sqsum, px_crc32)
+    * or null (keep in sync with the generator's color path). */
+  def decode(b: Array[Byte]): InternalRow = {
+    if (b == null || b.length < 4) return null
+    if ((b(0) & 0xFF) != 0xFF || (b(1) & 0xFF) != 0xD8) return null
+    val n = b.length
+    def u8(k: Int): Int = { if (k >= n) fail(); b(k) & 0xFF }
+    def be16(k: Int): Int = { if (k + 1 >= n) fail(); (u8(k) << 8) | u8(k + 1) }
+    try {
+      var i = 2
+      var width = -1; var height = -1
+      val qtables = new Array[Array[Int]](4)
+      val huffDc = new Array[JpegPixels.Huff](4)
+      val huffAc = new Array[JpegPixels.Huff](4)
+      val tqOf = new Array[Int](3)
+      val dcSel = new Array[Int](3)
+      val acSel = new Array[Int](3)
+      var rstInterval = 0
+      var sofSeen = false
+      var sosAt = -1
+      while (sosAt < 0) {
+        if (u8(i) != 0xFF) fail()
+        while (u8(i) == 0xFF) i += 1
+        val m = u8(i); i += 1
+        if (m == 0xD9 || m == 0xD8 || m <= 0xBF) fail()
+        val len = be16(i)
+        if (len < 2 || i + len > n) fail()
+        val p = i + 2
+        val plen = len - 2
+        m match {
+          case 0xC0 =>
+            if (sofSeen || plen != 15) fail() // exactly 3 components
+            sofSeen = true
+            if (u8(p) != 8) fail()
+            height = be16(p + 1); width = be16(p + 3)
+            if (u8(p + 5) != 3) fail()
+            // Y must be 2x2, chroma 1x1 — the 4:2:0 profile
+            if (u8(p + 7) != 0x22 || u8(p + 10) != 0x11 ||
+              u8(p + 13) != 0x11) fail()
+            tqOf(0) = u8(p + 8); tqOf(1) = u8(p + 11); tqOf(2) = u8(p + 14)
+            if (tqOf.exists(_ > 3)) fail()
+            if (width < 1 || height < 1 || width % 16 != 0 ||
+              height % 16 != 0) fail()
+            if (width.toLong * height > 16L * 1024 * 1024) fail()
+          case 0xC4 =>
+            var off = 0
+            while (off < plen) {
+              val tcth = u8(p + off)
+              val tc = tcth >> 4; val th = tcth & 0x0F
+              if (tc > 1 || th > 3 || off + 17 > plen) fail()
+              val counts = new Array[Int](16)
+              var sum = 0
+              var k = 0
+              while (k < 16) { counts(k) = u8(p + off + 1 + k); sum += counts(k); k += 1 }
+              if (off + 17 + sum > plen) fail()
+              val syms = new Array[Int](sum)
+              k = 0
+              while (k < sum) { syms(k) = u8(p + off + 17 + k); k += 1 }
+              val h = new JpegPixels.Huff(counts, syms)
+              if (tc == 0) huffDc(th) = h else huffAc(th) = h
+              off += 17 + sum
+            }
+            if (off != plen) fail()
+          case 0xDB =>
+            var off = 0
+            while (off < plen) {
+              val pqtq = u8(p + off)
+              if ((pqtq >> 4) > 1 || (pqtq & 0x0F) > 3) fail()
+              val sz = 64 * ((pqtq >> 4) + 1)
+              if (off + 1 + sz > plen) fail()
+              if ((pqtq >> 4) == 0) {
+                val t = new Array[Int](64)
+                var k = 0
+                while (k < 64) { t(k) = u8(p + off + 1 + k); k += 1 }
+                qtables(pqtq & 0x0F) = t
+              }
+              off += 1 + sz
+            }
+            if (off != plen) fail()
+          case 0xDD =>
+            if (plen != 2) fail()
+            rstInterval = be16(p)
+          case 0xDA =>
+            if (!sofSeen || plen != 10) fail() // 1 + 2*3 + 3
+            if (u8(p) != 3) fail()
+            var c = 0
+            while (c < 3) {
+              dcSel(c) = u8(p + 2 + 2 * c) >> 4
+              acSel(c) = u8(p + 2 + 2 * c) & 0x0F
+              c += 1
+            }
+            if (u8(p + 7) != 0 || u8(p + 8) != 63 || u8(p + 9) != 0) fail()
+            sosAt = i + len
+          case x if x >= 0xE0 && x <= 0xEF => ()
+          case 0xFE => ()
+          case _ => fail()
+        }
+        i += len
+      }
+      val qt = tqOf.map(q => { val t = qtables(q); if (t == null) fail(); t })
+      val dcH = dcSel.map(s => { val h = huffDc(s); if (h == null) fail(); h })
+      val acH = acSel.map(s => { val h = huffAc(s); if (h == null) fail(); h })
+      // ---- interleaved MCU decode ---------------------------------------
+      val K = JpegPixels.K
+      val ZZ = JpegPixels.ZZ
+      val mcuW = width / 16; val mcuH = height / 16
+      val nMcus = mcuW * mcuH
+      var br = new JpegPixels.BitReader(b, sosAt, n)
+      val pred = new Array[Int](3)
+      var nRst = 0L
+      val m = Array.ofDim[Long](8, 8)
+      val blk = new Array[Int](64)
+      // decode one 8x8 block of component c into `blk` (natural order px)
+      def decodeBlock(c: Int): Unit = {
+        var r = 0
+        while (r < 8) { java.util.Arrays.fill(m(r), 0L); r += 1 }
+        val s0 = dcH(c).decode(br)
+        if (s0 > 11) fail()
+        pred(c) += JpegPixels.extend(br.bits(s0), s0)
+        if (pred(c) < -65536 || pred(c) > 65536) fail()
+        m(0)(0) = pred(c).toLong * qt(c)(0)
+        var k = 1
+        var eob = false
+        while (k < 64 && !eob) {
+          val sym = acH(c).decode(br)
+          if (sym == 0x00) eob = true
+          else if (sym == 0xF0) { k += 16; if (k > 64) fail() }
+          else {
+            k += sym >> 4
+            val s = sym & 0x0F
+            if (s == 0 || k > 63) fail()
+            val v = JpegPixels.extend(br.bits(s), s)
+            m(ZZ(k) / 8)(ZZ(k) % 8) = v.toLong * qt(c)(k)
+            k += 1
+          }
+        }
+        var y = 0
+        while (y < 8) {
+          var x = 0
+          while (x < 8) {
+            var acc = 0L
+            var a = 0
+            while (a < 8) {
+              var inner = 0L
+              var cc = 0
+              while (cc < 8) { inner += K(x)(cc) * m(a)(cc); cc += 1 }
+              acc += K(y)(a) * inner
+              a += 1
+            }
+            var v = 128L + ((acc + (1L << 21)) >> 22)
+            if (v < 0) v = 0
+            if (v > 255) v = 255
+            blk(y * 8 + x) = v.toInt
+            x += 1
+          }
+          y += 1
+        }
+      }
+      val rgb = new Array[Byte](width * height * 3)
+      val yTile = new Array[Int](256)
+      val cbT = new Array[Int](64)
+      val crT = new Array[Int](64)
+      var pMin = 255L; var pMax = 0L; var pSum = 0L; var pSq = 0L
+      var mi = 0
+      while (mi < nMcus) {
+        if (rstInterval > 0 && mi > 0 && mi % rstInterval == 0) {
+          val at = br.i
+          if (u8(at) != 0xFF || u8(at + 1) != 0xD0 + (nRst % 8)) fail()
+          br = new JpegPixels.BitReader(b, at + 2, n)
+          nRst += 1
+          pred(0) = 0; pred(1) = 0; pred(2) = 0
+        }
+        // 4 Y blocks in 2x2 raster, then Cb, Cr
+        var t = 0
+        while (t < 4) {
+          decodeBlock(0)
+          val oy = (t / 2) * 8; val ox = (t % 2) * 8
+          var y = 0
+          while (y < 8) {
+            var x = 0
+            while (x < 8) {
+              yTile((oy + y) * 16 + ox + x) = blk(y * 8 + x)
+              x += 1
+            }
+            y += 1
+          }
+          t += 1
+        }
+        decodeBlock(1); System.arraycopy(blk, 0, cbT, 0, 64)
+        decodeBlock(2); System.arraycopy(blk, 0, crT, 0, 64)
+        val my = mi / mcuW; val mx = mi % mcuW
+        var py = 0
+        while (py < 16) {
+          var px = 0
+          while (px < 16) {
+            val yv = yTile(py * 16 + px)
+            val cb = cbT((py / 2) * 8 + px / 2) - 128
+            val cr = crT((py / 2) * 8 + px / 2) - 128
+            var r = yv + ((CrR * cr + 32768) >> 16)
+            var g = yv - ((CbG * cb + CrG * cr + 32768) >> 16)
+            var bl = yv + ((CbB * cb + 32768) >> 16)
+            if (r < 0) r = 0; if (r > 255) r = 255
+            if (g < 0) g = 0; if (g > 255) g = 255
+            if (bl < 0) bl = 0; if (bl > 255) bl = 255
+            val base = ((my * 16 + py) * width + mx * 16 + px) * 3
+            rgb(base) = r.toByte; rgb(base + 1) = g.toByte
+            rgb(base + 2) = bl.toByte
+            var q = 0
+            while (q < 3) {
+              val v = (rgb(base + q) & 0xFF).toLong
+              if (v < pMin) pMin = v
+              if (v > pMax) pMax = v
+              pSum += v; pSq += v * v
+              q += 1
+            }
+            px += 1
+          }
+          py += 1
+        }
+        mi += 1
+      }
+      // trailer: byte-align, EOI closes the file exactly
+      var j = br.i
+      if (u8(j) != 0xFF) fail()
+      while (u8(j) == 0xFF) j += 1
+      if (u8(j) != 0xD9) fail()
+      if (j + 1 != n) fail()
+      val crc = new java.util.zip.CRC32
+      crc.update(rgb)
+      InternalRow(width.toLong, height.toLong, nMcus.toLong, nRst,
+        pMin, pMax, pSum, pSq, crc.getValue)
+    } catch { case _: JpegPixels.Malformed => null }
+  }
+}
+
+/** jpeg_rgb(content) -> struct<width, height, n_mcus, n_rst, px_min,
+  * px_max, px_sum, px_sqsum, px_crc32> or null (see [[JpegRgb.decode]]). */
+case class JpegRgbExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("width", LongType, nullable = false),
+    StructField("height", LongType, nullable = false),
+    StructField("n_mcus", LongType, nullable = false),
+    StructField("n_rst", LongType, nullable = false),
+    StructField("px_min", LongType, nullable = false),
+    StructField("px_max", LongType, nullable = false),
+    StructField("px_sum", LongType, nullable = false),
+    StructField("px_sqsum", LongType, nullable = false),
+    StructField("px_crc32", LongType, nullable = false)))
+  override def nullable: Boolean = true
+  override def prettyName: String = "jpeg_rgb"
+
+  override def nullSafeEval(v: Any): Any =
+    JpegRgb.decode(v.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, b => {
+      s"""
+         |${ev.value} = graft.functions.JpegRgb.decode($b);
+         |${ev.isNull} = (${ev.value} == null);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** jpeg_exif(content) -> struct<byte_order, n_entries, orientation,
   * width_tag, height_tag, make> or null (see [[JpegExif.decode]]). */
 case class JpegExifExpr(child: Expression) extends UnaryExpression {
@@ -687,5 +984,7 @@ object JpegFunctions {
       "jpeg_pixels", exprs => JpegPixelsExpr(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "jpeg_exif", exprs => JpegExifExpr(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "jpeg_rgb", exprs => JpegRgbExpr(exprs.head), "built-in")
   }
 }

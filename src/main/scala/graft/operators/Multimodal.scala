@@ -667,6 +667,41 @@ object Multimodal {
         .orderBy("name")
     }),
 
+    "q325_jpeg_color" -> ((s, d) => {
+      // COLOR baseline decode — YCbCr 4:2:0, the profile covering the
+      // vast majority of real photographic JPEGs, completing the
+      // family's decode ladder (q315 segments → q316 grayscale pixels →
+      // THIS): interleaved MCU decode (4 Y blocks in 2×2 raster + Cb +
+      // Cr per 16×16 MCU), per-COMPONENT DC predictors (reset together
+      // at restart markers — color_rst.jpg pins the triple reset),
+      // per-component quant tables, nearest-neighbor chroma upsampling
+      // (the spec leaves interpolation open, so decoder and generator
+      // pin ONE rule), and integer JFIF color conversion with
+      // 2^16-scaled constants shared as literals with the generator —
+      // the RGB surface is bit-exact by construction, like q316's
+      // grayscale. Out-of-profile files (including every grayscale
+      // fixture) void rather than mis-decode; JpegColorSpec pins the
+      // profile split both directions. Oracle = generation manifest
+      // (RGB stats + CRC32 over row-major r,g,b bytes — every SUBPIXEL
+      // pinned). At 100 TB: decode-at-ingest in the scan projection,
+      // ~70 bytes per image across the shuffle.
+      graft.functions.JpegFunctions.register(s)
+      s.read.format("binaryFile")
+        .option("pathGlobFilter", "*.jpg")
+        .load(graft.Fixtures.path("jpeg_color"))
+        .select(element_at(split(col("path"), "/"), -1).as("name"),
+          expr("jpeg_rgb(content)").as("j"),
+          col("length").as("n_bytes"))
+        .where(col("j").isNotNull)
+        .select(col("name"), col("j.width").as("width"),
+          col("j.height").as("height"), col("j.n_mcus").as("n_mcus"),
+          col("j.n_rst").as("n_rst"),
+          col("j.px_min").as("px_min"), col("j.px_max").as("px_max"),
+          col("j.px_sum").as("px_sum"), col("j.px_sqsum").as("px_sqsum"),
+          col("j.px_crc32").as("px_crc32"), col("n_bytes"))
+        .orderBy("name")
+    }),
+
     "q324_jpeg_dedup" -> ((s, d) => {
       // EXACT image dedup by DECODED-PIXEL identity — the q200 aHash
       // leg works on perceptual similarity; THIS is the exact layer a
@@ -1140,6 +1175,20 @@ object Multimodal {
         |  CAST(height_tag AS BIGINT) AS height_tag,
         |  make
         |FROM read_csv('${graft.Fixtures.path("jpeg")}/manifest_exif.csv',
+        |              header=true)
+        |ORDER BY name""".stripMargin,
+    "q325_jpeg_color" ->
+      s"""SELECT name, CAST(width AS BIGINT) AS width,
+        |  CAST(height AS BIGINT) AS height,
+        |  CAST(n_mcus AS BIGINT) AS n_mcus,
+        |  CAST(n_rst AS BIGINT) AS n_rst,
+        |  CAST(px_min AS BIGINT) AS px_min,
+        |  CAST(px_max AS BIGINT) AS px_max,
+        |  CAST(px_sum AS BIGINT) AS px_sum,
+        |  CAST(px_sqsum AS BIGINT) AS px_sqsum,
+        |  CAST(px_crc32 AS BIGINT) AS px_crc32,
+        |  CAST(n_bytes AS BIGINT) AS n_bytes
+        |FROM read_csv('${graft.Fixtures.path("jpeg_color")}/manifest.csv',
         |              header=true)
         |ORDER BY name""".stripMargin,
     "q324_jpeg_dedup" ->

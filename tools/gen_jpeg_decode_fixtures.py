@@ -391,3 +391,166 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+
+# ---------------------------------------------------------------------------
+# q325: color 4:2:0 fixtures (fixtures/jpeg_color) — JFIF YCbCr->RGB in
+# 2^16 fixed point; keep the four constants byte-identical with
+# JpegFunctions.scala JpegRgb
+# ---------------------------------------------------------------------------
+COLOR_OUT = os.path.join(os.path.dirname(__file__), "..", "fixtures", "jpeg_color")
+CR_R, CB_G, CR_G, CB_B = 91881, 22554, 46802, 116130
+
+
+def color_coefs(mi, t, kind):
+    """Zigzag coefficients for MCU mi, block slot t (0-3 = Y 2x2 raster,
+    4 = Cb, 5 = Cr)."""
+    c = [0] * 64
+    bi = mi * 6 + t
+    if t < 4:
+        c[0] = ((bi * 29) % 81) - 40
+        c[1] = ((bi * 7) % 17) - 8
+        c[5] = ((bi * 11) % 13) - 6
+    else:
+        # chroma: gentle DC + one AC so hue varies without saturating
+        c[0] = ((bi * 13) % 41) - 20
+        c[2] = ((bi * 5) % 9) - 4
+    if kind == "dense" and t == 0 and mi % 2 == 0:
+        c[63] = 1
+    return c
+
+
+def build_color_file(width, height, kind, q_seed, rst_interval=0):
+    assert width % 16 == 0 and height % 16 == 0
+    mcu_w, mcu_h = width // 16, height // 16
+    n_mcus = mcu_w * mcu_h
+    q0 = [1 + ((q_seed * 7 + k * 5) % 20) for k in range(64)]
+    q1 = [1 + ((q_seed * 11 + k * 3) % 16) for k in range(64)]
+
+    head = b"\xFF\xD8"
+    head += seg(0xE0, b"JFIF\x00" + bytes([1, 2, 0]) + struct.pack(">HH", 72, 72) + b"\x00\x00")
+    head += seg(0xDB, bytes([0x00]) + bytes(q0) + bytes([0x01]) + bytes(q1))
+    sofp = bytes([8]) + struct.pack(">HH", height, width) + bytes([3]) \
+        + bytes([1, 0x22, 0]) + bytes([2, 0x11, 1]) + bytes([3, 0x11, 1])
+    head += seg(0xC0, sofp)
+    head += seg(0xC4, dht_payload())
+    if rst_interval:
+        head += seg(0xDD, struct.pack(">H", rst_interval))
+    head += seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0]))
+
+    bw = BitWriter()
+    preds = [0, 0, 0]
+    body = bytearray()
+    n_rst = 0
+    mcu_blocks = []
+    for mi in range(n_mcus):
+        if rst_interval and mi > 0 and mi % rst_interval == 0:
+            bw.align()
+            body += bw.out
+            bw = BitWriter()
+            body += bytes([0xFF, 0xD0 + (n_rst % 8)])
+            n_rst += 1
+            preds = [0, 0, 0]
+        blocks = []
+        for t in range(6):
+            comp = 0 if t < 4 else (1 if t == 4 else 2)
+            c = color_coefs(mi, t, kind)
+            # re-spell encode_block with per-component predictors
+            diff = c[0] - preds[comp]
+            scat = category(diff)
+            ln, code = DC_CODES[scat]
+            bw.put(code, ln)
+            if scat > 0:
+                bw.put(diff if diff > 0 else diff + (1 << scat) - 1, scat)
+            preds[comp] = c[0]
+            k = 1
+            while k < 64:
+                run = 0
+                while k < 64 and c[k] == 0:
+                    run += 1
+                    k += 1
+                if k == 64:
+                    ln, code = AC_CODES[0x00]
+                    bw.put(code, ln)
+                    break
+                while run >= 16:
+                    ln, code = AC_CODES[0xF0]
+                    bw.put(code, ln)
+                    run -= 16
+                v = c[k]
+                sz = category(v)
+                ln, code = AC_CODES[(run << 4) | sz]
+                bw.put(code, ln)
+                bw.put(v if v > 0 else v + (1 << sz) - 1, sz)
+                k += 1
+            blocks.append(c)
+        mcu_blocks.append(blocks)
+    bw.align()
+    body += bw.out
+    data = head + bytes(body) + b"\xFF\xD9"
+
+    # expected RGB surface: per-MCU IDCT, NN chroma upsample, fixed-point
+    # JFIF conversion — the SAME integer ops as JpegRgb.decode
+    rgb = bytearray(width * height * 3)
+    pmin, pmax, psum, psq = 255, 0, 0, 0
+    for mi, blocks in enumerate(mcu_blocks):
+        ytile = [[0] * 16 for _ in range(16)]
+        for t in range(4):
+            px8 = idct_block(blocks[t], q0)
+            oy, ox = (t // 2) * 8, (t % 2) * 8
+            for y in range(8):
+                for x in range(8):
+                    ytile[oy + y][ox + x] = px8[y][x]
+        cb8 = idct_block(blocks[4], q1)
+        cr8 = idct_block(blocks[5], q1)
+        my, mx = divmod(mi, mcu_w)
+        for py in range(16):
+            for px in range(16):
+                yv = ytile[py][px]
+                cb = cb8[py // 2][px // 2] - 128
+                cr = cr8[py // 2][px // 2] - 128
+                r = yv + ((CR_R * cr + 32768) >> 16)
+                g = yv - ((CB_G * cb + CR_G * cr + 32768) >> 16)
+                bl = yv + ((CB_B * cb + 32768) >> 16)
+                r = 0 if r < 0 else (255 if r > 255 else r)
+                g = 0 if g < 0 else (255 if g > 255 else g)
+                bl = 0 if bl < 0 else (255 if bl > 255 else bl)
+                base = ((my * 16 + py) * width + mx * 16 + px) * 3
+                rgb[base], rgb[base + 1], rgb[base + 2] = r, g, bl
+                for v in (r, g, bl):
+                    pmin = min(pmin, v)
+                    pmax = max(pmax, v)
+                    psum += v
+                    psq += v * v
+    stats = dict(width=width, height=height, n_mcus=n_mcus, n_rst=n_rst,
+                 px_min=pmin, px_max=pmax, px_sum=psum, px_sqsum=psq,
+                 px_crc32=zlib.crc32(bytes(rgb)) & 0xFFFFFFFF)
+    return data, stats
+
+
+def gen_color():
+    os.makedirs(COLOR_OUT, exist_ok=True)
+    specs = [
+        ("color_multi.jpg", 64, 48, "dense", 5, 0),
+        ("color_small.jpg", 16, 16, "plain", 9, 0),
+        ("color_rst.jpg", 48, 16, "plain", 7, 2),
+        ("color_tall.jpg", 32, 64, "plain", 3, 0),
+    ]
+    rows = []
+    for name, w, h, kind, qs, rst in specs:
+        data, stats = build_color_file(w, h, kind, qs, rst)
+        with open(os.path.join(COLOR_OUT, name), "wb") as f:
+            f.write(data)
+        rows.append((name, stats, len(data)))
+    cols = ["width", "height", "n_mcus", "n_rst", "px_min", "px_max",
+            "px_sum", "px_sqsum", "px_crc32"]
+    with open(os.path.join(COLOR_OUT, "manifest.csv"), "w") as f:
+        f.write("name," + ",".join(cols) + ",n_bytes\n")
+        for name, st, nb in rows:
+            f.write(f"{name}," + ",".join(str(st[c]) for c in cols) + f",{nb}\n")
+    print(f"wrote {len(rows)} color fixtures to {COLOR_OUT}")
+
+
+
+if __name__ == "__main__":
+    gen_color()
