@@ -91,15 +91,24 @@ object Bench {
   val stdoutGuard = 1750
 
   /** Pessimistic length of the stdout line for a given suite: every
-    * headline value at its widest plausible print ("999.999"), sfDir at
-    * driver length. BenchHeadlineSpec asserts this stays under
-    * [[stdoutGuard]] so suite growth trips a test, not the driver run. */
-  def worstCaseStdoutLen(names: Seq[String]): Int = {
+    * headline value at its widest plausible print ("999.999"), plus a
+    * worst-case envelope for the env-driven parts the real line carries
+    * (sfDir up to 128 chars, reps up to 2 digits, the longest protocol
+    * brand incl. the profiling "only" variant). BenchHeadlineSpec
+    * asserts this stays under [[stdoutGuard]] so suite growth trips a
+    * test, not the driver run — for ANY run configuration, not just the
+    * driver defaults. */
+  def worstCaseStdoutLen(names: Seq[String],
+                         sfDirLen: Int = 128,
+                         repsDigits: Int = 2): Int = {
     val head = headlineSet(names)
     val entries = names.filter(head)
       .map(n => "\"" + shortId(n) + "\":999.999").mkString("{", ",", "}")
+    // protocol envelope mirrors main's protoJson at its widest:
+    // "interleaved" plus the optional "profiling":true brand
+    val proto = s""""reps":${"9" * repsDigits},"protocol":"interleaved","profiling":true"""
     val line = s"""{"metric":"total","value":99999.999,"unit":"sec","n_queries":${names.size},""" +
-      s""""reps":2,"protocol":"interleaved","queries":$entries,"sf":"/root/testdata/sf0.1"}"""
+      s"""$proto,"queries":$entries,"sf":"${"x" * sfDirLen}"}"""
     line.length
   }
 
@@ -256,10 +265,16 @@ object Bench {
       val batches = (if (fin.nonEmpty) fin else warm)
         .sortBy(b => (b.runId, b.batchId))
       streamClear()
+      // bound the registered-cache footprint between queries (the
+      // round-12 monotonic-growth item) and record BOTH meters: raw
+      // block-manager usage and the registry's own post-enforce bytes —
+      // the latter is the one CacheBudgetSpec's budget bounds
+      CacheRegistry.enforce(spark)
       val diag = Seq(
         "jit_ms" -> (jitMs - jit0), "gc_ms" -> (gcMs - gc0),
         "drops" -> (drops.get() - drop0),
-        "storage_mb" -> storageMb, "codecache_mb" -> codeCacheMb)
+        "storage_mb" -> storageMb, "codecache_mb" -> codeCacheMb,
+        "registry_mb" -> CacheRegistry.storageBytes(spark) / (1024 * 1024))
       (n, best, diag, batches)
     }
     val streamJson = timed.collect { case (n, _, _, batches) if batches.nonEmpty =>

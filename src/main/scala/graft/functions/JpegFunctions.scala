@@ -650,8 +650,9 @@ object JpegRgb {
 
   private def fail(): Nothing = throw new JpegPixels.Malformed
 
-  /** struct(width, height, n_mcus, n_rst, px_sum, px_sqsum, px_crc32)
-    * or null (keep in sync with the generator's color path). */
+  /** struct(width, height, n_mcus, n_rst, px_min, px_max, px_sum,
+    * px_sqsum, px_crc32) or null (keep in sync with the generator's
+    * color path — all nine fields). */
   def decode(b: Array[Byte]): InternalRow = {
     if (b == null || b.length < 4) return null
     if ((b(0) & 0xFF) != 0xFF || (b(1) & 0xFF) != 0xD8) return null

@@ -49,8 +49,8 @@ import org.apache.spark.sql.functions._
   */
 object RelScale {
 
-  /** Queries under gate — the ten heaviest non-streaming plans from the
-    * round-11 bench audit. */
+  /** Queries under gate — the twelve heaviest non-streaming plans: the
+    * ten from the round-11 bench audit plus the round-12 joiners below. */
   val Gated: Seq[String] = Seq(
     "q103_approx_percentile", "q309_grouped_quartiles", "q51_date_funcs",
     "q246_lsh_band_sweep", "q218_retrieval_eval", "q258_ndcg",

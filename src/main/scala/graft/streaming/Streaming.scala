@@ -71,10 +71,15 @@ class Scd2Processor
 
   override def handleInputRows(key: Long, rows: Iterator[TierEvent],
       tv: TimerValues): Iterator[TierVersion] = {
-    var s = if (st.exists()) st.get() else TierState(null, 0L)
+    // existence is tracked EXPLICITLY (st.exists), never by a null-tier
+    // sentinel — a null event_type in the data must stay distinguishable
+    // from "no state yet" (SQL lag-compare: NULL <> x is UNKNOWN)
+    var hasState = st.exists()
+    var s = if (hasState) st.get() else TierState(null, 0L)
     val out = rows.toIndexedSeq.sortBy(r => (r.ts_us, r.event_id))
       .flatMap { r =>
-        if (s.tier == null || s.tier != r.tier) {
+        if (!hasState || s.tier != r.tier) {
+          hasState = true
           s = TierState(r.tier, s.version + 1)
           Some(TierVersion(key, s.version, r.tier, r.ts_us))
         } else None
@@ -1102,12 +1107,15 @@ object Streaming {
     stageSlabbedEvents(s, d, "ssjstream", sentinel = false)
 
   /** q317's variant of the staged arrival: the same 6 slabs plus a 7th
-    * far-future sentinel file (one click + one purchase on user −1, 2024-
-    * 12-01) whose only job is to advance BOTH sides' watermarks past
-    * every real row, so the left-outer join's unmatched purchases are
-    * deterministically EMITTED (outer rows surface only when the
-    * watermark proves no match can still arrive); the sentinel's own
-    * rows filter out of the result by id. */
+    * far-future sentinel file (one click + one purchase on user −1,
+    * stamped max(corpus ts) + 180 days — DERIVED from the staged data,
+    * not hard-coded, so a regenerated corpus with later timestamps can
+    * never leave unmatched purchases silently stuck in state) whose only
+    * job is to advance BOTH sides' watermarks past every real row, so
+    * the left-outer join's unmatched purchases are deterministically
+    * EMITTED (outer rows surface only when the watermark proves no match
+    * can still arrive); the sentinel's own rows filter out of the result
+    * by id. */
   private def ssjOuterStreamDir(s: SparkSession, d: String): String =
     stageSlabbedEvents(s, d, "ssjostream", sentinel = true)
 
@@ -1147,10 +1155,15 @@ object Streaming {
       }
       if (sentinel) {
         import s.implicits._
-        Seq((-1L, java.sql.Timestamp.valueOf("2024-12-01 00:00:00"),
-            -1L, "click"),
-          (-2L, java.sql.Timestamp.valueOf("2024-12-01 00:00:00"),
-            -1L, "purchase"))
+        // sentinel event time is DERIVED: max(ts) of the staged corpus
+        // + 180 days (vastly past the 1 h 10 min state horizon). A
+        // hard-coded date would silently strand unmatched purchases in
+        // state if the corpus were ever regenerated with later
+        // timestamps; staging-only action over the tiny staged frame.
+        val maxTsMs = ev.agg(max(col("ts")).cast("long").as("s"))
+          .head().getLong(0) * 1000L
+        val sentTs = new java.sql.Timestamp(maxTsMs + 180L * 86400000L)
+        Seq((-1L, sentTs, -1L, "click"), (-2L, sentTs, -1L, "purchase"))
           .toDF("event_id", "ts", "user_id", "event_type")
           .coalesce(1).write.mode("append").parquet(dir)
         stamped = stampParts(t0 + 60000L * 7, stamped)
