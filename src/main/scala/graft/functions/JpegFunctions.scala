@@ -291,6 +291,51 @@ object JpegPixels {
   private[functions] def extend(r: Int, s: Int): Int =
     if (s == 0) 0 else if (r >= (1 << (s - 1))) r else r - (1 << s) + 1
 
+  /** Shared pixel surface + stats accumulator: ONE fixed-point IDCT
+    * serves the baseline (q316) and progressive (q326) entropy layers —
+    * the layers differ only in how the coefficient matrix is assembled,
+    * never in how it renders. */
+  private[functions] final class Surface(val width: Int, val height: Int) {
+    val px = new Array[Byte](width * height)
+    var pMin = 255L; var pMax = 0L; var pSum = 0L; var pSq = 0L
+    /** Render one DEQUANTIZED 8×8 block (natural order) at block (by, bx)
+      * — the q316 integer IDCT verbatim. */
+    def idct(m: Array[Array[Long]], by: Int, bx: Int): Unit = {
+      var y = 0
+      while (y < 8) {
+        var x = 0
+        while (x < 8) {
+          var acc = 0L
+          var a = 0
+          while (a < 8) {
+            if (K(y)(a) != 0) {
+              var inner = 0L
+              var c = 0
+              while (c < 8) { inner += K(x)(c) * m(a)(c); c += 1 }
+              acc += K(y)(a) * inner
+            }
+            a += 1
+          }
+          var v = 128L + ((acc + (1L << 21)) >> 22)
+          if (v < 0) v = 0
+          if (v > 255) v = 255
+          px((by * 8 + y) * width + bx * 8 + x) = v.toByte
+          if (v < pMin) pMin = v
+          if (v > pMax) pMax = v
+          pSum += v
+          pSq += v * v
+          x += 1
+        }
+        y += 1
+      }
+    }
+    def crc32: Long = {
+      val c = new java.util.zip.CRC32
+      c.update(px)
+      c.getValue
+    }
+  }
+
   /** struct(width, height, n_blocks, n_rst, px_min, px_max, px_sum,
     * px_sqsum, px_crc32) or null (keep in sync with
     * tools/gen_jpeg_decode_fixtures.py). */
@@ -393,11 +438,10 @@ object JpegPixels {
       // ---- entropy decode + IDCT ----------------------------------------
       val bw = width / 8; val bh = height / 8
       val nBlocks = bw * bh
-      val px = new Array[Byte](width * height)
+      val surf = new Surface(width, height)
       var br = new BitReader(b, sosAt, n)
       var pred = 0
       var nRst = 0L
-      var pMin = 255L; var pMax = 0L; var pSum = 0L; var pSq = 0L
       val m = Array.ofDim[Long](8, 8)
       var bi = 0
       while (bi < nBlocks) {
@@ -433,34 +477,7 @@ object JpegPixels {
           }
         }
         // fixed-point IDCT — identical integer ops to the generator
-        val by = bi / bw; val bx = bi % bw
-        var y = 0
-        while (y < 8) {
-          var x = 0
-          while (x < 8) {
-            var acc = 0L
-            var a = 0
-            while (a < 8) {
-              if (K(y)(a) != 0) {
-                var inner = 0L
-                var c = 0
-                while (c < 8) { inner += K(x)(c) * m(a)(c); c += 1 }
-                acc += K(y)(a) * inner
-              }
-              a += 1
-            }
-            var v = 128L + ((acc + (1L << 21)) >> 22)
-            if (v < 0) v = 0
-            if (v > 255) v = 255
-            px((by * 8 + y) * width + bx * 8 + x) = v.toByte
-            if (v < pMin) pMin = v
-            if (v > pMax) pMax = v
-            pSum += v
-            pSq += v * v
-            x += 1
-          }
-          y += 1
-        }
+        surf.idct(m, bi / bw, bi % bw)
         bi += 1
       }
       // ---- trailer: byte-align, then EOI must close the file exactly ----
@@ -469,10 +486,8 @@ object JpegPixels {
       while (u8(j) == 0xFF) j += 1
       if (u8(j) != 0xD9) fail()
       if (j + 1 != n) fail()
-      val crc = new java.util.zip.CRC32
-      crc.update(px)
       InternalRow(width.toLong, height.toLong, nBlocks.toLong, nRst,
-        pMin, pMax, pSum, pSq, crc.getValue)
+        surf.pMin, surf.pMax, surf.pSum, surf.pSq, surf.crc32)
     } catch { case _: Malformed => null }
   }
 }
@@ -987,5 +1002,7 @@ object JpegFunctions {
       "jpeg_exif", exprs => JpegExifExpr(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "jpeg_rgb", exprs => JpegRgbExpr(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "jpeg_prog_pixels", exprs => JpegProgExpr(exprs.head), "built-in")
   }
 }

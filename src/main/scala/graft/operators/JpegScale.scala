@@ -52,6 +52,12 @@ object JpegScale {
     Array(0x00, 0xF0) ++ (for (r <- 0 until 16; s <- 1 to 10) yield (r << 4) | s)
   private val DcBits: Array[Int] = Array(0, 0, 0, 12) ++ Array.fill(12)(0)
   private val AcBits: Array[Int] = Array.fill(7)(0) ++ Array(AcSyms.length) ++ Array.fill(8)(0)
+  // progressive AC table adds the EOBn symbols (r<<4, r 0..14)
+  private val ProgAcSyms: Array[Int] =
+    (0 until 15).map(_ << 4).toArray ++ Array(0xF0) ++
+      (for (r <- 0 until 16; s <- 1 to 10) yield (r << 4) | s)
+  private val ProgAcBits: Array[Int] =
+    Array.fill(7)(0) ++ Array(ProgAcSyms.length) ++ Array.fill(8)(0)
 
   private def canonical(bits: Array[Int], syms: Array[Int]): Map[Int, (Int, Int)] = {
     var code = 0
@@ -71,6 +77,16 @@ object JpegScale {
   }
   private val DcCodes = canonical(DcBits, DcSyms)
   private val AcCodes = canonical(AcBits, AcSyms)
+  private val ProgAcCodes = canonical(ProgAcBits, ProgAcSyms)
+
+  /** Files ≡ 1 (mod 4) are written PROGRESSIVE (SOF2, the 4-scan
+    * DC-first → DC-refine → AC-first(Al=1) → AC-refine script) from the
+    * SAME coefficients — the pixel-total closed forms are layer-
+    * independent, so the gate's Σ px_sum / Σ px_sqsum pin both entropy
+    * layers at once. */
+  private def isProg(i: Long): Boolean = i % 4 == 1
+  private val ProgScript: Array[(Int, Int, Int, Int)] =
+    Array((0, 0, 0, 1), (0, 0, 1, 0), (1, 63, 0, 1), (1, 63, 1, 0))
 
   private final class BitWriter {
     val out = new java.io.ByteArrayOutputStream
@@ -143,8 +159,164 @@ object JpegScale {
     c(0)
   }
 
+  // --- progressive entropy encoder (mirrors jcphuff.c; the decode side
+  // is the PRODUCTION jpeg_prog_pixels expression) ----------------------
+  private final class ProgScanSt {
+    var eobrun = 0
+    val be = scala.collection.mutable.ArrayBuffer.empty[Int]
+  }
+
+  private def progEmitEobrun(bw: BitWriter, st: ProgScanSt): Unit =
+    if (st.eobrun > 0) {
+      val r = 31 - Integer.numberOfLeadingZeros(st.eobrun)
+      val (ln, code) = ProgAcCodes(r << 4)
+      bw.put(code, ln)
+      if (r > 0) bw.put(st.eobrun & ((1 << r) - 1), r)
+      st.eobrun = 0
+      st.be.foreach(bit => bw.put(bit, 1))
+      st.be.clear()
+    }
+
+  private def progEncDcFirst(bw: BitWriter, c0: Int, pred: Int, al: Int): Int = {
+    val sh = c0 >> al
+    val diff = sh - pred
+    val s = category(diff)
+    val (ln, code) = DcCodes(s)
+    bw.put(code, ln)
+    if (s > 0) bw.put(if (diff > 0) diff else diff + (1 << s) - 1, s)
+    sh
+  }
+
+  private def progEncAcFirst(bw: BitWriter, st: ProgScanSt, c: Array[Int],
+      ss: Int, se: Int, al: Int): Unit = {
+    var r = 0
+    var k = ss
+    while (k <= se) {
+      val v = c(k)
+      val t = math.abs(v) >> al
+      if (t == 0) r += 1
+      else {
+        progEmitEobrun(bw, st)
+        while (r > 15) {
+          val (lz, cz) = ProgAcCodes(0xF0); bw.put(cz, lz); r -= 16
+        }
+        val nbits = 32 - Integer.numberOfLeadingZeros(t)
+        val (ln, code) = ProgAcCodes((r << 4) | nbits)
+        bw.put(code, ln)
+        val vt = if (v > 0) t else -t
+        bw.put(if (vt > 0) vt else vt + (1 << nbits) - 1, nbits)
+        r = 0
+      }
+      k += 1
+    }
+    if (r > 0) {
+      st.eobrun += 1
+      if (st.eobrun == 0x7FFF) progEmitEobrun(bw, st)
+    }
+  }
+
+  private def progEncAcRefine(bw: BitWriter, st: ProgScanSt, c: Array[Int],
+      ss: Int, se: Int, al: Int): Unit = {
+    var eob = ss - 1
+    val absv = new Array[Int](se + 1)
+    var k = ss
+    while (k <= se) {
+      val t = math.abs(c(k)) >> al
+      absv(k) = t
+      if (t == 1) eob = k
+      k += 1
+    }
+    var r = 0
+    val br = scala.collection.mutable.ArrayBuffer.empty[Int]
+    k = ss
+    while (k <= se) {
+      val t = absv(k)
+      if (t == 0) r += 1
+      else {
+        // the ZRL fold runs for ANY nonzero temp — BEFORE the
+        // already-significant branch buffers its correction bit
+        // (jcphuff.c ordering; an earlier cut folded only at
+        // newly-significant positions and a correction bit buffered
+        // before a ≥16-zero-history gap flushed after the WRONG ZRL —
+        // 20 of 4096 gate files diverged, both independent decoders
+        // rejecting the stream)
+        while (r > 15 && k <= eob) {
+          progEmitEobrun(bw, st)
+          r -= 16
+          val (lz, cz) = ProgAcCodes(0xF0); bw.put(cz, lz)
+          br.foreach(bit => bw.put(bit, 1)); br.clear()
+        }
+        if (t > 1) br += (t & 1)
+        else {
+          progEmitEobrun(bw, st)
+          val (ln, code) = ProgAcCodes((r << 4) | 1)
+          bw.put(code, ln)
+          bw.put(if (c(k) > 0) 1 else 0, 1)
+          br.foreach(bit => bw.put(bit, 1)); br.clear()
+          r = 0
+        }
+      }
+      k += 1
+    }
+    if (r > 0 || br.nonEmpty) {
+      st.eobrun += 1
+      st.be ++= br
+      if (st.eobrun == 0x7FFF) progEmitEobrun(bw, st)
+    }
+  }
+
+  /** All scans' entropy bytes for a progressive file (scan-by-scan, for
+    * both the writer and the expected-side scan_bytes accounting). */
+  private def progScans(i: Long): Array[Array[Byte]] =
+    ProgScript.map { case (ss, se, ah, al) =>
+      val bw = new BitWriter
+      val st = new ProgScanSt
+      var pred = 0
+      var bi = 0
+      while (bi < BlocksPerFile) {
+        val c = coefs(i, bi)
+        if (ss == 0) {
+          if (ah == 0) pred = progEncDcFirst(bw, c(0), pred, al)
+          else bw.put((c(0) >> al) & 1, 1)
+        } else if (ah == 0) progEncAcFirst(bw, st, c, ss, se, al)
+        else progEncAcRefine(bw, st, c, ss, se, al)
+        bi += 1
+      }
+      progEmitEobrun(bw, st)
+      bw.align()
+      bw.out.toByteArray
+    }
+
+  private def progFileBytes(i: Long): Array[Byte] = {
+    val head = new java.io.ByteArrayOutputStream
+    head.write(Array(0xFF.toByte, 0xD8.toByte), 0, 2)
+    def emit(a: Array[Byte]): Unit = head.write(a, 0, a.length)
+    emit(seg(0xDB, Array(0x00.toByte) ++ qzz(i).map(_.toByte)))
+    emit(seg(0xC2, Array(8.toByte) ++ be16(Dim) ++ be16(Dim) ++
+      Array[Byte](1, 1, 0x11, 0)))
+    val dht = {
+      val dc = Array(0x00.toByte) ++ DcBits.map(_.toByte) ++ DcSyms.map(_.toByte)
+      val ac = Array(0x10.toByte) ++ ProgAcBits.map(_.toByte) ++
+        ProgAcSyms.map(_.toByte)
+      seg(0xC4, dc ++ ac)
+    }
+    emit(dht)
+    val scans = progScans(i)
+    var s = 0
+    while (s < scans.length) {
+      val (ss, se, ah, al) = ProgScript(s)
+      emit(seg(0xDA, Array[Byte](1, 1, 0x00, ss.toByte, se.toByte,
+        ((ah << 4) | al).toByte)))
+      head.write(scans(s), 0, scans(s).length)
+      s += 1
+    }
+    head.write(Array(0xFF.toByte, 0xD9.toByte), 0, 2)
+    head.toByteArray
+  }
+
   /** The complete file bytes for index i (before corruption). */
   private def fileBytes(i: Long): Array[Byte] = {
+    if (isProg(i)) return progFileBytes(i)
     val head = new java.io.ByteArrayOutputStream
     head.write(Array(0xFF.toByte, 0xD8.toByte), 0, 2)
     def emit(a: Array[Byte]): Unit = head.write(a, 0, a.length)
@@ -175,7 +347,8 @@ object JpegScale {
     * scan_bytes from the writer's own bit accounting, pixels via the
     * shared fixed-point IDCT constants. */
   private[operators] def expected(i: Long): (Long, Long, Long) = {
-    // scan_bytes: re-run the encoder's bit math without building segments
+    // scan_bytes: re-run the LAYER'S OWN encoder bit math (baseline one
+    // scan, progressive the 4-scan script) without building segments
     val bw = new BitWriter
     var pred = 0
     var bi = 0
@@ -220,7 +393,10 @@ object JpegScale {
       bi += 1
     }
     bw.align()
-    (bw.out.size().toLong, pSum, pSq)
+    val scanBytes =
+      if (isProg(i)) progScans(i).map(_.length.toLong).sum
+      else bw.out.size().toLong
+    (scanBytes, pSum, pSq)
   }
 
   def main(args: Array[String]): Unit = {
@@ -301,11 +477,19 @@ object JpegScale {
     val (expOk, expScan, expSum, expSq) = exp
 
     graft.functions.JpegFunctions.register(spark)
+    // BOTH entropy decoders run per file; exactly one may land (the
+    // q316/q326 profile split) — `both` counts any file that decoded
+    // under the wrong layer too, and must stay zero
     val decoded = graft.CacheRegistry.cached(spark.read.format("binaryFile")
       .option("pathGlobFilter", "*.jpg").load(work)
       .select(element_at(split(col("path"), "/"), -1).as("name"),
         expr("jpeg_info(content)").as("info"),
-        expr("jpeg_pixels(content)").as("px")))
+        expr("jpeg_pixels(content)").as("pxb"),
+        expr("jpeg_prog_pixels(content)").as("pxp"))
+      .select(col("name"), col("info"),
+        coalesce(col("pxb"), col("pxp")).as("px"),
+        (col("pxb").isNotNull && col("pxp").isNotNull).as("both"),
+        col("pxp").isNotNull.as("via_prog")))
     // the cached frame is lazy — the timed block materializes it, so the
     // reported decode time is the real entropy+IDCT work
     val agg = timed("decode")(decoded.agg(
@@ -319,7 +503,9 @@ object JpegScale {
       sum(when(col("info").isNotNull && col("px").isNotNull &&
         (col("info.width") =!= col("px.width") ||
           col("info.height") =!= col("px.height")), 1L).otherwise(0L))
-        .as("dim_disagree"))
+        .as("dim_disagree"),
+      sum(when(col("both"), 1L).otherwise(0L)).as("both_layers"),
+      sum(when(col("via_prog"), 1L).otherwise(0L)).as("prog_ok"))
       .collect()(0))
 
     val badNames = decoded.where(col("px").isNull)
@@ -347,6 +533,15 @@ object JpegScale {
       "pixel totals diverged — a single wrong pixel anywhere moves px_sqsum")
     require(agg.getAs[Long]("dim_disagree") == 0,
       "jpeg_info and jpeg_pixels disagreed on dimensions")
+    // progressive coverage: every intact ≡1 (mod 4) file decoded via the
+    // PROGRESSIVE expression and no file decoded under both layers
+    val expProg = (0L until nFiles)
+      .count(i => isProg(i) && !Corrupt(i)).toLong
+    require(agg.getAs[Long]("both_layers") == 0L,
+      "a file decoded under BOTH entropy layers — the profile split broke")
+    require(agg.getAs[Long]("prog_ok") == expProg,
+      s"progressive decodes ${agg.getAs[Long]("prog_ok")} != planted $expProg")
+    println(s"""{"check":"jpeg_progressive","prog_files":$expProg,"both_layers":0}""")
     println(s"""{"check":"jpeg_malformed_isolation","px_null":${badNames.length},"names":"${badNames.mkString(",")}"}""")
     require(badNames.toSeq == Corrupt.toSeq.sorted.map(i => f"img-$i%06d.jpg"),
       s"wrong malformed set: ${badNames.mkString(",")}")

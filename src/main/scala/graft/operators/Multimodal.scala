@@ -730,6 +730,120 @@ object Multimodal {
         .orderBy("px_crc32")
     }),
 
+    "q330_gif_ingest" -> ((s, d) => {
+      // GIF block walk — the remaining exactly-specifiable legacy crawl
+      // image format (mechanism on GifInfo): GIF87a/89a header, Logical
+      // Screen Descriptor, CRC'd global color table, extension
+      // sub-block chains each consuming their payload EXACTLY, image
+      // descriptors with local-color-table/interlace flags, and the
+      // 0x3B trailer closing the file exactly — the q283/q315
+      // wire-format discipline on a third format family. Planted
+      // corruptions (mid-sub-block truncation, bytes after the
+      // trailer) void themselves only; corrupt_code.gif carries VALID
+      // structure with a rotten LZW stream, so it PASSES here and
+      // voids under q331 — the exact q315/q316 layer split. Oracle =
+      // the generator's manifest (structure cross-checked by its
+      // independent LZW re-decoder). At 100 TB: in-scan walk, ~80
+      // bytes of structure per image cross the shuffle.
+      graft.functions.GifFunctions.register(s)
+      s.read.format("binaryFile")
+        .option("pathGlobFilter", "*.gif")
+        .load(graft.Fixtures.path("gif"))
+        .select(element_at(split(col("path"), "/"), -1).as("name"),
+          expr("gif_info(content)").as("g"),
+          col("length").as("n_bytes"))
+        .where(col("g").isNotNull)
+        .select(col("name"), col("g.width").as("width"),
+          col("g.height").as("height"), col("g.gif89a").as("gif89a"),
+          col("g.gct_size").as("gct_size"),
+          col("g.gct_crc32").as("gct_crc32"),
+          col("g.n_images").as("n_images"),
+          col("g.n_extensions").as("n_extensions"),
+          col("g.n_gce").as("n_gce"), col("g.n_lct").as("n_lct"),
+          col("g.n_interlaced").as("n_interlaced"),
+          col("g.data_bytes").as("data_bytes"),
+          col("g.n_sub_blocks").as("n_sub_blocks"), col("n_bytes"))
+        .orderBy("name")
+    }),
+
+    "q331_gif_decode" -> ((s, d) => {
+      // Full GIF LZW decode to an exact RGB surface (mechanism on
+      // GifPixels): variable-width LSB-first LZW — CLEAR/END codes,
+      // the KwKwK self-reference case, dictionary growth to 4096 with
+      // width bumps at every 2^w boundary, mid-stream CLEAR resets
+      // (gif_reset.gif fills the dictionary three times), deferred-
+      // clear tolerance — indexes mapped through the active palette
+      // (local over global) to row-major (r,g,b) bytes, stats + CRC32
+      // over every subpixel (the q325 contract). The decode profile is
+      // one non-interlaced full-frame image; anything else voids here
+      // while q330 still walks it. All three planted corruptions void
+      // (the rotten-LZW file exactly here). Oracle = the generator's
+      // manifest; its independent Python re-decoder proves every LZW
+      // stream round-trips before the manifest is written. At 100 TB:
+      // decode-at-ingest inside the scan projection — ~70 bytes of
+      // stats per image cross the shuffle, never pixels.
+      graft.functions.GifFunctions.register(s)
+      s.read.format("binaryFile")
+        .option("pathGlobFilter", "*.gif")
+        .load(graft.Fixtures.path("gif"))
+        .select(element_at(split(col("path"), "/"), -1).as("name"),
+          expr("gif_pixels(content)").as("g"),
+          col("length").as("n_bytes"))
+        .where(col("g").isNotNull)
+        .select(col("name"), col("g.width").as("width"),
+          col("g.height").as("height"),
+          col("g.palette_size").as("palette_size"),
+          col("g.n_clears").as("n_clears"),
+          col("g.px_min").as("px_min"), col("g.px_max").as("px_max"),
+          col("g.px_sum").as("px_sum"), col("g.px_sqsum").as("px_sqsum"),
+          col("g.px_crc32").as("px_crc32"), col("n_bytes"))
+        .orderBy("name")
+    }),
+
+    "q326_jpeg_progressive" -> ((s, d) => {
+      // PROGRESSIVE JPEG decode — the decode ladder's most-hit rung
+      // (the majority of large web JPEGs are SOF2): ISO 10918-1 Annex G
+      // spectral selection + successive approximation — DC first/refine
+      // scans, AC first scans with End-Of-Band RUNS, AC refinement with
+      // the correction-bit walk — assembling the coefficient matrix
+      // across scans and rendering through the SAME fixed-point IDCT as
+      // q316 (JpegPixels.Surface: one shared tail, two entropy layers).
+      // The fixture set carries a baseline TWIN built from identical
+      // coefficients: both decoders run in ONE projection and exactly
+      // one is non-null per file — the q316/q326 profile split is
+      // bidirectional and the coalesce proves it in the hashed result
+      // (a decoder that accepted the other layer would double-decode
+      // and break the layer column). The planted corrupt_truncated.jpg
+      // (cut mid-final-scan) voids under both — DROPMALFORMED blast
+      // radius stays one file. Ground truth three ways, as q316: the
+      // generator chooses quantized coefficients by formula, an
+      // INDEPENDENT Python re-decoder (decoder-side algorithm, not the
+      // encoder's) proves every scan round-trips, and the manifest's
+      // pixel stats + CRC32 come from the shared integer IDCT. At
+      // 100 TB: same in-scan decode shape — ~70 bytes of stats per
+      // image cross the shuffle, never pixels, never scan scripts.
+      graft.functions.JpegFunctions.register(s)
+      s.read.format("binaryFile")
+        .option("pathGlobFilter", "*.jpg")
+        .load(graft.Fixtures.path("jpeg_prog"))
+        .select(element_at(split(col("path"), "/"), -1).as("name"),
+          expr("jpeg_prog_pixels(content)").as("p"),
+          expr("jpeg_pixels(content)").as("b"),
+          col("length").as("n_bytes"))
+        .where(col("p").isNotNull || col("b").isNotNull)
+        .select(col("name"),
+          when(col("p").isNotNull, lit("progressive"))
+            .otherwise(lit("baseline")).as("layer"),
+          coalesce(col("p"), col("b")).as("j"), col("n_bytes"))
+        .select(col("name"), col("layer"),
+          col("j.width").as("width"), col("j.height").as("height"),
+          col("j.n_blocks").as("n_blocks"), col("j.n_rst").as("n_rst"),
+          col("j.px_min").as("px_min"), col("j.px_max").as("px_max"),
+          col("j.px_sum").as("px_sum"), col("j.px_sqsum").as("px_sqsum"),
+          col("j.px_crc32").as("px_crc32"), col("n_bytes"))
+        .orderBy("name")
+    }),
+
     "q316_jpeg_decode" -> ((s, d) => {
       // Full BASELINE JPEG decode — the layer past q315's segment walk,
       // landed because the segment layer shipped early (the round-11
@@ -1202,6 +1316,50 @@ object Multimodal {
         |              header=true)
         |GROUP BY 1, 2, 3
         |ORDER BY px_crc32""".stripMargin,
+    "q330_gif_ingest" ->
+      s"""SELECT name, CAST(width AS BIGINT) AS width,
+        |  CAST(height AS BIGINT) AS height, gif89a,
+        |  CAST(gct_size AS BIGINT) AS gct_size,
+        |  CAST(gct_crc32 AS BIGINT) AS gct_crc32,
+        |  CAST(n_images AS BIGINT) AS n_images,
+        |  CAST(n_extensions AS BIGINT) AS n_extensions,
+        |  CAST(n_gce AS BIGINT) AS n_gce,
+        |  CAST(n_lct AS BIGINT) AS n_lct,
+        |  CAST(n_interlaced AS BIGINT) AS n_interlaced,
+        |  CAST(data_bytes AS BIGINT) AS data_bytes,
+        |  CAST(n_sub_blocks AS BIGINT) AS n_sub_blocks,
+        |  CAST(n_bytes AS BIGINT) AS n_bytes
+        |FROM read_csv('${graft.Fixtures.path("gif")}/manifest_info.csv',
+        |              header=true)
+        |ORDER BY name""".stripMargin,
+    "q331_gif_decode" ->
+      s"""SELECT name, CAST(width AS BIGINT) AS width,
+        |  CAST(height AS BIGINT) AS height,
+        |  CAST(palette_size AS BIGINT) AS palette_size,
+        |  CAST(n_clears AS BIGINT) AS n_clears,
+        |  CAST(px_min AS BIGINT) AS px_min,
+        |  CAST(px_max AS BIGINT) AS px_max,
+        |  CAST(px_sum AS BIGINT) AS px_sum,
+        |  CAST(px_sqsum AS BIGINT) AS px_sqsum,
+        |  CAST(px_crc32 AS BIGINT) AS px_crc32,
+        |  CAST(n_bytes AS BIGINT) AS n_bytes
+        |FROM read_csv('${graft.Fixtures.path("gif")}/manifest.csv',
+        |              header=true)
+        |ORDER BY name""".stripMargin,
+    "q326_jpeg_progressive" ->
+      s"""SELECT name, layer, CAST(width AS BIGINT) AS width,
+        |  CAST(height AS BIGINT) AS height,
+        |  CAST(n_blocks AS BIGINT) AS n_blocks,
+        |  CAST(n_rst AS BIGINT) AS n_rst,
+        |  CAST(px_min AS BIGINT) AS px_min,
+        |  CAST(px_max AS BIGINT) AS px_max,
+        |  CAST(px_sum AS BIGINT) AS px_sum,
+        |  CAST(px_sqsum AS BIGINT) AS px_sqsum,
+        |  CAST(px_crc32 AS BIGINT) AS px_crc32,
+        |  CAST(n_bytes AS BIGINT) AS n_bytes
+        |FROM read_csv('${graft.Fixtures.path("jpeg_prog")}/manifest.csv',
+        |              header=true)
+        |ORDER BY name""".stripMargin,
     "q316_jpeg_decode" ->
       s"""SELECT name, CAST(width AS BIGINT) AS width,
         |  CAST(height AS BIGINT) AS height,

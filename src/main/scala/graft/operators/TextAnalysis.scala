@@ -854,7 +854,145 @@ object TextAnalysis {
       (1 to 11).map(k => s"WHEN $u < ${GeomCdfMicro(k)} THEN $k ").mkString +
       "ELSE 12 END"
 
+  // ---- q328/q329: language identification -----------------------------
+  // The one text-pipeline stage the suite still impersonated with a
+  // fixture column (q77's allowlist reads documents.lang): a REAL
+  // hashed char-bigram Naive Bayes, trained and applied on text whose
+  // language signal is PLANTED — each lang is a fixed substitution
+  // cipher over the shared vocabulary (en = identity), so languages
+  // share an alphabet but differ exactly where real languages do: in
+  // their character n-gram statistics. The permutations are literals
+  // in BOTH engines (the q246 shared-constant rule); the lang column is
+  // ground truth by construction, never a feature.
+  private[operators] val LangPerms: Seq[(String, String)] = Seq(
+    "de" -> "rmoykqncgapldzbswtehufxvji",
+    "en" -> "abcdefghijklmnopqrstuvwxyz",
+    "es" -> "mkazvbndphucwexsotilqygjfr",
+    "fr" -> "azqjsduvrbmfkgxtwphlyenoic",
+    "zh" -> "wxdfsjitgcqkrlvpehbzamoyun")
+  private val LangAz = "abcdefghijklmnopqrstuvwxyz"
+  private[operators] val LangIdB = 1024 // feature-hash buckets (q307 audits)
+
+  private def cipherCase: String =
+    "CASE lang " + LangPerms.filter(_._1 != "en").map { case (l, p) =>
+      s"WHEN '$l' THEN translate(text, '$LangAz', '$p') "
+    }.mkString + "ELSE text END"
+
+  /** (doc_id, lang, b) — one row per char-bigram INSTANCE of the
+    * ciphered text, b = md5-derived feature bucket (engine-portable:
+    * first 4 hex digits, the q307-audited idiom). */
+  private def langFeatures(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .select(col("doc_id"), col("lang"), expr(cipherCase).as("ctext"))
+      .select(col("doc_id"), col("lang"),
+        explode(split(col("ctext"), " ")).as("word"))
+      .filter(length(col("word")) >= 2)
+      .select(col("doc_id"), col("lang"),
+        explode(transform(sequence(lit(1), length(col("word")) - 1),
+          i => col("word").substr(i, lit(2)))).as("bg"))
+      .select(col("doc_id"), col("lang"),
+        expr(s"pmod(CAST(conv(substring(md5(bg), 1, 4), 16, 10) AS BIGINT), $LangIdB)")
+          .as("b"))
+
+  private def langFeatCte: String =
+    s"""cip AS (
+       |  SELECT doc_id, lang, $cipherCase AS ctext
+       |  FROM documents),
+       |words AS (
+       |  SELECT doc_id, lang, unnest(string_split(ctext, ' ')) AS word
+       |  FROM cip),
+       |feat AS (
+       |  SELECT doc_id, lang,
+       |    CAST('0x' || substr(md5(bg), 1, 4) AS BIGINT) % $LangIdB AS b
+       |  FROM (SELECT doc_id, lang,
+       |          unnest(list_transform(range(1, length(word)),
+       |            i -> substr(word, i, 2))) AS bg
+       |        FROM words WHERE length(word) >= 2)),
+       |langs AS (SELECT unnest(['de','en','es','fr','zh']) AS lang),
+       |grid AS (SELECT l.lang, g.b FROM langs l,
+       |         (SELECT unnest(range(0, $LangIdB)) AS b) g),
+       |tr AS (SELECT * FROM feat WHERE doc_id % 5 != 0),
+       |cnt AS (SELECT lang, b, count(*) AS c FROM tr GROUP BY 1, 2),
+       |tot AS (SELECT lang, count(*) AS nl FROM tr GROUP BY 1),
+       |model AS (
+       |  SELECT g.lang, g.b, coalesce(c.c, 0) AS c,
+       |    CAST(round(ln(CAST(coalesce(c.c, 0) + 1 AS DOUBLE)
+       |      / (t.nl + $LangIdB)) * 1e9) AS BIGINT) AS w_nano
+       |  FROM grid g
+       |  LEFT JOIN cnt c ON g.lang = c.lang AND g.b = c.b
+       |  JOIN tot t ON g.lang = t.lang)""".stripMargin
+
+  /** The trained model frame: full (lang × bucket) grid with add-one
+    * smoothed integer-nanounit log-likelihoods (q287's transcendental
+    * discipline: ln in double with identical parenthesization, rounded
+    * per element before any sum). */
+  private def langModel(s: SparkSession, d: String): DataFrame = {
+    val tr = langFeatures(s, d).filter(col("doc_id") % 5 =!= 0)
+      .transform(graft.CacheRegistry.cached)
+    val cnt = tr.groupBy(col("lang"), col("b")).agg(count(lit(1)).as("c"))
+    val tot = tr.groupBy(col("lang")).agg(count(lit(1)).as("nl"))
+    val grid = tot.select(col("lang"), col("nl"))
+      .crossJoin(s.range(LangIdB).select(col("id").as("b")))
+    grid.join(cnt, Seq("lang", "b"), "left")
+      .select(col("lang"), col("b"),
+        coalesce(col("c"), lit(0L)).as("c"), col("nl"))
+      .select(col("lang"), col("b"), col("c"),
+        expr(s"CAST(round(ln(CAST(c + 1 AS DOUBLE) / (nl + $LangIdB)) * 1e9) AS BIGINT)")
+          .as("w_nano"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "q328_langid_train" -> ((s, d) => {
+      // TRAIN the language-ID model (mechanism above): per-(lang,
+      // bucket) bigram-instance counts over the 80% train split
+      // (doc_id % 5 != 0), materialized as the FULL 5×1024 grid so
+      // unseen buckets carry their smoothing mass explicitly — the
+      // model a classifier broadcast needs is closed under lookup. At
+      // 100 TB: one bigram-keyed shuffle for the counts; the model is
+      // 5,120 rows — a broadcast, not a table.
+      langModel(s, d).orderBy("lang", "b")
+    }),
+
+    "q329_langid_classify" -> ((s, d) => {
+      // APPLY the model to the 20% test split: doc score per lang =
+      // prior (train doc-share, nanounits) + Σ over bigram instances
+      // of w_nano[lang, bucket]; predicted = argmax, ties to the
+      // alphabetically first lang (never fires — scores are sums of
+      // distinct logs — but determinism is contract, not luck).
+      // Measured on this corpus: the ciphered bigram statistics
+      // separate all five languages (LangIdSpec pins accuracy and
+      // per-language precision/recall against the PLANTED truth).
+      // At 100 TB this is one scan projection over the test corpus +
+      // a 5,120-row broadcast join — the shape fastText-style lang-ID
+      // deploys at crawl scale.
+      val te = langFeatures(s, d).filter(col("doc_id") % 5 === 0)
+      val docsT = t(s, d, "documents").filter(col("doc_id") % 5 =!= 0)
+      val dl = docsT.groupBy(col("lang")).agg(count(lit(1)).as("dl"))
+      val priors = dl.crossJoin(broadcast(
+          docsT.agg(count(lit(1)).as("dt"))))
+        .select(col("lang"),
+          expr("CAST(round(ln(CAST(dl AS DOUBLE) / dt) * 1e9) AS BIGINT)")
+            .as("prior_nano"))
+      val scored = te
+        .join(broadcast(langModel(s, d)
+          .select(col("lang").as("cand"), col("b"), col("w_nano"))), "b")
+        .groupBy(col("doc_id"), col("lang"), col("cand"))
+        .agg(sum(col("w_nano")).as("ll_nano"))
+        .join(broadcast(priors.select(col("lang").as("cand"),
+          col("prior_nano"))), "cand")
+        .select(col("doc_id"), col("lang"), col("cand"),
+          (col("ll_nano") + col("prior_nano")).as("score_nano"))
+      scored
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("doc_id"))
+            .orderBy(col("score_nano").desc, col("cand"))))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("lang").as("lang_true"),
+          col("cand").as("lang_pred"), col("score_nano"),
+          (col("cand") === col("lang")).as("correct"))
+        .orderBy("doc_id")
+    }),
 
     "q307_hash_collisions" -> ((s, d) => {
       // Feature-hash collision audit — the report that justifies (or
@@ -2727,6 +2865,34 @@ object TextAnalysis {
       |  FROM agg)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q328_langid_train" ->
+      s"""WITH $langFeatCte
+         |SELECT lang, CAST(b AS BIGINT) AS b, CAST(c AS BIGINT) AS c, w_nano
+         |FROM model ORDER BY lang, b""".stripMargin,
+    "q329_langid_classify" ->
+      s"""WITH $langFeatCte,
+         |te AS (SELECT * FROM feat WHERE doc_id % 5 = 0),
+         |dtr AS (SELECT lang, count(*) AS dl FROM documents
+         |        WHERE doc_id % 5 != 0 GROUP BY 1),
+         |dtot AS (SELECT count(*) AS dt FROM documents WHERE doc_id % 5 != 0),
+         |priors AS (
+         |  SELECT lang, CAST(round(ln(CAST(dl AS DOUBLE) / dt) * 1e9)
+         |    AS BIGINT) AS prior_nano
+         |  FROM dtr, dtot),
+         |scored AS (
+         |  SELECT t.doc_id, t.lang, m.lang AS cand,
+         |    CAST(sum(m.w_nano) AS BIGINT) + p.prior_nano AS score_nano
+         |  FROM te t JOIN model m ON t.b = m.b
+         |  JOIN priors p ON p.lang = m.lang
+         |  GROUP BY t.doc_id, t.lang, m.lang, p.prior_nano),
+         |ranked AS (
+         |  SELECT doc_id, lang, cand, score_nano,
+         |    row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY score_nano DESC, cand) AS rn
+         |  FROM scored)
+         |SELECT doc_id, lang AS lang_true, cand AS lang_pred, score_nano,
+         |  (cand = lang) AS correct
+         |FROM ranked WHERE rn = 1 ORDER BY doc_id""".stripMargin,
     "q307_hash_collisions" ->
       """WITH words AS (
         |  SELECT DISTINCT tok FROM (

@@ -60,6 +60,55 @@ class IvfPqSpec extends SparkSpec {
       f"ADC pairs ${scanned} / ${full} (${scanned * 100.0 / full}%.1f%%)")
   }
 
+  test("q327: per-subspace Lloyd strictly reduces quantization error; recall measured") {
+    VectorExpressions.register(spark)
+    val sfdir = "/root/testdata/sf0.01"
+    val e = graft.Tables.t(spark, sfdir, "embeddings")
+    val q = e.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+    val brute = broadcast(q).join(e, col("vec_id") =!= col("q_id"))
+      .withColumn("cos", expr("cosine_sim(qe, embedding)"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("q_id"))
+          .orderBy(col("cos").desc, col("vec_id"))))
+      .filter(col("rn") <= 10)
+      .select(col("q_id"), col("vec_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (k, rs) => k -> rs.map(_._2).toSet }
+    def recall(got: Map[Long, Set[Long]]): Double =
+      brute.keys.toSeq.map { k =>
+        (got.getOrElse(k, Set.empty) & brute(k)).size.toDouble / brute(k).size
+      }.sum / brute.size
+    def top10b(name: String): Map[Long, Set[Long]] =
+      graft.SparkEntry.queries(name)(spark, sfdir).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSet }
+    val standIn = recall(top10b("q100_pq_ann"))
+    val trained = recall(top10b("q327_pq_trained"))
+    // What training GUARANTEES — and what this corpus showed. Lloyd's
+    // monotone quantity is quantization error: pinned strictly below
+    // the stand-in, with no codebook collapse (all 64 (m,k) codes in
+    // use). Recall@10 is pinned only as a floor and REPORTED, because
+    // on THIS corpus it measured 0.333 (stand-in) vs 0.233 (trained)
+    // at sf0.01: the embeddings are isotropic md5-derived unit vectors
+    // - structureless by construction - so a 31%-lower-MSE codebook
+    // has no cluster geometry to spend its precision on, while the
+    // stand-in's actual-data-point anchors act as a locality-sensitive
+    // net for top-k ranking. PQ training pays off exactly when the
+    // corpus has learnable structure; the q327 scaladoc and README
+    // carry the same verdict.
+    val (standMse, standUsed, trainMse, trainUsed) =
+      Similarity.pqMse(spark, sfdir)
+    assert(trainMse < standMse,
+      s"Lloyd must strictly reduce quantization error: $trainMse vs $standMse")
+    assert(standUsed == 64 && trainUsed == 64,
+      s"codebook collapse: stand-in used $standUsed, trained used $trainUsed of 64")
+    assert(trained >= 0.15 && standIn >= 0.15,
+      s"recall floor: trained=$trained stand-in=$standIn")
+    info(f"recall@10: stand-in=$standIn%.3f trained=$trained%.3f; " +
+      s"mse stand-in=$standMse trained=$trainMse (both all-64-codes)")
+  }
+
   test("q150: staged serving is bit-identical to q143 and reads the stage") {
     val composed = graft.SparkEntry
       .queries("q143_ivf_pq_rerank")(spark, sf0001).collect().toSeq

@@ -554,3 +554,432 @@ def gen_color():
 
 if __name__ == "__main__":
     gen_color()
+
+
+# ---------------------------------------------------------------------------
+# q326: PROGRESSIVE fixtures (fixtures/jpeg_prog) — ISO 10918-1 Annex G
+# spectral selection + successive approximation, grayscale SOF2. The
+# encoder mirrors libjpeg's jcphuff.c (EOB-run accumulation, refinement
+# correction-bit buffering); the independent re-decoder below mirrors the
+# DECODER side (jdphuff.c) so the coefficient round-trip is proven by two
+# different algorithms. Each progressive file's expected pixel stats come
+# from the SAME shared integer IDCT as baseline; prog_twin.jpg has a
+# BASELINE twin built from identical coefficients, so the two entropy
+# layers must land the same px_crc32.
+# ---------------------------------------------------------------------------
+PROG_OUT = os.path.join(os.path.dirname(__file__), "..", "fixtures", "jpeg_prog")
+
+# AC table for progressive scans: EOBn symbols (r<<4 | 0, r 0..14) join
+# ZRL and the (run,size) pairs; 176 symbols, all canonical length 8
+PROG_AC_SYMS = [r << 4 for r in range(15)] + [0xF0] + \
+    [(r << 4) | s for r in range(16) for s in range(1, 11)]
+PROG_AC_BITS = [0] * 7 + [len(PROG_AC_SYMS)] + [0] * 8
+PROG_AC_CODES = canonical(PROG_AC_BITS, PROG_AC_SYMS)
+
+
+def prog_dht_payload():
+    p = bytes([0x00]) + bytes(DC_BITS) + bytes(DC_SYMS)
+    p += bytes([0x10]) + bytes(PROG_AC_BITS) + bytes(PROG_AC_SYMS)
+    return p
+
+
+def prog_coef_formula(bi, kind):
+    c = [0] * 64
+    c[0] = ((bi * 37) % 81) - 40
+    if kind == "dc_only":
+        return c
+    if kind == "ac1":
+        # refinement-born +-1s next to first-scan survivors
+        c[1] = ((bi * 3) % 3) - 1
+        c[4] = ((bi * 5) % 5) - 2
+        if bi % 3 == 0:
+            c[20] = 1
+        if bi % 4 == 1:
+            c[63] = -1
+        c[9] = ((bi * 11) % 9) - 4
+        return c
+    if kind == "sparse1":
+        # mostly-empty bands -> long EOB runs carrying correction bits
+        if bi % 5 == 0:
+            c[10] = ((bi * 7) % 5) - 2
+        if bi % 10 == 0:
+            c[33] = 1
+        return c
+    if kind == "zrlbr":
+        # the JpegScale-caught pattern: a correction bit buffered BEFORE
+        # a >=16-zero-history gap that folds into ZRLs — the flush must
+        # ride the LAST fold, not the first (jcphuff.c ordering)
+        c[2] = 5 if bi % 2 == 0 else -5   # refine correction bit = 1
+        c[40] = 1 if bi % 3 == 0 else -1  # refine-born after a 37-zero gap
+        return c
+    # "rich": dense-ish with magnitudes that survive Al=2 first scans
+    c[1] = ((bi * 11) % 21) - 10
+    c[5] = ((bi * 7) % 15) - 7
+    c[17] = ((bi * 13) % 9) - 4
+    if bi % 3 == 0:
+        c[30] = ((bi * 5) % 7) - 3
+        c[63] = 1 if bi % 2 == 0 else -1
+    if bi % 2 == 1:
+        c[2] = 9 + (bi % 8)  # survives >>2
+    return c
+
+
+class ProgScanState:
+    def __init__(self):
+        self.eobrun = 0
+        self.be = []  # correction bits buffered with the pending EOB run
+
+
+def prog_emit_eobrun(bw, st):
+    if st.eobrun > 0:
+        r = st.eobrun.bit_length() - 1
+        assert r <= 14
+        ln, code = PROG_AC_CODES[r << 4]
+        bw.put(code, ln)
+        if r:
+            bw.put(st.eobrun & ((1 << r) - 1), r)
+        st.eobrun = 0
+        for bit in st.be:
+            bw.put(bit, 1)
+        st.be = []
+
+
+def prog_enc_dc_first(bw, cz, pred, al):
+    sh = cz[0] >> al
+    diff = sh - pred
+    s = category(diff)
+    ln, code = DC_CODES[s]
+    bw.put(code, ln)
+    if s > 0:
+        bw.put(diff if diff > 0 else diff + (1 << s) - 1, s)
+    return sh
+
+
+def prog_enc_ac_first(bw, st, cz, ss, se, al):
+    r = 0
+    for k in range(ss, se + 1):
+        v = cz[k]
+        t = abs(v) >> al
+        if t == 0:
+            r += 1
+            continue
+        prog_emit_eobrun(bw, st)
+        while r > 15:
+            ln, code = PROG_AC_CODES[0xF0]
+            bw.put(code, ln)
+            r -= 16
+        nbits = t.bit_length()
+        assert 1 <= nbits <= 10
+        ln, code = PROG_AC_CODES[(r << 4) | nbits]
+        bw.put(code, ln)
+        vt = t if v > 0 else -t
+        bw.put(vt if vt > 0 else vt + (1 << nbits) - 1, nbits)
+        r = 0
+    if r > 0:
+        st.eobrun += 1
+        if st.eobrun == 0x7FFF:
+            prog_emit_eobrun(bw, st)
+
+
+def prog_enc_ac_refine(bw, st, cz, ss, se, al):
+    p1 = 1 << al
+    absv = {}
+    eob = ss - 1
+    for k in range(ss, se + 1):
+        t = abs(cz[k]) >> al
+        absv[k] = t
+        if t == 1:
+            eob = k
+    r = 0
+    br_bits = []
+    for k in range(ss, se + 1):
+        t = absv[k]
+        if t == 0:
+            r += 1
+            continue
+        # the ZRL fold runs for ANY nonzero temp — BEFORE the
+        # already-significant branch buffers its correction bit. The
+        # first cut folded only at newly-significant positions, so a
+        # correction bit buffered before a >=16-zero-history gap was
+        # flushed after the WRONG ZRL (jcphuff.c orders it this way;
+        # JpegScale caught the divergence at file 29 of 4096 — the
+        # prog_zrlbr fixture now pins the pattern at fixture scale)
+        while r > 15 and k <= eob:
+            prog_emit_eobrun(bw, st)
+            r -= 16
+            ln, code = PROG_AC_CODES[0xF0]
+            bw.put(code, ln)
+            for bit in br_bits:
+                bw.put(bit, 1)
+            br_bits = []
+        if t > 1:
+            br_bits.append(t & 1)
+            continue
+        # newly significant at this bit
+        prog_emit_eobrun(bw, st)
+        ln, code = PROG_AC_CODES[(r << 4) | 1]
+        bw.put(code, ln)
+        bw.put(1 if cz[k] > 0 else 0, 1)
+        for bit in br_bits:
+            bw.put(bit, 1)
+        br_bits = []
+        r = 0
+    if r > 0 or br_bits:
+        st.eobrun += 1
+        st.be += br_bits
+        if st.eobrun == 0x7FFF:
+            prog_emit_eobrun(bw, st)
+
+
+def build_prog_file(width, height, kind, q_seed, script, rst_interval=0):
+    """script: list of (Ss, Se, Ah, Al) scans."""
+    assert width % 8 == 0 and height % 8 == 0
+    bw_blocks = width // 8
+    n_blocks = bw_blocks * (height // 8)
+    q_zz = [1 + ((q_seed * 7 + k * 5) % 24) for k in range(64)]
+    blocks = [prog_coef_formula(bi, kind) for bi in range(n_blocks)]
+
+    head = b"\xFF\xD8"
+    head += seg(0xE0, b"JFIF\x00" + bytes([1, 2, 0]) + struct.pack(">HH", 72, 72) + b"\x00\x00")
+    head += seg(0xDB, bytes([0x00]) + bytes(q_zz))
+    head += seg(0xC2, bytes([8]) + struct.pack(">HH", height, width) + bytes([1, 1, 0x11, 0]))
+    head += seg(0xC4, prog_dht_payload())
+    if rst_interval:
+        head += seg(0xDD, struct.pack(">H", rst_interval))
+
+    body = bytearray()
+    n_rst = 0
+    for (ss, se, ah, al) in script:
+        body += seg(0xDA, bytes([1, 1, 0x00, ss, se, (ah << 4) | al]))
+        bw = BitWriter()
+        st = ProgScanState()
+        pred = 0
+        scan_bytes = bytearray()
+        for bi in range(n_blocks):
+            if rst_interval and bi > 0 and bi % rst_interval == 0:
+                prog_emit_eobrun(bw, st)
+                bw.align()
+                scan_bytes += bw.out
+                bw = BitWriter()
+                scan_bytes += bytes([0xFF, 0xD0 + (n_rst % 8)])
+                n_rst += 1
+                pred = 0
+            cz = blocks[bi]
+            if ss == 0:
+                if ah == 0:
+                    pred = prog_enc_dc_first(bw, cz, pred, al)
+                else:
+                    bw.put((cz[0] >> al) & 1, 1)
+            elif ah == 0:
+                prog_enc_ac_first(bw, st, cz, ss, se, al)
+            else:
+                prog_enc_ac_refine(bw, st, cz, ss, se, al)
+        prog_emit_eobrun(bw, st)
+        bw.align()
+        scan_bytes += bw.out
+        body += scan_bytes
+    data = head + bytes(body) + b"\xFF\xD9"
+
+    # expected pixels via the shared integer IDCT (identical to baseline)
+    px = [[0] * width for _ in range(height)]
+    for bi, c in enumerate(blocks):
+        by, bx = divmod(bi, bw_blocks)
+        blk = idct_block(c, q_zz)
+        for y in range(8):
+            for x in range(8):
+                px[by * 8 + y][bx * 8 + x] = blk[y][x]
+    flat = bytes(v for row in px for v in row)
+    stats = dict(width=width, height=height, n_blocks=n_blocks, n_rst=n_rst,
+                 px_min=min(flat), px_max=max(flat),
+                 px_sum=sum(flat), px_sqsum=sum(v * v for v in flat),
+                 px_crc32=zlib.crc32(flat) & 0xFFFFFFFF)
+    return data, blocks, q_zz, stats
+
+
+# --- independent progressive re-decoder (mirrors jdphuff.c, NOT the encoder)
+def decode_prog_stream(data, n_blocks):
+    dec_dc = {v: k for k, v in DC_CODES.items()}
+    dec_ac = {v: k for k, v in PROG_AC_CODES.items()}
+
+    def read_code(table, br):
+        ln = 0
+        code = 0
+        while ln < 16:
+            code = (code << 1) | br.bit()
+            ln += 1
+            if (ln, code) in table:
+                return table[(ln, code)]
+        raise AssertionError("bad code")
+
+    def extend(r, s):
+        return r if r >= (1 << (s - 1)) else r - (1 << s) + 1
+
+    coefs = [[0] * 64 for _ in range(n_blocks)]
+    i = 2
+    rst_interval = 0
+    while True:
+        assert data[i] == 0xFF
+        while data[i] == 0xFF:
+            i += 1
+        m = data[i]
+        i += 1
+        if m == 0xD9:
+            break
+        ln = struct.unpack(">H", data[i:i + 2])[0]
+        p = i + 2
+        if m == 0xDD:
+            rst_interval = struct.unpack(">H", data[p:p + 2])[0]
+        if m != 0xDA:
+            i += ln
+            continue
+        # SOS payload: Ns, Cs, TdTa, Ss, Se, AhAl
+        ss, se = data[p + 3], data[p + 4]
+        ah, al = data[p + 5] >> 4, data[p + 5] & 0x0F
+        br = BitReader(data, i + ln)
+        pred = 0
+        eobrun = 0
+        nrst_scan = 0
+        p1, m1 = 1 << al, -(1 << al)
+        for bi in range(n_blocks):
+            if rst_interval and bi > 0 and bi % rst_interval == 0:
+                j = br.i
+                assert data[j] == 0xFF and 0xD0 <= data[j + 1] <= 0xD7
+                br = BitReader(data, j + 2)
+                nrst_scan += 1
+                pred = 0
+                eobrun = 0
+            c = coefs[bi]
+            if ss == 0:
+                if ah == 0:
+                    s = read_code(dec_dc, br)
+                    pred += extend(br.bits(s), s) if s else 0
+                    c[0] = pred << al
+                else:
+                    if br.bit():
+                        c[0] |= p1
+            elif ah == 0:
+                if eobrun > 0:
+                    eobrun -= 1
+                    continue
+                k = ss
+                while k <= se:
+                    sym = read_code(dec_ac, br)
+                    r, s = sym >> 4, sym & 0x0F
+                    if s:
+                        k += r
+                        assert k <= se
+                        c[k] = extend(br.bits(s), s) << al
+                        k += 1
+                    elif r != 15:
+                        eobrun = (1 << r) + (br.bits(r) if r else 0) - 1
+                        break
+                    else:
+                        k += 16
+            else:
+                k = ss
+                if eobrun == 0:
+                    while k <= se:
+                        sym = read_code(dec_ac, br)
+                        r, s = sym >> 4, sym & 0x0F
+                        newval = 0
+                        if s:
+                            assert s == 1
+                            newval = p1 if br.bit() else m1
+                        elif r != 15:
+                            eobrun = (1 << r) + (br.bits(r) if r else 0)
+                            break
+                        at_slot = False
+                        while k <= se and not at_slot:
+                            if c[k] != 0:
+                                if br.bit() and (c[k] & p1) == 0:
+                                    c[k] += p1 if c[k] >= 0 else m1
+                                k += 1
+                            else:
+                                r -= 1
+                                if r < 0:
+                                    at_slot = True
+                                else:
+                                    k += 1
+                        if newval:
+                            assert at_slot
+                            c[k] = newval
+                        k += 1
+                if eobrun > 0:
+                    while k <= se:
+                        if c[k] != 0:
+                            if br.bit() and (c[k] & p1) == 0:
+                                c[k] += p1 if c[k] >= 0 else m1
+                        k += 1
+                    eobrun -= 1
+        i = br.i
+    return coefs
+
+
+PROG_SCRIPT_FULL = [(0, 0, 0, 1), (1, 5, 0, 2), (6, 63, 0, 2),
+                    (1, 63, 2, 1), (0, 0, 1, 0), (1, 63, 1, 0)]
+PROG_SCRIPT_4 = [(0, 0, 0, 0), (1, 63, 0, 1), (1, 63, 1, 0)]
+PROG_SCRIPT_DC = [(0, 0, 0, 1), (0, 0, 1, 0)]
+PROG_SCRIPT_RST = [(0, 0, 0, 1), (0, 0, 1, 0), (1, 63, 0, 0)]
+
+
+def gen_prog():
+    os.makedirs(PROG_OUT, exist_ok=True)
+    specs = [
+        ("prog_multi.jpg", 48, 32, "rich", 3, PROG_SCRIPT_FULL, 0),
+        ("prog_small.jpg", 16, 16, "ac1", 9, PROG_SCRIPT_4, 0),
+        ("prog_dconly.jpg", 24, 8, "dc_only", 5, PROG_SCRIPT_DC, 0),
+        ("prog_eobrun.jpg", 32, 24, "sparse1", 11, PROG_SCRIPT_4, 0),
+        ("prog_rst.jpg", 32, 16, "rich", 7, PROG_SCRIPT_RST, 2),
+        ("prog_zrlbr.jpg", 24, 16, "zrlbr", 15, PROG_SCRIPT_4, 0),
+        ("prog_twin.jpg", 16, 16, "ac1", 13, PROG_SCRIPT_4, 0),
+    ]
+    rows = []
+    twin_blocks = twin_q = None
+    for name, w, h, kind, qs, script, rst in specs:
+        data, blocks, q_zz, stats = build_prog_file(w, h, kind, qs, script, rst)
+        redec = decode_prog_stream(data, stats["n_blocks"])
+        assert redec == blocks, f"{name}: progressive coefficient round-trip failed"
+        with open(os.path.join(PROG_OUT, name), "wb") as f:
+            f.write(data)
+        rows.append((name, "progressive", stats, len(data)))
+        if name == "prog_twin.jpg":
+            twin_blocks, twin_q = blocks, q_zz
+
+    # BASELINE twin: identical coefficients + quant through the q316
+    # entropy layer — same expected stats row, different bytes/layer
+    head = b"\xFF\xD8"
+    head += seg(0xE0, b"JFIF\x00" + bytes([1, 2, 0]) + struct.pack(">HH", 72, 72) + b"\x00\x00")
+    head += seg(0xDB, bytes([0x00]) + bytes(twin_q))
+    head += seg(0xC0, bytes([8]) + struct.pack(">HH", 16, 16) + bytes([1, 1, 0x11, 0]))
+    head += seg(0xC4, dht_payload())
+    head += seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    bw = BitWriter()
+    pred = 0
+    for c in twin_blocks:
+        pred = encode_block(bw, c, pred)
+    bw.align()
+    base_twin = head + bytes(bw.out) + b"\xFF\xD9"
+    redec = decode_stream(base_twin, len(twin_blocks), 0)
+    assert redec == twin_blocks, "baseline twin round-trip failed"
+    with open(os.path.join(PROG_OUT, "twin_base.jpg"), "wb") as f:
+        f.write(base_twin)
+    twin_stats = rows[-1][2]
+    rows.append(("twin_base.jpg", "baseline", dict(twin_stats), len(base_twin)))
+
+    # planted corruption (not in manifest): a good progressive file cut
+    # mid-final-scan — the decoder must void exactly this file
+    good, _, _, _ = build_prog_file(16, 16, "ac1", 9, PROG_SCRIPT_4, 0)
+    with open(os.path.join(PROG_OUT, "corrupt_truncated.jpg"), "wb") as f:
+        f.write(good[:len(good) - 7])
+
+    cols = ["width", "height", "n_blocks", "n_rst", "px_min", "px_max",
+            "px_sum", "px_sqsum", "px_crc32"]
+    with open(os.path.join(PROG_OUT, "manifest.csv"), "w") as f:
+        f.write("name,layer," + ",".join(cols) + ",n_bytes\n")
+        for name, layer, st, nb in rows:
+            f.write(f"{name},{layer}," + ",".join(str(st[c]) for c in cols) + f",{nb}\n")
+    print(f"wrote {len(rows)} good + 1 corrupt progressive fixtures to {PROG_OUT}")
+
+
+if __name__ == "__main__":
+    gen_prog()
