@@ -29,10 +29,12 @@ import org.apache.spark.sql.types._
   * mid-stream) over the concatenated data sub-blocks, indexes mapped
   * through the active palette (local over global) to an RGB surface —
   * stats + CRC32 over row-major (r,g,b) bytes, every subpixel pinned,
-  * none shuffled (the q325 contract). Supported profile: ONE
-  * non-interlaced full-frame image; interlace, frame offsets or
-  * animation VOID the pixel layer while gif_info still walks them —
-  * the q315/q316 layer split. Ground truth: the committed generator
+  * none shuffled (the q325 contract). Interlaced images decode too:
+  * the 4-pass row order (8k, 8k+4, 4k+2, 2k+1) is undone before
+  * rendering, so the surface — and its CRC — is the LOGICAL image.
+  * Supported profile: ONE full-frame image; frame offsets or animation
+  * VOID the pixel layer while gif_info still walks them — the
+  * q315/q316 layer split. Ground truth: the committed generator
   * (tools/gen_gif_fixtures.py) chooses index surfaces and palettes by
   * formula, its independent Python re-decoder proves every LZW stream
   * round-trips, and the manifest carries the expected stats/CRC.
@@ -158,9 +160,9 @@ object GifPixels {
     }
   }
 
-  /** struct(width, height, palette_size, n_clears, px_min, px_max,
-    * px_sum, px_sqsum, px_crc32) or null — stats over row-major
-    * (r,g,b) bytes of the decoded surface. */
+  /** struct(width, height, palette_size, interlaced, n_clears, px_min,
+    * px_max, px_sum, px_sqsum, px_crc32) or null — stats over row-major
+    * (r,g,b) bytes of the decoded (de-interlaced) surface. */
   def decode(b: Array[Byte]): InternalRow = {
     if (b == null || b.length < 13) return null
     val n = b.length
@@ -183,6 +185,7 @@ object GifPixels {
         i += 3 * gctEntries
       }
       var imageSeen = false
+      var interlaced = false
       var nClears = 0L
       var palEntries = 0
       val px = new Array[Byte](width * height) // palette indexes
@@ -205,12 +208,12 @@ object GifPixels {
               len = u8(i); i += 1
             }
           case 0x2C =>
-            if (imageSeen) fail() // profile: exactly one image
+            if (imageSeen) fail() // profile: exactly one image (no animation)
             imageSeen = true
             if (le16(i + 1) != 0 || le16(i + 3) != 0) fail() // full frame
             if (le16(i + 5) != width || le16(i + 7) != height) fail()
             val iflags = u8(i + 9)
-            if ((iflags & 0x40) != 0) fail() // interlace: out of profile
+            interlaced = (iflags & 0x40) != 0
             i += 10
             var pal = gct
             palEntries = gctEntries
@@ -292,6 +295,21 @@ object GifPixels {
         }
       }
       if (!imageSeen) fail()
+      // ---- de-interlace (GIF's 4-pass row order: 8k, 8k+4, 4k+2, 2k+1) --
+      if (interlaced) {
+        val ordered = new Array[Byte](px.length)
+        var src = 0
+        def pass(start: Int, step: Int): Unit = {
+          var row = start
+          while (row < height) {
+            System.arraycopy(px, src * width, ordered, row * width, width)
+            src += 1
+            row += step
+          }
+        }
+        pass(0, 8); pass(4, 8); pass(2, 4); pass(1, 2)
+        System.arraycopy(ordered, 0, px, 0, px.length)
+      }
       // ---- render through the active palette -------------------------
       var pMin = 255L; var pMax = 0L; var pSum = 0L; var pSq = 0L
       val crc = new java.util.zip.CRC32
@@ -316,8 +334,8 @@ object GifPixels {
         crc.update(row)
         y += 1
       }
-      InternalRow(width.toLong, height.toLong, palEntries.toLong, nClears,
-        pMin, pMax, pSum, pSq, crc.getValue)
+      InternalRow(width.toLong, height.toLong, palEntries.toLong,
+        interlaced, nClears, pMin, pMax, pSum, pSq, crc.getValue)
     } catch { case _: Malformed => null }
   }
 }
@@ -359,6 +377,7 @@ case class GifPixelsExpr(child: Expression) extends UnaryExpression {
     StructField("width", LongType, nullable = false),
     StructField("height", LongType, nullable = false),
     StructField("palette_size", LongType, nullable = false),
+    StructField("interlaced", BooleanType, nullable = false),
     StructField("n_clears", LongType, nullable = false),
     StructField("px_min", LongType, nullable = false),
     StructField("px_max", LongType, nullable = false),

@@ -774,9 +774,11 @@ object Multimodal {
       // (gif_reset.gif fills the dictionary three times), deferred-
       // clear tolerance — indexes mapped through the active palette
       // (local over global) to row-major (r,g,b) bytes, stats + CRC32
-      // over every subpixel (the q325 contract). The decode profile is
-      // one non-interlaced full-frame image; anything else voids here
-      // while q330 still walks it. All three planted corruptions void
+      // over every subpixel (the q325 contract). Interlaced images
+      // de-interlace (the 4-pass row order undone, so the CRC pins the
+      // LOGICAL surface); the decode profile is one full-frame image —
+      // animation (gif_anim.gif) voids here while q330 walks both its
+      // frames. All three planted corruptions void
       // (the rotten-LZW file exactly here). Oracle = the generator's
       // manifest; its independent Python re-decoder proves every LZW
       // stream round-trips before the manifest is written. At 100 TB:
@@ -793,6 +795,7 @@ object Multimodal {
         .select(col("name"), col("g.width").as("width"),
           col("g.height").as("height"),
           col("g.palette_size").as("palette_size"),
+          col("g.interlaced").as("interlaced"),
           col("g.n_clears").as("n_clears"),
           col("g.px_min").as("px_min"), col("g.px_max").as("px_max"),
           col("g.px_sum").as("px_sum"), col("g.px_sqsum").as("px_sqsum"),
@@ -1336,6 +1339,7 @@ object Multimodal {
       s"""SELECT name, CAST(width AS BIGINT) AS width,
         |  CAST(height AS BIGINT) AS height,
         |  CAST(palette_size AS BIGINT) AS palette_size,
+        |  interlaced,
         |  CAST(n_clears AS BIGINT) AS n_clears,
         |  CAST(px_min AS BIGINT) AS px_min,
         |  CAST(px_max AS BIGINT) AS px_max,

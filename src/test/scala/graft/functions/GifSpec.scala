@@ -24,11 +24,14 @@ class GifSpec extends SparkSpec {
         expr("gif_pixels(content)").as("px"))
       .collect()
       .map(r => (r.getString(0), (!r.isNullAt(1), !r.isNullAt(2)))).toMap
-    assert(rows.size == 9)
+    assert(rows.size == 11)
     rows.foreach { case (name, (infoOk, pxOk)) =>
       name match {
         case "corrupt_code.gif" =>
           assert(infoOk && !pxOk, s"$name: structure valid, LZW rotten")
+        case "gif_anim.gif" =>
+          assert(infoOk && !pxOk,
+            s"$name: the walk counts both frames, the decode profile is one")
         case "corrupt_trunc.gif" | "corrupt_trailer.gif" =>
           assert(!infoOk && !pxOk, s"$name must void both layers")
         case _ =>
@@ -40,8 +43,8 @@ class GifSpec extends SparkSpec {
   test("gif_reset.gif fills the dictionary: CLEAR resets observed") {
     val r = GifPixels.decode(fixture("gif_reset.gif"))
     assert(r != null)
-    assert(r.getLong(3) >= 2L, // n_clears: initial + >=1 mid-stream reset
-      s"reset fixture decoded with ${r.getLong(3)} clears")
+    assert(r.getLong(4) >= 2L, // n_clears: initial + >=1 mid-stream reset
+      s"reset fixture decoded with ${r.getLong(4)} clears")
   }
 
   test("truncation at every byte voids, never mis-decodes") {
@@ -57,18 +60,20 @@ class GifSpec extends SparkSpec {
     }
   }
 
-  test("out-of-profile shapes void the decode, not the walk") {
-    // interlace flag set: gif_info reports it, gif_pixels voids
+  test("interlace decodes to the LOGICAL surface; a frame offset voids") {
+    // the interlaced fixture's CRC is the q331 oracle's job; here the
+    // structural claim: its de-interlaced surface equals the same
+    // image written sequentially (manifest rows share stats by
+    // construction — assert the decoder agrees)
+    val inter = GifPixels.decode(fixture("gif_interlaced.gif"))
+    assert(inter != null && inter.getBoolean(3), "must decode as interlaced")
+    // a non-zero frame offset is out of the full-frame profile
     val g = fixture("gif_small87.gif")
-    val idx = {
-      var i = 13 + 3 * 4 // header + LSD + 4-entry GCT
-      while ((g(i) & 0xFF) != 0x2C) i += 1
-      i + 9
-    }
-    val inter = g.clone()
-    inter(idx) = (inter(idx) | 0x40).toByte
-    val info = GifInfo.decode(inter)
-    assert(info != null && info.getLong(10) == 1L, "walk must count interlace")
-    assert(GifPixels.decode(inter) == null, "interlace is out of decode profile")
+    var i = 13 + 3 * 4 // header + LSD + 4-entry GCT
+    while ((g(i) & 0xFF) != 0x2C) i += 1
+    val off = g.clone()
+    off(i + 1) = 1 // image left = 1
+    assert(GifInfo.decode(off) != null, "walk tolerates frame offsets")
+    assert(GifPixels.decode(off) == null, "offset frame is out of decode profile")
   }
 }

@@ -128,11 +128,23 @@ def sub_blocks(data):
     return bytes(out)
 
 
+def interlace_rows(h):
+    """GIF's 4-pass row storage order."""
+    return ([r for r in range(0, h, 8)] + [r for r in range(4, h, 8)] +
+            [r for r in range(2, h, 4)] + [r for r in range(1, h, 2)])
+
+
 def build_gif(w, h, pal_bits, kind, seed, v89=True, lct=False,
-              extensions=(), min_code=None):
+              extensions=(), min_code=None, interlace=False):
     nidx = 1 << pal_bits
     pal = palette(pal_bits, seed)
     px = indexes(w, h, nidx, kind, seed)
+    # the LZW stream carries the STORAGE order; stats/CRC stay logical
+    stream_px = px
+    if interlace:
+        stream_px = []
+        for r in interlace_rows(h):
+            stream_px.extend(px[r * w:(r + 1) * w])
     mc = min_code if min_code is not None else max(2, pal_bits)
     data = b"GIF89a" if v89 else b"GIF87a"
     flags_gct = 0 if lct else (0x80 | (pal_bits - 1))
@@ -141,12 +153,12 @@ def build_gif(w, h, pal_bits, kind, seed, v89=True, lct=False,
         data += pal
     for label, payload in extensions:
         data += bytes([0x21, label]) + sub_blocks(payload)
-    iflags = (0x80 | (pal_bits - 1)) if lct else 0
+    iflags = ((0x80 | (pal_bits - 1)) if lct else 0) | (0x40 if interlace else 0)
     data += bytes([0x2C]) + struct.pack("<HHHH", 0, 0, w, h) + bytes([iflags])
     if lct:
         data += pal
     enc = LzwEncoder(mc)
-    lzw = enc.encode(px)
+    lzw = enc.encode(stream_px)
     data += bytes([mc]) + sub_blocks(lzw)
     data += bytes([0x3B])
 
@@ -164,10 +176,11 @@ def build_gif(w, h, pal_bits, kind, seed, v89=True, lct=False,
             rgb.append(v)
     crc = zlib.crc32(bytes(rgb)) & 0xFFFFFFFF
     stats = dict(width=w, height=h, palette_size=nidx,
-                 n_clears=count_clears(px, mc),
+                 interlaced=str(bool(interlace)).lower(),
+                 n_clears=count_clears(stream_px, mc),
                  px_min=pmin, px_max=pmax, px_sum=psum, px_sqsum=psq,
                  px_crc32=crc)
-    return data, px, pal, stats, lzw
+    return data, stream_px, pal, stats, lzw
 
 
 def count_clears(px, mc):
@@ -289,7 +302,7 @@ def extract_lzw(data):
             raise AssertionError(hex(b0))
 
 
-def info_row(w, h, v89, lct, pal, exts, lzw):
+def info_row(w, h, v89, lct, pal, exts, lzw, interlace=False):
     """q330's structural fields from BUILD INTENT (not from re-parsing
     the emitted bytes): the decoder is checked against what the file
     was built with."""
@@ -303,7 +316,7 @@ def info_row(w, h, v89, lct, pal, exts, lzw):
         gct_crc32=0 if lct else (zlib.crc32(pal) & 0xFFFFFFFF),
         n_images=1, n_extensions=len(exts),
         n_gce=sum(1 for l, _ in exts if l == 0xF9),
-        n_lct=1 if lct else 0, n_interlaced=0,
+        n_lct=1 if lct else 0, n_interlaced=1 if interlace else 0,
         data_bytes=data_bytes, n_sub_blocks=n_sub)
 
 
@@ -322,11 +335,14 @@ def main():
          [(0xFF, b"NETSCAPE2.0")], None),
         ("gif_mc_gt.gif", 24, 16, 2, "runs", 13, True, False, [], 4),
     ]
+    inter_spec = ("gif_interlaced.gif", 48, 40, 4, "runs", 17, True, False,
+                  [], None)
     rows = []
     info_rows = []
-    for name, w, h, bits, kind, seed, v89, lct, exts, mc in specs:
+    for name, w, h, bits, kind, seed, v89, lct, exts, mc in specs + [inter_spec]:
+        inter = name == "gif_interlaced.gif"
         data, px, pal, stats, lzw0 = build_gif(w, h, bits, kind, seed, v89,
-                                               lct, exts, mc)
+                                               lct, exts, mc, interlace=inter)
         mc2, lzw = extract_lzw(data)
         assert lzw == lzw0
         redec = lzw_decode(lzw, mc2, w * h, 1 << bits)
@@ -334,10 +350,24 @@ def main():
         with open(os.path.join(OUT, name), "wb") as f:
             f.write(data)
         rows.append((name, stats, len(data)))
-        info_rows.append((name, info_row(w, h, v89, lct, pal, exts, lzw),
-                          len(data)))
+        info_rows.append((name, info_row(w, h, v89, lct, pal, exts, lzw,
+                          interlace=inter), len(data)))
         if name == "gif_reset.gif":
             assert stats["n_clears"] >= 2, "reset fixture never cleared"
+
+    # animation (2 frames): q330 walks it, q331 voids it — manifest_info
+    # only. Frame 2 reuses frame 1's LZW block verbatim.
+    anim, _, anim_pal, _, anim_lzw = build_gif(16, 16, 3, "runs", 19)
+    img_at = anim.index(bytes([0x2C]))
+    frame = anim[img_at:-1]  # image descriptor through sub-block terminator
+    anim2 = anim[:-1] + frame + bytes([0x3B])
+    with open(os.path.join(OUT, "gif_anim.gif"), "wb") as f:
+        f.write(anim2)
+    anim_info = info_row(16, 16, True, False, anim_pal, [], anim_lzw)
+    anim_info["n_images"] = 2
+    anim_info["data_bytes"] *= 2
+    anim_info["n_sub_blocks"] *= 2
+    info_rows.append(("gif_anim.gif", anim_info, len(anim2)))
 
     # corruptions (not in the manifest)
     good, _, good_pal, _, good_lzw = build_gif(32, 32, 4, "runs", 5)
@@ -360,11 +390,11 @@ def main():
     with open(os.path.join(OUT, "corrupt_trailer.gif"), "wb") as f:
         f.write(good + b"xx")
 
-    cols = ["width", "height", "palette_size", "n_clears", "px_min",
-            "px_max", "px_sum", "px_sqsum", "px_crc32"]
+    cols = ["width", "height", "palette_size", "interlaced", "n_clears",
+            "px_min", "px_max", "px_sum", "px_sqsum", "px_crc32"]
     with open(os.path.join(OUT, "manifest.csv"), "w") as f:
         f.write("name," + ",".join(cols) + ",n_bytes\n")
-        for name, st, nb in rows:
+        for name, st, nb in sorted(rows):
             f.write(f"{name}," + ",".join(str(st[c]) for c in cols) + f",{nb}\n")
     icols = ["width", "height", "gif89a", "gct_size", "gct_crc32",
              "n_images", "n_extensions", "n_gce", "n_lct", "n_interlaced",
@@ -373,7 +403,7 @@ def main():
         f.write("name," + ",".join(icols) + ",n_bytes\n")
         for name, st, nb in sorted(info_rows):
             f.write(f"{name}," + ",".join(str(st[c]) for c in icols) + f",{nb}\n")
-    print(f"wrote {len(rows)} good + 3 corrupt gif fixtures to {OUT}")
+    print(f"wrote {len(rows)} good + 1 anim + 3 corrupt gif fixtures to {OUT}")
 
 
 if __name__ == "__main__":
