@@ -657,11 +657,13 @@ object JpegExif {
 object JpegRgb {
 
   // JFIF YCbCr→RGB in 2^16 fixed point — keep byte-identical with
-  // tools/gen_jpeg_decode_fixtures.py color constants
-  private val CrR = 91881
-  private val CbG = 22554
-  private val CrG = 46802
-  private val CbB = 116130
+  // tools/gen_jpeg_decode_fixtures.py color constants. private[functions]
+  // so the progressive color layer (JpegProgColor) provably converts
+  // through the SAME literals.
+  private[functions] val CrR = 91881
+  private[functions] val CbG = 22554
+  private[functions] val CrG = 46802
+  private[functions] val CbB = 116130
 
   private def fail(): Nothing = throw new JpegPixels.Malformed
 
@@ -1004,5 +1006,7 @@ object JpegFunctions {
       "jpeg_rgb", exprs => JpegRgbExpr(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "jpeg_prog_pixels", exprs => JpegProgExpr(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "jpeg_prog_rgb", exprs => JpegProgRgbExpr(exprs.head), "built-in")
   }
 }

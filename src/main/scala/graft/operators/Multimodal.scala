@@ -730,6 +730,45 @@ object Multimodal {
         .orderBy("px_crc32")
     }),
 
+    "q332_jpeg_prog_color" -> ((s, d) => {
+      // PROGRESSIVE COLOR decode — the profile most large web photos
+      // actually ship (SOF2 + YCbCr 4:2:0), completing the decode
+      // ladder: q315 segments → q316 gray baseline → q325 color
+      // baseline → q326 gray progressive → THIS. The structural rule
+      // q326 couldn't show: DC scans interleave all three components
+      // in MCU order (per-component predictors) while AC scans are
+      // NON-interleaved — one component per scan, walked in the
+      // COMPONENT'S OWN raster (Y full-resolution, chroma downsampled).
+      // The dequant/IDCT/upsample/color tail shares q325's cosine and
+      // 2^16 conversion literals; the fixture set carries a BASELINE
+      // COLOR TWIN from identical coefficients, decoded by jpeg_rgb in
+      // the SAME projection — exactly one decoder lands per file and
+      // the hashed layer column pins the four-way profile split. The
+      // planted mid-scan truncation voids. Ground truth three ways as
+      // the whole family. At 100 TB: same in-scan decode shape, ~70
+      // bytes of stats per image across the shuffle.
+      graft.functions.JpegFunctions.register(s)
+      s.read.format("binaryFile")
+        .option("pathGlobFilter", "*.jpg")
+        .load(graft.Fixtures.path("jpeg_prog_color"))
+        .select(element_at(split(col("path"), "/"), -1).as("name"),
+          expr("jpeg_prog_rgb(content)").as("p"),
+          expr("jpeg_rgb(content)").as("b"),
+          col("length").as("n_bytes"))
+        .where(col("p").isNotNull || col("b").isNotNull)
+        .select(col("name"),
+          when(col("p").isNotNull, lit("progressive"))
+            .otherwise(lit("baseline")).as("layer"),
+          coalesce(col("p"), col("b")).as("j"), col("n_bytes"))
+        .select(col("name"), col("layer"),
+          col("j.width").as("width"), col("j.height").as("height"),
+          col("j.n_mcus").as("n_mcus"), col("j.n_rst").as("n_rst"),
+          col("j.px_min").as("px_min"), col("j.px_max").as("px_max"),
+          col("j.px_sum").as("px_sum"), col("j.px_sqsum").as("px_sqsum"),
+          col("j.px_crc32").as("px_crc32"), col("n_bytes"))
+        .orderBy("name")
+    }),
+
     "q330_gif_ingest" -> ((s, d) => {
       // GIF block walk — the remaining exactly-specifiable legacy crawl
       // image format (mechanism on GifInfo): GIF87a/89a header, Logical
@@ -1319,6 +1358,20 @@ object Multimodal {
         |              header=true)
         |GROUP BY 1, 2, 3
         |ORDER BY px_crc32""".stripMargin,
+    "q332_jpeg_prog_color" ->
+      s"""SELECT name, layer, CAST(width AS BIGINT) AS width,
+        |  CAST(height AS BIGINT) AS height,
+        |  CAST(n_mcus AS BIGINT) AS n_mcus,
+        |  CAST(n_rst AS BIGINT) AS n_rst,
+        |  CAST(px_min AS BIGINT) AS px_min,
+        |  CAST(px_max AS BIGINT) AS px_max,
+        |  CAST(px_sum AS BIGINT) AS px_sum,
+        |  CAST(px_sqsum AS BIGINT) AS px_sqsum,
+        |  CAST(px_crc32 AS BIGINT) AS px_crc32,
+        |  CAST(n_bytes AS BIGINT) AS n_bytes
+        |FROM read_csv('${graft.Fixtures.path("jpeg_prog_color")}/manifest.csv',
+        |              header=true)
+        |ORDER BY name""".stripMargin,
     "q330_gif_ingest" ->
       s"""SELECT name, CAST(width AS BIGINT) AS width,
         |  CAST(height AS BIGINT) AS height, gif89a,

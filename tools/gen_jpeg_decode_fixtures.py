@@ -983,3 +983,313 @@ def gen_prog():
 
 if __name__ == "__main__":
     gen_prog()
+
+
+# ---------------------------------------------------------------------------
+# q332: PROGRESSIVE COLOR fixtures (fixtures/jpeg_prog_color) — SOF2 +
+# YCbCr 4:2:0. DC scans are INTERLEAVED (MCU order, per-component
+# predictors); AC scans are NON-INTERLEAVED per Annex G — one component
+# per scan, blocks in the COMPONENT'S OWN raster (Y full-resolution,
+# chroma downsampled). Coefficients reuse q325's color_coefs formula so
+# a BASELINE COLOR TWIN with identical coefficients pins the two entropy
+# layers to one px_crc32.
+# ---------------------------------------------------------------------------
+PROG_COLOR_OUT = os.path.join(os.path.dirname(__file__), "..", "fixtures",
+                              "jpeg_prog_color")
+
+PROG_COLOR_SCRIPT = [
+    ("dci", 0, 1),          # DC interleaved first, Al=1
+    ("ac", 0, 1, 63, 0, 1), # AC per component, first, Al=1
+    ("ac", 1, 1, 63, 0, 1),
+    ("ac", 2, 1, 63, 0, 1),
+    ("dcr", 1, 0),          # DC interleaved refinement Ah=1 Al=0
+    ("ac", 0, 1, 63, 1, 0), # AC refinements
+    ("ac", 1, 1, 63, 1, 0),
+    ("ac", 2, 1, 63, 1, 0),
+]
+
+
+def comp_blocks(mcu_blocks, comp, mcu_w, mcu_h):
+    """A component's blocks in ITS raster order (Y: full-res grid)."""
+    if comp == 0:
+        out = []
+        for by in range(mcu_h * 2):
+            for bx in range(mcu_w * 2):
+                mi = (by // 2) * mcu_w + (bx // 2)
+                out.append(mcu_blocks[mi][(by % 2) * 2 + (bx % 2)])
+        return out
+    return [mcu_blocks[mi][3 + comp] for mi in range(mcu_w * mcu_h)]
+
+
+def build_prog_color_file(width, height, kind, q_seed):
+    assert width % 16 == 0 and height % 16 == 0
+    mcu_w, mcu_h = width // 16, height // 16
+    n_mcus = mcu_w * mcu_h
+    q0 = [1 + ((q_seed * 7 + k * 5) % 20) for k in range(64)]
+    q1 = [1 + ((q_seed * 11 + k * 3) % 16) for k in range(64)]
+    mcu_blocks = [[color_coefs(mi, t, kind) for t in range(6)]
+                  for mi in range(n_mcus)]
+
+    head = b"\xFF\xD8"
+    head += seg(0xE0, b"JFIF\x00" + bytes([1, 2, 0]) + struct.pack(">HH", 72, 72) + b"\x00\x00")
+    head += seg(0xDB, bytes([0x00]) + bytes(q0) + bytes([0x01]) + bytes(q1))
+    sofp = bytes([8]) + struct.pack(">HH", height, width) + bytes([3]) \
+        + bytes([1, 0x22, 0]) + bytes([2, 0x11, 1]) + bytes([3, 0x11, 1])
+    head += seg(0xC2, sofp)
+    head += seg(0xC4, prog_dht_payload())
+
+    body = bytearray()
+    for scan in PROG_COLOR_SCRIPT:
+        bw = BitWriter()
+        if scan[0] in ("dci", "dcr"):
+            ah, al = (0, scan[2]) if scan[0] == "dci" else (scan[1], scan[2])
+            body += seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00,
+                                     0, 0, (ah << 4) | al]))
+            preds = [0, 0, 0]
+            for mi in range(n_mcus):
+                for t in range(6):
+                    comp = 0 if t < 4 else t - 3
+                    cz = mcu_blocks[mi][t]
+                    if ah == 0:
+                        preds[comp] = prog_enc_dc_first(bw, cz, preds[comp], al)
+                    else:
+                        bw.put((cz[0] >> al) & 1, 1)
+        else:
+            _, comp, ss, se, ah, al = scan
+            body += seg(0xDA, bytes([1, comp + 1, 0x00, ss, se,
+                                     (ah << 4) | al]))
+            st = ProgScanState()
+            for cz in comp_blocks(mcu_blocks, comp, mcu_w, mcu_h):
+                if ah == 0:
+                    prog_enc_ac_first(bw, st, cz, ss, se, al)
+                else:
+                    prog_enc_ac_refine(bw, st, cz, ss, se, al)
+            prog_emit_eobrun(bw, st)
+        bw.align()
+        body += bw.out
+    data = head + bytes(body) + b"\xFF\xD9"
+
+    # expected RGB via the q325 integer recipe (same helpers)
+    rgb = bytearray(width * height * 3)
+    pmin, pmax, psum, psq = 255, 0, 0, 0
+    for mi in range(n_mcus):
+        blocks = mcu_blocks[mi]
+        ytile = [[0] * 16 for _ in range(16)]
+        for t in range(4):
+            px8 = idct_block(blocks[t], q0)
+            oy, ox = (t // 2) * 8, (t % 2) * 8
+            for y in range(8):
+                for x in range(8):
+                    ytile[oy + y][ox + x] = px8[y][x]
+        cb8 = idct_block(blocks[4], q1)
+        cr8 = idct_block(blocks[5], q1)
+        my, mx = divmod(mi, mcu_w)
+        for py in range(16):
+            for px in range(16):
+                yv = ytile[py][px]
+                cb = cb8[py // 2][px // 2] - 128
+                cr = cr8[py // 2][px // 2] - 128
+                r = yv + ((CR_R * cr + 32768) >> 16)
+                g = yv - ((CB_G * cb + CR_G * cr + 32768) >> 16)
+                bl = yv + ((CB_B * cb + 32768) >> 16)
+                r = 0 if r < 0 else (255 if r > 255 else r)
+                g = 0 if g < 0 else (255 if g > 255 else g)
+                bl = 0 if bl < 0 else (255 if bl > 255 else bl)
+                base = ((my * 16 + py) * width + mx * 16 + px) * 3
+                rgb[base], rgb[base + 1], rgb[base + 2] = r, g, bl
+                for v in (r, g, bl):
+                    pmin = min(pmin, v)
+                    pmax = max(pmax, v)
+                    psum += v
+                    psq += v * v
+    stats = dict(width=width, height=height, n_mcus=n_mcus, n_rst=0,
+                 px_min=pmin, px_max=pmax, px_sum=psum, px_sqsum=psq,
+                 px_crc32=zlib.crc32(bytes(rgb)) & 0xFFFFFFFF)
+    return data, mcu_blocks, (q0, q1), stats
+
+
+def decode_prog_color_stream(data, width, height):
+    """Independent re-decoder (decoder-side algorithm): returns per-MCU
+    block lists matching the builder's layout."""
+    mcu_w, mcu_h = width // 16, height // 16
+    dec_dc = {v: k for k, v in DC_CODES.items()}
+    dec_ac = {v: k for k, v in PROG_AC_CODES.items()}
+
+    def read_code(table, br):
+        ln = 0
+        code = 0
+        while ln < 16:
+            code = (code << 1) | br.bit()
+            ln += 1
+            if (ln, code) in table:
+                return table[(ln, code)]
+        raise AssertionError("bad code")
+
+    def extend(r, s):
+        return r if r >= (1 << (s - 1)) else r - (1 << s) + 1
+
+    # per-component rasters
+    sizes = [(mcu_w * 2) * (mcu_h * 2), mcu_w * mcu_h, mcu_w * mcu_h]
+    coefs = [[[0] * 64 for _ in range(sz)] for sz in sizes]
+    i = 2
+    while True:
+        assert data[i] == 0xFF
+        while data[i] == 0xFF:
+            i += 1
+        m = data[i]
+        i += 1
+        if m == 0xD9:
+            break
+        ln = struct.unpack(">H", data[i:i + 2])[0]
+        p = i + 2
+        if m != 0xDA:
+            i += ln
+            continue
+        ns = data[p]
+        ss, se = data[p + 1 + 2 * ns], data[p + 2 + 2 * ns]
+        ah, al = data[p + 3 + 2 * ns] >> 4, data[p + 3 + 2 * ns] & 0x0F
+        br = BitReader(data, i + ln)
+        p1, m1 = 1 << al, -(1 << al)
+        if ns == 3:
+            preds = [0, 0, 0]
+            for mi in range(mcu_w * mcu_h):
+                my, mx = divmod(mi, mcu_w)
+                for t in range(6):
+                    comp = 0 if t < 4 else t - 3
+                    if t < 4:
+                        bi = (my * 2 + t // 2) * (mcu_w * 2) + (mx * 2 + t % 2)
+                    else:
+                        bi = mi
+                    c = coefs[comp][bi]
+                    if ah == 0:
+                        s = read_code(dec_dc, br)
+                        preds[comp] += extend(br.bits(s), s) if s else 0
+                        c[0] = preds[comp] << al
+                    else:
+                        if br.bit():
+                            c[0] |= p1
+        else:
+            comp = data[p + 1] - 1
+            eobrun = 0
+            for bi in range(sizes[comp]):
+                c = coefs[comp][bi]
+                if ss == 0:
+                    if ah == 0:
+                        s = read_code(dec_dc, br)
+                        # single-component DC scan (unused by the script
+                        # but mirrored for completeness)
+                        raise AssertionError("script has no ns=1 DC scan")
+                    else:
+                        if br.bit():
+                            c[0] |= p1
+                elif ah == 0:
+                    if eobrun > 0:
+                        eobrun -= 1
+                        continue
+                    k = ss
+                    while k <= se:
+                        sym = read_code(dec_ac, br)
+                        r, s = sym >> 4, sym & 0x0F
+                        if s:
+                            k += r
+                            assert k <= se
+                            c[k] = extend(br.bits(s), s) << al
+                            k += 1
+                        elif r != 15:
+                            eobrun = (1 << r) + (br.bits(r) if r else 0) - 1
+                            break
+                        else:
+                            k += 16
+                else:
+                    k = ss
+                    if eobrun == 0:
+                        while k <= se:
+                            sym = read_code(dec_ac, br)
+                            r, s = sym >> 4, sym & 0x0F
+                            newval = 0
+                            if s:
+                                assert s == 1
+                                newval = p1 if br.bit() else m1
+                            elif r != 15:
+                                eobrun = (1 << r) + (br.bits(r) if r else 0)
+                                break
+                            at_slot = False
+                            while k <= se and not at_slot:
+                                if c[k] != 0:
+                                    if br.bit() and (c[k] & p1) == 0:
+                                        c[k] += p1 if c[k] >= 0 else m1
+                                    k += 1
+                                else:
+                                    r -= 1
+                                    if r < 0:
+                                        at_slot = True
+                                    else:
+                                        k += 1
+                            if newval:
+                                assert at_slot
+                                c[k] = newval
+                            k += 1
+                    if eobrun > 0:
+                        while k <= se:
+                            if c[k] != 0:
+                                if br.bit() and (c[k] & p1) == 0:
+                                    c[k] += p1 if c[k] >= 0 else m1
+                            k += 1
+                        eobrun -= 1
+        i = br.i
+    # repackage into per-MCU layout
+    out = []
+    for mi in range(mcu_w * mcu_h):
+        my, mx = divmod(mi, mcu_w)
+        blocks = []
+        for t in range(4):
+            bi = (my * 2 + t // 2) * (mcu_w * 2) + (mx * 2 + t % 2)
+            blocks.append(coefs[0][bi])
+        blocks.append(coefs[1][mi])
+        blocks.append(coefs[2][mi])
+        out.append(blocks)
+    return out
+
+
+def gen_prog_color():
+    os.makedirs(PROG_COLOR_OUT, exist_ok=True)
+    specs = [
+        ("prog_color_multi.jpg", 64, 48, "dense", 5),
+        ("prog_color_small.jpg", 16, 16, "plain", 9),
+        ("prog_color_twin.jpg", 32, 32, "plain", 13),
+    ]
+    rows = []
+    twin = None
+    for name, w, h, kind, qs in specs:
+        data, blocks, _, stats = build_prog_color_file(w, h, kind, qs)
+        redec = decode_prog_color_stream(data, w, h)
+        assert redec == blocks, f"{name}: prog-color round-trip failed"
+        with open(os.path.join(PROG_COLOR_OUT, name), "wb") as f:
+            f.write(data)
+        rows.append((name, "progressive", stats, len(data)))
+        if name == "prog_color_twin.jpg":
+            twin = (w, h, kind, qs, stats)
+
+    # baseline color twin: q325's encoder over the SAME coefficients
+    w, h, kind, qs, tstats = twin
+    base, bstats = build_color_file(w, h, kind, qs, 0)
+    assert bstats["px_crc32"] == tstats["px_crc32"], "twin surfaces differ"
+    with open(os.path.join(PROG_COLOR_OUT, "twin_base_color.jpg"), "wb") as f:
+        f.write(base)
+    rows.append(("twin_base_color.jpg", "baseline", dict(tstats), len(base)))
+
+    good, _, _, _ = build_prog_color_file(16, 16, "plain", 9)
+    with open(os.path.join(PROG_COLOR_OUT, "corrupt_truncated.jpg"), "wb") as f:
+        f.write(good[:len(good) - 5])
+
+    cols = ["width", "height", "n_mcus", "n_rst", "px_min", "px_max",
+            "px_sum", "px_sqsum", "px_crc32"]
+    with open(os.path.join(PROG_COLOR_OUT, "manifest.csv"), "w") as f:
+        f.write("name,layer," + ",".join(cols) + ",n_bytes\n")
+        for name, layer, st, nb in rows:
+            f.write(f"{name},{layer}," + ",".join(str(st[c]) for c in cols) + f",{nb}\n")
+    print(f"wrote {len(rows)} good + 1 corrupt prog-color fixtures to {PROG_COLOR_OUT}")
+
+
+if __name__ == "__main__":
+    gen_prog_color()
