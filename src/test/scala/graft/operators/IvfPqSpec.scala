@@ -109,6 +109,70 @@ class IvfPqSpec extends SparkSpec {
       s"mse stand-in=$standMse trained=$trainMse (both all-64-codes)")
   }
 
+  test("q327: on CLUSTERED data both quantizers recover the structure — measured") {
+    // The completion of the honest verdict above, measured rather than
+    // assumed: plant a corpus with real cluster structure (400 centers
+    // × 10 members, deviations at 1/3 amplitude) and run the SAME
+    // training/serving bodies. MEASURED RESULT: both land recall@10 =
+    // 0.9 — at cluster granularity the coarse geometry is preserved by
+    // data-point anchors AND trained centroids alike, so training
+    // neither wins nor loses here (the structureless corpus above is
+    // where they diverge, in the stand-in's favor); what the spec pins
+    // is that the trained codebook NEVER loses once structure exists,
+    // and that both sit at the high recall the structure affords. The
+    // fine-grained MSE gain shows up in ranking only over far more
+    // queries than the suite's fixed three — the q327 scaladoc carries
+    // the same verdict.
+    VectorExpressions.register(spark)
+    import org.apache.spark.sql.functions._
+    val dir = tempDir("pq_clustered").toString
+    spark.range(4000).selectExpr(
+      "id AS vec_id",
+      "id % 400 AS ctr",
+      "CAST(id % 10 AS INT) AS label")
+      .selectExpr("vec_id", "label",
+        "transform(sequence(0, 63), j -> " +
+          "CAST(conv(substring(md5(concat('c_', CAST(ctr AS STRING), '_', " +
+          "CAST(j AS STRING))), 1, 8), 16, 10) AS BIGINT) % 2001 - 1000 + " +
+          "(CAST(conv(substring(md5(concat('d_', CAST(vec_id AS STRING), '_', " +
+          "CAST(j AS STRING))), 1, 8), 16, 10) AS BIGINT) % 667 - 333)) AS raw")
+      .selectExpr("vec_id", "label",
+        "sqrt(aggregate(raw, 0.0D, (a, x) -> a + CAST(x AS DOUBLE) * x)) AS nrm",
+        "raw")
+      .selectExpr("vec_id",
+        "transform(raw, x -> CAST(CAST(x AS DOUBLE) / nrm AS FLOAT)) AS embedding",
+        "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val e = graft.Tables.t(spark, dir, "embeddings")
+    val q = e.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+    val brute = broadcast(q).join(e, col("vec_id") =!= col("q_id"))
+      .withColumn("cos", expr("cosine_sim(qe, embedding)"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("q_id"))
+          .orderBy(col("cos").desc, col("vec_id"))))
+      .filter(col("rn") <= 10)
+      .select(col("q_id"), col("vec_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (k, rs) => k -> rs.map(_._2).toSet }
+    def recall(got: Map[Long, Set[Long]]): Double =
+      brute.keys.toSeq.map { k =>
+        (got.getOrElse(k, Set.empty) & brute(k)).size.toDouble / brute(k).size
+      }.sum / brute.size
+    def top10c(name: String): Map[Long, Set[Long]] =
+      graft.SparkEntry.queries(name)(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).map { case (q2, rs) => q2 -> rs.map(_._2).toSet }
+    val standIn = recall(top10c("q100_pq_ann"))
+    val trained = recall(top10c("q327_pq_trained"))
+    assert(trained >= standIn,
+      s"with planted cluster structure, training must never lose: " +
+        s"trained=$trained stand-in=$standIn")
+    assert(trained >= 0.85 && standIn >= 0.85,
+      s"cluster structure must be recoverable: trained=$trained stand-in=$standIn")
+    info(f"clustered corpus recall@10: stand-in=$standIn%.3f trained=$trained%.3f")
+  }
+
   test("q150: staged serving is bit-identical to q143 and reads the stage") {
     val composed = graft.SparkEntry
       .queries("q143_ivf_pq_rerank")(spark, sf0001).collect().toSeq
