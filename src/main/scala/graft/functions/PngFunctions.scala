@@ -381,5 +381,7 @@ object PngFunctions {
       "png_ahash", exprs => PngAhash(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "png_box2", exprs => PngBox2(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "png_full", exprs => PngFullExpr(exprs.head), "built-in")
   }
 }

@@ -730,6 +730,43 @@ object Multimodal {
         .orderBy("px_crc32")
     }),
 
+    "q333_png_full" -> ((s, d) => {
+      // FULL-PROFILE PNG decode — the rungs q167's truecolor decoder
+      // left out, closed the way q326/q332 closed JPEG's (mechanism on
+      // PngFull): grayscale, PALETTE (indexes through the PLTE chunk,
+      // out-of-range index voids), RGBA, and ADAM7 INTERLACE — seven
+      // independent sub-images, each with its own per-row filters and
+      // filter neighborhood, scattered back so the CRC pins the
+      // LOGICAL surface; odd-dimension fixtures exercise partial
+      // passes. q167's png_pixels keeps its historical contract and
+      // PngFullSpec pins the within-format layer split (new profiles
+      // void under the old expression) plus px_sum equality between
+      // the two decoders on the shared truecolor profile. Oracle =
+      // generator manifest, stats from the planted sample formulas —
+      // never from a decoder. The three planted corruptions (palette
+      // overrun, truncated IDAT, surplus scanlines in a valid zlib
+      // stream) void. At 100 TB: the in-scan decode shape, ~80 bytes
+      // of stats per image across the shuffle.
+      graft.functions.PngFunctions.register(s)
+      s.read.format("binaryFile")
+        .option("pathGlobFilter", "*.png")
+        .load(graft.Fixtures.path("png_full"))
+        .select(element_at(split(col("path"), "/"), -1).as("name"),
+          expr("png_full(content)").as("g"),
+          col("length").as("n_bytes"))
+        .where(col("g").isNotNull)
+        .select(col("name"), col("g.width").as("width"),
+          col("g.height").as("height"),
+          col("g.color_type").as("color_type"),
+          col("g.palette_size").as("palette_size"),
+          col("g.interlaced").as("interlaced"),
+          col("g.n_passes").as("n_passes"),
+          col("g.px_min").as("px_min"), col("g.px_max").as("px_max"),
+          col("g.px_sum").as("px_sum"), col("g.px_sqsum").as("px_sqsum"),
+          col("g.px_crc32").as("px_crc32"), col("n_bytes"))
+        .orderBy("name")
+    }),
+
     "q332_jpeg_prog_color" -> ((s, d) => {
       // PROGRESSIVE COLOR decode — the profile most large web photos
       // actually ship (SOF2 + YCbCr 4:2:0), completing the decode
@@ -1358,6 +1395,22 @@ object Multimodal {
         |              header=true)
         |GROUP BY 1, 2, 3
         |ORDER BY px_crc32""".stripMargin,
+    "q333_png_full" ->
+      s"""SELECT name, CAST(width AS BIGINT) AS width,
+        |  CAST(height AS BIGINT) AS height,
+        |  CAST(color_type AS BIGINT) AS color_type,
+        |  CAST(palette_size AS BIGINT) AS palette_size,
+        |  interlaced,
+        |  CAST(n_passes AS BIGINT) AS n_passes,
+        |  CAST(px_min AS BIGINT) AS px_min,
+        |  CAST(px_max AS BIGINT) AS px_max,
+        |  CAST(px_sum AS BIGINT) AS px_sum,
+        |  CAST(px_sqsum AS BIGINT) AS px_sqsum,
+        |  CAST(px_crc32 AS BIGINT) AS px_crc32,
+        |  CAST(n_bytes AS BIGINT) AS n_bytes
+        |FROM read_csv('${graft.Fixtures.path("png_full")}/manifest.csv',
+        |              header=true)
+        |ORDER BY name""".stripMargin,
     "q332_jpeg_prog_color" ->
       s"""SELECT name, layer, CAST(width AS BIGINT) AS width,
         |  CAST(height AS BIGINT) AS height,
