@@ -162,8 +162,24 @@ object GifPixels {
 
   /** struct(width, height, palette_size, interlaced, n_clears, px_min,
     * px_max, px_sum, px_sqsum, px_crc32) or null — stats over row-major
-    * (r,g,b) bytes of the decoded (de-interlaced) surface. */
+    * (r,g,b) bytes of the decoded (de-interlaced) surface. The q331
+    * contract: exactly ONE image (animation voids here; gif_frames is
+    * the multi-frame surface). */
   def decode(b: Array[Byte]): InternalRow = {
+    val frames = decodeFrames(b, maxFrames = 1)
+    if (frames == null || frames.length != 1) return null
+    val f = frames(0)
+    InternalRow(f.getLong(1), f.getLong(2), f.getLong(3), f.getBoolean(4),
+      f.getLong(5), f.getLong(6), f.getLong(7), f.getLong(8), f.getLong(9),
+      f.getLong(10))
+  }
+
+  /** All frames decoded in sequence (q334): per-frame struct(frame,
+    * width, height, palette_size, interlaced, n_clears, px_min, px_max,
+    * px_sum, px_sqsum, px_crc32) — q331's semantics applied to every
+    * full-frame image; null for malformed/out-of-profile bytes. */
+  private[functions] def decodeFrames(b: Array[Byte],
+      maxFrames: Int = 1024): Array[InternalRow] = {
     if (b == null || b.length < 13) return null
     val n = b.length
     def u8(k: Int): Int = { if (k >= n) fail(); b(k) & 0xFF }
@@ -184,10 +200,7 @@ object GifPixels {
         gct = java.util.Arrays.copyOfRange(b, i, i + 3 * gctEntries)
         i += 3 * gctEntries
       }
-      var imageSeen = false
-      var interlaced = false
-      var nClears = 0L
-      var palEntries = 0
+      val frames = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
       val px = new Array[Byte](width * height) // palette indexes
       var trailer = false
       while (!trailer) {
@@ -208,15 +221,15 @@ object GifPixels {
               len = u8(i); i += 1
             }
           case 0x2C =>
-            if (imageSeen) fail() // profile: exactly one image (no animation)
-            imageSeen = true
+            if (frames.length >= maxFrames) fail()
             if (le16(i + 1) != 0 || le16(i + 3) != 0) fail() // full frame
             if (le16(i + 5) != width || le16(i + 7) != height) fail()
             val iflags = u8(i + 9)
-            interlaced = (iflags & 0x40) != 0
+            val interlaced = (iflags & 0x40) != 0
+            var nClears = 0L
             i += 10
             var pal = gct
-            palEntries = gctEntries
+            var palEntries = gctEntries
             if ((iflags & 0x80) != 0) {
               palEntries = 1 << ((iflags & 0x07) + 1)
               if (i + 3 * palEntries > n) fail()
@@ -224,8 +237,6 @@ object GifPixels {
               i += 3 * palEntries
             }
             if (pal == null) fail()
-            gct = pal // the ACTIVE palette for rendering below
-            gctEntries = palEntries
             val minCode = u8(i); i += 1
             if (minCode < 2 || minCode > 8) fail()
             // ---- variable-width LZW over the sub-block chain ----------
@@ -291,52 +302,74 @@ object GifPixels {
               }
             }
             i = bits.finish()
+            // ---- de-interlace (4-pass row order: 8k, 8k+4, 4k+2, 2k+1)
+            if (interlaced) {
+              val ordered = new Array[Byte](px.length)
+              var src = 0
+              def pass(start: Int, step: Int): Unit = {
+                var row = start
+                while (row < height) {
+                  System.arraycopy(px, src * width, ordered, row * width, width)
+                  src += 1
+                  row += step
+                }
+              }
+              pass(0, 8); pass(4, 8); pass(2, 4); pass(1, 2)
+              System.arraycopy(ordered, 0, px, 0, px.length)
+            }
+            // ---- render this frame through ITS active palette ---------
+            var pMin = 255L; var pMax = 0L; var pSum = 0L; var pSq = 0L
+            val crc = new java.util.zip.CRC32
+            val row = new Array[Byte](width * 3)
+            var y = 0
+            while (y < height) {
+              var x = 0
+              while (x < width) {
+                val idx = px(y * width + x) & 0xFF
+                var c = 0
+                while (c < 3) {
+                  val v = (pal(3 * idx + c) & 0xFF).toLong
+                  row(3 * x + c) = pal(3 * idx + c)
+                  if (v < pMin) pMin = v
+                  if (v > pMax) pMax = v
+                  pSum += v
+                  pSq += v * v
+                  c += 1
+                }
+                x += 1
+              }
+              crc.update(row)
+              y += 1
+            }
+            frames += InternalRow(frames.length.toLong, width.toLong,
+              height.toLong, palEntries.toLong, interlaced, nClears,
+              pMin, pMax, pSum, pSq, crc.getValue)
           case _ => fail()
         }
       }
-      if (!imageSeen) fail()
-      // ---- de-interlace (GIF's 4-pass row order: 8k, 8k+4, 4k+2, 2k+1) --
-      if (interlaced) {
-        val ordered = new Array[Byte](px.length)
-        var src = 0
-        def pass(start: Int, step: Int): Unit = {
-          var row = start
-          while (row < height) {
-            System.arraycopy(px, src * width, ordered, row * width, width)
-            src += 1
-            row += step
-          }
-        }
-        pass(0, 8); pass(4, 8); pass(2, 4); pass(1, 2)
-        System.arraycopy(ordered, 0, px, 0, px.length)
-      }
-      // ---- render through the active palette -------------------------
-      var pMin = 255L; var pMax = 0L; var pSum = 0L; var pSq = 0L
-      val crc = new java.util.zip.CRC32
-      val row = new Array[Byte](width * 3)
-      var y = 0
-      while (y < height) {
-        var x = 0
-        while (x < width) {
-          val idx = px(y * width + x) & 0xFF
-          var c = 0
-          while (c < 3) {
-            val v = (gct(3 * idx + c) & 0xFF).toLong
-            row(3 * x + c) = gct(3 * idx + c)
-            if (v < pMin) pMin = v
-            if (v > pMax) pMax = v
-            pSum += v
-            pSq += v * v
-            c += 1
-          }
-          x += 1
-        }
-        crc.update(row)
-        y += 1
-      }
-      InternalRow(width.toLong, height.toLong, palEntries.toLong,
-        interlaced, nClears, pMin, pMax, pSum, pSq, crc.getValue)
+      if (frames.isEmpty) fail()
+      frames.toArray
     } catch { case _: Malformed => null }
+  }
+}
+
+object GifFrames {
+
+  /** ANIMATION decode (q334): every full-frame image in the file
+    * decoded in sequence — the frame-census shape a crawl pipeline
+    * samples animated GIFs with. Each frame owns its LZW stream, its
+    * palette (local over global) and its interlace flag; per-frame
+    * output is (frame, palette_size, interlaced, n_clears, px stats,
+    * crc) — q331's contract per frame. Frames with offsets or
+    * sub-frame dims void the file (compositing/disposal is a rendering
+    * policy, not a wire format — the honest-boundary rule); a single-
+    * frame file is the 1-element array, so gif_pixels and gif_frames
+    * agree by construction on every q331 fixture (GifSpec pins it). */
+  def decode(b: Array[Byte]): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val rows = GifPixels.decodeFrames(b)
+    if (rows == null) null
+    else new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      rows.asInstanceOf[Array[Any]])
   }
 }
 
@@ -399,11 +432,44 @@ case class GifPixelsExpr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** gif_frames(content) -> array<struct<...>> or null (see
+  * [[GifFrames.decode]]): one element per full-frame image. */
+case class GifFramesExpr(child: Expression) extends UnaryExpression {
+  private val frameType = StructType(Seq(
+    StructField("frame", LongType, nullable = false),
+    StructField("width", LongType, nullable = false),
+    StructField("height", LongType, nullable = false),
+    StructField("palette_size", LongType, nullable = false),
+    StructField("interlaced", BooleanType, nullable = false),
+    StructField("n_clears", LongType, nullable = false),
+    StructField("px_min", LongType, nullable = false),
+    StructField("px_max", LongType, nullable = false),
+    StructField("px_sum", LongType, nullable = false),
+    StructField("px_sqsum", LongType, nullable = false),
+    StructField("px_crc32", LongType, nullable = false)))
+  override def dataType: DataType = ArrayType(frameType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "gif_frames"
+  override def nullSafeEval(v: Any): Any =
+    GifFrames.decode(v.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, b => {
+      s"""
+         |${ev.value} = graft.functions.GifFrames.decode($b);
+         |${ev.isNull} = (${ev.value} == null);
+       """.stripMargin
+    })
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object GifFunctions {
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "gif_info", exprs => GifInfoExpr(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "gif_pixels", exprs => GifPixelsExpr(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "gif_frames", exprs => GifFramesExpr(exprs.head), "built-in")
   }
 }

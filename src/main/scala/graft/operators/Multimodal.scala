@@ -730,6 +730,40 @@ object Multimodal {
         .orderBy("px_crc32")
     }),
 
+    "q334_gif_frames" -> ((s, d) => {
+      // GIF ANIMATION frame census — the shape a crawl pipeline
+      // actually samples animated GIFs with (mechanism on
+      // GifPixels.decodeFrames): EVERY full-frame image decoded in
+      // sequence, each owning its LZW stream, its palette (local over
+      // global — the 3-frame fixture renders frame 0 through the GCT
+      // and frames 1-2 through their own LCTs) and its interlace flag
+      // (frame 1 is interlaced); per-frame q331 semantics, one output
+      // row per frame via explode. Single-frame files contribute their
+      // frame-0 row with stats IDENTICAL to q331's manifest by
+      // construction — the two expressions certify each other on the
+      // shared profile (GifSpec also pins it struct-for-struct).
+      // Compositing/disposal is a rendering policy, not a wire format:
+      // frames with offsets void (the honest-boundary rule). At
+      // 100 TB: in-scan decode, ~70 bytes per FRAME across the shuffle.
+      graft.functions.GifFunctions.register(s)
+      s.read.format("binaryFile")
+        .option("pathGlobFilter", "*.gif")
+        .load(graft.Fixtures.path("gif"))
+        .select(element_at(split(col("path"), "/"), -1).as("name"),
+          expr("gif_frames(content)").as("fs"))
+        .where(col("fs").isNotNull)
+        .select(col("name"), explode(col("fs")).as("f"))
+        .select(col("name"), col("f.frame").as("frame"),
+          col("f.width").as("width"), col("f.height").as("height"),
+          col("f.palette_size").as("palette_size"),
+          col("f.interlaced").as("interlaced"),
+          col("f.n_clears").as("n_clears"),
+          col("f.px_min").as("px_min"), col("f.px_max").as("px_max"),
+          col("f.px_sum").as("px_sum"), col("f.px_sqsum").as("px_sqsum"),
+          col("f.px_crc32").as("px_crc32"))
+        .orderBy("name", "frame")
+    }),
+
     "q333_png_full" -> ((s, d) => {
       // FULL-PROFILE PNG decode — the rungs q167's truecolor decoder
       // left out, closed the way q326/q332 closed JPEG's (mechanism on
@@ -1395,6 +1429,21 @@ object Multimodal {
         |              header=true)
         |GROUP BY 1, 2, 3
         |ORDER BY px_crc32""".stripMargin,
+    "q334_gif_frames" ->
+      s"""SELECT name, CAST(frame AS BIGINT) AS frame,
+        |  CAST(width AS BIGINT) AS width,
+        |  CAST(height AS BIGINT) AS height,
+        |  CAST(palette_size AS BIGINT) AS palette_size,
+        |  interlaced,
+        |  CAST(n_clears AS BIGINT) AS n_clears,
+        |  CAST(px_min AS BIGINT) AS px_min,
+        |  CAST(px_max AS BIGINT) AS px_max,
+        |  CAST(px_sum AS BIGINT) AS px_sum,
+        |  CAST(px_sqsum AS BIGINT) AS px_sqsum,
+        |  CAST(px_crc32 AS BIGINT) AS px_crc32
+        |FROM read_csv('${graft.Fixtures.path("gif")}/manifest_frames.csv',
+        |              header=true)
+        |ORDER BY name, frame""".stripMargin,
     "q333_png_full" ->
       s"""SELECT name, CAST(width AS BIGINT) AS width,
         |  CAST(height AS BIGINT) AS height,

@@ -60,6 +60,34 @@ class GifSpec extends SparkSpec {
     }
   }
 
+  test("gif_frames: single-frame files agree with gif_pixels struct-for-struct") {
+    Seq("gif_runs.gif", "gif_lct.gif", "gif_interlaced.gif", "gif_reset.gif")
+      .foreach { n =>
+        val one = GifPixels.decode(fixture(n))
+        val fs = GifFrames.decode(fixture(n))
+        assert(one != null && fs != null && fs.numElements() == 1)
+        val f = fs.getStruct(0, 11)
+        // frames struct = (frame, width, height, palette_size,
+        // interlaced, n_clears, min, max, sum, sqsum, crc)
+        assert(f.getLong(0) == 0L)
+        assert(f.getLong(1) == one.getLong(0) && f.getLong(2) == one.getLong(1))
+        assert(f.getLong(3) == one.getLong(2))
+        assert(f.getBoolean(4) == one.getBoolean(3))
+        (5 to 10).foreach(k => assert(f.getLong(k) == one.getLong(k - 1),
+          s"$n frame field $k"))
+      }
+    // the 3-frame animation: per-frame palettes and interlace flags
+    val anim = GifFrames.decode(fixture("gif_anim.gif"))
+    assert(anim != null && anim.numElements() == 3)
+    assert(!anim.getStruct(0, 11).getBoolean(4))
+    assert(anim.getStruct(1, 11).getBoolean(4), "frame 1 is interlaced")
+    assert(anim.getStruct(0, 11).getLong(3) == 8L)  // GCT
+    assert(anim.getStruct(1, 11).getLong(3) == 16L) // own LCT
+    assert(anim.getStruct(2, 11).getLong(3) == 4L)
+    assert(GifFrames.decode(fixture("corrupt_code.gif")) == null)
+    assert(GifFrames.decode(fixture("corrupt_trunc.gif")) == null)
+  }
+
   test("interlace decodes to the LOGICAL surface; a frame offset voids") {
     // the interlaced fixture's CRC is the q331 oracle's job; here the
     // structural claim: its de-interlaced surface equals the same

@@ -355,19 +355,86 @@ def main():
         if name == "gif_reset.gif":
             assert stats["n_clears"] >= 2, "reset fixture never cleared"
 
-    # animation (2 frames): q330 walks it, q331 voids it — manifest_info
-    # only. Frame 2 reuses frame 1's LZW block verbatim.
-    anim, _, anim_pal, _, anim_lzw = build_gif(16, 16, 3, "runs", 19)
-    img_at = anim.index(bytes([0x2C]))
-    frame = anim[img_at:-1]  # image descriptor through sub-block terminator
-    anim2 = anim[:-1] + frame + bytes([0x3B])
+    # animation (3 DISTINCT frames): q330 walks it, q331 voids it,
+    # q334's gif_frames decodes every frame — frame 0 renders through
+    # the GCT, frames 1-2 carry their own LCTs, frame 1 is INTERLACED
+    w_a, h_a = 16, 16
+    gct_bits, gct_seed = 3, 19
+    gct_pal = palette(gct_bits, gct_seed)
+    anim2 = b"GIF89a" + struct.pack("<HH", w_a, h_a) + \
+        bytes([0x80 | (gct_bits - 1), 0, 0]) + gct_pal
+    frame_specs = [  # (pal_bits, pal_seed, px_seed, interlace, lct)
+        (3, 19, 19, False, False),
+        (4, 31, 24, True, True),
+        (2, 37, 29, False, True),
+    ]
+    anim_frames = []
+    anim_data_bytes = 0
+    anim_subs = 0
+    for fi, (pb, ps, xs, il, lct) in enumerate(frame_specs):
+        nidx = 1 << pb
+        pal = palette(pb, ps) if lct else gct_pal
+        eff_n = nidx if lct else (1 << gct_bits)
+        px = indexes(w_a, h_a, eff_n, "runs", xs)
+        stream_px = px
+        if il:
+            stream_px = []
+            for r in interlace_rows(h_a):
+                stream_px.extend(px[r * w_a:(r + 1) * w_a])
+        mc = max(2, pb if lct else gct_bits)
+        iflags = ((0x80 | (pb - 1)) if lct else 0) | (0x40 if il else 0)
+        anim2 += bytes([0x2C]) + struct.pack("<HHHH", 0, 0, w_a, h_a) + \
+            bytes([iflags])
+        if lct:
+            anim2 += pal
+        enc = LzwEncoder(mc)
+        lzw = enc.encode(stream_px)
+        anim2 += bytes([mc]) + sub_blocks(lzw)
+        anim_data_bytes += len(lzw)
+        anim_subs += max(1, (len(lzw) + 254) // 255)
+        pmin, pmax, psum, psq = 255, 0, 0, 0
+        rgb = bytearray()
+        for idx in px:
+            for c in range(3):
+                v = pal[3 * idx + c]
+                pmin = min(pmin, v); pmax = max(pmax, v)
+                psum += v; psq += v * v
+                rgb.append(v)
+        anim_frames.append(dict(
+            frame=fi, width=w_a, height=h_a,
+            palette_size=(nidx if lct else (1 << gct_bits)),
+            interlaced=str(bool(il)).lower(),
+            n_clears=count_clears(stream_px, mc),
+            px_min=pmin, px_max=pmax, px_sum=psum, px_sqsum=psq,
+            px_crc32=zlib.crc32(bytes(rgb)) & 0xFFFFFFFF))
+    anim2 += bytes([0x3B])
     with open(os.path.join(OUT, "gif_anim.gif"), "wb") as f:
         f.write(anim2)
-    anim_info = info_row(16, 16, True, False, anim_pal, [], anim_lzw)
-    anim_info["n_images"] = 2
-    anim_info["data_bytes"] *= 2
-    anim_info["n_sub_blocks"] *= 2
+    anim_info = info_row(w_a, h_a, True, False, gct_pal, [], b"")
+    anim_info["n_images"] = 3
+    anim_info["n_lct"] = 2
+    anim_info["n_interlaced"] = 1
+    anim_info["data_bytes"] = anim_data_bytes
+    anim_info["n_sub_blocks"] = anim_subs
     info_rows.append(("gif_anim.gif", anim_info, len(anim2)))
+
+    # per-frame manifest (q334): every good fixture's frames — the
+    # single-frame files contribute their frame-0 row (identical stats
+    # to manifest.csv by construction), the animation its three
+    fcols = ["frame", "width", "height", "palette_size", "interlaced",
+             "n_clears", "px_min", "px_max", "px_sum", "px_sqsum",
+             "px_crc32"]
+    frame_rows = []
+    for name, st, nb in rows:
+        fr = dict(st)
+        fr["frame"] = 0
+        frame_rows.append((name, fr))
+    for fr in anim_frames:
+        frame_rows.append(("gif_anim.gif", fr))
+    with open(os.path.join(OUT, "manifest_frames.csv"), "w") as f:
+        f.write("name," + ",".join(fcols) + "\n")
+        for name, st in sorted(frame_rows, key=lambda t: (t[0], t[1]["frame"])):
+            f.write(f"{name}," + ",".join(str(st[c]) for c in fcols) + "\n")
 
     # corruptions (not in the manifest)
     good, _, good_pal, _, good_lzw = build_gif(32, 32, 4, "runs", 5)
