@@ -115,13 +115,22 @@ object Graph {
     * frame is ≤|V| rows of two BIGINTs, never payloads). */
   private[operators] def lpaCommunities(edges: DataFrame): DataFrame = {
     val nodes = edges.select(col("src").as("node")).distinct()
-    val nb = edges.select(col("dst").as("node"), col("src").as("nbr"))
-      .union(nodes.select(col("node"), col("node").as("nbr")))
+    // r13 optimization (guide §2.4/§3.1): the neighbor frame is read by
+    // every iteration's join, so persist it PRE-PARTITIONED on the join
+    // key (one exchange at build, reused 3×) — the q128 edges layout
+    // applied to LPA. The shuffle_hash hint on the O(V) label side stops
+    // the planner broadcasting the O(E+V) neighbor frame per iteration
+    // (it was the estimate-cheap side; rebuilt broadcasts don't reuse).
+    val nb = graft.CacheRegistry.cached(
+      edges.select(col("dst").as("node"), col("src").as("nbr"))
+        .union(nodes.select(col("node"), col("node").as("nbr")))
+        .repartition(col("nbr")))
     var labels = nodes.select(col("node"), col("node").as("label"))
       .localCheckpoint()
     for (_ <- 1 to LpaIters) {
       labels = nb
-        .join(labels.select(col("node").as("ln"), col("label")),
+        .join(labels.select(col("node").as("ln"), col("label"))
+            .hint("shuffle_hash"),
           col("nbr") === col("ln"))
         .groupBy(col("node"), col("label"))
         .agg(count(lit(1)).as("cnt"))
@@ -375,7 +384,19 @@ object Graph {
           when(col("node") === col("seed"), lit(Base)).otherwise(lit(0L))
             .as("r"))
       for (_ <- 1 to Iters) {
-        val sums = ranks
+        // r13 optimization (guide §2.3/§2.4): (1) rows with r = 0 emit
+        // c = 0 div deg = 0, and a dst whose contributions are all zero
+        // gets sc = 0 — identical to the LEFT-join miss after coalesce —
+        // so filtering them BEFORE the join is result-identical (the
+        // unfiltered DuckDB oracle hash-certifies this) while shrinking
+        // the join's stream side to the seed's k-hop neighborhood
+        // (iteration 1: ONE row instead of |V|). (2) shuffle_hash on the
+        // rank side: the planner's estimate-driven choice was to
+        // BROADCAST the O(E) edge relation — rebuilt per iteration, 5
+        // collects of the biggest frame in the query — where the scalable
+        // shape moves only the O(V) rank vector (one small exchange per
+        // step) and keeps the cached edges where they lie.
+        val sums = ranks.where(col("r") > 0).hint("shuffle_hash")
           .join(edges, col("node") === col("src"))
           .select(col("dst"), expr("r div deg").as("c"))
           .groupBy("dst").agg(sum(col("c")).as("sc"))
@@ -424,7 +445,14 @@ object Graph {
       var ranks = deg.crossJoin(n1)
         .select(col("node"), col("deg"), expr(s"$Base div n").as("r"))
       for (_ <- 1 to Iters) {
-        val sums = ranks
+        // r13 optimization (guide §3.1): without the hint the planner
+        // BROADCASTS the cached O(E) edge relation into this join — and
+        // rebuilds that broadcast every iteration (5 driver collects of
+        // the largest frame in the query; zero ReusedExchange, see
+        // plans/r13/q128_pagerank_before.txt). shuffle_hash on the rank
+        // side flips it to the scale shape the scaladoc above promises:
+        // edges stay put, only the O(V) rank vector moves per step.
+        val sums = ranks.hint("shuffle_hash")
           .join(edges, col("node") === col("src"))
           .select(col("dst"), expr("r div deg").as("c"))
           .groupBy("dst").agg(sum(col("c")).as("sc"))
