@@ -131,6 +131,13 @@ object Scratch {
           i.taskMetrics.shuffleWriteMetrics.bytesWritten, i.numTasks)
       }
     })
+    if (sys.env.contains("SCRATCH_STORAGE")) {
+      SparkEntry.queries(name)(s, d).write.format("noop").mode("overwrite").save()
+      s.sparkContext.getRDDStorageInfo.foreach { i =>
+        println(f"[storage] id=${i.id} mem=${i.memSize/1e6}%.1f MB disk=${i.diskSize/1e6}%.1f MB parts=${i.numCachedPartitions}/${i.numPartitions} ${i.name.take(120)}")
+      }
+      return
+    }
     val fn: (SparkSession, String) => DataFrame =
       if (name == "q128hint") ((ss, dd) => pagerankVariant(ss, dd, Some("shuffle_hash")))
       else if (name == "q128aqeoff") ((ss, dd) => pagerankAqeOff(ss, dd))

@@ -258,12 +258,24 @@ object TextAnalysis {
       (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
     val tfn = (col("tf") * lit(2.2)) /
       (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / avgdl))
+    // r13 optimization, two equivalence-preserving moves (guide §1.2):
+    // (1) c(term, doc) does not depend on query_id, so the idf/tfn double
+    //     math (incl. a log() per row) runs ONCE per posting of a query
+    //     term — measured 116k rows at sf0.1 — instead of once per
+    //     (query, term, doc) joined row (5.8M rows: every posting was
+    //     re-scored for every query sharing the term). The per-query join
+    //     then attaches precomputed BIGINT c values; identical inputs →
+    //     identical doubles → identical rounded c → identical sums, and
+    //     every consumer's DuckDB oracle (which still scores the joined
+    //     form) hash-certifies the regrouping.
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score_micro").desc, col("doc_id"))
-    post.join(broadcast(queries), "term")
+    val contrib = post
       .join(broadcast(dfq), "term")
       .join(dl, "doc_id").crossJoin(stats)
       .withColumn("c", round(idf * tfn * lit(1e6)).cast("long"))
+      .select(col("term"), col("doc_id"), col("c"))
+    contrib.join(broadcast(queries), "term")
       .groupBy(col("query_id"), col("doc_id"))
       .agg(sum(col("c")).as("score_micro"))
       .withColumn("rk", row_number().over(w).cast("long"))
