@@ -30,8 +30,31 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// Transient-scratch placement (r13 optimization, guide §2.1/§9): shuffle
+// files, spill, streaming state-store delta/commit logs and the per-JVM
+// Staging temp root are all throwaway per-invocation I/O, but they pay
+// ext4 fsync latency when java.io.tmpdir/spark.local.dir sit on disk —
+// measured 16% off the streaming bench subset by moving them to tmpfs
+// (state-store commits are fsync-per-partition-per-batch). Default to
+// /dev/shm when present (the cluster-scale analog is pointing
+// spark.local.dir at fast local NVMe — standard deployment practice, not
+// a local[32] trick); override with SPARK_GRAFT_SCRATCH_DIR=<path>, or
+// SPARK_GRAFT_SCRATCH_DIR=none to keep the JVM defaults. Nothing durable
+// lives there: cross-run artifacts (BrcScale, DedupScale, ... corpora)
+// use explicit /tmp paths unaffected by this setting.
+val graftScratchDir: Option[String] = {
+  val cfg = sys.env.get("SPARK_GRAFT_SCRATCH_DIR").orElse {
+    if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get("/dev/shm")))
+      Some("/dev/shm/graft_scratch")
+    else None
+  }
+  cfg.filter(_ != "none").map { p =>
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(p)).toString
+  }
+}
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+) ++ graftScratchDir.toSeq.flatMap(p => Seq(
+  s"-Dspark.local.dir=$p", s"-Djava.io.tmpdir=$p"))
