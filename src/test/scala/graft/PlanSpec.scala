@@ -542,4 +542,29 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("InMemoryTableScan") || p.contains("Scan In-memory"),
       s"the iteration must read the cached edge frame:\n$p")
   }
+
+  // ---- r13 optimization pins: the iteration joins must keep the O(V)
+  // side as the build side. Before the fix the planner BROADCAST the
+  // O(E) edge relation into every iteration (5 independent
+  // BroadcastExchange of the largest frame in the query, rebuilt per
+  // step — plans/r13/q128_pagerank_before.txt); a regression here is
+  // invisible to the oracle (same rows) and to fixture-scale timing,
+  // so the plan shape is the thing to pin.
+
+  test("q128: iteration joins are shuffled-hash on the rank side, edges never broadcast") {
+    val p = plan("q128_pagerank")
+    assert(p.contains("ShuffledHashJoin"),
+      s"contribution joins must be shuffled-hash (rank vector builds):\n$p")
+    val bhjEdges = "BroadcastHashJoin".r.findAllIn(p).size
+    assert(bhjEdges == 0,
+      s"no iteration may broadcast the O(E) edge relation (got $bhjEdges BroadcastHashJoin):\n$p")
+  }
+
+  test("q299: zero-mass rank rows are filtered before the contribution join") {
+    val p = plan("q299_ppr")
+    assert(p.contains("(r") && p.contains("> 0"),
+      s"the sparse-PPR prefilter (r > 0) must sit on the rank side:\n$p")
+    assert(p.contains("ShuffledHashJoin"),
+      s"contribution joins must be shuffled-hash (rank vector builds):\n$p")
+  }
 }
