@@ -42,9 +42,21 @@ val jdk17AddOpens = Seq(
 // SPARK_GRAFT_SCRATCH_DIR=none to keep the JVM defaults. Nothing durable
 // lives there: cross-run artifacts (BrcScale, DedupScale, ... corpora)
 // use explicit /tmp paths unaffected by this setting.
+// r14 guard: tmpfs is RAM — "spill to tmpfs" is spill-to-memory, so on a
+// small-/dev/shm host a shuffle-heavy run would fill RAM-backed scratch
+// and fail mid-stage (ENOSPC) instead of degrading gracefully. The
+// default therefore requires a free-space floor (64 GiB usable — ~4× the
+// largest gate's shuffle footprint, RelScale --big3); below it the JVM
+// defaults (disk) apply unless SPARK_GRAFT_SCRATCH_DIR forces a path.
+// The CLUSTER analog of this setting is spark.local.dir on fast local
+// NVMe (guide §9) — never tmpfs; this default exists because the sandbox
+// has no NVMe and 126 GiB of tmpfs headroom.
+val graftScratchMinFreeBytes = 64L * 1024 * 1024 * 1024
 val graftScratchDir: Option[String] = {
   val cfg = sys.env.get("SPARK_GRAFT_SCRATCH_DIR").orElse {
-    if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get("/dev/shm")))
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    if (java.nio.file.Files.isDirectory(shm) &&
+        shm.toFile.getUsableSpace >= graftScratchMinFreeBytes)
       Some("/dev/shm/graft_scratch")
     else None
   }

@@ -87,6 +87,23 @@ object Bench {
     curatedHeadline.toSet ++ names.filter(qid(_) > maxCurated)
   }
 
+  /** Never-optimized control queries + their round-13 DRIVER bench
+    * readings (BENCH_r13.json, the judge's ground truth). The r13 verdict
+    * (item 2): this box swings ±20-50% run to run, so 39 untouched
+    * queries "regressed" at geomean 0.862 and the round's real wins were
+    * unreadable without judge-side reconstruction. These five are
+    * trivial, PlanSpec-pinned, and untouched since their build rounds —
+    * their seconds move only with the box. Every bench artifact now
+    * carries their current readings plus `ratio` = (sum now) / (sum at
+    * the r13 driver reference), so a suite-over-suite comparison can be
+    * normalized in-artifact: per-query movement that tracks `ratio` is
+    * environment, not plan. Additions-only: timing protocol, reps, sink
+    * and the queries map are untouched. */
+  val controlQueries: Seq[(String, Double)] = Seq(
+    "q01_onebrc_events" -> 0.611, "q51_date_funcs" -> 0.277,
+    "q69_dedup_clusters" -> 0.033, "q206_video_ingest" -> 0.103,
+    "q306_utf8_repair" -> 0.076)
+
   /** Guard ceiling for the printed stdout line (see main). */
   val stdoutGuard = 1750
 
@@ -107,8 +124,12 @@ object Bench {
     // protocol envelope mirrors main's protoJson at its widest:
     // "interleaved" plus the optional "profiling":true brand
     val proto = s""""reps":${"9" * repsDigits},"protocol":"interleaved","profiling":true"""
+    // controls envelope at its widest: all five entries + sum/ref/ratio
+    val ctl = controlQueries
+      .map { case (n, _) => "\"" + shortId(n) + "\":999.999" }
+      .mkString(""","controls":{""", ",", s""","sum":9999.999,"ref_sum":9999.999,"ratio":99.999}""")
     val line = s"""{"metric":"total","value":99999.999,"unit":"sec","n_queries":${names.size},""" +
-      s"""$proto,"queries":$entries,"sf":"${"x" * sfDirLen}"}"""
+      s"""$proto,"queries":$entries$ctl,"sf":"${"x" * sfDirLen}"}"""
     line.length
   }
 
@@ -294,11 +315,33 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v / 1e9 }.sum
     val totalStr = BigDecimal(total).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    // untouched-control normalization (object-level scaladoc on
+    // [[controlQueries]]): current control readings + ratio vs the r13
+    // driver reference. Ratio only when every control ran (full suite) —
+    // a SPARK_GRAFT_ONLY subset run emits just the controls it measured.
+    val ctlJson = {
+      val now = results.toMap
+      val present = controlQueries.filter { case (n, _) =>
+        now.get(n).exists(_ >= 0) }
+      if (present.isEmpty) ""
+      else {
+        def d3(v: Double): String =
+          BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+        val entries = present.map { case (n, _) =>
+          "\"" + shortId(n) + "\":" + fmt(now(n)) }.mkString(",")
+        val tail = if (present.size == controlQueries.size) {
+          val sumNow = present.map { case (n, _) => now(n) / 1e9 }.sum
+          val refSum = controlQueries.map(_._2).sum
+          s""","sum":${d3(sumNow)},"ref_sum":${d3(refSum)},"ratio":${d3(sumNow / refSum)}"""
+        } else ""
+        s""","controls":{$entries$tail}"""
+      }
+    }
     val protoJson = s""""reps":$reps,"protocol":"interleaved"""" +
       (if (profiling) ""","profiling":true""" else "")
     // Full per-query map (all queries, 3-decimal seconds) + diag → file.
     val fullJson =
-      s"""{"metric":"total","value":$totalStr,"unit":"sec",$protoJson,"queries":${qJson(results)},"diag":$diagJson,"stream":$streamJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$totalStr,"unit":"sec",$protoJson,"queries":${qJson(results)}$ctlJson,"diag":$diagJson,"stream":$streamJson,"sf":"$sfDir"}"""
     // The driver captures only the LAST 2000 CHARS of stdout and parses the
     // last line as JSON (BENCH_r01/r02 both lost the result: r01 to sbt's
     // trailing "[success]" line, r02 to the full 75-query line being 2291
@@ -318,7 +361,7 @@ object Bench {
       val shortNamed = results.filter(r => headSet(r._1)).map { case (k, v) =>
         (shortId(k), v)
       }
-      s"""{"metric":"total","value":$totalStr,"unit":"sec","n_queries":${results.size},$protoJson,"queries":${qJson(shortNamed)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$totalStr,"unit":"sec","n_queries":${results.size},$protoJson,"queries":${qJson(shortNamed)}$ctlJson,"sf":"$sfDir"}"""
     }
     // file first: if the guard below ever trips (e.g. an unusually long
     // sfDir path), the completed run's full per-query map is already safe

@@ -18,8 +18,17 @@ import java.nio.file.{Files, Paths}
   */
 object PlanDump {
   def main(args: Array[String]): Unit = {
+    // a run where every dump fails must not look like success to calling
+    // scripts (r13 ADVICE): track failures and exit nonzero, and reject
+    // missing args with a usage line instead of an AIOOBE
+    if (args.length < 3) {
+      System.err.println(
+        "usage: runMain graft.PlanDump <sfDir> <outDir> <suffix> [name ...]")
+      sys.exit(2)
+    }
     val (sfDir, outDir, suffix) = (args(0), args(1), args(2))
     val only = args.drop(3).toSet
+    var failed = 0
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -40,9 +49,14 @@ object PlanDump {
           Files.writeString(Paths.get(s"$outDir/${name}_$suffix.txt"), txt)
           println(s"[plandump] $name -> ${txt.linesIterator.size} lines")
         } catch { case e: Throwable =>
+          failed += 1
           System.err.println(s"[plandump] $name failed: ${e.getMessage}")
         }
       }
     spark.stop()
+    if (failed > 0) {
+      System.err.println(s"[plandump] $failed dump(s) failed")
+      sys.exit(1)
+    }
   }
 }

@@ -400,7 +400,10 @@ object Graph {
           .join(edges, col("node") === col("src"))
           .select(col("dst"), expr("r div deg").as("c"))
           .groupBy("dst").agg(sum(col("c")).as("sc"))
-        ranks = deg.join(sums, col("node") === col("dst"), "left")
+        // r14: same SortMergeJoin→shuffle_hash flip as q128's rank
+        // update (rationale there)
+        ranks = deg.join(sums.hint("shuffle_hash"),
+            col("node") === col("dst"), "left")
           .crossJoin(broadcast(sd))
           .select(col("node"), col("deg"),
             (when(col("node") === col("seed"),
@@ -456,7 +459,14 @@ object Graph {
           .join(edges, col("node") === col("src"))
           .select(col("dst"), expr("r div deg").as("c"))
           .groupBy("dst").agg(sum(col("c")).as("sc"))
-        ranks = deg.join(sums, col("node") === col("dst"), "left")
+        // r14 (guide §3.1): the rank-update left join planned as
+        // SortMergeJoin ×5 — two sorts of an O(V) frame per iteration
+        // for a join whose build side (the freshly aggregated sums)
+        // arrives ALREADY hash-partitioned on dst from its own partial
+        // agg. shuffle_hash builds sums in place (no sort either side);
+        // at scale sums ≤ deg rows per partition, the §3.1 SHJ condition.
+        ranks = deg.join(sums.hint("shuffle_hash"),
+            col("node") === col("dst"), "left")
           .crossJoin(n1)
           .select(col("node"), col("deg"),
             (expr(s"(15 * $Base) div (100 * n)") +

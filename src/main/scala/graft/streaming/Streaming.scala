@@ -265,8 +265,29 @@ object Streaming {
     // runtime conf overrides (ANSI, timezone, broadcast threshold)
     val s2 = graft.Tables.sessionClone(spark)
     s2.conf.set("spark.sql.shuffle.partitions", n.toString)
+    defaultStateProvider.foreach(p =>
+      s2.conf.set("spark.sql.streaming.stateStore.providerClass", p))
     body(s2)
   }
+
+  private val RocksProviderCls =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+  /** Session-default state-store provider for every streaming query
+    * (r14, guide §2.1/§5): SPARK_GRAFT_STATE_PROVIDER = `hdfs` keeps
+    * Spark's default HDFS-backed provider, `rocksdb` forces RocksDB, any
+    * other nonempty value is taken as a provider class name; unset = the
+    * measured default. Queries that REQUIRE RocksDB (transformWithState:
+    * q126/q321/q295/q268) set it explicitly after the clone and are
+    * unaffected. StateStoreMatrixSpec keeps proving both providers
+    * result-identical on the provider-free streams. */
+  private val defaultStateProvider: Option[String] =
+    sys.env.get("SPARK_GRAFT_STATE_PROVIDER") match {
+      case Some("hdfs") => None
+      case Some("rocksdb") => Some(RocksProviderCls)
+      case Some(cls) if cls.nonEmpty => Some(cls)
+      case _ => None // measured default, set by the r14 A/B below
+    }
 
   /** q159's staged stream input: one file of all real events, then two
     * sentinel files with later event times. FileStreamSource orders files

@@ -558,13 +558,29 @@ class PlanSpec extends SparkSpec {
     val bhjEdges = "BroadcastHashJoin".r.findAllIn(p).size
     assert(bhjEdges == 0,
       s"no iteration may broadcast the O(E) edge relation (got $bhjEdges BroadcastHashJoin):\n$p")
+    // r14 pin: the per-iteration rank-update left join (deg ⋈ sums) must
+    // not fall back to SortMergeJoin — that shape sorted two O(V) frames
+    // per iteration (plans/r14/q128_pagerank_before.txt: 5 SMJ + 10 Sort;
+    // after: 0 and 0, isolated A/B −24%)
+    assert(!p.contains("SortMergeJoin"),
+      s"rank-update joins must be shuffled-hash, not sort-merge:\n$p")
   }
 
   test("q299: zero-mass rank rows are filtered before the contribution join") {
     val p = plan("q299_ppr")
-    assert(p.contains("(r") && p.contains("> 0"),
-      s"the sparse-PPR prefilter (r > 0) must sit on the rank side:\n$p")
+    // discriminating count, not substring presence (r13 ADVICE): the
+    // UNFILTERED form carries exactly ONE "> 0" predicate (the final
+    // output filter — plans/r13/q299_ppr_before.txt); the per-iteration
+    // prefilter lands as one rank-expression "> 0" predicate per
+    // iteration (Catalyst folds Filter(r > 0) into the contribution
+    // join's condition), so its presence is >= Iters occurrences.
+    val rGtZero = "> 0".r.findAllIn(p).size
+    assert(rGtZero >= graft.operators.Graph.Iters,
+      s"the sparse-PPR prefilter (r > 0 per iteration) is gone — " +
+        s"found $rGtZero '> 0' predicates, need >= ${graft.operators.Graph.Iters}:\n$p")
     assert(p.contains("ShuffledHashJoin"),
       s"contribution joins must be shuffled-hash (rank vector builds):\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"rank-update joins must be shuffled-hash, not sort-merge:\n$p")
   }
 }
