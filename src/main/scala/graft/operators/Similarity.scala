@@ -209,6 +209,31 @@ object Similarity {
   val LloydK = 8
   val LloydIters = 3
 
+  /** Session-memoized, lineage-truncated TRAINED model frames (r14, the
+    * r13 verdict's "single-flight the training frames"). Training loops
+    * (Lloyd, PQ) build plans whose size grows per iteration, and every
+    * consumer query RE-BUILT that whole tree: the CacheRegistry entries
+    * dedupe the *execution*, but Catalyst re-ANALYZES the full training
+    * lineage on every DataFrame construction — measured 1.3 s of q143's
+    * 2.5 s run (vs 1.2 s executing), every bench rep, caches hot.
+    * localCheckpoint (the q292 iteration idiom) truncates the finished
+    * model to a leaf, and the memo hands every consumer in the session
+    * the SAME truncated frame — training literally runs once per
+    * (session, corpus). Values are unchanged (the checkpoint holds the
+    * exact rows the training plan computes from the parquet inputs;
+    * nothing survives the session). [[forgetAnnStages]] drops a corpus's
+    * entries on rewrite, exactly like the parquet stages. */
+  private val modelMemo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String, String), DataFrame]
+  private def canonDir(d: String): String =
+    java.nio.file.Paths.get(d).toAbsolutePath.normalize.toString
+  private def trainedOnce(s: SparkSession, d: String, key: String)
+      (build: => DataFrame): DataFrame = {
+    modelMemo.keys.filter(_._1.sparkContext.isStopped)
+      .foreach(modelMemo.remove)
+    modelMemo.getOrElseUpdate((s, canonDir(d), key), build.localCheckpoint())
+  }
+
   /** PQ codebook training constants (q327): M=4 subspaces × K=16 entries,
     * trained with q129's integer-exact Lloyd arithmetic PER SUBSPACE,
     * initialized from the first-16-vectors stand-in — so the trained
@@ -224,7 +249,8 @@ object Similarity {
     * distances, trunc division, empty-cell carry). Driver loop builds
     * plan only; each round's frame is registry-cached because the next
     * iteration references it twice (distance join + empty-cell carry). */
-  private def pqTrainedCodebook(s: SparkSession, d: String): DataFrame = {
+  private def pqTrainedCodebook(s: SparkSession, d: String): DataFrame =
+      trainedOnce(s, d, "pq-codebook") {
     val M = 4; val SubDim = Dim / M
     val exm = t(s, d, "embeddings")
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "x")))
@@ -340,7 +366,9 @@ object Similarity {
     * Lloyd steps (see q129's scaladoc for the arithmetic-parity rules).
     * Driver loop builds plan only — no action inside. */
   private def lloydCentroids(s: SparkSession, d: String): DataFrame =
-    lloydCentroidsOn(s, d, None, col("vec_id") < LloydK)
+    trainedOnce(s, d, "lloyd") {
+      lloydCentroidsOn(s, d, None, col("vec_id") < LloydK)
+    }
 
   /** lloydCentroids generalized for the incremental index (q151): `train`
     * restricts the training set (None = all vectors; q151 trains on the
@@ -498,12 +526,18 @@ object Similarity {
     graft.Staging.forget(annStageDir(d))
     graft.Staging.forget(s"${annIncStageDir(d)}/codes@base")
     graft.Staging.forget(s"${annIncStageDir(d)}/codes@delta")
+    // the memoized trained frames describe the corpus too (r14) — a
+    // rewritten corpus must retrain, not serve stale checkpointed models
+    val c = canonDir(d)
+    modelMemo.keys.filter(_._2 == c).foreach(modelMemo.remove)
   }
 
   /** q151's base-trained centroid frame (Lloyd over base vectors only). */
   private def annIncCentroids(s: SparkSession, d: String): DataFrame =
-    lloydCentroidsOn(s, d, Some(isBaseVec),
-      col("vec_id") < AnnIncSeedBound)
+    trainedOnce(s, d, "lloyd-inc") {
+      lloydCentroidsOn(s, d, Some(isBaseVec),
+        col("vec_id") < AnnIncSeedBound)
+    }
 
   private def annIncCbPred: Column =
     col("vec_id") < AnnIncCbBound && isBaseVec

@@ -945,12 +945,18 @@ object TextAnalysis {
     val tot = tr.groupBy(col("lang")).agg(count(lit(1)).as("nl"))
     val grid = tot.select(col("lang"), col("nl"))
       .crossJoin(s.range(LangIdB).select(col("id").as("b")))
-    grid.join(cnt, Seq("lang", "b"), "left")
-      .select(col("lang"), col("b"),
-        coalesce(col("c"), lit(0L)).as("c"), col("nl"))
-      .select(col("lang"), col("b"), col("c"),
-        expr(s"CAST(round(ln(CAST(c + 1 AS DOUBLE) / (nl + $LangIdB)) * 1e9) AS BIGINT)")
-          .as("w_nano"))
+    // r14 (guide §2.4, r13 verdict item 4): the FINISHED model grid is
+    // 5×1024 rows but its lineage (cipher → bigram explode → feature
+    // hash → counts → smoothing) re-ran in BOTH q328 and q329 — caching
+    // the 5,120-row result single-flights training per session, exactly
+    // like the ANN codebooks; q329's broadcast then reads the cache.
+    graft.CacheRegistry.cached(
+      grid.join(cnt, Seq("lang", "b"), "left")
+        .select(col("lang"), col("b"),
+          coalesce(col("c"), lit(0L)).as("c"), col("nl"))
+        .select(col("lang"), col("b"), col("c"),
+          expr(s"CAST(round(ln(CAST(c + 1 AS DOUBLE) / (nl + $LangIdB)) * 1e9) AS BIGINT)")
+            .as("w_nano")))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
