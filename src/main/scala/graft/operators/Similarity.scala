@@ -216,23 +216,14 @@ object Similarity {
     * dedupe the *execution*, but Catalyst re-ANALYZES the full training
     * lineage on every DataFrame construction — measured 1.3 s of q143's
     * 2.5 s run (vs 1.2 s executing), every bench rep, caches hot.
-    * localCheckpoint (the q292 iteration idiom) truncates the finished
-    * model to a leaf, and the memo hands every consumer in the session
-    * the SAME truncated frame — training literally runs once per
-    * (session, corpus). Values are unchanged (the checkpoint holds the
-    * exact rows the training plan computes from the parquet inputs;
-    * nothing survives the session). [[forgetAnnStages]] drops a corpus's
-    * entries on rewrite, exactly like the parquet stages. */
-  private val modelMemo = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String, String), DataFrame]
-  private def canonDir(d: String): String =
-    java.nio.file.Paths.get(d).toAbsolutePath.normalize.toString
+    * [[graft.SessionMemo]] truncates the finished model to a leaf and
+    * hands every consumer in the session the SAME frame — training
+    * literally runs once per (session, corpus). Values are unchanged.
+    * [[forgetAnnStages]] drops a corpus's entries on rewrite, exactly
+    * like the parquet stages. */
   private def trainedOnce(s: SparkSession, d: String, key: String)
-      (build: => DataFrame): DataFrame = {
-    modelMemo.keys.filter(_._1.sparkContext.isStopped)
-      .foreach(modelMemo.remove)
-    modelMemo.getOrElseUpdate((s, canonDir(d), key), build.localCheckpoint())
-  }
+      (build: => DataFrame): DataFrame =
+    graft.SessionMemo.once(s, s"ann-$key", d)(build)
 
   /** PQ codebook training constants (q327): M=4 subspaces × K=16 entries,
     * trained with q129's integer-exact Lloyd arithmetic PER SUBSPACE,
@@ -528,8 +519,7 @@ object Similarity {
     graft.Staging.forget(s"${annIncStageDir(d)}/codes@delta")
     // the memoized trained frames describe the corpus too (r14) — a
     // rewritten corpus must retrain, not serve stale checkpointed models
-    val c = canonDir(d)
-    modelMemo.keys.filter(_._2 == c).foreach(modelMemo.remove)
+    graft.SessionMemo.forgetDir(d)
   }
 
   /** q151's base-trained centroid frame (Lloyd over base vectors only). */
@@ -621,7 +611,7 @@ object Similarity {
       val p = 0.9
       val wTail = (1 to 10).map(m => math.round(
         (m to 10).map(dd => (1 - p) * math.pow(p, dd - 1) / dd).sum * 1e9))
-      val lex = TextAnalysis.bm25Ranked(s, d)
+      val lex = TextAnalysis.bm25RankedServed(s, d)
         .select(col("query_id").cast("long").as("query_id"),
           col("doc_id"), col("rk").as("lex_rk"))
       val e = t(s, d, "embeddings")
@@ -1207,7 +1197,9 @@ object Similarity {
       // one broadcast-kNN corpus pass). A missing rank contributes 0 —
       // the standard RRF treatment of a doc absent from one list.
       VectorExpressions.register(s)
-      val lex = TextAnalysis.bm25Ranked(s, d)
+      // r14: the lexical leg is the session-memoized served list (one
+      // scoring pass for q153/q165/q255 — SessionMemo at bm25RankedServed)
+      val lex = TextAnalysis.bm25RankedServed(s, d)
         .select(col("query_id"), col("doc_id"), col("rk").as("lex_rk"))
       val e = t(s, d, "embeddings")
       val qv = e.filter(col("vec_id").isin(TextAnalysis.bm25QueryIds: _*))

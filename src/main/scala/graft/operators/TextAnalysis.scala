@@ -94,7 +94,15 @@ object TextAnalysis {
   private[operators] def knownItemEvalOn(s: SparkSession,
       docs: DataFrame): DataFrame = {
     val (tf, dl, queries) = knownItemFrames(docs)
-    val ranked = bm25ServeOn(s, tf, dl, queries)
+    knownItemEvalFrom(queries, bm25ServeOn(s, tf, dl, queries))
+  }
+
+  /** The q218 metric tail over a prebuilt ranked frame — factored (r14)
+    * so the corpus query serves the SessionMemo'd ranked lists while
+    * RetrievalEvalSpec keeps feeding engineered corpora through
+    * [[knownItemEvalOn]]. */
+  private def knownItemEvalFrom(queries: DataFrame,
+      ranked: DataFrame): DataFrame = {
     val hit = ranked.where(col("doc_id") === col("query_id"))
       .select(col("query_id"), col("rk").as("tr"))
     queries.select(col("query_id")).distinct()
@@ -104,6 +112,19 @@ object TextAnalysis {
         coalesce(expr("1000000 div tr"), lit(0L)).as("rr_micro"),
         col("tr").isNotNull.as("hit10"))
   }
+
+  /** The known-item ranked lists for the CORPUS documents, memoized +
+    * lineage-truncated per (session, corpus) — ONE scoring pass serves
+    * q218's rank eval and q258's NDCG (r14; they previously each
+    * executed the identical bm25ServeOn pipeline and re-analyzed its
+    * full lineage per construction). At 100 TB the ranked lists are
+    * eval-sized (10 rows/query) — exactly the intermediate a production
+    * eval stage materializes. */
+  private def knownItemRankedServed(s: SparkSession, d: String): DataFrame =
+    graft.SessionMemo.once(s, "ki-ranked", d) {
+      val (tf, dl, queries) = knownItemFrames(t(s, d, "documents"))
+      bm25ServeOn(s, tf, dl, queries)
+    }
 
   /** q233's hashed-linear score frame (doc_id, n_tokens,
     * logit_sum_micro, p_nano, keep) — factored so q259's AUC evaluates
@@ -217,7 +238,13 @@ object TextAnalysis {
   private[operators] def ndcgEvalOn(s: SparkSession,
       docs: DataFrame): DataFrame = {
     val (tf, dl, queries) = knownItemFrames(docs)
-    val ranked = bm25ServeOn(s, tf, dl, queries)
+    ndcgEvalFrom(tf, queries, bm25ServeOn(s, tf, dl, queries))
+  }
+
+  /** The q258 NDCG tail over a prebuilt ranked frame (factored r14, the
+    * knownItemEvalFrom rationale). */
+  private def ndcgEvalFrom(tf: DataFrame, queries: DataFrame,
+      ranked: DataFrame): DataFrame = {
     val rel = tf.select(col("doc_id"), col("term"))
       .join(broadcast(queries), "term")
       .groupBy(col("query_id"), col("doc_id"))
@@ -294,6 +321,16 @@ object TextAnalysis {
     val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
     bm25Serve(s, tf, dl)
   }
+
+  /** [[bm25Ranked]] memoized + lineage-truncated per (session, corpus)
+    * (r14): ONE scoring pass serves q153's output, q165's lexical leg
+    * and q255's RBO leg — the three consumers previously each executed
+    * (and re-analyzed) the identical pipeline. The frame is 10 rows per
+    * query; sharing the served LIST (not a re-derivation) also makes the
+    * "agreement can never drift from the fusion" contract literal. */
+  private[operators] def bm25RankedServed(s: SparkSession,
+      d: String): DataFrame =
+    graft.SessionMemo.once(s, "bm25-ranked", d)(bm25Ranked(s, d))
 
   // ---- q168/q169: the inverted index as a STAGED artifact --------------
 
@@ -2354,8 +2391,10 @@ object TextAnalysis {
       // BIGINTs in any aggregation order; the top-10 ranks on
       // (score desc, doc_id) — fully deterministic. The one window
       // partitions by query_id over posting-bounded candidates only.
-      // Pipeline body lives in bm25Ranked — shared with q165's fusion.
-      bm25Ranked(s, d).orderBy("query_id", "rk")
+      // Pipeline body lives in bm25Ranked — shared with q165's fusion
+      // and served through the session memo (r14: one pass, three
+      // consumers).
+      bm25RankedServed(s, d).orderBy("query_id", "rk")
     }),
 
     "q229_psi_drift" -> ((s, d) => {
@@ -2531,8 +2570,13 @@ object TextAnalysis {
       // engineered corpus with planted unique terms, every query hits
       // rank 1). At 100 TB the query set is eval-sized (broadcast), so
       // the cost is one posting-list-bounded scoring pass — the eval
-      // rides the production serving plan.
-      knownItemEvalOn(s, t(s, d, "documents")).orderBy("query_id")),
+      // rides the production serving plan (r14: the ranked lists are
+      // the SessionMemo'd pass shared with q258).
+      {
+        val (_, _, queries) = knownItemFrames(t(s, d, "documents"))
+        knownItemEvalFrom(queries, knownItemRankedServed(s, d))
+          .orderBy("query_id")
+      }),
 
     "q258_ndcg" -> ((s, d) =>
       // NDCG@10 — the GRADED-relevance eval beside q218's binary
@@ -2552,7 +2596,12 @@ object TextAnalysis {
       // throughout. At 100 TB the shape is q218's: broadcast
       // eval-sized query set, posting-bounded scoring pass, one extra
       // map-side-combined rel aggregate; nothing new shuffles.
-      ndcgEvalOn(s, t(s, d, "documents")).orderBy("query_id")),
+      // (r14: ranked lists = the SessionMemo'd pass shared with q218)
+      {
+        val (tf, _, queries) = knownItemFrames(t(s, d, "documents"))
+        ndcgEvalFrom(tf, queries, knownItemRankedServed(s, d))
+          .orderBy("query_id")
+      }),
 
     "q192_chat_contract" -> ((s, d) => {
       // Chat-template CONTRACT validation — the SFT-data gate every

@@ -283,10 +283,17 @@ class PlanSpec extends SparkSpec {
     val p = plan("q165_rrf_fusion")
     assert(!p.contains("CartesianProduct"),
       s"fusion must not plan a cartesian:\n$p")
-    // the dense leg's query vectors and the BM25 leg's query table both
-    // arrive as broadcasts — the corpus sides never shuffle toward them
-    assert("BroadcastExchange".r.findAllIn(p).length >= 2,
-      s"both retrieval legs should broadcast their small sides:\n$p")
+    // the dense leg's query vectors arrive as a broadcast — the corpus
+    // side never shuffles toward them
+    assert("BroadcastExchange".r.findAllIn(p).length >= 1,
+      s"the dense leg should broadcast its query side:\n$p")
+    // r14: the lexical leg is the session-memoized served list (ONE
+    // BM25 scoring pass for q153/q165/q255 — bm25RankedServed), so it
+    // must enter the fusion as a lineage-truncated leaf, not as a
+    // re-derivation of the whole scoring pipeline (whose own broadcast
+    // shape is pinned via q153's oracle + the r13 plan dumps)
+    assert(p.contains("Scan ExistingRDD"),
+      s"the lexical leg should be the served (memoized) ranked list:\n$p")
   }
 
   test("q170: late interaction — query tokens broadcast, aggregations partial-before-exchange") {
